@@ -1,0 +1,44 @@
+"""Shared literal parameters.
+
+Every constant used by BOTH a Spark query and its DuckDB oracle lives
+here, so the two sides can never drift (SURVEY.md §7 "dialect gaps" —
+never hand-sync two divergent strings).
+"""
+
+# TPC-H Q1-style pricing summary (flagship)
+Q1_SHIP_CUTOFF = "1998-09-02"
+
+# Key-range scan (HBase Scan(start,stop) analog)
+KEYRANGE_LO = 1000
+KEYRANGE_HI = 5000
+
+# Theta/band join: price within +-10% of part retail price
+BAND_FRAC = 0.10
+
+# Range-interval join window (days)
+RANGE_JOIN_DAYS = 7
+
+# TTL cutoff for hb_ttl_expiry (fixed literal "now" for determinism;
+# events span 2024-01-01..2024-01-30)
+TTL_CUTOFF = "2024-01-15 00:00:00"
+
+# Incremental export split point (events before this are "already exported")
+INCR_EXPORT_SPLIT = "2024-01-20 00:00:00"
+
+# Top-k sizes
+TOPK_LIMIT = 10
+TOPK_PER_GROUP = 3
+SIM_TOPK = 10
+
+# Similarity probes: embeddings rows with vec_id < N_PROBES act as probes
+N_PROBES = 10
+
+# MinHash LSH
+MINHASH_SHINGLE = 3  # word-shingle width
+MINHASH_K = 12       # number of hash functions
+MINHASH_BANDS = 4    # bands (rows per band = K / BANDS)
+
+# Float canonicalization (SURVEY.md §7): round to this many digits on
+# both engines before hashing.
+ROUND_DIGITS = 6
+ROUND_MONEY = 4

@@ -1,0 +1,113 @@
+"""Local oracle-parity pre-flight (SURVEY.md §5).
+
+Runs the same comparison the driver's t2 does: for every registry op,
+execute the Spark query and the DuckDB oracle on the same parquet
+tables, compare row-count + column names + an order-insensitive value
+hash (columns sorted by name; floats rounded; timestamps at us).
+
+Usage:
+    python tools/check.py [--sf /root/testdata/sf0.01] [op ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from snapshot_s3_util_spark.parity import canon_lines, table_hash
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("ops", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as e
+    from snapshot_s3_util_spark.session import get_spark
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    names = args.ops or sorted(qs)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown ops: {unknown}")
+        return 2
+
+    spark = get_spark("parity-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    failures = []
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            df = qs[name](spark, args.sf)
+            s_cols = df.columns
+            s_rows = [tuple(r) for r in df.collect()]
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {type(ex).__name__}: {str(ex)[:500]}")
+            continue
+        spark_t = time.perf_counter() - t0
+
+        if name not in oracles:
+            print(f"ok   {name}: rows-only, {len(s_rows)} rows ({spark_t:.1f}s)")
+            if len(s_rows) == 0:
+                failures.append(name)
+                print(f"FAIL {name}: 0 rows from rows-only op")
+            continue
+
+        try:
+            cur = con.execute(oracles[name])
+            d_cols = [d[0] for d in cur.description]
+            d_rows = cur.fetchall()
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {type(ex).__name__}: {str(ex)[:500]}")
+            continue
+
+        sc, dc = sorted(s_cols), sorted(d_cols)
+        if sc != dc:
+            failures.append(name)
+            print(f"FAIL {name}: columns differ\n  spark:  {sc}\n  duckdb: {dc}")
+            continue
+        sn, sh = table_hash(s_cols, s_rows)
+        dn, dh = table_hash(d_cols, d_rows)
+        if sn != dn:
+            failures.append(name)
+            print(f"FAIL {name}: row count {sn} (spark) vs {dn} (duckdb)")
+            continue
+        if sh != dh:
+            failures.append(name)
+            print(f"FAIL {name}: value hash mismatch ({sn} rows)")
+            # show a few differing canonical rows to debug
+            ls = canon_lines(s_cols, s_rows)
+            ld = canon_lines(d_cols, d_rows)
+            shown = 0
+            for a, b in zip(ls, ld):
+                if a != b and shown < 3:
+                    print(f"  spark:  {a[:300]}\n  duckdb: {b[:300]}")
+                    shown += 1
+            continue
+        print(f"ok   {name}: {sn} rows hash={sh[:10]} ({spark_t:.1f}s)")
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
