@@ -1,0 +1,324 @@
+"""Join operators — every flavor (SURVEY.md §2B "Joins").
+
+Strategy notes for the 100 TB design point:
+- dimension joins broadcast (`F.broadcast`) — zero shuffle of the fact;
+- fact-fact equi joins shuffle on the key; AQE converts to broadcast at
+  runtime when a side turns out small, and splits skewed partitions;
+- the as-of join is the union+window formulation (ONE shuffle on
+  user_id) rather than join-then-filter (which materializes every
+  (probe, candidate) pair — quadratic per key);
+- the interval join keeps its equi key (user_id) so Spark plans a hash
+  join with the range as a residual filter, never a nested-loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.registry import register
+from snapshot_s3_util_spark.sql_helpers import EVENTS_REL
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+    category="join",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dimension equi join, explicitly broadcast.
+
+    Plan: two BroadcastHashJoins; the customer scan is never shuffled.
+    At 100 TB this is the only sane plan for sub-GB dimensions — the
+    fact table streams through map-side.
+    """
+    c, n, r = (load_table(spark, sf_dir, t) for t in ("customer", "nation", "region"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@register(
+    "join_inner_hash",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    """,
+    category="join",
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders equi inner join (shuffled hash / AQE-broadcast)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "inner").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_sortmerge",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_quantity), 4) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_orderstatus
+    """,
+    category="join",
+)
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large ⋈ large: orders ⋈ lineitem as SortMergeJoin (`merge` hint).
+
+    At 100 TB both sides shuffle once on the join key; the downstream
+    aggregate reuses that partitioning (no second exchange) because the
+    group key is a superset of the join key.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 150000
+    """,
+    category="join",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with a join-side residual predicate (null-extension)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 150000)
+    return c.join(o, cond, "left").select("c_custkey", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_full_outer",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, COUNT(*) AS n_clicks
+      FROM {EVENTS_REL} e WHERE event_type = 'click' GROUP BY user_id
+    ),
+    purchases AS (
+      SELECT user_id, COUNT(*) AS n_purchases
+      FROM {EVENTS_REL} e WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT user_id, n_clicks, n_purchases
+    FROM clicks FULL JOIN purchases USING (user_id)
+    """,
+    category="join",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on BOTH sides (USING-key coalesce)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return clicks.join(purchases, ["user_id"], "full").select(
+        "user_id", "n_clicks", "n_purchases"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+    category="join",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS: customers with at least one large order (left_semi)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    category="join",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS — the incremental-export primitive (SURVEY §2A A3/A6):
+    rows present in the new snapshot but absent from the exported one.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_theta_band",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_matched,
+           ROUND(SUM(l_extendedprice), 4) AS sum_price
+    FROM lineitem JOIN part
+      ON l_partkey = p_partkey
+     AND l_extendedprice >= p_retailprice * l_quantity * 0.9
+     AND l_extendedprice <= p_retailprice * l_quantity * 1.1
+    GROUP BY p_brand
+    """,
+    category="join",
+)
+def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/band join: equi key + price-band residual.
+
+    The equi conjunct keeps this a hash join; the band is evaluated as a
+    post-probe filter — never a nested loop.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    band = F.col("p_retailprice") * F.col("l_quantity")
+    cond = (
+        (li.l_partkey == p.p_partkey)
+        & (li.l_extendedprice >= band * 0.9)
+        & (li.l_extendedprice <= band * 1.1)
+    )
+    return (
+        li.join(p, cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "join_range_interval",
+    oracle=f"""
+    SELECT s.user_id,
+           COUNT(*) AS n_follow_ups,
+           MIN(f.ts) AS first_follow_up
+    FROM {EVENTS_REL} s
+    JOIN {EVENTS_REL} f
+      ON s.user_id = f.user_id
+     AND f.ts > s.ts
+     AND f.ts <= s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup'
+    GROUP BY s.user_id
+    """,
+    category="join",
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: events within (signup_ts, signup_ts + 1h].
+
+    Equi key (user_id) + time-range residual — the funnel-attribution
+    shape. Partitioning by user co-locates both sides in one shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
+    )
+    f_ = ev.select(F.col("user_id").alias("f_user"), F.col("ts").alias("f_ts"))
+    cond = (
+        (F.col("s_user") == F.col("f_user"))
+        & (F.col("f_ts") > F.col("s_ts"))
+        & (F.col("f_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        s.join(f_, cond)
+        .groupBy(F.col("s_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_follow_ups"),
+            F.min("f_ts").alias("first_follow_up"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle=f"""
+    SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts
+    FROM (SELECT * FROM {EVENTS_REL} e WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts FROM {EVENTS_REL} e WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    category="join",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest 'view' at-or-before each 'purchase', per user.
+
+    Spark has no native ASOF; the scalable formulation is union + window
+    (`last_value(ignorenulls) over (partition by user order by ts)`):
+    ONE shuffle on user_id, O(n log n) per partition — versus the naive
+    join+rank which materializes every (purchase x earlier-view) pair.
+    DuckDB's native ASOF JOIN is the oracle cross-check (SURVEY §4).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("view_ts"),
+        F.lit(0).alias("is_probe"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        F.lit(1).alias("is_probe"),
+    )
+    # views sort before purchases at equal ts (is_probe asc) => "<=" semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    unioned = views.unionByName(purchases).withColumn(
+        "last_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+    )
+    return unioned.filter(F.col("is_probe") == 1).select(
+        "event_id", "user_id", "ts", "last_view_ts"
+    )
+
+
+@register(
+    "join_cross_limited",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    category="join",
+)
+def join_cross_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Cartesian product (region x nation, 125 rows)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")

@@ -1,0 +1,62 @@
+"""Set operators (SURVEY.md §2B "Set operations").
+
+The distinct variants are the manifest-diff primitives of the
+reference's verify step (SURVEY §2A A7): EXCEPT finds files missing
+from the export, INTERSECT the common ones.
+
+Two deterministic event slices with genuine overlap:
+  slice_a = events in [2024-01-01, 2024-01-20)
+  slice_b = events in [2024-01-10, 2024-01-30]
+projected to (user_id, event_type) so bag-vs-set semantics differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.registry import register
+from snapshot_s3_util_spark.sql_helpers import EVENTS_REL
+
+_A_HI = "2024-01-20 00:00:00"
+_B_LO = "2024-01-10 00:00:00"
+
+_A_SQL = f"SELECT user_id, event_type FROM {EVENTS_REL} e WHERE ts < TIMESTAMP '{_A_HI}'"
+_B_SQL = f"SELECT user_id, event_type FROM {EVENTS_REL} e WHERE ts >= TIMESTAMP '{_B_LO}'"
+
+
+def _slices(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("ts") < F.lit(_A_HI).cast("timestamp"))
+    b = ev.filter(F.col("ts") >= F.lit(_B_LO).cast("timestamp"))
+    cols = ["user_id", "event_type"]
+    return a.select(cols), b.select(cols)
+
+
+@register("set_union_all", oracle=f"{_A_SQL} UNION ALL {_B_SQL}", category="setop")
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union (duplicates preserved) — pure narrow op, no shuffle."""
+    a, b = _slices(spark, sf_dir)
+    return a.unionByName(b)
+
+
+@register("set_union_distinct", oracle=f"{_A_SQL} UNION {_B_SQL}", category="setop")
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union — one hash-distinct shuffle on all columns."""
+    a, b = _slices(spark, sf_dir)
+    return a.unionByName(b).distinct()
+
+
+@register("set_intersect", oracle=f"{_A_SQL} INTERSECT {_B_SQL}", category="setop")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (distinct semantics, like SQL INTERSECT)."""
+    a, b = _slices(spark, sf_dir)
+    return a.intersect(b)
+
+
+@register("set_except", oracle=f"{_A_SQL} EXCEPT ALL {_B_SQL}", category="setop")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL) — the manifest-diff analog."""
+    a, b = _slices(spark, sf_dir)
+    return a.exceptAll(b)

@@ -1,0 +1,163 @@
+"""Window-function operators (SURVEY.md §2B "Window functions").
+
+One shuffle on the partition key per distinct (partitionBy, orderBy)
+pair; Spark evaluates sibling window expressions over the same spec in
+a single Window physical node. Every orderBy carries a unique
+tiebreaker (event_id / orderkey) so results are value-deterministic on
+both engines (SURVEY §7 "Nondeterminism").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.params import TOPK_PER_GROUP
+from snapshot_s3_util_spark.registry import register
+from snapshot_s3_util_spark.sql_helpers import EVENTS_REL
+
+_ORDER = "ORDER BY ts DESC, event_id DESC"
+
+
+@register(
+    "win_rank",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           ROW_NUMBER()  OVER (PARTITION BY user_id {_ORDER}) AS rn,
+           RANK()        OVER (PARTITION BY user_id ORDER BY value DESC) AS rnk,
+           DENSE_RANK()  OVER (PARTITION BY user_id ORDER BY value DESC) AS drnk,
+           NTILE(4)      OVER (PARTITION BY user_id {_ORDER}) AS quartile
+    FROM {EVENTS_REL} e
+    """,
+    category="window",
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile per user partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w_ts = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    w_val = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.row_number().over(w_ts).alias("rn"),
+        F.rank().over(w_val).alias("rnk"),
+        F.dense_rank().over(w_val).alias("drnk"),
+        F.ntile(4).over(w_ts).alias("quartile"),
+    )
+
+
+@register(
+    "win_analytic",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           LAG(ts)  OVER w AS prev_ts,
+           LEAD(ts) OVER w AS next_ts,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+    FROM {EVENTS_REL} e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    category="window",
+)
+def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / first_value / last_value per user timeline."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w_full).alias("last_type"),
+    )
+
+
+@register(
+    "win_frame_rows",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_sum
+    FROM {EVENTS_REL} e
+    """,
+    category="window",
+)
+def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving avg/sum over a 4-row sliding frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w), 6).alias("moving_avg"),
+        F.round(F.sum("value").over(w), 6).alias("moving_sum"),
+    )
+
+
+@register(
+    "win_frame_range",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_near,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 4) AS sum_near
+    FROM orders
+    """,
+    category="window",
+)
+def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric offset (value-based, not row-based)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_near"),
+        F.round(F.sum("o_totalprice").over(w), 4).alias("sum_near"),
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle=f"""
+    SELECT user_id, event_id, ts, value
+    FROM (SELECT user_id, event_id, ts, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM {EVENTS_REL} e)
+    WHERE rn <= {TOPK_PER_GROUP}
+    """,
+    category="window",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events per user — the HBase "keep N newest versions" analog.
+
+    Window rank + filter; Spark pushes the rn<=k limit into the sort as
+    a per-partition top-k (WindowGroupLimit in the physical plan), so
+    each group never fully sorts at scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK_PER_GROUP)
+        .select("user_id", "event_id", "ts", "value")
+    )
