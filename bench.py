@@ -1,0 +1,68 @@
+"""Benchmark harness — the driver runs this per round (BENCH_r{N}.json).
+
+Runs the headline queries from BASELINE.md's flagship set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], one warm-up + one timed run each (matching
+BASELINE.md's method), and prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Timing excludes session init (BASELINE.md excludes it too).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import snapshot_s3_util_spark as engine
+from snapshot_s3_util_spark.session import get_spark
+
+engine.load_all_operators()
+
+# Flagship set, 1:1 with BASELINE.md's benchmark rows
+BENCH_QUERIES = (
+    "agg_hash_groupby",       # q1_pricing_summary
+    "join_3way_topk",         # q3_shipping_priority
+    "topk_per_group",         # q_window_rank (rn<=3 per user)
+    "sessionize_batch",       # q_sessionize
+    "llm_dedup_exact",        # q_dedup_exact
+    "llm_sim_topk_brute",     # q_topk_cosine
+    "llm_dedup_near_minhash", # extra headline: LSH near-dup
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+
+    times: dict[str, float] = {}
+    for q in BENCH_QUERIES:
+        # BASELINE.md method: one warm-up run, then one timed run,
+        # per query (warming everything first and timing afterwards
+        # measures GC debt of the heaviest warm-up, not the query)
+        engine.REGISTRY[q].fn(spark, sf_dir).count()
+        t0 = time.perf_counter()
+        engine.REGISTRY[q].fn(spark, sf_dir).collect()
+        times[q] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "flagship_query_wall_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

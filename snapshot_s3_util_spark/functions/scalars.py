@@ -1,0 +1,256 @@
+"""Scalar function families (SURVEY.md §2B "Scalar functions").
+
+One query per family, each exercising >=5 functions. Everything stays
+JVM-side inside whole-stage codegen — zero Python, zero UDFs — so these
+scale exactly like the scans they project over.
+
+Dialect notes (SURVEY §7): Spark `weekday()+1` == DuckDB `isodow`;
+`datediff` argument order differs; integer-returning functions are cast
+to BIGINT on both sides so schemas line up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.registry import register
+from snapshot_s3_util_spark.sql_helpers import EVENTS_REL
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_mktsegment)                          AS seg_upper,
+           LOWER(c_name)                                AS name_lower,
+           SUBSTR(c_name, 10, 9)                        AS key_digits,
+           TRIM(CONCAT(' ', c_name, ' '))               AS name_trimmed,
+           CONCAT_WS('|', c_mktsegment, c_name)         AS seg_name,
+           REGEXP_EXTRACT(c_name, 'Customer#(\\d+)', 1) AS extracted_key,
+           CAST(LENGTH(c_name) AS BIGINT)               AS name_len,
+           REPLACE(c_name, 'Customer', 'Cust')          AS name_short
+    FROM customer
+    """,
+    category="function",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: upper/lower/substr/trim/concat_ws/regexp/length/replace."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.substring("c_name", 10, 9).alias("key_digits"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("name_trimmed"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).alias("extracted_key"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(YEAR(o_orderdate) AS BIGINT)                   AS yr,
+           CAST(MONTH(o_orderdate) AS BIGINT)                  AS mon,
+           CAST(ISODOW(o_orderdate) AS BIGINT)                 AS iso_dow,
+           CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT)
+                                                               AS days_to_y2k,
+           CAST(o_orderdate AS DATE) + 30                      AS due_date,
+           o_orderdate + INTERVAL 12 HOUR                      AS noon_after
+    FROM orders
+    """,
+    category="function",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: trunc, parts, diff, add, interval arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mon"),
+        (F.weekday("o_orderdate") + 1).cast("bigint").alias("iso_dow"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days_to_y2k"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 12 HOURS")).alias("noon_after"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 2)                    AS price_2dp,
+           ABS(l_discount - 0.05)                       AS disc_dev,
+           CAST(CEIL(l_quantity) AS BIGINT)             AS qty_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT)            AS qty_floor,
+           ROUND(POW(l_quantity, 2), 6)                 AS qty_sq,
+           ROUND(LN(l_extendedprice), 6)                AS ln_price,
+           ROUND(LOG10(l_extendedprice), 6)             AS log10_price,
+           CAST(l_linenumber % 3 AS BIGINT)             AS line_mod3,
+           CAST(SIGN(l_quantity - 25) AS DOUBLE)        AS qty_sign
+    FROM lineitem
+    """,
+    category="function",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: round/abs/ceil/floor/pow/ln/log10/mod/sign."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price_2dp"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
+        (F.col("l_linenumber") % 3).cast("bigint").alias("line_mod3"),
+        F.signum(F.col("l_quantity") - 25).cast("double").alias("qty_sign"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(string_split(text, ' ')) AS BIGINT)          AS n_tokens,
+           LIST_CONTAINS(string_split(text, ' '), 'spark')       AS has_spark,
+           LIST_SLICE(LIST_SORT(string_split(text, ' ')), 1, 3)  AS first3_sorted,
+           string_split(text, ' ')[1]                            AS first_token,
+           CAST(LEN(LIST_DISTINCT(string_split(text, ' '))) AS BIGINT) AS n_distinct
+    FROM documents
+    """,
+    category="function",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: split, size, contains, sort+slice, index, distinct."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.slice(F.sort_array(toks), 1, 3).alias("first3_sorted"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+    )
+
+
+@register(
+    "fn_array_dot",
+    oracle="""
+    SELECT vec_id,
+           ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])), 6) AS self_dot,
+           ROUND(LIST_AGGREGATE(CAST(embedding AS DOUBLE[]), 'sum'), 6) AS elem_sum
+    FROM embeddings
+    """,
+    category="function",
+)
+def fn_array_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array math: zip_with + aggregate as a dot product.
+
+    The float32 elements are cast to double BEFORE arithmetic on both
+    engines so the products are bit-identical (SURVEY §7).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = F.expr("transform(embedding, x -> cast(x AS double))")
+    dot = F.expr(
+        "aggregate(zip_with(transform(embedding, x -> cast(x AS double)),"
+        "                   transform(embedding, x -> cast(x AS double)),"
+        "                   (a, b) -> a * b), 0D, (acc, v) -> acc + v)"
+    )
+    return e.select(
+        "vec_id",
+        F.round(dot, 6).alias("self_dot"),
+        F.round(F.expr("aggregate(transform(embedding, x -> cast(x AS double)),"
+                       " 0D, (acc, v) -> acc + v)"), 6).alias("elem_sum"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle=f"""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT)   AS k_long,
+           props->>'$.k'                   AS k_str,
+           props->>'$.missing'             AS missing_path,
+           CAST(JSON_VALID(props) AS BOOLEAN) AS is_valid
+    FROM {EVENTS_REL} e
+    """,
+    category="function",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: from_json, get_json_object, missing paths, validity."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json("props", "k LONG").getField("k").alias("k_long"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.missing").alias("missing_path"),
+        F.from_json("props", "k LONG").isNotNull().alias("is_valid"),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           MD5(text)                 AS text_md5,
+           SHA256(text)              AS text_sha256,
+           MD5(CONCAT(source, ':', text)) AS salted_md5
+    FROM documents
+    """,
+    category="function",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family: md5 / sha2-256 hex digests — the dedup-key and
+    cell-value-verification primitive (reference workflow A7, SURVEY §2A).
+    Both engines emit lowercase hex over UTF-8 bytes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.md5(F.concat_ws(":", "source", "text")).alias("salted_md5"),
+    )
+
+
+@register(
+    "multimodal_bytes",
+    oracle="""
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+           TO_BASE64(ENCODE(SUBSTR(text, 1, 24)))     AS head_b64,
+           MD5(text)                                  AS content_digest
+    FROM documents
+    """,
+    category="function",
+)
+def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column class (SURVEY §1.1): the engine's carrier for
+    multimodal payloads (image/audio/video bytes) is a plain
+    `BinaryType` column + typed metadata. Exercised here by encoding
+    text -> bytes, measuring, and base64-ing — the same plumbing a
+    decoded-image column uses (see llm/multimodal.py for the mapInPandas
+    side).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(blob).cast("bigint").alias("n_bytes"),
+        F.base64(F.encode(F.substring("text", 1, 24), "UTF-8")).alias("head_b64"),
+        F.md5("text").alias("content_digest"),
+    )

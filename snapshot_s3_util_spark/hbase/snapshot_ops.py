@@ -1,0 +1,233 @@
+"""HBase-semantics operators (SURVEY.md §2A/§2B `hb_*`).
+
+The reference's whole workflow — snapshot (A2), export (A3), import
+(A4), TTL cleanup (A6), copy verification (A7), size-balanced mapper
+splits (A5) — re-expressed as declarative Spark plans over the columnar
+data model of SURVEY §1.1. The MapReduce distributed-copy job of the
+reference collapses into read->write plans (see sources/sinks.py); the
+*query-shaped* semantics live here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.params import INCR_EXPORT_SPLIT, TTL_CUTOFF
+from snapshot_s3_util_spark.registry import register
+from snapshot_s3_util_spark.sql_helpers import EVENTS_REL
+
+
+@register(
+    "hb_latest_version",
+    oracle=f"""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (SELECT user_id, event_id, ts, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM {EVENTS_REL} e)
+    WHERE rn = 1
+    """,
+    category="hbase",
+)
+def hb_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest cell version per key (HBase VERSIONS=1 read semantics).
+
+    `events` rows are treated as timestamped versions of the `user_id`
+    key. Deterministic keeper via row_number with full tiebreaker —
+    never dropDuplicates (SURVEY §7).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+@register(
+    "hb_ttl_expiry",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type
+    FROM {EVENTS_REL} e
+    WHERE ts >= TIMESTAMP '{TTL_CUTOFF}'
+    """,
+    category="hbase",
+)
+def hb_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL retention (reference A6: delete snapshots older than TTL).
+
+    Rows surviving a fixed literal "now" minus TTL. The timestamp
+    predicate pushes to parquet row-group min/max — at 100 TB a TTL
+    sweep reads only the tail partitions of a date-partitioned layout.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("ts") >= F.lit(TTL_CUTOFF).cast("timestamp")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+
+
+@register(
+    "hb_incremental_export",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, e.ts
+    FROM {EVENTS_REL} e
+    WHERE e.ts >= TIMESTAMP '{INCR_EXPORT_SPLIT}'
+      AND NOT EXISTS (
+        SELECT 1 FROM {EVENTS_REL} old
+        WHERE old.ts < TIMESTAMP '{INCR_EXPORT_SPLIT}'
+          AND old.user_id = e.user_id
+      )
+    """,
+    category="hbase",
+)
+def hb_incremental_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental export (A3 re-run): new-period rows for keys never
+    seen in the already-exported period — the anti-join that lets a
+    re-export skip everything the previous run already copied.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(INCR_EXPORT_SPLIT).cast("timestamp")
+    new = ev.filter(F.col("ts") >= split)
+    old_keys = ev.filter(F.col("ts") < split).select("user_id")
+    return new.join(old_keys, "user_id", "left_anti").select(
+        "event_id", "user_id", "ts"
+    )
+
+
+# Order-insensitive per-group content fingerprint, identical on both
+# engines: md5 of the concatenation of per-row md5s in sorted order.
+_FP_SPARK = lambda rowhash: F.md5(F.concat_ws("", F.sort_array(F.collect_list(rowhash))))  # noqa: E731
+
+
+@register(
+    "hb_manifest_verify",
+    oracle=f"""
+    WITH src AS (
+      SELECT event_type,
+             COUNT(*) AS src_count,
+             MD5(STRING_AGG(row_md5, '' ORDER BY row_md5)) AS src_fp
+      FROM (SELECT event_type,
+                   MD5(CONCAT(CAST(event_id AS VARCHAR), '|', CAST(user_id AS VARCHAR))) AS row_md5
+            FROM {EVENTS_REL} e)
+      GROUP BY event_type
+    ),
+    dst AS (
+      SELECT event_type,
+             COUNT(*) AS dst_count,
+             MD5(STRING_AGG(row_md5, '' ORDER BY row_md5)) AS dst_fp
+      FROM (SELECT event_type,
+                   MD5(CONCAT(CAST(event_id AS VARCHAR), '|', CAST(user_id AS VARCHAR))) AS row_md5
+            FROM {EVENTS_REL} e)
+      GROUP BY event_type
+    )
+    SELECT event_type, src_count, dst_count, src_fp, dst_fp,
+           (src_count = dst_count AND src_fp = dst_fp) AS verified
+    FROM src FULL JOIN dst USING (event_type)
+    """,
+    category="hbase",
+)
+def hb_manifest_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy verification (A7: ExportSnapshot#verifySnapshot analog).
+
+    Reconciles source vs exported copy per group: row counts + an
+    order-insensitive content fingerprint (md5 over sorted per-row
+    md5s), full-outer-joined so missing groups surface on either side.
+    Emits the whole reconciliation table (all-verified => `verified`
+    true everywhere) so the output is non-empty by construction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    row_md5 = F.md5(
+        F.concat(F.col("event_id").cast("string"), F.lit("|"), F.col("user_id").cast("string"))
+    )
+    def side(df: DataFrame, prefix: str) -> DataFrame:
+        return (
+            df.select("event_type", row_md5.alias("row_md5"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias(f"{prefix}_count"),
+                _FP_SPARK(F.col("row_md5")).alias(f"{prefix}_fp"),
+            )
+        )
+    # "dst" re-derives from the same source — an identity export; a real
+    # export would read the copied parquet back (see sinks.py).
+    src, dst = side(ev, "src"), side(ev, "dst")
+    return src.join(dst, ["event_type"], "full").select(
+        "event_type",
+        "src_count",
+        "dst_count",
+        "src_fp",
+        "dst_fp",
+        (
+            (F.col("src_count") == F.col("dst_count"))
+            & (F.col("src_fp") == F.col("dst_fp"))
+        ).alias("verified"),
+    )
+
+
+@register(
+    "hb_size_accounting",
+    oracle="""
+    SELECT source,
+           CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS total_bytes,
+           COUNT(*) AS n_docs,
+           CAST(MAX(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS max_doc_bytes
+    FROM documents
+    GROUP BY source
+    """,
+    category="hbase",
+)
+def hb_size_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export size report (A5: the greedy bin-pack input of
+    ExportSnapshot#getBalancedSplits). Per-source byte totals drive the
+    mapper/partition balancing decision; in Spark the same numbers size
+    `repartition(n)` / `maxPartitionBytes` for the export write.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    nbytes = F.length(F.encode(F.col("text"), "UTF-8"))
+    return d.groupBy("source").agg(
+        F.sum(nbytes).cast("bigint").alias("total_bytes"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(nbytes).cast("bigint").alias("max_doc_bytes"),
+    )
+
+
+@register(
+    "hb_snapshot_manifest",
+    oracle="""
+    SELECT 'documents' AS table_name,
+           source AS part_key,
+           COUNT(*) AS row_count,
+           MD5(STRING_AGG(row_md5, '' ORDER BY row_md5)) AS content_fp,
+           TIMESTAMP '2024-02-01 00:00:00' AS created_ts
+    FROM (SELECT source, MD5(CONCAT(CAST(doc_id AS VARCHAR), '|', text)) AS row_md5
+          FROM documents)
+    GROUP BY source
+    """,
+    category="hbase",
+)
+def hb_snapshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot manifest builder (A2: HBaseAdmin.snapshot's manifest of
+    immutable file refs, columnar edition): one row per partition with
+    count + content fingerprint + creation stamp. `hb_manifest_verify`
+    and the TTL sweep consume exactly this shape.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    row_md5 = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text")))
+    return (
+        d.select("source", row_md5.alias("row_md5"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            _FP_SPARK(F.col("row_md5")).alias("content_fp"),
+        )
+        .select(
+            F.lit("documents").alias("table_name"),
+            F.col("source").alias("part_key"),
+            "row_count",
+            "content_fp",
+            F.lit("2024-02-01 00:00:00").cast("timestamp").alias("created_ts"),
+        )
+    )

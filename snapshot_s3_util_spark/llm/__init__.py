@@ -1,1 +1,6 @@
-"""llm package (populated in later phases)."""
+"""LLM-data-pipeline operators (SURVEY.md §2B llm_*)."""
+
+import snapshot_s3_util_spark.llm.dedup  # noqa: F401
+import snapshot_s3_util_spark.llm.similarity  # noqa: F401
+import snapshot_s3_util_spark.llm.textstats  # noqa: F401
+import snapshot_s3_util_spark.llm.multimodal  # noqa: F401

@@ -1,0 +1,341 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five dedup strategies over `documents` / `embeddings`:
+- exact (normalized-hash groupBy)
+- MinHash + LSH banding (hand-rolled, md5-seeded so the DuckDB oracle
+  reproduces the identical hash family — SURVEY §4: `ml.feature.
+  MinHashLSH` exists but its hash family can't be re-derived in SQL)
+- SimHash (bitwise majority over token hashes)
+- n-gram Jaccard verification of candidate pairs
+- embedding-cosine near-duplicates
+
+Scale design: every op is shuffle-bounded by |docs| x K (minhash) or by
+bucket size (LSH band join) — never by |docs|^2. The only pairwise
+steps run INSIDE an LSH/blocking bucket, which is the point of LSH: at
+100 TB you block first, verify second. Min-hash uses the LEXICOGRAPHIC
+minimum of seeded md5 hex strings — engine-portable by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.params import MINHASH_BANDS, MINHASH_K, MINHASH_SHINGLE
+from snapshot_s3_util_spark.registry import register
+
+# ---------------------------------------------------------------- exact
+
+@register(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT digest, keeper_doc_id, n_copies
+    FROM (
+      SELECT MD5(LOWER(TRIM(text))) AS digest,
+             doc_id AS keeper_doc_id,
+             COUNT(*) OVER (PARTITION BY MD5(LOWER(TRIM(text)))) AS n_copies,
+             ROW_NUMBER() OVER (PARTITION BY MD5(LOWER(TRIM(text)))
+                                ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1
+    """,
+    category="llm",
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text; deterministic keeper = min doc_id.
+
+    One shuffle on the digest. `dropDuplicates` is banned (arbitrary
+    keeper); the window keeper is reproducible on both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.lower(F.trim(F.col("text"))))
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    return (
+        d.select(F.col("doc_id").alias("keeper_doc_id"), digest.alias("digest"))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("digest")))
+        .withColumn("rn", F.row_number().over(w.orderBy("keeper_doc_id")))
+        .filter(F.col("rn") == 1)
+        .select("digest", "keeper_doc_id", "n_copies")
+    )
+
+
+# ------------------------------------------------------------- minhash
+
+# Shared shingle+minhash pipeline, expressed once per engine.
+#
+# shingles(doc) = {tokens[i..i+S-1] joined by ' '}  (duplicates kept —
+#   they cannot change a minimum)
+# minhash(doc, seed) = MIN(md5(seed || ':' || shingle))   [lexicographic]
+# band(seed) = seed DIV (K / BANDS)
+# band_sig(doc, band) = md5(minhash_0 || ',' || minhash_1 || ...)
+# candidates = distinct (a < b) sharing any (band, band_sig)
+
+_ROWS_PER_BAND = MINHASH_K // MINHASH_BANDS
+
+_MINHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+shingles AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(t) - {MINHASH_SHINGLE} + 2),
+                i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS sh
+  FROM toks
+  WHERE len(t) >= {MINHASH_SHINGLE}
+),
+minhashes AS (
+  SELECT doc_id, seed, MIN(MD5(CONCAT(seed, ':', sh))) AS mh
+  FROM shingles CROSS JOIN (SELECT UNNEST(range({MINHASH_K})) AS seed)
+  GROUP BY doc_id, seed
+),
+band_sigs AS (
+  SELECT doc_id, seed // {_ROWS_PER_BAND} AS band,
+         MD5(STRING_AGG(mh, ',' ORDER BY seed)) AS sig
+  FROM minhashes
+  GROUP BY doc_id, seed // {_ROWS_PER_BAND}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM band_sigs a JOIN band_sigs b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+@register("llm_dedup_near_minhash", oracle=_MINHASH_ORACLE, category="llm")
+def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via MinHash + LSH banding.
+
+    Pipeline (all narrow until the two keyed shuffles):
+      shingle explode -> seed explode -> groupBy(doc,seed) MIN  [shuffle 1]
+      -> groupBy(doc,band) signature -> self-join on (band,sig) [shuffle 2]
+    The self-join only pairs docs INSIDE a bucket, so cost is
+    sum(bucket^2), not |docs|^2 — the property that makes this the
+    scale path for 100 TB dedup. K={MINHASH_K}, bands={MINHASH_BANDS}
+    (rows/band={_ROWS_PER_BAND}): P(candidate) = 1-(1-j^3)^4 for true
+    shingle-jaccard j.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= MINHASH_SHINGLE
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {MINHASH_SHINGLE} + 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i+1), ' ', "
+                "element_at(t, i+2)))"
+            )
+        ).alias("sh"),
+    )
+    seeds = spark.range(MINHASH_K).select(F.col("id").cast("int").alias("seed"))
+    minhashes = (
+        shingles.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")))).alias("mh"))
+    )
+    band_sigs = (
+        minhashes.withColumn("band", (F.col("seed") / _ROWS_PER_BAND).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)"),
+                )
+            ).alias("sig")
+        )
+    )
+    a = band_sigs.select(
+        F.col("doc_id").alias("doc_a"), "band", "sig"
+    )
+    b = band_sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------- simhash
+
+_SIMHASH_BITS = 16
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tk FROM documents
+),
+bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (CAST(('0x' || SUBSTR(MD5(tk), 1, 8)) AS BIGINT)
+                        >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tok CROSS JOIN (SELECT UNNEST(range({_SIMHASH_BITS})) AS bit) b
+  GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+FROM bits
+GROUP BY doc_id
+"""
+
+
+@register("llm_dedup_simhash", oracle=_SIMHASH_ORACLE, category="llm")
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint per document ({_SIMHASH_BITS}-bit).
+
+    Each token votes ±1 per bit position of its 32-bit md5-derived
+    hash; the sign of the per-bit sum forms the fingerprint. Near-dup
+    docs land at small Hamming distance — pair finding then blocks on
+    fingerprint bytes instead of comparing all pairs. Shuffle is
+    |docs| x BITS rows of (doc, bit, ±1) — linear in corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
+    bits = spark.range(_SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
+    voted = (
+        tok.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "vote",
+            F.expr(
+                "CASE WHEN (shiftright(cast(conv(substring(md5(tk), 1, 8), 16, 10) "
+                "AS bigint), bit) & 1) = 1 THEN 1 ELSE -1 END"
+            ),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return (
+        voted.groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(1, bit) ELSE 0 END"))
+            .cast("bigint")
+            .alias("simhash")
+        )
+    )
+
+
+# ------------------------------------------------- n-gram jaccard pairs
+
+_JACCARD_THRESHOLD = 0.5
+_NGRAM = 3
+
+_JACCARD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, lang,
+         UNNEST(list_transform(range(1, len(t) - {_NGRAM} + 2),
+                i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS g
+  FROM toks WHERE len(t) >= {_NGRAM}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM grams a JOIN grams b
+    ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register("llm_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, category="llm")
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-{_NGRAM}-gram Jaccard similarity >= {_JACCARD_THRESHOLD} pairs.
+
+    The gram-equality join is the blocking step (same lang only): docs
+    sharing zero grams never meet, so cost tracks shared-gram frequency
+    rather than |docs|^2. At 100 TB, cap gram document-frequency (drop
+    grams appearing in >df_max docs) to bound the hottest gram's bucket;
+    here the synthetic vocab is small enough not to need it.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _NGRAM
+    )
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_NGRAM} + 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i+1), ' ', "
+                "element_at(t, i+2)))"
+            )
+        ).alias("g"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "lang", "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "lang", "g")
+    inter = (
+        a.join(b, ["lang", "g"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# -------------------------------------------- embedding cosine near-dup
+
+_COS_DUP_THRESHOLD = 0.99
+
+_EMB_DUP_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(LIST_DOT_PRODUCT(a.e, b.e) /
+             (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e))),
+             6) AS cos_sim
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE LIST_DOT_PRODUCT(a.e, b.e) /
+      (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e)))
+      >= {_COS_DUP_THRESHOLD}
+"""
+
+
+@register("llm_dedup_embedding", oracle=_EMB_DUP_ORACLE, category="llm")
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates (cos >= {_COS_DUP_THRESHOLD}),
+    blocked by cluster label.
+
+    The label acts as the IVF-style coarse partition: pairs are only
+    formed inside a cluster, so the join is sum(cluster^2) not n^2. At
+    100 TB the label comes from a cheap k-means/LSH assignment first —
+    same plan shape.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("e"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(a_e, b_e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+    norm = lambda c: F.sqrt(F.expr(f"aggregate(zip_with({c}, {c}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))  # noqa: E731
+    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("e").alias("a_e"))
+    b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("e").alias("b_e"))
+    cos = dot / (norm("a_e") * norm("b_e"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") >= _COS_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,217 @@
+"""Similarity-search operators over the `embeddings` table.
+
+Brute-force cosine top-k is the correctness baseline; the IVF variant
+is the 100 TB scale path (coarse quantizer prunes the candidate set to
+nprobe clusters before exact scoring). All vector math casts float32 ->
+double FIRST on both engines and runs through `zip_with`/`aggregate`
+(JVM codegen, no Python); udf/vector_udfs.py carries the Arrow-batched
+numpy variant of the same kernel.
+
+Paper context (PAPERS.md): top-k cosine / IVF pruning framing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.params import N_PROBES, SIM_TOPK
+from snapshot_s3_util_spark.registry import register
+
+_PROBE_ID = 0
+_IVF_NPROBE = 3
+_KNN_K = 5
+
+# double-cast embedding
+_E = "transform(embedding, x -> cast(x AS double))"
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+
+
+def _cos(a: str, b: str) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+_SIM_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+probe AS (SELECT e AS pe FROM v WHERE vec_id = {_PROBE_ID})
+SELECT vec_id,
+       ROUND(LIST_DOT_PRODUCT(e, pe) /
+             (SQRT(LIST_DOT_PRODUCT(e, e)) * SQRT(LIST_DOT_PRODUCT(pe, pe))), 6)
+         AS cos_sim
+FROM v CROSS JOIN probe
+ORDER BY LIST_DOT_PRODUCT(e, pe) /
+         (SQRT(LIST_DOT_PRODUCT(e, e)) * SQRT(LIST_DOT_PRODUCT(pe, pe))) DESC,
+         vec_id
+LIMIT {SIM_TOPK}
+"""
+
+
+@register("llm_sim_topk_brute", oracle=_SIM_ORACLE, category="llm")
+def llm_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs one probe vector (vec_id={_PROBE_ID}).
+
+    The probe is broadcast (1 row); scoring is a narrow map over the
+    corpus; TakeOrderedAndProject keeps k per partition — the whole op
+    is one pass, no shuffle of the corpus. This is the exact-recall
+    baseline every ANN variant is measured against.
+    """
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_E).alias("e")
+    )
+    probe = v.filter(F.col("vec_id") == _PROBE_ID).select(F.col("e").alias("pe"))
+    return (
+        v.crossJoin(F.broadcast(probe))
+        .withColumn("raw", _cos("e", "pe"))
+        .orderBy(F.col("raw").desc(), F.col("vec_id"))
+        .limit(SIM_TOPK)
+        .select("vec_id", F.round("raw", 6).alias("cos_sim"))
+    )
+
+
+_KNN_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+probes AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < {N_PROBES})
+SELECT probe_id, vec_id, cos_sim, rn
+FROM (
+  SELECT probe_id, vec_id,
+         ROUND(LIST_DOT_PRODUCT(e, pe) /
+               (SQRT(LIST_DOT_PRODUCT(e, e)) * SQRT(LIST_DOT_PRODUCT(pe, pe))), 6)
+           AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY probe_id
+           ORDER BY LIST_DOT_PRODUCT(e, pe) /
+                    (SQRT(LIST_DOT_PRODUCT(e, e)) * SQRT(LIST_DOT_PRODUCT(pe, pe)))
+                    DESC, vec_id) AS rn
+  FROM v CROSS JOIN probes
+  WHERE vec_id <> probe_id)
+WHERE rn <= {_KNN_K}
+"""
+
+
+@register("llm_sim_knn_join", oracle=_KNN_ORACLE, category="llm")
+def llm_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join: top-{_KNN_K} neighbors for each of {N_PROBES} probes.
+
+    Probes broadcast against the corpus (corpus never shuffles); the
+    per-probe window ranks locally after a shuffle on probe_id — with
+    P probes the exchanged data is P x k rows after WindowGroupLimit
+    pushdown, not P x corpus.
+    """
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", F.expr(_E).alias("e"))
+    probes = v.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("raw").desc(), F.col("vec_id"))
+    return (
+        v.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("raw", _cos("e", "pe"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("probe_id", "vec_id", F.round("raw", 6).alias("cos_sim"), "rn")
+    )
+
+
+_CENTROID_ORACLE = """
+WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ex AS (
+  SELECT label, CAST(pos AS INTEGER) AS pos, e[pos] AS x
+  FROM v CROSS JOIN (SELECT UNNEST(range(1, 65)) AS pos) p
+  WHERE pos <= len(e)
+)
+SELECT label, pos, ROUND(AVG(x), 6) AS c, COUNT(*) AS n
+FROM ex GROUP BY label, pos
+"""
+
+
+@register("llm_centroids", oracle=_CENTROID_ORACLE, category="llm")
+def llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, long format (label, dim-position, mean).
+
+    posexplode -> groupBy(label, pos) avg: the shuffle carries
+    |labels| x dim partial sums thanks to map-side combine — constant
+    in corpus size. The UDAF-shaped variant lives in udf/vector_udfs.py.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode(F.expr(_E)).alias("pos0", "x"))
+        .select("label", (F.col("pos0") + 1).cast("int").alias("pos"), "x")
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("c"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+_IVF_ORACLE = f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+probe AS (SELECT e AS pe FROM v WHERE vec_id = {_PROBE_ID}),
+cent AS (
+  SELECT label, LIST(c ORDER BY pos) AS ce
+  FROM (SELECT label, pos, AVG(e[pos]) AS c
+        FROM v CROSS JOIN (SELECT UNNEST(range(1, 65)) AS pos) p
+        WHERE pos <= len(e)
+        GROUP BY label, pos)
+  GROUP BY label
+),
+near_labels AS (
+  SELECT label
+  FROM cent CROSS JOIN probe
+  ORDER BY LIST_DOT_PRODUCT(ce, pe) /
+           (SQRT(LIST_DOT_PRODUCT(ce, ce)) * SQRT(LIST_DOT_PRODUCT(pe, pe))) DESC,
+           label
+  LIMIT {_IVF_NPROBE}
+)
+SELECT vec_id, label,
+       ROUND(LIST_DOT_PRODUCT(e, pe) /
+             (SQRT(LIST_DOT_PRODUCT(e, e)) * SQRT(LIST_DOT_PRODUCT(pe, pe))), 6)
+         AS cos_sim
+FROM v CROSS JOIN probe
+WHERE label IN (SELECT label FROM near_labels)
+ORDER BY LIST_DOT_PRODUCT(e, pe) /
+         (SQRT(LIST_DOT_PRODUCT(e, e)) * SQRT(LIST_DOT_PRODUCT(pe, pe))) DESC,
+         vec_id
+LIMIT {SIM_TOPK}
+"""
+
+
+@register("llm_sim_ann_ivf", oracle=_IVF_ORACLE, category="llm")
+def llm_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantizer (per-label
+    centroids) prunes to nprobe={_IVF_NPROBE} clusters, exact cosine
+    inside them.
+
+    This is the scale path past ~10^6 vectors (SURVEY §7): the full
+    corpus is only touched by the centroid build (one agg, map-side
+    combined); the query probes |labels| centroids + the selected
+    clusters. Recall vs `llm_sim_topk_brute` is asserted in
+    tests/test_llm.py.
+    """
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(_E).alias("e")
+    )
+    probe = v.filter(F.col("vec_id") == _PROBE_ID).select(F.col("e").alias("pe"))
+    cent = (
+        v.select("label", F.posexplode("e").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").alias("ce"))
+    )
+    near_labels = (
+        cent.crossJoin(F.broadcast(probe))
+        .withColumn("craw", _cos("ce", "pe"))
+        .orderBy(F.col("craw").desc(), F.col("label"))
+        .limit(_IVF_NPROBE)
+        .select("label")
+    )
+    return (
+        v.join(F.broadcast(near_labels), "label")
+        .crossJoin(F.broadcast(probe))
+        .withColumn("raw", _cos("e", "pe"))
+        .orderBy(F.col("raw").desc(), F.col("vec_id"))
+        .limit(SIM_TOPK)
+        .select("vec_id", "label", F.round("raw", 6).alias("cos_sim"))
+    )

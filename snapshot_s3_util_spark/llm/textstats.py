@@ -1,0 +1,283 @@
+"""Text-analysis operators for LLM training-data curation.
+
+Per-document statistics, corpus profiling, heuristic language ID,
+quality scoring, token counting (whitespace + BPE-ish estimate) and
+rolling-hash fingerprinting — all expressed with built-in higher-order
+functions (JVM codegen, no UDFs), so each is a narrow map + at most one
+aggregation shuffle regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.registry import register
+
+
+@register(
+    "llm_text_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(LEN(toks) AS BIGINT) AS n_tokens,
+           ROUND(CAST(LIST_AGGREGATE(list_transform(toks, x -> LENGTH(x)), 'sum')
+                      AS DOUBLE) / LEN(toks), 6) AS avg_token_len,
+           ROUND(CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks), 6)
+             AS distinct_ratio,
+           CAST(LIST_AGGREGATE(list_transform(toks, x -> LENGTH(x)), 'max') AS BIGINT)
+             AS max_token_len
+    FROM t
+    """,
+    category="llm",
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token count, mean/max token length, distinct-token ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.expr(
+                "cast(aggregate(transform(split(text, ' '), x -> length(x)), 0, "
+                "(a, v) -> a + v) AS double) / size(split(text, ' '))"
+            ),
+            6,
+        ).alias("avg_token_len"),
+        F.round(
+            F.expr(
+                "cast(size(array_distinct(split(text, ' '))) AS double) "
+                "/ size(split(text, ' '))"
+            ),
+            6,
+        ).alias("distinct_ratio"),
+        F.expr(
+            "aggregate(transform(split(text, ' '), x -> length(x)), 0, "
+            "(a, v) -> greatest(a, v))"
+        )
+        .cast("bigint")
+        .alias("max_token_len"),
+    )
+
+
+@register(
+    "llm_lang_profile",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(QUANTILE_CONT(n_chars, 0.5), 6) AS median_chars,
+           ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    category="llm",
+)
+def llm_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per (lang, source): volume + length distribution."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("median_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+# Heuristic language ID: score each language by stopword occurrences,
+# argmax with a fixed tiebreak order. The scoring CASE is shared
+# verbatim between engines. (On this synthetic word-soup corpus the
+# signal is weak — the op's value is the deterministic pipeline shape.)
+_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "de", "et", "que"),
+    "zh": ("de", "le", "shi", "bu", "wo"),
+}
+
+
+def _count_expr(words: tuple[str, ...], list_fn: str, len_fn: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"{len_fn}({list_fn}(toks, x -> x IN ({lst})))"
+
+
+_ARGMAX_CASE = """
+CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+     WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+     WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+     WHEN c_fr >= c_zh THEN 'fr'
+     ELSE 'zh' END
+"""
+
+_LANG_ID_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+         {", ".join(f"CAST({_count_expr(ws, 'list_filter', 'LEN')} AS BIGINT) AS c_{lang}" for lang, ws in _STOPWORDS.items())}
+  FROM t)
+SELECT doc_id, lang, c_en, c_de, c_es, c_fr, c_zh,
+       {_ARGMAX_CASE} AS predicted_lang
+FROM scored
+"""
+
+
+@register("llm_lang_id", oracle=_LANG_ID_ORACLE, category="llm")
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language identification (n-gram-free heuristic).
+
+    Real corpora: per-language stopword hit counts dominate quickly;
+    prediction = argmax with fixed tiebreak. Pure higher-order-function
+    pipeline — scales as a narrow map.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    for lang, ws in _STOPWORDS.items():
+        d = d.withColumn(
+            f"c_{lang}",
+            F.expr(_count_expr(ws, "filter", "size")).cast("bigint"),
+        )
+    return d.select(
+        "doc_id",
+        "lang",
+        "c_en",
+        "c_de",
+        "c_es",
+        "c_fr",
+        "c_zh",
+        F.expr(_ARGMAX_CASE).alias("predicted_lang"),
+    )
+
+
+_QUALITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars,
+         CAST(LEN(toks) AS BIGINT) AS n_tokens,
+         CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) AS distinct_ratio,
+         CAST(LEN(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to')))
+              AS DOUBLE) / LEN(toks) AS stopword_ratio,
+         CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+           / LENGTH(text) AS space_ratio
+  FROM t)
+SELECT doc_id, n_tokens,
+       ROUND(distinct_ratio, 6) AS distinct_ratio,
+       ROUND(stopword_ratio, 6) AS stopword_ratio,
+       ROUND(0.5 * distinct_ratio + 0.3 * stopword_ratio
+             + 0.2 * LEAST(n_tokens / 100.0, 1.0), 6) AS quality_score,
+       (n_tokens BETWEEN 20 AND 1000 AND distinct_ratio >= 0.2) AS keep
+FROM m
+"""
+
+
+@register("llm_quality_score", oracle=_QUALITY_ORACLE, category="llm")
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality score + keep/drop gate.
+
+    The C4/Gopher-style filter shape: lexical-diversity ratio, stopword
+    density, length band — combined into one score and a boolean gate
+    the pipeline filters on.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    m = d.select(
+        "doc_id",
+        F.expr("size(toks)").cast("bigint").alias("n_tokens"),
+        F.expr("cast(size(array_distinct(toks)) AS double) / size(toks)").alias("dr"),
+        F.expr(
+            "cast(size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) "
+            "AS double) / size(toks)"
+        ).alias("sr"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.round("dr", 6).alias("distinct_ratio"),
+        F.round("sr", 6).alias("stopword_ratio"),
+        F.round(
+            0.5 * F.col("dr") + 0.3 * F.col("sr")
+            + 0.2 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0)),
+            6,
+        ).alias("quality_score"),
+        (F.col("n_tokens").between(20, 1000) & (F.col("dr") >= 0.2)).alias("keep"),
+    )
+
+
+@register(
+    "llm_token_count",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(LEN(toks) AS BIGINT) AS n_ws_tokens,
+           CAST(LIST_AGGREGATE(list_transform(toks, x -> CAST(CEIL(LENGTH(x) / 4.0) AS BIGINT)),
+                'sum') AS BIGINT) AS n_bpe_est,
+           CAST(LIST_AGGREGATE(list_transform(toks, x -> LENGTH(x)), 'sum') AS BIGINT)
+             AS n_chars_tokens
+    FROM t
+    """,
+    category="llm",
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword estimate
+    (ceil(len/4) per word — the ~4-chars-per-token rule used for
+    budget accounting when the real tokenizer is too expensive to run
+    over 100 TB).
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    return d.select(
+        "doc_id",
+        F.expr("size(toks)").cast("bigint").alias("n_ws_tokens"),
+        F.expr(
+            "aggregate(transform(toks, x -> cast(ceil(length(x) / 4.0) AS bigint)), "
+            "0L, (a, v) -> a + v)"
+        )
+        .cast("bigint")
+        .alias("n_bpe_est"),
+        F.expr("aggregate(transform(toks, x -> length(x)), 0, (a, v) -> a + v)")
+        .cast("bigint")
+        .alias("n_chars_tokens"),
+    )
+
+
+_FP_WINDOW = 8  # char-gram width
+_FP_KEEP = 3    # sketch size
+
+_FINGERPRINT_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_sort(list_transform(range(1, LENGTH(text) - {_FP_WINDOW} + 2),
+                   i -> MD5(SUBSTR(text, CAST(i AS INTEGER), {_FP_WINDOW})))) AS hs
+  FROM documents
+  WHERE LENGTH(text) >= {_FP_WINDOW}
+)
+SELECT doc_id,
+       MD5(ARRAY_TO_STRING(LIST_SLICE(hs, 1, {_FP_KEEP}), ',')) AS fingerprint,
+       LIST_SLICE(hs, 1, {_FP_KEEP}) AS sketch
+FROM g
+"""
+
+
+@register("llm_fingerprint", oracle=_FINGERPRINT_ORACLE, category="llm")
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-lite).
+
+    All overlapping {_FP_WINDOW}-char grams are hashed; the {_FP_KEEP}
+    smallest hashes form the sketch and their digest the fingerprint —
+    stable under small edits anywhere else in the document, which is
+    what makes it a near-dup blocking key. Narrow map; no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _FP_WINDOW
+    )
+    hs = F.expr(
+        f"array_sort(transform(sequence(1, length(text) - {_FP_WINDOW} + 1), "
+        f"i -> md5(substring(text, i, {_FP_WINDOW}))))"
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(",", F.slice(hs, 1, _FP_KEEP))).alias("fingerprint"),
+        F.slice(hs, 1, _FP_KEEP).alias("sketch"),
+    )

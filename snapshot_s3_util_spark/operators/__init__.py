@@ -1,6 +1,7 @@
 """Relational operator surface (SURVEY.md §2B)."""
 
 import snapshot_s3_util_spark.operators.aggregates  # noqa: F401
+import snapshot_s3_util_spark.operators.composites  # noqa: F401
 import snapshot_s3_util_spark.operators.filters  # noqa: F401
 import snapshot_s3_util_spark.operators.joins  # noqa: F401
 import snapshot_s3_util_spark.operators.scans  # noqa: F401

@@ -1,1 +1,3 @@
-"""sources package (populated in later phases)."""
+"""Sources and sinks: parquet export/import emulation (SURVEY.md §2A A3/A4)."""
+
+import snapshot_s3_util_spark.sources.sinks  # noqa: F401

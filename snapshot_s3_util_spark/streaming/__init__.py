@@ -1,1 +1,3 @@
-"""streaming package (populated in later phases)."""
+"""Structured Streaming operators (SURVEY.md §2B)."""
+
+import snapshot_s3_util_spark.streaming.stream_ops  # noqa: F401

@@ -1,0 +1,288 @@
+"""Structured Streaming operators (SURVEY.md §2B "Streaming").
+
+Every op runs a REAL streaming query (file source -> windowed/stateful
+transform -> memory sink), then returns the final state as a batch
+DataFrame — the batch-equivalence discipline of SURVEY §5: a streaming
+query over a bounded file source must converge to the batch answer, so
+the DuckDB oracle checks the streaming result end-to-end.
+
+Scale notes: watermarks bound state (without one, window state grows
+forever); at 100 TB-of-stream the state store moves to RocksDB
+(`spark.sql.streaming.stateStore.providerClass`) and the file source
+becomes Kafka — the query shapes below are unchanged.
+"""
+
+from __future__ import annotations
+
+import itertools
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.registry import register
+from snapshot_s3_util_spark.sql_helpers import EVENTS_REL
+
+_counter = itertools.count()
+
+
+def _stage(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
+    """Write events once as the streaming source dir; return readStream."""
+    ev = load_table(spark, sf_dir, "events")
+    src = f"{tmp}/src"
+    ev.write.mode("overwrite").parquet(src)
+    return spark.readStream.schema(ev.schema).parquet(src)
+
+
+def _run_to_table(stream_df: DataFrame, mode: str) -> tuple[DataFrame, str]:
+    name = f"s3u_stream_{next(_counter)}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(name), name
+
+
+@register(
+    "stream_tumbling",
+    oracle=f"""
+    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM {EVENTS_REL} e
+    GROUP BY 1, 2
+    """,
+    category="streaming",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts/sums per event_type (streaming).
+
+    `window()` buckets are epoch-aligned, so window_start equals the
+    batch `date_trunc('hour')` — the equivalence the oracle asserts.
+    Watermark 2h bounds state to ~2 open hours per key.
+    """
+    tmp = tempfile.mkdtemp(prefix="s3u_stream_tumble_")
+    try:
+        src = _stage(spark, sf_dir, tmp)
+        agg = (
+            src.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+        )
+        table, _ = _run_to_table(agg, "complete")
+        return (
+            table.select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            ).localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "stream_sliding",
+    oracle=f"""
+    WITH starts AS (
+      SELECT CAST(time_bucket(INTERVAL '15 minutes', ts)
+                  - j * (INTERVAL '15 minutes') AS TIMESTAMP) AS window_start,
+             event_type, value
+      FROM {EVENTS_REL} e
+      CROSS JOIN (SELECT UNNEST(range(4)) AS j)
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM starts
+    GROUP BY 1, 2
+    """,
+    category="streaming",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 min (each event in 4 windows).
+
+    Oracle reconstructs the same windows by shifting the 15-min bucket
+    0..3 slots back — every event lands in exactly window_len/slide
+    windows, which is also the streaming state-size multiplier.
+    """
+    tmp = tempfile.mkdtemp(prefix="s3u_stream_slide_")
+    try:
+        src = _stage(spark, sf_dir, tmp)
+        agg = (
+            src.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+        )
+        table, _ = _run_to_table(agg, "complete")
+        return (
+            table.select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            ).localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "stream_session",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM {EVENTS_REL} e
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    category="streaming",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — true stateful streaming.
+
+    `session_window` merges events closer than the gap; a session ends
+    gap after its last event. The oracle sessionizes in SQL (lag +
+    cumulative-sum), per SURVEY §2B's verified formulation.
+    """
+    tmp = tempfile.mkdtemp(prefix="s3u_stream_sess_")
+    try:
+        src = _stage(spark, sf_dir, tmp)
+        agg = (
+            src.withWatermark("ts", "2 hours")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+        )
+        table, _ = _run_to_table(agg, "complete")
+        return (
+            table.select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+                "sum_value",
+            ).localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register("stream_watermark_late", oracle=None, category="streaming")
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data handling: a second micro-batch of too-late rows must
+    NOT reopen finalized windows (rows-only; watermark semantics are
+    engine-internal — tests/test_streaming.py asserts the drop count).
+
+    Batch 1 = events of 2024-01-12..15 (advances the watermark to
+    max_ts - 1h); batch 2 replays the 2024-01-12 00:00-06:00 rows as
+    late arrivals. Append mode emits only finalized windows; the late
+    batch's windows are already closed, so counts equal batch-1-only.
+    """
+    tmp = tempfile.mkdtemp(prefix="s3u_stream_late_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        on_time = ev.filter(
+            (F.col("ts") >= F.lit("2024-01-12 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        )
+        late = ev.filter(
+            (F.col("ts") >= F.lit("2024-01-12 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-12 06:00:00").cast("timestamp"))
+        )
+        src_dir = f"{tmp}/src"
+        on_time.write.mode("overwrite").parquet(src_dir)
+
+        stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        name = f"s3u_stream_{next(_counter)}"
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()  # batch 1: watermark advances
+        late.write.mode("append").parquet(src_dir)  # batch 2: late rows
+        q.processAllAvailable()
+        q.stop()
+        return (
+            spark.table(name)
+            .select(F.col("w.start").alias("window_start"), "n_events")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "stream_dedup_stateful",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_unique
+    FROM {EVENTS_REL} e
+    GROUP BY event_type
+    """,
+    category="streaming",
+)
+def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful exactly-once dedup: the input stream carries every
+    event TWICE; `dropDuplicates(event_id)` must restore exactly-once
+    counts (the oracle counts the original, un-duplicated table).
+
+    This is the idempotent-ingest primitive for at-least-once sources;
+    with a watermark the dedup state ages out instead of growing
+    forever.
+    """
+    tmp = tempfile.mkdtemp(prefix="s3u_stream_dedup_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        doubled = ev.unionByName(ev)
+        src = f"{tmp}/src"
+        doubled.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        agg = (
+            stream.dropDuplicates(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_unique"))
+        )
+        table, _ = _run_to_table(agg, "complete")
+        return table.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,203 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2B "UDF surface").
+
+The escape hatches, in preference order (pyspark_guide / SURVEY §4):
+built-ins first; Arrow-batched `pandas_udf` when Python is unavoidable;
+`applyInPandas` / `mapInPandas` for group- and partition-shaped logic;
+row-at-a-time `@udf` exists only as the deliberately-slow comparison
+point (`udf_python_scalar`) — bench shows why it's the last resort.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType
+
+from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.registry import register
+from snapshot_s3_util_spark.sql_helpers import EVENTS_REL
+
+_PROBE_ID = 0
+
+# Salted-rowkey layout (HBase salting pattern: 2-digit salt | 10-digit
+# zero-padded id). Built in SQL on both sides; DECODED by the UDF.
+_ROWKEY_SPARK = "concat(lpad(cast(c_custkey % 16 AS string), 2, '0'), '|', lpad(cast(c_custkey AS string), 10, '0'))"
+_ROWKEY_DUCK = "LPAD(CAST(c_custkey % 16 AS VARCHAR), 2, '0') || '|' || LPAD(CAST(c_custkey AS VARCHAR), 10, '0')"
+
+
+@register(
+    "udf_python_scalar",
+    oracle=f"""
+    SELECT c_custkey,
+           {_ROWKEY_DUCK} AS row_key,
+           CAST(SUBSTR({_ROWKEY_DUCK}, 4) AS BIGINT) AS decoded_key
+    FROM customer
+    """,
+    category="udf",
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF: strip the salt, parse the padded id.
+
+    Kept as the anti-pattern exhibit: per-row serde, no codegen. The
+    same logic is one `substr+cast` in SQL — which is exactly what the
+    oracle does.
+    """
+
+    @F.udf(LongType())
+    def decode_rowkey(key: str) -> int | None:
+        if key is None or "|" not in key:
+            return None
+        _salt, padded = key.split("|", 1)
+        return int(padded.lstrip("0") or "0")
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr(_ROWKEY_SPARK).alias("row_key"),
+        decode_rowkey(F.expr(_ROWKEY_SPARK)).alias("decoded_key"),
+    )
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    probe AS (SELECT e AS pe FROM v WHERE vec_id = {_PROBE_ID})
+    SELECT vec_id,
+           ROUND(LIST_DOT_PRODUCT(e, pe) /
+                 (SQRT(LIST_DOT_PRODUCT(e, e)) * SQRT(LIST_DOT_PRODUCT(pe, pe))), 6)
+             AS cos_sim
+    FROM v CROSS JOIN probe
+    """,
+    category="udf",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF: numpy cosine against a probe vector.
+
+    The whole Arrow batch crosses the JVM->Python boundary once; numpy
+    does the inner loop. ~10-100x the row-at-a-time UDF above, the
+    pattern for any vector kernel built-ins can't express.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = np.array(
+        e.filter(F.col("vec_id") == _PROBE_ID).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    pn = np.sqrt(probe @ probe)
+
+    @F.pandas_udf(DoubleType())
+    def cos_vs_probe(col: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in col])
+        return pd.Series((m @ probe) / (np.sqrt((m * m).sum(axis=1)) * pn))
+
+    return e.select(
+        "vec_id", F.round(cos_vs_probe(F.col("embedding")), 6).alias("cos_sim")
+    )
+
+
+@register(
+    "udaf_pandas_grouped",
+    oracle="""
+    WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT label,
+           ROUND(AVG(SQRT(LIST_DOT_PRODUCT(e, e))), 6) AS avg_norm,
+           COUNT(*) AS n
+    FROM v GROUP BY label
+    """,
+    category="udf",
+)
+def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF: mean embedding L2-norm per label.
+
+    Partial aggregation does NOT apply to pandas UDAFs — every row
+    shuffles to its group. Fine for bounded groups; for 100 TB prefer
+    the built-in formulation (the oracle's SQL runs entirely JVM-side).
+    """
+
+    @F.pandas_udf(DoubleType())
+    def mean_norm(col: pd.Series) -> float:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in col])
+        return float(np.sqrt((m * m).sum(axis=1)).mean())
+
+    # group-agg pandas UDFs can't mix with JVM aggregates in one agg()
+    @F.pandas_udf(LongType())
+    def n_rows(col: pd.Series) -> int:
+        return len(col)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.round(mean_norm(F.col("embedding")), 6).alias("avg_norm"),
+        n_rows(F.col("vec_id")).alias("n"),
+    )
+
+
+@register(
+    "udtf_apply_in_pandas",
+    oracle=f"""
+    SELECT event_id, event_type,
+           ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                 / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 6) AS value_norm
+    FROM {EVENTS_REL} e
+    """,
+    category="udf",
+)
+def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map normalize: (v - mean)/std per event_type group.
+
+    `applyInPandas` hands each group to Python as one DataFrame — the
+    UDTF shape for per-group model scoring. pandas `.std()` (ddof=1)
+    == STDDEV_SAMP, which the oracle mirrors with window functions.
+    """
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "value_norm": ((v - v.mean()) / v.std()).round(6),
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").applyInPandas(
+        normalize, schema="event_id long, event_type string, value_norm double"
+    )
+
+
+@register(
+    "udtf_map_in_pandas",
+    oracle=f"""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k,
+           CAST(LENGTH(props) AS BIGINT) AS props_len
+    FROM {EVENTS_REL} e
+    """,
+    category="udf",
+)
+def udtf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-wise mapInPandas: JSON-flatten `props` batch by batch.
+
+    The per-partition iterator shape — each Arrow batch parsed with
+    Python's json, no per-row py4j. This is the template the multimodal
+    decoders (llm/multimodal.py) build on.
+    """
+
+    def flatten(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf["props"].map(lambda s: json.loads(s).get("k") if s else None)
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "k": parsed.astype("Int64"),
+                    "props_len": pdf["props"].str.len().astype("Int64"),
+                }
+            )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.mapInPandas(flatten, schema="event_id long, k long, props_len long")

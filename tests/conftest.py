@@ -9,8 +9,11 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+import snapshot_s3_util_spark  # noqa: E402
 from snapshot_s3_util_spark.io import TABLES  # noqa: E402
 from snapshot_s3_util_spark.session import get_spark  # noqa: E402
+
+snapshot_s3_util_spark.load_all_operators()
 
 SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
 
