@@ -1,1 +1,1 @@
-"""plans package (populated in later phases)."""
+"""Plan inspection utilities (SURVEY.md §4)."""

@@ -68,6 +68,53 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_hbase_snapshot",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_rows, CAST(SUM(user_id) AS BIGINT) AS sum_user
+    FROM {EVENTS_REL} e
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+    category="source",
+)
+def source_hbase_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip through the custom snapshot DataSource (A3 -> A4).
+
+    Exports a snapshot, then reads it back with the registered
+    `hbase_snapshot` Python DataSource with partition pruning (only 2
+    of 5 event_type "regions" are opened) — the oracle checks the
+    pruned read against the source of truth. See
+    sources/snapshot_source.py for the DSv2 design notes.
+    """
+    from snapshot_s3_util_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    root = _scratch("snapsrc")
+    out = os.path.join(root, S3_BUCKET, S3_PREFIX, SNAPSHOT_NAME)
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+        register_snapshot_source(spark)
+        back = (
+            spark.read.format("hbase_snapshot")
+            .option("path", out)
+            .option("partitions", "click,purchase")
+            .load()
+        )
+        return (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("user_id").cast("bigint").alias("sum_user"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "sink_s3_layout",
     oracle=f"""
     SELECT 's3emu://{S3_BUCKET}/{S3_PREFIX}/{SNAPSHOT_NAME}/event_type=' || event_type

@@ -1,0 +1,115 @@
+"""Physical-plan shape assertions (the 100 TB checklist, SURVEY §4/§7).
+
+Correctness says the operator computes the right answer at sf0.01;
+these tests say the PLAN is the one that still works at 1000 executors:
+filters reach the parquet scan, projections prune the read schema,
+dimension joins broadcast, top-k never global-sorts, and Python only
+appears in deliberate UDF operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from snapshot_s3_util_spark import REGISTRY
+from snapshot_s3_util_spark.plans.inspect import (
+    has_node,
+    physical_plan,
+    pushed_filters,
+    read_schema,
+    uses_python,
+)
+
+
+def test_keyrange_scan_pushes_range_predicate(spark, sf_dir):
+    df = REGISTRY["scan_keyrange"].fn(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "GreaterThanOrEqual(o_orderkey" in pf and "LessThan(o_orderkey" in pf, pf
+
+
+def test_pruned_scan_reads_two_columns_only(spark, sf_dir):
+    rs = read_schema(REGISTRY["scan_pruned"].fn(spark, sf_dir))
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_extendedprice" not in rs and "l_shipdate" not in rs, rs
+
+
+def test_q1_prunes_and_pushes(spark, sf_dir):
+    df = REGISTRY["agg_hash_groupby"].fn(spark, sf_dir)
+    assert "LessThanOrEqual(l_shipdate" in pushed_filters(df)
+    rs = read_schema(df)
+    # 7 needed columns, not all 11
+    assert "l_orderkey" not in rs and "l_partkey" not in rs, rs
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    df = REGISTRY["join_broadcast"].fn(spark, sf_dir)
+    assert has_node(df, "BroadcastHashJoin")
+    assert not has_node(df, "SortMergeJoin"), physical_plan(df)
+
+
+def test_sortmerge_join_is_sortmerge(spark, sf_dir):
+    assert has_node(REGISTRY["join_sortmerge"].fn(spark, sf_dir), "SortMergeJoin")
+
+
+def test_theta_band_keeps_equi_hash_join(spark, sf_dir):
+    """The band predicate must ride the equi join as a residual —
+    a nested-loop here is quadratic at scale."""
+    df = REGISTRY["join_theta_band"].fn(spark, sf_dir)
+    assert not has_node(df, "BroadcastNestedLoopJoin"), physical_plan(df)
+    assert not has_node(df, "CartesianProduct")
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    df = REGISTRY["limit_topk"].fn(spark, sf_dir)
+    assert has_node(df, "TakeOrderedAndProject"), physical_plan(df)
+
+
+def test_q3_uses_take_ordered(spark, sf_dir):
+    assert has_node(REGISTRY["join_3way_topk"].fn(spark, sf_dir), "TakeOrderedAndProject")
+
+
+def test_topk_per_group_limits_inside_window(spark, sf_dir):
+    """Spark 3.5+ pushes rn<=k into the sort (WindowGroupLimit) so a
+    group never fully materializes its sort at scale."""
+    df = REGISTRY["topk_per_group"].fn(spark, sf_dir)
+    assert has_node(df, "WindowGroupLimit"), physical_plan(df)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "agg_hash_groupby",
+        "join_3way_topk",
+        "llm_dedup_exact",
+        "llm_dedup_near_minhash",
+        "llm_sim_topk_brute",
+        "llm_text_stats",
+        "fn_array_dot",
+        "sessionize_batch",
+        "hb_manifest_verify",
+    ],
+)
+def test_non_udf_operators_stay_jvm_side(name, spark, sf_dir):
+    """No Python evaluation node may appear in built-in-function ops —
+    the whole-stage-codegen / vectorized path is the scale contract."""
+    assert not uses_python(REGISTRY[name].fn(spark, sf_dir))
+
+
+@pytest.mark.parametrize(
+    "name,marker",
+    [
+        ("udf_python_scalar", "BatchEvalPython"),
+        ("udf_pandas_scalar", "ArrowEvalPython"),
+        ("udtf_apply_in_pandas", "FlatMapGroupsInPandas"),
+        ("udtf_map_in_pandas", "MapInPandas"),
+    ],
+)
+def test_udf_operators_use_expected_eval(name, marker, spark, sf_dir):
+    assert has_node(REGISTRY[name].fn(spark, sf_dir), marker)
+
+
+def test_q1_is_two_phase_aggregate(spark, sf_dir):
+    """Partial + final HashAggregate: the map-side combine that bounds
+    the shuffle to |groups| x partitions at any input size."""
+    plan = physical_plan(REGISTRY["agg_hash_groupby"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan

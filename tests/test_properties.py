@@ -1,0 +1,78 @@
+"""Property-based algebraic invariants (SURVEY.md §5).
+
+Small hypothesis budgets (Spark jobs are ~100ms+ each locally); the
+invariants themselves are scale-independent algebra: commuting filters,
+additive bag unions, semi/anti partitioning, sessionization bounds.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from snapshot_s3_util_spark import REGISTRY
+from snapshot_s3_util_spark.io import load_table
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+price = st.floats(min_value=0, max_value=500_000, allow_nan=False)
+status = st.sampled_from(["F", "O", "P"])
+
+
+@given(lo=price, hi=price, s=status)
+@settings(**_SETTINGS)
+def test_filter_composition_commutes(spark, sf_dir, lo, hi, s):
+    o = load_table(spark, sf_dir, "orders")
+    p1 = F.col("o_totalprice").between(min(lo, hi), max(lo, hi))
+    p2 = F.col("o_orderstatus") == s
+    assert o.filter(p1).filter(p2).count() == o.filter(p2).filter(p1).count()
+
+
+@given(cut=st.integers(min_value=0, max_value=200_000))
+@settings(**_SETTINGS)
+def test_split_union_is_partition(spark, sf_dir, cut):
+    o = load_table(spark, sf_dir, "orders")
+    below = o.filter(F.col("o_totalprice") < cut)
+    above = o.filter(F.col("o_totalprice") >= cut)
+    assert below.count() + above.count() == o.count()
+
+
+@given(cut=st.floats(min_value=0, max_value=400_000, allow_nan=False))
+@settings(**_SETTINGS)
+def test_semi_plus_anti_partitions_left(spark, sf_dir, cut):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > cut)
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    assert semi + anti == c.count()
+
+
+def test_session_counts_bounded(spark, sf_dir):
+    ev_n = load_table(spark, sf_dir, "events").count()
+    users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    sessions = REGISTRY["sessionize_batch"].fn(spark, sf_dir)
+    n = sessions.count()
+    assert users <= n <= ev_n
+    # events are conserved across sessions
+    total = sessions.agg(F.sum("n_events")).first()[0]
+    assert total == ev_n
+
+
+def test_union_all_preserves_bag_semantics(spark, sf_dir):
+    a = REGISTRY["set_union_all"].fn(spark, sf_dir).count()
+    d = REGISTRY["set_union_distinct"].fn(spark, sf_dir).count()
+    assert d <= a
+
+
+def test_rollup_grand_total_matches_ungrouped(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    rollup = REGISTRY["agg_rollup"].fn(spark, sf_dir)
+    grand = rollup.filter(F.col("gid") == 3).first()
+    assert grand["n_rows"] == li.count()
