@@ -116,6 +116,52 @@ def llm_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_LABEL_ORACLE = f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+probes AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < {N_PROBES})
+SELECT probe_id, label, vec_id, cos_sim
+FROM (
+  SELECT probe_id, label, vec_id,
+         ROUND(LIST_DOT_PRODUCT(e, pe) /
+               (SQRT(LIST_DOT_PRODUCT(e, e)) * SQRT(LIST_DOT_PRODUCT(pe, pe))), 6)
+           AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY probe_id, label
+           ORDER BY LIST_DOT_PRODUCT(e, pe) /
+                    (SQRT(LIST_DOT_PRODUCT(e, e)) * SQRT(LIST_DOT_PRODUCT(pe, pe)))
+                    DESC, vec_id) AS rn
+  FROM v CROSS JOIN probes
+  WHERE vec_id <> probe_id)
+WHERE rn = 1
+"""
+
+
+@register("llm_sim_knn_per_label", oracle=_KNN_LABEL_ORACLE, category="llm")
+def llm_sim_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest neighbor per (probe, label) — the classify-by-cluster
+    shape (SURVEY §2B `llm_sim_knn_per_label`): for every probe, the
+    best match inside EACH cluster. Same broadcast-probes plan as the
+    kNN join with a finer window key.
+    """
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(_E).alias("e")
+    )
+    probes = v.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    w = Window.partitionBy("probe_id", "label").orderBy(
+        F.col("raw").desc(), F.col("vec_id")
+    )
+    return (
+        v.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("raw", _cos("e", "pe"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", "label", "vec_id", F.round("raw", 6).alias("cos_sim"))
+    )
+
+
 _CENTROID_ORACLE = """
 WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 ex AS (

@@ -1,0 +1,162 @@
+"""Additional relational coverage: pivot, distribution windows,
+ordered string aggregation, multi-join composite (TPC-H Q5 shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.registry import register
+from snapshot_s3_util_spark.sql_helpers import EVENTS_REL
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 4) AS qty_O,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 4) AS qty_F,
+           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_O,
+           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="agg",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): explicit value list keeps the plan a single
+    two-phase aggregate (unlisted values would need a distinct pre-pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.coalesce(F.col("O_qty"), F.lit(0.0)).alias("qty_O"),
+        F.coalesce(F.col("F_qty"), F.lit(0.0)).alias("qty_F"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_O"),
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_F"),
+    )
+
+
+@register(
+    "win_distribution",
+    oracle=f"""
+    SELECT event_id, user_id,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value, event_id), 6)
+             AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY event_type ORDER BY value, event_id), 6)
+             AS cume,
+           NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+    FROM {EVENTS_REL} e
+    """,
+    category="window",
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist / ntile."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+@register(
+    "agg_collect_ordered",
+    oracle="""
+    SELECT c_nationkey,
+           STRING_AGG(c_mktsegment, ',' ORDER BY c_mktsegment, c_custkey) AS segments,
+           LIST(c_custkey ORDER BY c_custkey)[1:5] AS first_keys
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    category="agg",
+)
+def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collection aggregates (string_agg / array_agg).
+
+    `collect_list` order is partition-dependent — ALWAYS sort the
+    collected structs before use (SURVEY §7 determinism rule).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.concat_ws(
+            ",",
+            F.expr(
+                "transform(array_sort(collect_list(struct(c_mktsegment, c_custkey))),"
+                " s -> s.c_mktsegment)"
+            ),
+        ).alias("segments"),
+        F.slice(F.sort_array(F.collect_list("c_custkey")), 1, 5).alias("first_keys"),
+    )
+
+
+_Q5_REGION = "ASIA"
+_Q5_LO, _Q5_HI = "1996-01-01 00:00:00", "1998-01-01 00:00:00"
+
+
+@register(
+    "join_5way_region",
+    oracle=f"""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           COUNT(*) AS n_lines
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = '{_Q5_REGION}'
+      AND o_orderdate >= TIMESTAMP '{_Q5_LO}'
+      AND o_orderdate <  TIMESTAMP '{_Q5_HI}'
+    GROUP BY n_name
+    """,
+    category="composite",
+)
+def join_5way_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shape: 6-table join with a local-supplier predicate.
+
+    Join graph: the two fact-side joins (orders⋈lineitem on orderkey)
+    shuffle; customer/supplier/nation/region all broadcast. The
+    c_nationkey = s_nationkey conjunct rides the supplier join as a
+    residual. The classic join-reordering stress test — at 100 TB, CBO
+    stats put the region filter's selectivity first.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q5_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q5_HI).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _Q5_REGION)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
