@@ -18,8 +18,8 @@ from snapshot_s3_util_spark.sql_helpers import EVENTS_REL
     SELECT l_returnflag,
            ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 4) AS qty_O,
            ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 4) AS qty_F,
-           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_O,
-           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_F
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F
     FROM lineitem
     GROUP BY l_returnflag
     """,
