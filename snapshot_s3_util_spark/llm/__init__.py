@@ -4,3 +4,4 @@ import snapshot_s3_util_spark.llm.dedup  # noqa: F401
 import snapshot_s3_util_spark.llm.similarity  # noqa: F401
 import snapshot_s3_util_spark.llm.textstats  # noqa: F401
 import snapshot_s3_util_spark.llm.multimodal  # noqa: F401
+import snapshot_s3_util_spark.llm.clustering  # noqa: F401

@@ -105,13 +105,13 @@ FROM band_sigs a JOIN band_sigs b
 def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via MinHash + LSH banding.
 
-    Pipeline (all narrow until the two keyed shuffles):
-      shingle explode -> seed explode -> groupBy(doc,seed) MIN  [shuffle 1]
-      -> groupBy(doc,band) signature -> self-join on (band,sig) [shuffle 2]
-    The self-join only pairs docs INSIDE a bucket, so cost is
-    sum(bucket^2), not |docs|^2 — the property that makes this the
-    scale path for 100 TB dedup. K={MINHASH_K}, bands={MINHASH_BANDS}
-    (rows/band={_ROWS_PER_BAND}): P(candidate) = 1-(1-j^3)^4 for true
+    Pipeline: shingle explode (narrow) -> groupBy(doc) computing all K
+    minima in ONE pass [the only keyed shuffle] -> band signatures as a
+    narrow stack() projection -> self-join on (band,sig). The self-join
+    only pairs docs INSIDE a bucket, so cost is sum(bucket^2), not
+    |docs|^2 — the property that makes this the scale path for 100 TB
+    dedup. K={MINHASH_K}, bands={MINHASH_BANDS} (rows/band=
+    {_ROWS_PER_BAND}): P(candidate) = 1-(1-j^3)^4 for true
     shingle-jaccard j.
     """
     d = load_table(spark, sf_dir, "documents")
@@ -128,23 +128,33 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     )
-    seeds = spark.range(MINHASH_K).select(F.col("id").cast("int").alias("seed"))
-    minhashes = (
-        shingles.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")))).alias("mh"))
+    # All K minhashes in ONE aggregation pass: K min() expressions over
+    # the shingle stream instead of a K-way seed explode — the shuffle
+    # carries |docs| x K partial minima, and the pre-shuffle row count
+    # stays |shingles| (not |shingles| x K).
+    minhashes = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")))).alias(f"mh{k}")
+            for k in range(MINHASH_K)
+        ]
     )
-    band_sigs = (
-        minhashes.withColumn("band", (F.col("seed") / _ROWS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)"),
-                )
-            ).alias("sig")
-        )
+    # band signatures are a narrow projection over the K columns; the
+    # (doc, band, sig) long form comes from stack() — no extra shuffle
+    sig_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[F.col(f"mh{b * _ROWS_PER_BAND + i}") for i in range(_ROWS_PER_BAND)],
+            )
+        ).alias(f"sig{b}")
+        for b in range(MINHASH_BANDS)
+    ]
+    stack_expr = "stack({n}, {args}) AS (band, sig)".format(
+        n=MINHASH_BANDS,
+        args=", ".join(f"{b}, sig{b}" for b in range(MINHASH_BANDS)),
+    )
+    band_sigs = minhashes.select("doc_id", *sig_cols).select(
+        "doc_id", F.expr(stack_expr)
     )
     a = band_sigs.select(
         F.col("doc_id").alias("doc_a"), "band", "sig"

@@ -102,6 +102,48 @@ def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SALT_BUCKETS = 8
+
+
+@register(
+    "agg_salted_skew",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM {EVENTS_REL} e
+    GROUP BY event_type
+    """,
+    category="agg",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys (SCALE.md recipe).
+
+    `event_type` has 5 values over the whole table — the textbook hot
+    key. Phase 1 aggregates on (key, salt) spreading each hot key over
+    {_SALT_BUCKETS} reducers; phase 2 merges the salted partials. The
+    result is identical to a plain GROUP BY (the oracle), but no single
+    reducer ever sees a full key's rows. Salt = pmod(event_id, S):
+    deterministic, uniform, and droppable before phase 2.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    phase1 = (
+        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(_SALT_BUCKETS)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("value").alias("ps"),
+            F.max("value").alias("pm"),
+        )
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("ps"), 4).alias("sum_value"),
+        F.round(F.max("pm"), 6).alias("max_value"),
+    )
+
+
 _Q5_REGION = "ASIA"
 _Q5_LO, _Q5_HI = "1996-01-01 00:00:00", "1998-01-01 00:00:00"
 

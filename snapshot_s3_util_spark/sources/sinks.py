@@ -68,6 +68,80 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hb_export_import_cycle",
+    oracle=f"""
+    WITH src AS (
+      SELECT event_type, COUNT(*) AS src_count,
+             MD5(STRING_AGG(row_md5, '' ORDER BY row_md5)) AS src_fp
+      FROM (SELECT event_type,
+                   MD5(CONCAT(CAST(event_id AS VARCHAR), '|',
+                              CAST(user_id AS VARCHAR), '|',
+                              CAST(ROUND(value * 1000000) AS BIGINT))) AS row_md5
+            FROM {EVENTS_REL} e)
+      GROUP BY event_type
+    )
+    SELECT event_type, src_count AS n_rows, src_fp AS content_fp, TRUE AS verified
+    FROM src
+    """,
+    category="hbase",
+)
+def hb_export_import_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL workflow as one plan: snapshot -> export to
+    the S3 layout (A2+A3) -> import by reading the copy back (A4) ->
+    manifest verification of the imported data against the source (A7).
+
+    The oracle fingerprints the ORIGINAL table; this op fingerprints
+    the round-tripped copy — equality proves the export/import cycle
+    is lossless, which is the reference's entire correctness contract.
+    """
+    root = _scratch("cycle")
+    out = os.path.join(root, S3_BUCKET, S3_PREFIX, SNAPSHOT_NAME)
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)  # export
+        imported = spark.read.parquet(out)  # import
+        row_md5 = F.md5(
+            F.concat_ws(
+                "|",
+                F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"),
+                F.round(F.col("value") * 1000000).cast("bigint").cast("string"),
+            )
+        )
+        src_fp = (
+            ev.select("event_type", row_md5.alias("h"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("src_n"),
+                F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias("src_fp"),
+            )
+        )
+        dst_fp = (
+            imported.select("event_type", row_md5.alias("h"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias("content_fp"),
+            )
+        )
+        return (
+            dst_fp.join(src_fp, "event_type", "full")
+            .select(
+                "event_type",
+                "n_rows",
+                "content_fp",
+                (
+                    (F.col("n_rows") == F.col("src_n"))
+                    & (F.col("content_fp") == F.col("src_fp"))
+                ).alias("verified"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "source_hbase_snapshot",
     oracle=f"""
     SELECT event_type, COUNT(*) AS n_rows, CAST(SUM(user_id) AS BIGINT) AS sum_user
