@@ -45,8 +45,10 @@ def main() -> None:
     for q in BENCH_QUERIES:
         # BASELINE.md method: one warm-up run, then one timed run,
         # per query (warming everything first and timing afterwards
-        # measures GC debt of the heaviest warm-up, not the query)
-        engine.REGISTRY[q].fn(spark, sf_dir).count()
+        # measures GC debt of the heaviest warm-up, not the query).
+        # Warm-up must collect(): count() compiles a DIFFERENT physical
+        # plan (pruned projection), leaving the timed plan's codegen cold.
+        engine.REGISTRY[q].fn(spark, sf_dir).collect()
         t0 = time.perf_counter()
         engine.REGISTRY[q].fn(spark, sf_dir).collect()
         times[q] = round(time.perf_counter() - t0, 3)

@@ -12,8 +12,9 @@ Five dedup strategies over `documents` / `embeddings`:
 Scale design: every op is shuffle-bounded by |docs| x K (minhash) or by
 bucket size (LSH band join) — never by |docs|^2. The only pairwise
 steps run INSIDE an LSH/blocking bucket, which is the point of LSH: at
-100 TB you block first, verify second. Min-hash uses the LEXICOGRAPHIC
-minimum of seeded md5 hex strings — engine-portable by construction.
+100 TB you block first, verify second. Min-hash derives its K hash
+functions from ONE md5 per shingle via Kirsch–Mitzenmacher double
+hashing over bigints — engine-portable by construction.
 """
 
 from __future__ import annotations
@@ -66,12 +67,16 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # shingles(doc) = {tokens[i..i+S-1] joined by ' '}  (duplicates kept —
 #   they cannot change a minimum)
-# minhash(doc, seed) = MIN(md5(seed || ':' || shingle))   [lexicographic]
-# band(seed) = seed DIV (K / BANDS)
-# band_sig(doc, band) = md5(minhash_0 || ',' || minhash_1 || ...)
+# Double hashing (Kirsch–Mitzenmacher): ONE md5 per shingle, split into
+# two 32-bit halves h1/h2; hash family k is (h1 + k*h2) mod P for a
+# prime P > 2^32. K minima cost K multiply-adds per shingle instead of
+# K md5s, and the minima shuffle as 8-byte bigints, not 32-char hex.
+# band(k) = k DIV (K / BANDS)
+# band_sig(doc, band) = md5(mh_i || ',' || mh_j || ...)
 # candidates = distinct (a < b) sharing any (band, band_sig)
 
 _ROWS_PER_BAND = MINHASH_K // MINHASH_BANDS
+_MINHASH_P = 4294967311  # smallest prime > 2^32
 
 _MINHASH_ORACLE = f"""
 WITH toks AS (
@@ -84,16 +89,25 @@ shingles AS (
   FROM toks
   WHERE len(t) >= {MINHASH_SHINGLE}
 ),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || SUBSTR(MD5(sh), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || SUBSTR(MD5(sh), 9, 8)) AS BIGINT) AS h2
+  FROM shingles
+),
 minhashes AS (
-  SELECT doc_id, seed, MIN(MD5(CONCAT(seed, ':', sh))) AS mh
-  FROM shingles CROSS JOIN (SELECT UNNEST(range({MINHASH_K})) AS seed)
-  GROUP BY doc_id, seed
+  SELECT doc_id,
+         {', '.join(f'MIN((h1 + {k} * h2) % {_MINHASH_P}) AS mh{k}' for k in range(MINHASH_K))}
+  FROM hashed GROUP BY doc_id
 ),
 band_sigs AS (
-  SELECT doc_id, seed // {_ROWS_PER_BAND} AS band,
-         MD5(STRING_AGG(mh, ',' ORDER BY seed)) AS sig
-  FROM minhashes
-  GROUP BY doc_id, seed // {_ROWS_PER_BAND}
+  {' UNION ALL '.join(
+      'SELECT doc_id, {b} AS band, MD5(CONCAT({args})) AS sig FROM minhashes'.format(
+          b=b,
+          args=", ',', ".join(f'mh{b * _ROWS_PER_BAND + i}' for i in range(_ROWS_PER_BAND)),
+      )
+      for b in range(MINHASH_BANDS)
+  )}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM band_sigs a JOIN band_sigs b
@@ -105,14 +119,17 @@ FROM band_sigs a JOIN band_sigs b
 def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via MinHash + LSH banding.
 
-    Pipeline: shingle explode (narrow) -> groupBy(doc) computing all K
-    minima in ONE pass [the only keyed shuffle] -> band signatures as a
-    narrow stack() projection -> self-join on (band,sig). The self-join
-    only pairs docs INSIDE a bucket, so cost is sum(bucket^2), not
-    |docs|^2 — the property that makes this the scale path for 100 TB
-    dedup. K={MINHASH_K}, bands={MINHASH_BANDS} (rows/band=
-    {_ROWS_PER_BAND}): P(candidate) = 1-(1-j^3)^4 for true
-    shingle-jaccard j.
+    Pipeline: shingle explode (narrow) -> ONE md5 per shingle split into
+    32-bit halves (h1, h2) -> groupBy(doc) computing all K
+    Kirsch–Mitzenmacher minima min((h1 + k*h2) mod P) in ONE pass [the
+    only keyed shuffle] -> band signatures as a narrow stack()
+    projection -> self-join on (band,sig). The self-join only pairs
+    docs INSIDE a bucket, so cost is sum(bucket^2), not |docs|^2 — the
+    property that makes this the scale path for 100 TB dedup. Hash cost
+    is ONE digest + K multiply-adds per shingle (vs K digests), and the
+    shuffled minima are 8-byte bigints. K={MINHASH_K},
+    bands={MINHASH_BANDS} (rows/band={_ROWS_PER_BAND}): P(candidate) =
+    1-(1-j^3)^4 for true shingle-jaccard j.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
@@ -128,13 +145,20 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     )
+    hashed = shingles.select(
+        "doc_id",
+        F.expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) AS bigint)").alias("h1"),
+        F.expr("cast(conv(substring(md5(sh), 9, 8), 16, 10) AS bigint)").alias("h2"),
+    )
     # All K minhashes in ONE aggregation pass: K min() expressions over
     # the shingle stream instead of a K-way seed explode — the shuffle
     # carries |docs| x K partial minima, and the pre-shuffle row count
     # stays |shingles| (not |shingles| x K).
-    minhashes = shingles.groupBy("doc_id").agg(
+    minhashes = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")))).alias(f"mh{k}")
+            F.min((F.col("h1") + F.lit(k) * F.col("h2")) % F.lit(_MINHASH_P)).alias(
+                f"mh{k}"
+            )
             for k in range(MINHASH_K)
         ]
     )
