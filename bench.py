@@ -33,6 +33,7 @@ BENCH_QUERIES = (
     "llm_dedup_exact",        # q_dedup_exact
     "llm_sim_topk_brute",     # q_topk_cosine
     "llm_dedup_near_minhash", # extra headline: LSH near-dup
+    "llm_pipeline_curate",    # extra headline: full curation funnel
 )
 
 

@@ -1,0 +1,113 @@
+"""End-to-end training-data curation pipeline as ONE Catalyst plan.
+
+The canonical 100 TB pre-training data flow — quality-gate, exact-dedup,
+corpus accounting — composed from the same primitives the standalone
+operators expose (`llm_quality_score`, `llm_dedup_exact`,
+`llm_token_count`), but fused so Catalyst plans it as a single job:
+
+  narrow map (per-doc metrics)                       [no shuffle]
+  -> window over text digest (dedup keeper election) [shuffle 1: digest]
+  -> groupBy(lang, source) funnel aggregation        [shuffle 2: tiny]
+
+Two shuffles total for the whole pipeline, both map-side combined where
+possible; nothing touches the driver. At 100 TB the digest shuffle is
+the cost center — it carries one row per document (not per token), and
+AQE handles digest-bucket skew (duplicate-heavy crawls).
+
+The funnel output per (lang, source) — raw docs, quality survivors,
+post-dedup keepers, kept-token budget — is exactly the report a data
+curation run publishes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.registry import register
+
+# Gate thresholds — shared verbatim with llm_quality_score's gate.
+_MIN_TOKENS, _MAX_TOKENS = 20, 1000
+_MIN_DISTINCT = 0.2
+
+_PIPELINE_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, lang, source, n_chars,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(LEN(LIST_DISTINCT(string_split(text, ' '))) AS DOUBLE)
+           / LEN(string_split(text, ' ')) AS dr,
+         CAST(LIST_AGGREGATE(list_transform(string_split(text, ' '),
+              x -> CAST(CEIL(LENGTH(x) / 4.0) AS BIGINT)), 'sum') AS BIGINT)
+           AS bpe,
+         MD5(LOWER(TRIM(text))) AS digest
+  FROM documents
+),
+flagged AS (
+  SELECT *,
+         (n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
+          AND dr >= {_MIN_DISTINCT}) AS keep,
+         ROW_NUMBER() OVER (
+           PARTITION BY digest
+           ORDER BY CASE WHEN (n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
+                               AND dr >= {_MIN_DISTINCT}) THEN 0 ELSE 1 END,
+                    doc_id) AS rn
+  FROM m
+)
+SELECT lang, source,
+       COUNT(*) AS n_raw,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN keep AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep AND rn = 1 THEN bpe ELSE 0 END) AS BIGINT)
+         AS kept_bpe_tokens,
+       CAST(SUM(CASE WHEN keep AND rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars,
+       ROUND(AVG(CASE WHEN keep AND rn = 1 THEN dr END), 6) AS kept_distinct_ratio
+FROM flagged
+GROUP BY lang, source
+"""
+
+
+@register("llm_pipeline_curate", oracle=_PIPELINE_ORACLE, category="llm")
+def llm_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel: quality gate -> exact dedup -> corpus report.
+
+    Keeper election happens INSIDE each digest group ordered by
+    (quality-pass first, then min doc_id), so a duplicate cluster keeps
+    a quality-passing copy whenever one exists — filter-then-dedup
+    semantics without a second pass over the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    m = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.expr("size(toks)").cast("bigint").alias("n_tokens"),
+        F.expr("cast(size(array_distinct(toks)) AS double) / size(toks)").alias("dr"),
+        F.expr(
+            "aggregate(transform(toks, x -> cast(ceil(length(x) / 4.0) AS bigint)), "
+            "0L, (a, v) -> a + v)"
+        ).alias("bpe"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("digest"),
+    )
+    keep = F.col("n_tokens").between(_MIN_TOKENS, _MAX_TOKENS) & (
+        F.col("dr") >= _MIN_DISTINCT
+    )
+    w = Window.partitionBy("digest").orderBy(
+        F.when(keep, F.lit(0)).otherwise(F.lit(1)), F.col("doc_id")
+    )
+    flagged = m.withColumn("keep", keep).withColumn("rn", F.row_number().over(w))
+    kept = F.col("keep") & (F.col("rn") == 1)
+    return flagged.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_quality"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("bpe")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_bpe_tokens"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+        F.round(F.avg(F.when(kept, F.col("dr"))), 6).alias("kept_distinct_ratio"),
+    )
