@@ -125,7 +125,8 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(LEN(string_split(text, ' ')) AS BIGINT)          AS n_tokens,
            LIST_CONTAINS(string_split(text, ' '), 'spark')       AS has_spark,
-           LIST_SLICE(LIST_SORT(string_split(text, ' ')), 1, 3)  AS first3_sorted,
+           ARRAY_TO_STRING(LIST_SLICE(LIST_SORT(string_split(text, ' ')), 1, 3), ',')
+                                                                 AS first3_sorted,
            string_split(text, ' ')[1]                            AS first_token,
            CAST(LEN(LIST_DISTINCT(string_split(text, ' '))) AS BIGINT) AS n_distinct
     FROM documents
@@ -140,7 +141,9 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.slice(F.sort_array(toks), 1, 3).alias("first3_sorted"),
+        # serialized with array_join: raw array columns are not hashable in
+        # the driver's pandas-based canonicalizer (round-1 CORRECTNESS fail)
+        F.array_join(F.slice(F.sort_array(toks), 1, 3), ",").alias("first3_sorted"),
         F.element_at(toks, 1).alias("first_token"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
     )
@@ -185,20 +188,29 @@ def fn_array_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(props->>'$.k' AS BIGINT)   AS k_long,
            props->>'$.k'                   AS k_str,
            props->>'$.missing'             AS missing_path,
-           CAST(JSON_VALID(props) AS BOOLEAN) AS is_valid
+           COALESCE(CAST(JSON_VALID(props) AS BOOLEAN), FALSE) AS is_valid
     FROM {EVENTS_REL} e
     """,
     category="function",
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON family: from_json, get_json_object, missing paths, validity."""
+    """JSON family: from_json, get_json_object, missing paths, validity.
+
+    `is_valid` is derived the same way on both engines (parse succeeds
+    and input is non-NULL => true; malformed or NULL => false) —
+    PERMISSIVE `from_json(...).isNotNull()` is NOT equivalent to
+    JSON_VALID (it yields a null-fielded struct for malformed input).
+    Caveat shared by both sides: a bare JSON `null` literal counts as
+    valid in DuckDB but parses to NULL in Spark's get_json_object; the
+    props corpus contains objects only.
+    """
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.from_json("props", "k LONG").getField("k").alias("k_long"),
         F.get_json_object("props", "$.k").alias("k_str"),
         F.get_json_object("props", "$.missing").alias("missing_path"),
-        F.from_json("props", "k LONG").isNotNull().alias("is_valid"),
+        F.get_json_object("props", "$").isNotNull().alias("is_valid"),
     )
 
 

@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snapshot_s3_util_spark.io import load_table
-from snapshot_s3_util_spark.params import MINHASH_BANDS, MINHASH_K, MINHASH_SHINGLE
+from snapshot_s3_util_spark.params import (
+    DEDUP_DF_CAP_FRAC,
+    MINHASH_BANDS,
+    MINHASH_K,
+    MINHASH_SHINGLE,
+)
 from snapshot_s3_util_spark.registry import register
 
 # ---------------------------------------------------------------- exact
@@ -89,11 +94,19 @@ shingles AS (
   FROM toks
   WHERE len(t) >= {MINHASH_SHINGLE}
 ),
+hot AS (
+  SELECT sh FROM shingles GROUP BY sh
+  HAVING COUNT(DISTINCT doc_id) > (SELECT {DEDUP_DF_CAP_FRAC} * COUNT(*)
+                                   FROM documents)
+),
+kept AS (
+  SELECT s.doc_id, s.sh FROM shingles s ANTI JOIN hot h ON s.sh = h.sh
+),
 hashed AS (
   SELECT doc_id,
          CAST(('0x' || SUBSTR(MD5(sh), 1, 8)) AS BIGINT) AS h1,
          CAST(('0x' || SUBSTR(MD5(sh), 9, 8)) AS BIGINT) AS h2
-  FROM shingles
+  FROM kept
 ),
 minhashes AS (
   SELECT doc_id,
@@ -130,6 +143,13 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled minima are 8-byte bigints. K={MINHASH_K},
     bands={MINHASH_BANDS} (rows/band={_ROWS_PER_BAND}): P(candidate) =
     1-(1-j^3)^4 for true shingle-jaccard j.
+
+    Skew insurance (the df-cap): shingles whose document frequency
+    exceeds DEDUP_DF_CAP_FRAC of the corpus are dropped before hashing —
+    stopword-like shingles dominate every signature AND form the hottest
+    LSH buckets. The cap is scale-relative and computed in-plan: a tiny
+    per-shingle df aggregate whose hot tail is broadcast to an anti-join,
+    so the main shingle stream is never re-shuffled for it.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
@@ -145,7 +165,16 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     )
-    hashed = shingles.select(
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    hot = (
+        shingles.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > F.col("n_docs") * DEDUP_DF_CAP_FRAC)
+        .select("sh")
+    )
+    kept = shingles.join(F.broadcast(hot), "sh", "left_anti")
+    hashed = kept.select(
         "doc_id",
         F.expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) AS bigint)").alias("h1"),
         F.expr("cast(conv(substring(md5(sh), 9, 8), 16, 10) AS bigint)").alias("h2"),
@@ -258,11 +287,19 @@ _JACCARD_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
 ),
-grams AS (
+all_grams AS (
   SELECT DISTINCT doc_id, lang,
          UNNEST(list_transform(range(1, len(t) - {_NGRAM} + 2),
                 i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS g
   FROM toks WHERE len(t) >= {_NGRAM}
+),
+hot AS (
+  SELECT lang, g FROM all_grams GROUP BY lang, g
+  HAVING COUNT(*) > (SELECT {DEDUP_DF_CAP_FRAC} * COUNT(*) FROM documents)
+),
+grams AS (
+  SELECT a.doc_id, a.lang, a.g FROM all_grams a
+  ANTI JOIN hot h ON a.lang = h.lang AND a.g = h.g
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
 inter AS (
@@ -286,15 +323,17 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The gram-equality join is the blocking step (same lang only): docs
     sharing zero grams never meet, so cost tracks shared-gram frequency
-    rather than |docs|^2. At 100 TB, cap gram document-frequency (drop
-    grams appearing in >df_max docs) to bound the hottest gram's bucket;
-    here the synthetic vocab is small enough not to need it.
+    rather than |docs|^2. Grams whose document frequency exceeds
+    DEDUP_DF_CAP_FRAC of the corpus are dropped BEFORE the bucket join
+    (and before the set-size computation, so jaccard is over the kept
+    sets on both engines) — the df-cap bounds the hottest gram's bucket
+    at 100 TB; the hot set is tiny and broadcast to an anti-join.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", "lang", F.split("text", " ").alias("t")).filter(
         F.size("t") >= _NGRAM
     )
-    grams = toks.select(
+    all_grams = toks.select(
         "doc_id",
         "lang",
         F.explode(
@@ -305,6 +344,15 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).distinct()
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    hot = (
+        all_grams.groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > F.col("n_docs") * DEDUP_DF_CAP_FRAC)
+        .select("lang", "g")
+    )
+    grams = all_grams.join(F.broadcast(hot), ["lang", "g"], "left_anti")
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "lang", "g")
     b = grams.select(F.col("doc_id").alias("doc_b"), "lang", "g")
@@ -328,48 +376,140 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------- embedding cosine near-dup
 
 _COS_DUP_THRESHOLD = 0.99
+_EMB_DIM = 64          # embeddings.embedding element count (TESTDATA.md)
+_SRP_BANDS = 4         # LSH repetitions
+_SRP_BITS = 8          # hyperplanes per band -> 256 buckets per band
+
+# Signed-random-projection weights are derived from md5 so BOTH engines
+# materialize the identical hyperplane matrix at runtime:
+#   w(band, bit, j) = h(band,bit,j) / 2^31 - 1   in [-1, 1)
+# with h = first 8 md5 hex digits of "band_bit_j" as a bigint.
+
+def srp_signatures(spark: SparkSession, v: DataFrame) -> DataFrame:
+    """(vec_id, band, sig) signed-random-projection signatures for a
+    (vec_id, e: array<double>) input — the computed coarse blocking key
+    for embedding dedup. Hyperplanes are md5-derived so any SQL engine
+    reproduces them; plan = broadcast nested-loop over the 32 weight
+    rows + one partial-agg-combined (vec_id, band) groupBy."""
+    wv = (
+        spark.range(_SRP_BANDS * _SRP_BITS)
+        .select(
+            (F.col("id") / _SRP_BITS).cast("int").alias("band"),
+            (F.col("id") % _SRP_BITS).cast("int").alias("bit"),
+        )
+        .select(
+            "band",
+            "bit",
+            F.expr(
+                f"transform(sequence(0, {_EMB_DIM - 1}), j -> "
+                "cast(conv(substring(md5(concat(cast(band AS string), '_', "
+                "cast(bit AS string), '_', cast(j AS string))), 1, 8), 16, 10) "
+                "AS double) / 2147483648.0 - 1.0)"
+            ).alias("wvec"),
+        )
+    )
+    dot_w = F.expr(
+        "aggregate(zip_with(e, wvec, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+    return (
+        v.crossJoin(F.broadcast(wv))
+        .withColumn("dot", dot_w)
+        .groupBy("vec_id", "band")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN dot > 0 THEN shiftleft(1, bit) ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("sig")
+        )
+    )
+
 
 _EMB_DUP_ORACLE = f"""
 WITH v AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+w AS (
+  SELECT t1.band, t2.bit, t3.j,
+         CAST(('0x' || SUBSTR(MD5(t1.band || '_' || t2.bit || '_' || t3.j), 1, 8))
+              AS BIGINT) / 2147483648.0 - 1.0 AS w
+  FROM range({_SRP_BANDS}) t1(band), range({_SRP_BITS}) t2(bit),
+       range({_EMB_DIM}) t3(j)
+),
+wv AS (SELECT band, bit, LIST(w ORDER BY j) AS wvec FROM w GROUP BY band, bit),
+sigs AS (
+  SELECT v.vec_id, wv.band,
+         CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(v.e, wv.wvec) > 0
+                       THEN 1 << bit ELSE 0 END) AS BIGINT) AS sig
+  FROM v CROSS JOIN wv
+  GROUP BY v.vec_id, wv.band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(LIST_DOT_PRODUCT(a.e, b.e) /
-             (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e))),
-             6) AS cos_sim
-FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE LIST_DOT_PRODUCT(a.e, b.e) /
-      (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e)))
-      >= {_COS_DUP_THRESHOLD}
+SELECT c.vec_a, c.vec_b,
+       ROUND(LIST_DOT_PRODUCT(va.e, vb.e) /
+             (SQRT(LIST_DOT_PRODUCT(va.e, va.e)) *
+              SQRT(LIST_DOT_PRODUCT(vb.e, vb.e))), 6) AS cos_sim,
+       LIST_DOT_PRODUCT(va.e, vb.e) /
+       (SQRT(LIST_DOT_PRODUCT(va.e, va.e)) *
+        SQRT(LIST_DOT_PRODUCT(vb.e, vb.e))) >= {_COS_DUP_THRESHOLD} AS is_dup
+FROM cand c
+JOIN v va ON va.vec_id = c.vec_a
+JOIN v vb ON vb.vec_id = c.vec_b
 """
 
 
 @register("llm_dedup_embedding", oracle=_EMB_DUP_ORACLE, category="llm")
 def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicates (cos >= {_COS_DUP_THRESHOLD}),
-    blocked by cluster label.
+    """Embedding near-duplicates via signed-random-projection LSH.
 
-    The label acts as the IVF-style coarse partition: pairs are only
-    formed inside a cluster, so the join is sum(cluster^2) not n^2. At
-    100 TB the label comes from a cheap k-means/LSH assignment first —
-    same plan shape.
+    Blocking is a computed coarse key, NOT the given `label` column:
+    each vector gets _SRP_BANDS signatures of _SRP_BITS sign bits
+    (hyperplanes md5-derived, so the DuckDB oracle reproduces them
+    bit-exactly); pairs are only formed inside a (band, sig) bucket.
+    Bucket count is bands x 2^bits and grows with data spread — pair
+    cost is sum(bucket^2), never n^2, and parallelism scales with the
+    signature space instead of a fixed 10-label partition. Output =
+    candidate pairs with exact cosine and the `is_dup` verdict at
+    {_COS_DUP_THRESHOLD} (the synthetic corpus has no true dups; the
+    candidates exercise signature + cosine parity end-to-end).
+
+    Plan: sig computation is a broadcast nested-loop over 32 weight
+    rows + a partial-agg-combined (vec, band) groupBy (4 bigint rows
+    exchanged per vector); the only data-sized shuffle is the
+    (band, sig) self-join.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
+    v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
-        "label",
         F.expr("transform(embedding, x -> cast(x AS double))").alias("e"),
     )
-    dot = F.expr(
+    sigs = srp_signatures(spark, v)
+    a = sigs.select(F.col("vec_id").alias("vec_a"), "band", "sig")
+    b = sigs.select(F.col("vec_id").alias("vec_b"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("a_e"))
+    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("b_e"))
+    dot_ab = F.expr(
         "aggregate(zip_with(a_e, b_e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
     )
     norm = lambda c: F.sqrt(F.expr(f"aggregate(zip_with({c}, {c}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))  # noqa: E731
-    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("e").alias("a_e"))
-    b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("e").alias("b_e"))
-    cos = dot / (norm("a_e") * norm("b_e"))
+    cos = dot_ab / (norm("a_e") * norm("b_e"))
     return (
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim_raw", cos)
-        .filter(F.col("cos_sim_raw") >= _COS_DUP_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos_raw", cos)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round("cos_raw", 6).alias("cos_sim"),
+            (F.col("cos_raw") >= _COS_DUP_THRESHOLD).alias("is_dup"),
+        )
     )

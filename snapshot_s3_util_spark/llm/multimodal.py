@@ -50,9 +50,9 @@ def decode_image(payload: bytes) -> "Image.Image":
 def _fake_decode_dims(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for a codec: derive (width, height,
     n_frames) from the bytes themselves so the oracle can re-derive
-    them in SQL."""
-    width = payload[0] % 64 + 16
-    height = payload[-1] % 64 + 16
+    them in SQL. Empty payloads decode to the 16x16 floor."""
+    width = (payload[0] if payload else 0) % 64 + 16
+    height = (payload[-1] if payload else 0) % 64 + 16
     n_frames = len(payload) // 1000 + 1
     return width, height, n_frames
 
@@ -63,8 +63,14 @@ def _fake_decode_dims(payload: bytes) -> tuple[int, int, int]:
     SELECT doc_id,
            CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
            MD5(text) AS checksum,
-           CAST(ASCII(SUBSTR(text, 1, 1)) % 64 + 16 AS BIGINT) AS width,
-           CAST(ASCII(SUBSTR(text, LENGTH(text), 1)) % 64 + 16 AS BIGINT) AS height,
+           CAST(CASE WHEN OCTET_LENGTH(ENCODE(text)) = 0 THEN 0
+                     ELSE CAST(('0x' || SUBSTR(HEX(ENCODE(text)), 1, 2)) AS INT)
+                END % 64 + 16 AS BIGINT) AS width,
+           CAST(CASE WHEN OCTET_LENGTH(ENCODE(text)) = 0 THEN 0
+                     ELSE CAST(('0x' || SUBSTR(HEX(ENCODE(text)),
+                                               2 * OCTET_LENGTH(ENCODE(text)) - 1,
+                                               2)) AS INT)
+                END % 64 + 16 AS BIGINT) AS height,
            CAST(OCTET_LENGTH(ENCODE(text)) // 1000 + 1 AS BIGINT) AS n_frames
     FROM documents
     """,

@@ -255,7 +255,7 @@ WITH g AS (
 )
 SELECT doc_id,
        MD5(ARRAY_TO_STRING(LIST_SLICE(hs, 1, {_FP_KEEP}), ',')) AS fingerprint,
-       LIST_SLICE(hs, 1, {_FP_KEEP}) AS sketch
+       ARRAY_TO_STRING(LIST_SLICE(hs, 1, {_FP_KEEP}), ',') AS sketch
 FROM g
 """
 
@@ -279,5 +279,6 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.md5(F.concat_ws(",", F.slice(hs, 1, _FP_KEEP))).alias("fingerprint"),
-        F.slice(hs, 1, _FP_KEEP).alias("sketch"),
+        # array_join-serialized: raw arrays crash the driver's canonicalizer
+        F.array_join(F.slice(hs, 1, _FP_KEEP), ",").alias("sketch"),
     )

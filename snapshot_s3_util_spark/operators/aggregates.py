@@ -87,17 +87,44 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", oracle=None, category="agg")
+@register(
+    "agg_approx_distinct",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tol
+    FROM {EVENTS_REL} e
+    GROUP BY event_type
+    """,
+    category="agg",
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct (rows-only: DuckDB's sketch differs).
+    """HLL++ approximate distinct, checked against the exact count.
 
-    At 100 TB this replaces `agg_distinct` wherever a ~2% rsd is
-    acceptable — single pass, constant memory, no Expand blow-up.
-    tests/test_operators.py asserts <5% error vs the exact count.
+    DuckDB has no bit-identical HLL sketch, so the checkable contract is
+    the tolerance itself: emit the exact count plus a deterministic
+    `within_tol` boolean (|approx - exact| / exact <= 5%; the data is
+    fixed and seeded, so the sketch — and the boolean — is stable).
+    Oracle emits exact + TRUE. At 100 TB the approx path replaces
+    `agg_distinct` wherever ~2% rsd is acceptable — single pass,
+    constant memory, no Expand blow-up.
     """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("within_tol"),
+        )
     )
 
 

@@ -77,7 +77,7 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey,
            STRING_AGG(c_mktsegment, ',' ORDER BY c_mktsegment, c_custkey) AS segments,
-           LIST(c_custkey ORDER BY c_custkey)[1:5] AS first_keys
+           ARRAY_TO_STRING(LIST(c_custkey ORDER BY c_custkey)[1:5], ',') AS first_keys
     FROM customer
     GROUP BY c_nationkey
     """,
@@ -98,7 +98,10 @@ def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " s -> s.c_mktsegment)"
             ),
         ).alias("segments"),
-        F.slice(F.sort_array(F.collect_list("c_custkey")), 1, 5).alias("first_keys"),
+        # array_join-serialized: raw arrays crash the driver's canonicalizer
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("c_custkey")), 1, 5), ","
+        ).alias("first_keys"),
     )
 
 

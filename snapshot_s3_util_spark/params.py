@@ -38,6 +38,13 @@ MINHASH_SHINGLE = 3  # word-shingle width
 MINHASH_K = 12       # number of hash functions
 MINHASH_BANDS = 4    # bands (rows per band = K / BANDS)
 
+# Dedup document-frequency cap: a shingle/gram present in more than this
+# fraction of the corpus is stopword-like — it carries no near-dup signal
+# and creates the hottest LSH/blocking buckets, so it is dropped BEFORE
+# any bucket join. Scale-relative (fraction, not absolute) so the same
+# constant works from sf0.001 to 100 TB.
+DEDUP_DF_CAP_FRAC = 0.2
+
 # Float canonicalization (SURVEY.md §7): round to this many digits on
 # both engines before hashing.
 ROUND_DIGITS = 6

@@ -201,11 +201,32 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@register("stream_watermark_late", oracle=None, category="streaming")
+_WATERMARK_LATE_ORACLE = """
+WITH on_time AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts FROM events
+  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-12 00:00:00'
+    AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-15 00:00:00'
+),
+wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM on_time)
+SELECT DATE_TRUNC('hour', ts) AS window_start, COUNT(*) AS n_events
+FROM on_time
+GROUP BY DATE_TRUNC('hour', ts)
+HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+"""
+
+
+@register(
+    "stream_watermark_late", oracle=_WATERMARK_LATE_ORACLE, category="streaming"
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data handling: a second micro-batch of too-late rows must
-    NOT reopen finalized windows (rows-only; watermark semantics are
-    engine-internal — tests/test_streaming.py asserts the drop count).
+    NOT reopen finalized windows.
+
+    Oracle-checkable because append-mode emission is deterministic on
+    fixed data: the emitted set is exactly the hourly windows of the
+    on-time batch whose `window.end <= watermark` (final watermark =
+    max on-time ts - 1h), with batch-1-only counts — the late batch's
+    rows all carry ts < watermark and are dropped before aggregation.
 
     Batch 1 = events of 2024-01-12..15 (advances the watermark to
     max_ts - 1h); batch 2 replays the 2024-01-12 00:00-06:00 rows as

@@ -152,6 +152,9 @@ def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     `applyInPandas` hands each group to Python as one DataFrame — the
     UDTF shape for per-group model scoring. pandas `.std()` (ddof=1)
     == STDDEV_SAMP, which the oracle mirrors with window functions.
+    Rounding happens in Spark SQL AFTER the UDF (half-away-from-zero,
+    like DuckDB ROUND) — pandas `.round` is banker's rounding and
+    would diverge on exact halves at the 6th decimal.
     """
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -160,13 +163,17 @@ def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "event_id": pdf["event_id"],
                 "event_type": pdf["event_type"],
-                "value_norm": ((v - v.mean()) / v.std()).round(6),
+                "value_norm": (v - v.mean()) / v.std(),
             }
         )
 
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").applyInPandas(
-        normalize, schema="event_id long, event_type string, value_norm double"
+    return (
+        ev.groupBy("event_type")
+        .applyInPandas(
+            normalize, schema="event_id long, event_type string, value_norm double"
+        )
+        .withColumn("value_norm", F.round("value_norm", 6))
     )
 
 

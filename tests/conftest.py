@@ -36,3 +36,13 @@ def duck():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
     return con
+
+
+@pytest.fixture(scope="session")
+def op_runs():
+    """Session-wide cache of one materialized run per op: name ->
+    (cols, rows). Parity checks read the cached run and determinism
+    re-runs exactly once more — so every op executes at most twice per
+    suite (streaming ops execute a real micro-batch query per run,
+    which dominated the old 3-runs-per-op wall clock)."""
+    return {}

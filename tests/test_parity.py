@@ -17,12 +17,17 @@ def all_ops():
     return sorted(REGISTRY)
 
 
+def _cached_run(op, spark, sf_dir, op_runs):
+    if op.name not in op_runs:
+        df = op.fn(spark, sf_dir)
+        op_runs[op.name] = (df.columns, [tuple(r) for r in df.collect()])
+    return op_runs[op.name]
+
+
 @pytest.mark.parametrize("name", all_ops())
-def test_op_parity(name, spark, sf_dir, duck):
+def test_op_parity(name, spark, sf_dir, duck, op_runs):
     op = REGISTRY[name]
-    df = op.fn(spark, sf_dir)
-    s_cols = df.columns
-    s_rows = [tuple(r) for r in df.collect()]
+    s_cols, s_rows = _cached_run(op, spark, sf_dir, op_runs)
 
     if op.oracle is None:
         assert len(s_rows) > 0, f"{name}: rows-only op returned 0 rows"
@@ -54,14 +59,11 @@ def test_oracle_keys_subset():
 
 
 @pytest.mark.parametrize("name", all_ops())
-def test_determinism(name, spark, sf_dir):
-    """Every declared query must hash-identically across two runs."""
+def test_determinism(name, spark, sf_dir, op_runs):
+    """Every declared query must hash-identically across two runs (the
+    first run is shared with test_op_parity via the op_runs cache)."""
     op = REGISTRY[name]
-    h1 = table_hash(*_run(op, spark, sf_dir))
-    h2 = table_hash(*_run(op, spark, sf_dir))
-    assert h1 == h2, f"{name}: nondeterministic result"
-
-
-def _run(op, spark, sf_dir):
+    h1 = table_hash(*_cached_run(op, spark, sf_dir, op_runs))
     df = op.fn(spark, sf_dir)
-    return df.columns, [tuple(r) for r in df.collect()]
+    h2 = table_hash(df.columns, [tuple(r) for r in df.collect()])
+    assert h1 == h2, f"{name}: nondeterministic result"

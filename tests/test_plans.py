@@ -17,6 +17,7 @@ from snapshot_s3_util_spark.plans.inspect import (
     physical_plan,
     pushed_filters,
     read_schema,
+    shuffle_count,
     uses_python,
 )
 
@@ -113,3 +114,33 @@ def test_q1_is_two_phase_aggregate(spark, sf_dir):
     the shuffle to |groups| x partitions at any input size."""
     plan = physical_plan(REGISTRY["agg_hash_groupby"].fn(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2, plan
+
+
+@pytest.mark.parametrize(
+    "name,budget",
+    [
+        # quality gate -> dedup keeper -> report in exactly 2 shuffles
+        ("llm_pipeline_curate", 2),
+        # one digest shuffle
+        ("llm_dedup_exact", 1),
+        # doc groupBy + band self-join reuse one exchange; the df-cap
+        # adds its two tiny per-shingle aggregation exchanges
+        ("llm_dedup_near_minhash", 4),
+        # gram distinct + df-cap + sizes + inter-agg + 2 size joins
+        ("llm_dedup_ngram_jaccard", 7),
+        # (vec,band) sig agg + (band,sig) self-join + final cos joins
+        ("llm_dedup_embedding", 3),
+    ],
+)
+def test_shuffle_budget(name, budget, spark, sf_dir):
+    """Lock in each fused plan's shuffle count — every Exchange is a
+    full network pass at 100 TB, so a regression here is a scale bug
+    even when results stay correct. Counted with AQE off so compile-time
+    exchange reuse (ReusedExchange) is visible; AQE performs the same
+    reuse at runtime."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        got = shuffle_count(REGISTRY[name].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert got <= budget, f"{name}: {budget} shuffles budgeted, plan has {got}"
