@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 from snapshot_s3_util_spark.io import load_table
 from snapshot_s3_util_spark.params import (
     DEDUP_DF_CAP_FRAC,
+    DEDUP_DF_MIN_HITS,
+    DEDUP_DF_SAMPLE_MOD,
     MINHASH_BANDS,
     MINHASH_K,
     MINHASH_SHINGLE,
@@ -94,10 +96,18 @@ shingles AS (
   FROM toks
   WHERE len(t) >= {MINHASH_SHINGLE}
 ),
+sampled AS (
+  SELECT doc_id, sh FROM shingles
+  WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % {DEDUP_DF_SAMPLE_MOD} = 0
+),
 hot AS (
-  SELECT sh FROM shingles GROUP BY sh
-  HAVING COUNT(DISTINCT doc_id) > (SELECT {DEDUP_DF_CAP_FRAC} * COUNT(*)
-                                   FROM documents)
+  SELECT sh FROM sampled GROUP BY sh
+  HAVING COUNT(DISTINCT doc_id) >
+         GREATEST({DEDUP_DF_CAP_FRAC} * (SELECT COUNT(*) FROM documents
+                   WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) % {DEDUP_DF_SAMPLE_MOD} = 0),
+                  {DEDUP_DF_MIN_HITS})
 ),
 kept AS (
   SELECT s.doc_id, s.sh FROM shingles s ANTI JOIN hot h ON s.sh = h.sh
@@ -147,9 +157,12 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Skew insurance (the df-cap): shingles whose document frequency
     exceeds DEDUP_DF_CAP_FRAC of the corpus are dropped before hashing —
     stopword-like shingles dominate every signature AND form the hottest
-    LSH buckets. The cap is scale-relative and computed in-plan: a tiny
-    per-shingle df aggregate whose hot tail is broadcast to an anti-join,
-    so the main shingle stream is never re-shuffled for it.
+    LSH buckets. Document frequency is ESTIMATED on a deterministic
+    1-in-{DEDUP_DF_SAMPLE_MOD} hash-sample of documents (md5(doc_id),
+    reproduced by the oracle), so the df pass aggregates ~1/8 of the
+    shingle stream; the hot tail is broadcast to an anti-join and the
+    main stream is never re-shuffled for it. DEDUP_DF_MIN_HITS floors
+    the threshold against sampling noise on tiny corpora.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
@@ -165,12 +178,24 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     )
-    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    doc_in_sample = F.expr(
+        "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint)"
+        f" % {DEDUP_DF_SAMPLE_MOD} = 0"
+    )
+    n_sampled = d.filter(doc_in_sample).select(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
     hot = (
-        shingles.groupBy("sh")
+        shingles.filter(doc_in_sample)
+        .groupBy("sh")
         .agg(F.countDistinct("doc_id").alias("df"))
-        .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") > F.col("n_docs") * DEDUP_DF_CAP_FRAC)
+        .crossJoin(F.broadcast(n_sampled))
+        .filter(
+            F.col("df")
+            > F.greatest(
+                F.col("n_sampled") * DEDUP_DF_CAP_FRAC, F.lit(DEDUP_DF_MIN_HITS)
+            )
+        )
         .select("sh")
     )
     kept = shingles.join(F.broadcast(hot), "sh", "left_anti")

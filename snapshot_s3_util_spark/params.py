@@ -44,6 +44,12 @@ MINHASH_BANDS = 4    # bands (rows per band = K / BANDS)
 # any bucket join. Scale-relative (fraction, not absolute) so the same
 # constant works from sf0.001 to 100 TB.
 DEDUP_DF_CAP_FRAC = 0.2
+# MinHash estimates df on a deterministic 1-in-N hash-sample of documents
+# (md5(doc_id) % N == 0) so the df pass touches ~1/N of the shingle
+# stream; the hot/cold threshold needs this floor of sampled-doc hits so
+# tiny corpora don't drop shingles on sampling noise.
+DEDUP_DF_SAMPLE_MOD = 8
+DEDUP_DF_MIN_HITS = 3
 
 # Float canonicalization (SURVEY.md §7): round to this many digits on
 # both engines before hashing.

@@ -141,6 +141,58 @@ def hb_export_import_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_restore_counter = 0
+
+
+@register(
+    "hb_restore_catalog",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_rows, ROUND(SUM(value), 4) AS sum_value,
+           TRUE AS queryable
+    FROM {EVENTS_REL} e
+    GROUP BY event_type
+    """,
+    category="hbase",
+)
+def hb_restore_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restore-into-catalog (A4's tail: import THEN re-register the
+    table so downstream queries see it by name).
+
+    Export -> import -> `spark.catalog.createTable` (an external table
+    over the imported files — the restore never rewrites data, only
+    registers it) -> query THROUGH the catalog via `spark.table()`.
+    `queryable` carries the real catalog lookup result, and the counts
+    come from the catalog-resolved read, so a broken registration fails
+    the oracle comparison rather than a Python assert.
+    """
+    global _restore_counter
+    _restore_counter += 1
+    tbl = f"s3u_restored_events_{_restore_counter}"
+    root = _scratch("restore")
+    out = os.path.join(root, S3_BUCKET, S3_PREFIX, SNAPSHOT_NAME)
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+        spark.catalog.createTable(tbl, path=out, source="parquet")
+        # partitioned external tables need partition discovery before a
+        # catalog read sees any data (MSCK = HBase's region re-assign
+        # step of a restore)
+        spark.sql(f"MSCK REPAIR TABLE {tbl}")
+        restored = spark.table(tbl)
+        return (
+            restored.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .withColumn("queryable", F.lit(spark.catalog.tableExists(tbl)))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register(
     "source_hbase_snapshot",
     oracle=f"""
