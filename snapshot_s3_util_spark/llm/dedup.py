@@ -246,6 +246,108 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------- dedup-cluster resolution (CC)
+
+_CC_ITERS = 4  # min-label propagation rounds (covers diameter <= 4)
+
+
+def _cc_oracle() -> str:
+    """Chained-CTE mirror of _CC_ITERS propagation rounds over the
+    minhash candidate graph (nested WITH reuses the minhash oracle)."""
+    steps = []
+    for t in range(1, _CC_ITERS + 1):
+        steps.append(
+            f"""l{t} AS (
+  SELECT l.doc_id,
+         LEAST(l.label, COALESCE(MIN(nl.label), l.label)) AS label
+  FROM l{t - 1} l
+  LEFT JOIN edges e ON e.src = l.doc_id
+  LEFT JOIN l{t - 1} nl ON nl.doc_id = e.dst
+  GROUP BY l.doc_id, l.label
+)"""
+        )
+    return f"""
+WITH pairs AS (SELECT * FROM ({_MINHASH_ORACLE}) p),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+l0 AS (
+  SELECT doc_id, doc_id AS label
+  FROM (SELECT doc_a AS doc_id FROM pairs
+        UNION SELECT doc_b AS doc_id FROM pairs)
+),
+{', '.join(steps)}
+SELECT doc_id,
+       label AS component_id,
+       COUNT(*) OVER (PARTITION BY label) AS component_size,
+       doc_id = label AS is_keeper
+FROM l{_CC_ITERS}
+"""
+
+
+@register("llm_dedup_components", oracle=_cc_oracle(), category="llm")
+def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster resolution: connected components over the minhash
+    candidate-pair graph, electing one keeper per component.
+
+    Near-dup pairs are not the end product — a training pipeline needs
+    each *cluster* collapsed to one canonical document. This runs
+    {_CC_ITERS} unrolled rounds of min-label (HashToMin) propagation:
+      label(v) <- min(label(v), min over neighbors' labels)
+    entirely in DataFrame joins/aggregates — per round, one edge join +
+    one map-side-combined min-agg; only fixed-size plans, nothing
+    driver-side. Converges for component diameter <= {_CC_ITERS}
+    (near-dup clusters are dense, diameters are tiny); production runs
+    loop with a convergence counter exactly like llm_kmeans_iter's
+    driver loop. component_id = min doc_id in the component; the keeper
+    is the doc that owns that id.
+    """
+    # Materialize the candidate pairs once: every propagation round
+    # references the edge set, and without a checkpoint each round would
+    # re-run the whole minhash pipeline (iterative-graph checkpointing,
+    # the GraphX/GraphFrames pattern; pairs = the blocked candidate set,
+    # orders of magnitude smaller than the corpus).
+    pairs = llm_dedup_near_minhash(spark, sf_dir).localCheckpoint(eager=True)
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = (
+        pairs.selectExpr("doc_a AS doc_id")
+        .union(pairs.selectExpr("doc_b AS doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(_CC_ITERS):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nbr_min"))
+        )
+        labels = labels.join(
+            nbr, labels.doc_id == nbr.src, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+            ).alias("label"),
+        )
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("component_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .alias("component_size"),
+        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+    )
+
+
 # ------------------------------------------------------------- simhash
 
 _SIMHASH_BITS = 16

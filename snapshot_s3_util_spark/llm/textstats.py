@@ -15,6 +15,81 @@ from pyspark.sql import functions as F
 from snapshot_s3_util_spark.io import load_table
 from snapshot_s3_util_spark.registry import register
 
+# Contamination check: docs with doc_id < this bound act as the held-out
+# benchmark/eval set; any other doc sharing word n-grams with them is a
+# train/test leak. A fixed id-range keeps both engines' "benchmark"
+# identical and deterministic.
+_BENCH_DOCS = 20
+_CONTAM_NGRAM = 3
+_CONTAM_SEVERE = 5  # shared distinct grams at/above which the doc is dropped
+
+
+_CONTAM_GRAMS = """
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, len(t) - {n} + 2),
+                i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents {pred})
+  WHERE len(t) >= {n}
+"""
+
+_CONTAM_ORACLE = f"""
+WITH bench AS (
+  SELECT DISTINCT g
+  FROM ({_CONTAM_GRAMS.format(n=_CONTAM_NGRAM, pred=f'WHERE doc_id < {_BENCH_DOCS}')})
+),
+corpus AS (
+  {_CONTAM_GRAMS.format(n=_CONTAM_NGRAM, pred=f'WHERE doc_id >= {_BENCH_DOCS}')}
+)
+SELECT c.doc_id,
+       COUNT(*) AS n_shared_grams,
+       COUNT(*) >= {_CONTAM_SEVERE} AS drop_doc
+FROM corpus c JOIN bench b ON c.g = b.g
+GROUP BY c.doc_id
+"""
+
+
+@register("llm_contamination_ngram", oracle=_CONTAM_ORACLE, category="llm")
+def llm_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: flag training docs sharing word
+    {_CONTAM_NGRAM}-grams with the held-out set (doc_id < {_BENCH_DOCS}).
+
+    The decontamination pass every serious pre-training pipeline runs
+    before export. The benchmark gram set is tiny relative to the corpus
+    and is BROADCAST, so corpus grams never shuffle for the match — the
+    only exchange is the per-doc count over matched rows (a vanishing
+    fraction of the corpus). Emits one row per contaminated doc with
+    the shared-gram count and the >= {_CONTAM_SEVERE}-gram drop verdict.
+    """
+    d = load_table(spark, sf_dir, "documents")
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = df.select("doc_id", F.split("text", " ").alias("t")).filter(
+            F.size("t") >= _CONTAM_NGRAM
+        )
+        return toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {_CONTAM_NGRAM} + 1), "
+                    "i -> concat(element_at(t, i), ' ', element_at(t, i+1), ' ', "
+                    "element_at(t, i+2)))"
+                )
+            ).alias("g"),
+        ).distinct()
+
+    bench = grams(d.filter(F.col("doc_id") < _BENCH_DOCS)).select("g").distinct()
+    corpus = grams(d.filter(F.col("doc_id") >= _BENCH_DOCS))
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .select(
+            "doc_id",
+            "n_shared_grams",
+            (F.col("n_shared_grams") >= _CONTAM_SEVERE).alias("drop_doc"),
+        )
+    )
+
 
 @register(
     "llm_text_stats",

@@ -141,6 +141,62 @@ def hb_export_import_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_N_JSONL_SHARDS = 4
+
+
+@register(
+    "sink_jsonl_shards",
+    oracle=f"""
+    SELECT doc_id % {_N_JSONL_SHARDS} AS shard,
+           COUNT(*) AS n_docs,
+           MD5(STRING_AGG(row_md5, '' ORDER BY row_md5)) AS content_fp
+    FROM (SELECT doc_id,
+                 MD5(CONCAT(CAST(doc_id AS VARCHAR), '|', text, '|', lang)) AS row_md5
+          FROM documents)
+    GROUP BY doc_id % {_N_JSONL_SHARDS}
+    """,
+    category="sink",
+)
+def sink_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded JSONL export — the standard LLM training-data layout
+    (`shard=K/part-*.json`, one JSON document per line).
+
+    Shard assignment is a deterministic doc_id hash (not round-robin
+    repartition, whose row->shard mapping depends on input splits). The
+    returned counts + content fingerprints come from READING THE JSONL
+    BACK, so a row lost or mangled by JSON escaping fails the oracle
+    comparison — the same write->read verification contract as the
+    parquet sinks. At scale: one narrow write pass, shard dirs are
+    independent units for downstream loaders.
+    """
+    out = _scratch("jsonl")
+    try:
+        d = load_table(spark, sf_dir, "documents")
+        (
+            d.select("doc_id", "text", "lang", (F.col("doc_id") % _N_JSONL_SHARDS).alias("shard"))
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .json(out)
+        )
+        back = spark.read.schema("doc_id LONG, text STRING, lang STRING, shard INT").json(out)
+        row_md5 = F.md5(
+            F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"), F.col("lang"))
+        )
+        return (
+            back.select(F.col("shard").cast("bigint").alias("shard"), row_md5.alias("h"))
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias(
+                    "content_fp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 _restore_counter = 0
 
 

@@ -72,6 +72,33 @@ def test_embedding_dedup_blocking_key_scales_with_data(spark, sf_dir):
     assert biggest < n_vecs, "one bucket swallowed the whole corpus"
 
 
+def test_components_match_union_find(spark, sf_dir):
+    """llm_dedup_components must equal a driver-side union-find over the
+    same candidate pairs (ground truth for the unrolled propagation)."""
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["llm_dedup_near_minhash"].fn(spark, sf_dir).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {x: find(x) for x in parent}
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in REGISTRY["llm_dedup_components"].fn(spark, sf_dir).collect()
+    }
+    assert got == truth
+
+
 def test_minhash_finds_planted_near_dups(spark, sf_dir):
     pairs = REGISTRY["llm_dedup_near_minhash"].fn(spark, sf_dir).count()
     assert pairs > 0, "LSH found no candidate pairs despite planted near-dups"
