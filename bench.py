@@ -34,6 +34,8 @@ BENCH_QUERIES = (
     "llm_sim_topk_brute",     # q_topk_cosine
     "llm_dedup_near_minhash", # extra headline: LSH near-dup
     "llm_pipeline_curate",    # extra headline: full curation funnel
+    "llm_dedup_components",   # extra headline: cluster resolution (iterative)
+    "llm_contamination_ngram",# extra headline: benchmark decontamination
 )
 
 

@@ -83,6 +83,8 @@ def test_topk_per_group_limits_inside_window(spark, sf_dir):
         "join_3way_topk",
         "llm_dedup_exact",
         "llm_dedup_near_minhash",
+        "llm_dedup_components",
+        "llm_contamination_ngram",
         "llm_sim_topk_brute",
         "llm_text_stats",
         "fn_array_dot",
@@ -107,6 +109,13 @@ def test_non_udf_operators_stay_jvm_side(name, spark, sf_dir):
 )
 def test_udf_operators_use_expected_eval(name, marker, spark, sf_dir):
     assert has_node(REGISTRY[name].fn(spark, sf_dir), marker)
+
+
+def test_contamination_bench_grams_broadcast(spark, sf_dir):
+    """The benchmark gram set must broadcast — the corpus gram stream
+    may never shuffle just to probe a small held-out set."""
+    df = REGISTRY["llm_contamination_ngram"].fn(spark, sf_dir)
+    assert has_node(df, "BroadcastHashJoin")
 
 
 def test_q1_is_two_phase_aggregate(spark, sf_dir):
