@@ -34,6 +34,11 @@ _WINDOW_FIRST_NAMES = {
     # round-1 failures fixed in round 2; need fresh green rows
     "fn_array", "agg_collect_ordered", "agg_approx_distinct",
 }
+# Ops that yield their window slot this round (the round-1 "untested"
+# backlog outranks brand-new ops; rotate these in next round).
+_WINDOW_DEFER_NAMES = {
+    "stream_foreach_batch_export",
+}
 
 
 def load_all_operators() -> None:
@@ -52,6 +57,8 @@ def load_all_operators() -> None:
     import snapshot_s3_util_spark.sources  # noqa: F401
 
     def _first(op) -> bool:
+        if op.name in _WINDOW_DEFER_NAMES:
+            return False
         return op.category in _WINDOW_FIRST_CATEGORIES or op.name in _WINDOW_FIRST_NAMES
 
     ordered = [op for op in REGISTRY.values() if _first(op)]

@@ -103,10 +103,15 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Gap test at MICROsecond precision (unix_micros), matching the
+    # oracle's interval comparison: cast("long") truncates to whole
+    # seconds first, and floor(a)-floor(b) can cross the 30-min
+    # threshold when a-b does not (one phantom session at sf0.1).
     flagged = ev.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") >= 1800,
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+            >= 1800 * 1_000_000,
             1,
         )
         .when(F.lag("ts").over(w).isNull(), 1)

@@ -307,3 +307,71 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         return table.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "stream_foreach_batch_export",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_rows,
+           MD5(STRING_AGG(row_md5, '' ORDER BY row_md5)) AS content_fp
+    FROM (SELECT event_type,
+                 MD5(CONCAT(CAST(event_id AS VARCHAR), '|',
+                            CAST(user_id AS VARCHAR))) AS row_md5
+          FROM {EVENTS_REL} e)
+    GROUP BY event_type
+    """,
+    category="streaming",
+)
+def stream_foreach_batch_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming export sink: foreachBatch writing partitioned parquet
+    (reference workflow A3 as a continuous micro-batch pipeline).
+
+    `foreachBatch` is the streaming-ETL workhorse — each micro-batch is
+    a batch DataFrame handed to the ordinary parquet writer, giving the
+    streaming path the exact sink (partitioning, compaction, layout) the
+    batch export uses. Exactly-once comes from the checkpoint +
+    idempotent epoch overwrite in production; the verification contract
+    is micro-batch-count independent: the read-back per-partition counts
+    and order-insensitive fingerprints must equal the batch answer no
+    matter how the source was sliced into batches.
+    """
+    tmp = tempfile.mkdtemp(prefix="s3u_stream_export_")
+    out = f"{tmp}/export"
+    try:
+        stream = _stage(spark, sf_dir, tmp)
+
+        def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            (
+                batch_df.write.mode("append")
+                .partitionBy("event_type")
+                .parquet(out)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        back = spark.read.parquet(out)
+        row_md5 = F.md5(
+            F.concat_ws(
+                "|",
+                F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"),
+            )
+        )
+        return (
+            back.select("event_type", row_md5.alias("h"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias(
+                    "content_fp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
