@@ -60,10 +60,11 @@ def hb_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TTL retention (reference A6: delete snapshots older than TTL).
 
     Rows surviving a fixed literal "now" minus TTL. The timestamp
-    predicate pushes to parquet row-group min/max — at 100 TB a TTL
-    sweep reads only the tail partitions of a date-partitioned layout.
+    predicate pushes to parquet row-group min/max via load_table's
+    raw-ns ts_min (a filter on the CONVERTED timestamp cannot push) —
+    at 100 TB a TTL sweep reads only the tail row groups.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", ts_min=TTL_CUTOFF)
     return ev.filter(F.col("ts") >= F.lit(TTL_CUTOFF).cast("timestamp")).select(
         "event_id", "user_id", "ts", "event_type"
     )
@@ -78,21 +79,29 @@ def hb_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND NOT EXISTS (
         SELECT 1 FROM {EVENTS_REL} old
         WHERE old.ts < TIMESTAMP '{INCR_EXPORT_SPLIT}'
-          AND old.user_id = e.user_id
+          AND old.event_id = e.event_id
       )
     """,
     category="hbase",
 )
 def hb_incremental_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental export (A3 re-run): new-period rows for keys never
-    seen in the already-exported period — the anti-join that lets a
-    re-export skip everything the previous run already copied.
+    """Incremental export (A3 re-run): new-period rows whose export
+    unit (event_id) was not already copied by the previous run — the
+    anti-join that lets a re-export skip everything already shipped
+    (the reference skips already-copied files the same way).
     """
-    ev = load_table(spark, sf_dir, "events")
     split = F.lit(INCR_EXPORT_SPLIT).cast("timestamp")
-    new = ev.filter(F.col("ts") >= split)
-    old_keys = ev.filter(F.col("ts") < split).select("user_id")
-    return new.join(old_keys, "user_id", "left_anti").select(
+    # separate loads so EACH branch's time-range predicate reaches its
+    # own parquet scan (raw-ns pushdown; one shared scan pushes neither)
+    new = load_table(spark, sf_dir, "events", ts_min=INCR_EXPORT_SPLIT).filter(
+        F.col("ts") >= split
+    )
+    exported = (
+        load_table(spark, sf_dir, "events", ts_max=INCR_EXPORT_SPLIT)
+        .filter(F.col("ts") < split)
+        .select("event_id")
+    )
+    return new.join(exported, "event_id", "left_anti").select(
         "event_id", "user_id", "ts"
     )
 

@@ -14,6 +14,8 @@ inference loops), so they scale with the FileSourceScanExec machinery.
 
 from __future__ import annotations
 
+from datetime import datetime, timezone
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,7 +27,22 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _utc_ns(ts_literal: str) -> int:
+    """'YYYY-MM-DD HH:MM:SS' (UTC) -> epoch nanoseconds."""
+    dt = datetime.strptime(ts_literal, "%Y-%m-%d %H:%M:%S").replace(
+        tzinfo=timezone.utc
+    )
+    return int(dt.timestamp()) * 1_000_000_000
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    ts_min: str | None = None,
+    ts_max: str | None = None,
+) -> DataFrame:
     """Load one test table; canonicalizes the `events` timestamp.
 
     `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS) which Spark 4
@@ -34,10 +51,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     integer division — float division would round half-microseconds and
     diverge from DuckDB's `CAST(ts AS TIMESTAMP)` truncation
     (SURVEY.md §1.2, verified).
+
+    ``ts_min`` / ``ts_max`` (events only, whole-second UTC literals,
+    [min, max) semantics) apply the time-range predicate on the RAW
+    bigint-ns column BELOW the conversion: a filter on the converted
+    timestamp expression cannot reach the parquet scan (only
+    IsNotNull pushes), so without this a 100 TB TTL sweep reads every
+    row group. `ns >= c*1000` is exactly `ns DIV 1000 >= c` for integer
+    microsecond cutoffs, so pre- and post-conversion filters agree;
+    callers keep their post-conversion filters as the semantic source
+    of truth and pass these purely as pushdown accelerators.
     """
     ensure_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        if ts_min is not None:
+            df = df.filter(F.col("ts") >= F.lit(_utc_ns(ts_min)))
+        if ts_max is not None:
+            df = df.filter(F.col("ts") < F.lit(_utc_ns(ts_max)))
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

@@ -235,7 +235,10 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tmp = tempfile.mkdtemp(prefix="s3u_stream_late_")
     try:
-        ev = load_table(spark, sf_dir, "events")
+        ev = load_table(
+            spark, sf_dir, "events",
+            ts_min="2024-01-12 00:00:00", ts_max="2024-01-15 00:00:00",
+        )
         on_time = ev.filter(
             (F.col("ts") >= F.lit("2024-01-12 00:00:00").cast("timestamp"))
             & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))

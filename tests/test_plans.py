@@ -111,6 +111,14 @@ def test_udf_operators_use_expected_eval(name, marker, spark, sf_dir):
     assert has_node(REGISTRY[name].fn(spark, sf_dir), marker)
 
 
+def test_ttl_range_predicate_reaches_events_scan(spark, sf_dir):
+    """The TTL cutoff must push to the parquet scan as a raw-ns bound —
+    a filter on the CONVERTED timestamp pushes only IsNotNull, which at
+    100 TB means the sweep reads every row group."""
+    pf = pushed_filters(REGISTRY["hb_ttl_expiry"].fn(spark, sf_dir))
+    assert "GreaterThanOrEqual(ts" in pf, pf
+
+
 def test_contamination_bench_grams_broadcast(spark, sf_dir):
     """The benchmark gram set must broadcast — the corpus gram stream
     may never shuffle just to probe a small held-out set."""
