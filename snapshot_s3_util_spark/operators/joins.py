@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.params import ANTI_JOIN_CUTOFF
 from snapshot_s3_util_spark.registry import register
 from snapshot_s3_util_spark.sql_helpers import EVENTS_REL
 
@@ -165,18 +166,25 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_anti",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '{ANTI_JOIN_CUTOFF} 00:00:00')
     """,
     category="join",
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS — the incremental-export primitive (SURVEY §2A A3/A6):
-    rows present in the new snapshot but absent from the exported one.
+    keys with no activity since the cutoff (nothing new to export for
+    them). Every customer has SOME order, so the unfiltered anti-join
+    would be empty — the dormancy predicate keeps the checked result
+    non-trivial (135 rows at sf0.01).
     """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(ANTI_JOIN_CUTOFF).cast("timestamp")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

@@ -25,6 +25,9 @@ TTL_CUTOFF = "2024-01-15 00:00:00"
 # Incremental export split point (events before this are "already exported")
 INCR_EXPORT_SPLIT = "2024-01-20 00:00:00"
 
+# Anti-join dormancy cutoff: customers with no order on/after this date
+ANTI_JOIN_CUTOFF = "2000-01-01"
+
 # Top-k sizes
 TOPK_LIMIT = 10
 TOPK_PER_GROUP = 3
