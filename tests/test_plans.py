@@ -76,25 +76,26 @@ def test_topk_per_group_limits_inside_window(spark, sf_dir):
     assert has_node(df, "WindowGroupLimit"), physical_plan(df)
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "agg_hash_groupby",
-        "join_3way_topk",
-        "llm_dedup_exact",
-        "llm_dedup_near_minhash",
-        "llm_dedup_components",
-        "llm_contamination_ngram",
-        "llm_sim_topk_brute",
-        "llm_text_stats",
-        "fn_array_dot",
-        "sessionize_batch",
-        "hb_manifest_verify",
-    ],
-)
+# Ops allowed to carry Python eval nodes (Python IS the point), plus
+# ops that execute eagerly inside fn() (sinks/streaming/catalog — their
+# returned checkpoint has no plan to inspect cheaply).
+_PYTHON_OK_CATEGORIES = {"udf", "multimodal", "streaming", "sink", "source"}
+_EAGER_NAMES = {"llm_dedup_components", "hb_export_import_cycle", "hb_restore_catalog"}
+
+
+def _jvm_side_ops():
+    return sorted(
+        name
+        for name, op in REGISTRY.items()
+        if op.category not in _PYTHON_OK_CATEGORIES and name not in _EAGER_NAMES
+    )
+
+
+@pytest.mark.parametrize("name", _jvm_side_ops())
 def test_non_udf_operators_stay_jvm_side(name, spark, sf_dir):
-    """No Python evaluation node may appear in built-in-function ops —
-    the whole-stage-codegen / vectorized path is the scale contract."""
+    """No Python evaluation node may appear in ANY non-UDF operator —
+    the whole-stage-codegen / vectorized path is the scale contract.
+    Covers every lazy op outside the deliberate Python categories."""
     assert not uses_python(REGISTRY[name].fn(spark, sf_dir))
 
 

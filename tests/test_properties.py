@@ -76,3 +76,32 @@ def test_rollup_grand_total_matches_ungrouped(spark, sf_dir):
     rollup = REGISTRY["agg_rollup"].fn(spark, sf_dir)
     grand = rollup.filter(F.col("gid") == 3).first()
     assert grand["n_rows"] == li.count()
+
+
+def test_components_partition_the_candidate_graph(spark, sf_dir):
+    """CC invariants: every doc in exactly one component; exactly one
+    keeper per component; component_id is a member of its component;
+    component sizes sum to the node count."""
+    rows = REGISTRY["llm_dedup_components"].fn(spark, sf_dir).collect()
+    docs = [r["doc_id"] for r in rows]
+    assert len(docs) == len(set(docs))
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component_id"], []).append(r)
+    for cid, members in by_comp.items():
+        assert sum(m["is_keeper"] for m in members) == 1
+        assert cid in {m["doc_id"] for m in members}
+        assert all(m["component_size"] == len(members) for m in members)
+        assert cid == min(m["doc_id"] for m in members)
+
+
+def test_contamination_only_flags_noncorpus_overlap(spark, sf_dir):
+    """Contamination rows must reference only non-benchmark docs and
+    count at least one shared gram each; drop verdict is threshold-consistent."""
+    rows = REGISTRY["llm_contamination_ngram"].fn(spark, sf_dir).collect()
+    from snapshot_s3_util_spark.llm.textstats import _BENCH_DOCS, _CONTAM_SEVERE
+
+    for r in rows:
+        assert r["doc_id"] >= _BENCH_DOCS
+        assert r["n_shared_grams"] >= 1
+        assert r["drop_doc"] == (r["n_shared_grams"] >= _CONTAM_SEVERE)
