@@ -2,8 +2,10 @@
 
 Runs the headline queries from BASELINE.md's flagship set at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS], one warm-up + one timed run each (matching
-BASELINE.md's method), and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS], one warm-up + MEDIAN OF 3 timed runs each
+(every headline query is sub-2 s now, so single-run noise on a shared
+VM — ±30% per BASELINE.md — would swamp the signal), and prints ONE
+JSON line:
     {"metric": ..., "value": total_sec, "unit": "sec",
      "queries": {name: sec, ...}, "sf": 0.1}
 
@@ -14,8 +16,11 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+_TIMED_RUNS = 3
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -46,15 +51,18 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for q in BENCH_QUERIES:
-        # BASELINE.md method: one warm-up run, then one timed run,
-        # per query (warming everything first and timing afterwards
+        # One warm-up run, then median of _TIMED_RUNS timed runs per
+        # query (warming everything first and timing afterwards
         # measures GC debt of the heaviest warm-up, not the query).
         # Warm-up must collect(): count() compiles a DIFFERENT physical
         # plan (pruned projection), leaving the timed plan's codegen cold.
         engine.REGISTRY[q].fn(spark, sf_dir).collect()
-        t0 = time.perf_counter()
-        engine.REGISTRY[q].fn(spark, sf_dir).collect()
-        times[q] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(_TIMED_RUNS):
+            t0 = time.perf_counter()
+            engine.REGISTRY[q].fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        times[q] = round(statistics.median(samples), 3)
 
     print(
         json.dumps(

@@ -20,33 +20,46 @@ from snapshot_s3_util_spark.registry import REGISTRY, register  # noqa: F401
 
 
 # The driver's correctness harness checks the FIRST 50 registry entries in
-# registration order.  Round 1 checked the relational core (entries 0-49) and
-# left every hbase/llm/streaming/udf/source/sink op without a hard signal.
-# Rotate the window each round: put the categories that still lack a driver
-# CORRECTNESS row first, plus any op whose previous row was a failure we have
-# since fixed, and the already-proven core last.
-_WINDOW_FIRST_CATEGORIES = {
-    "hbase", "llm", "multimodal", "streaming", "udf", "sink", "source",
-}
-_WINDOW_FIRST_NAMES = {
-    # entry 51 in round 1 — the first op the 50-entry window cut off
-    "multimodal_bytes",
-    # round-1 failures fixed in round 2; need fresh green rows
-    "fn_array", "agg_collect_ordered", "agg_approx_distinct",
-}
-# Ops that yield their window slot this round (the round-1 "untested"
-# backlog outranks brand-new ops; rotate these in next round).
-_WINDOW_DEFER_NAMES = {
+# registration order.  Rotation policy (round-3 revision, per ADVICE):
+# 1. Never-verified and changed-since-last-verified ops ALWAYS outrank
+#    rotation — a behavior change must get a fresh external row.
+# 2. Then the backlog of ops whose most recent green row is oldest
+#    (round 3 = the relational core last hard-checked in round 1).
+# 3. Then everything else (most recently re-verified), preserving
+#    registration order.
+_WINDOW_FIRST_NAMES = [
+    # never driver-checked (registered late in round 2)
     "stream_foreach_batch_export",
+    # new in round 3
+    "llm_dedup_simhash_pairs",
+    # fn/oracle changed in round 3 — need fresh rows for the new behavior
+    "stream_session",          # oracle cumsum (ts, event_id) tiebreaker
+    "hb_incremental_export",   # remodeled as partial-failure resume
+    "llm_dedup_components",    # convergence loop + recursive-CTE oracle
+    "llm_dedup_embedding",     # SRP sign test on round(dot, 6)
+    "sink_jsonl_shards",       # NULL-safe fingerprint (coalesce)
+    "hb_export_import_cycle",  # NULL-safe fingerprint (coalesce)
+]
+# Round-1-only backlog, ordered so the categories touched by round-2
+# refactors (join_anti rewrite 6c9ef68, scan pushdown 24aa982) re-verify
+# soonest. The r2-green members of these categories are skipped.
+_WINDOW_NEXT_CATEGORIES = [
+    "join", "scan", "filter", "agg", "window", "sort", "setop",
+    "function", "composite",
+]
+_WINDOW_SKIP_NAMES = {
+    # already re-verified green in round 2's window
+    "agg_hash_groupby", "agg_approx_distinct", "agg_collect_ordered",
+    "fn_array", "multimodal_bytes",
 }
 
 
 def load_all_operators() -> None:
     """Import every operator module so REGISTRY is fully populated.
 
-    After importing, reorder REGISTRY so ops still needing a driver
-    correctness row come first (see window-rotation note above); relative
-    order within each group is preserved.
+    After importing, reorder REGISTRY so ops needing a driver
+    correctness row soonest come first (see window-rotation note
+    above); relative order within each group is preserved.
     """
     import snapshot_s3_util_spark.operators  # noqa: F401
     import snapshot_s3_util_spark.functions  # noqa: F401
@@ -56,12 +69,13 @@ def load_all_operators() -> None:
     import snapshot_s3_util_spark.udf  # noqa: F401
     import snapshot_s3_util_spark.sources  # noqa: F401
 
-    def _first(op) -> bool:
-        if op.name in _WINDOW_DEFER_NAMES:
-            return False
-        return op.category in _WINDOW_FIRST_CATEGORIES or op.name in _WINDOW_FIRST_NAMES
+    def _rank(op) -> tuple:
+        if op.name in _WINDOW_FIRST_NAMES:
+            return (0, _WINDOW_FIRST_NAMES.index(op.name))
+        if op.category in _WINDOW_NEXT_CATEGORIES and op.name not in _WINDOW_SKIP_NAMES:
+            return (1, _WINDOW_NEXT_CATEGORIES.index(op.category))
+        return (2, 0)
 
-    ordered = [op for op in REGISTRY.values() if _first(op)]
-    ordered += [op for op in REGISTRY.values() if not _first(op)]
+    ordered = sorted(REGISTRY.values(), key=_rank)  # stable sort
     REGISTRY.clear()
     REGISTRY.update({op.name: op for op in ordered})

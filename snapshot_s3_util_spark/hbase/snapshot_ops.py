@@ -14,7 +14,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snapshot_s3_util_spark.io import load_table
-from snapshot_s3_util_spark.params import INCR_EXPORT_SPLIT, TTL_CUTOFF
+from snapshot_s3_util_spark.params import (
+    INCR_EXPORT_MISS_MOD,
+    INCR_EXPORT_MISS_REM,
+    INCR_EXPORT_RESCAN,
+    INCR_EXPORT_SPLIT,
+    TTL_CUTOFF,
+)
 from snapshot_s3_util_spark.registry import register
 from snapshot_s3_util_spark.sql_helpers import EVENTS_REL
 
@@ -75,33 +81,41 @@ def hb_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT e.event_id, e.user_id, e.ts
     FROM {EVENTS_REL} e
-    WHERE e.ts >= TIMESTAMP '{INCR_EXPORT_SPLIT}'
+    WHERE e.ts >= TIMESTAMP '{INCR_EXPORT_RESCAN}'
       AND NOT EXISTS (
         SELECT 1 FROM {EVENTS_REL} old
         WHERE old.ts < TIMESTAMP '{INCR_EXPORT_SPLIT}'
+          AND old.event_id % {INCR_EXPORT_MISS_MOD} != {INCR_EXPORT_MISS_REM}
           AND old.event_id = e.event_id
       )
     """,
     category="hbase",
 )
 def hb_incremental_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental export (A3 re-run): new-period rows whose export
-    unit (event_id) was not already copied by the previous run — the
-    anti-join that lets a re-export skip everything already shipped
-    (the reference skips already-copied files the same way).
+    """Incremental export resume (A3 re-run after a partial failure).
+
+    The previous export covered ts < SPLIT but died mid-copy: only
+    units with event_id % MOD != MISS reached S3 (the shipped-manifest
+    subset). The re-run rescans from RESCAN (< SPLIT, overlapping the
+    failed period) and anti-joins against the shipped manifest, so it
+    exports (a) everything after SPLIT and (b) the failed period's
+    missed units — real data-dependent skip, the reference's
+    skip-already-copied-files semantics. A vacuous formulation (disjoint
+    periods on a unique key) would degenerate to a plain ts filter.
     """
     split = F.lit(INCR_EXPORT_SPLIT).cast("timestamp")
     # separate loads so EACH branch's time-range predicate reaches its
     # own parquet scan (raw-ns pushdown; one shared scan pushes neither)
-    new = load_table(spark, sf_dir, "events", ts_min=INCR_EXPORT_SPLIT).filter(
-        F.col("ts") >= split
+    new = load_table(spark, sf_dir, "events", ts_min=INCR_EXPORT_RESCAN).filter(
+        F.col("ts") >= F.lit(INCR_EXPORT_RESCAN).cast("timestamp")
     )
-    exported = (
+    shipped = (
         load_table(spark, sf_dir, "events", ts_max=INCR_EXPORT_SPLIT)
         .filter(F.col("ts") < split)
+        .filter(F.col("event_id") % INCR_EXPORT_MISS_MOD != INCR_EXPORT_MISS_REM)
         .select("event_id")
     )
-    return new.join(exported, "event_id", "left_anti").select(
+    return new.join(shipped, "event_id", "left_anti").select(
         "event_id", "user_id", "ts"
     )
 

@@ -248,61 +248,110 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------- dedup-cluster resolution (CC)
 
-_CC_ITERS = 4  # min-label propagation rounds (covers diameter <= 4)
+_CC_MAX_ROUNDS = 50  # safety bound; the loop exits on convergence
 
 
-def _cc_oracle() -> str:
-    """Chained-CTE mirror of _CC_ITERS propagation rounds over the
-    minhash candidate graph (nested WITH reuses the minhash oracle)."""
-    steps = []
-    for t in range(1, _CC_ITERS + 1):
-        steps.append(
-            f"""l{t} AS (
-  SELECT l.doc_id,
-         LEAST(l.label, COALESCE(MIN(nl.label), l.label)) AS label
-  FROM l{t - 1} l
-  LEFT JOIN edges e ON e.src = l.doc_id
-  LEFT JOIN l{t - 1} nl ON nl.doc_id = e.dst
-  GROUP BY l.doc_id, l.label
-)"""
+def _propagate_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label round as a LAZY plan: (doc_id, old_label, label).
+
+    Per round: one edge join + one map-side-combined min-agg + the
+    label re-join — the per-round shuffle budget tests/test_plans.py
+    locks in. Exposed separately so the plan can be inspected without
+    executing the driver loop.
+    """
+    nbr = (
+        edges.join(
+            labels.select(F.col("doc_id").alias("dst"), F.col("label").alias("nl")),
+            "dst",
         )
-    return f"""
-WITH pairs AS (SELECT * FROM ({_MINHASH_ORACLE}) p),
+        .groupBy("src")
+        .agg(F.min("nl").alias("nbr_min"))
+    )
+    return (
+        labels.withColumnRenamed("label", "old_label")
+        .join(nbr, F.col("doc_id") == nbr.src, "left")
+        .select(
+            "doc_id",
+            "old_label",
+            F.least(
+                F.col("old_label"),
+                F.coalesce(F.col("nbr_min"), F.col("old_label")),
+            ).alias("label"),
+        )
+    )
+
+
+def min_label_components(
+    edges: DataFrame, labels: DataFrame, max_rounds: int = _CC_MAX_ROUNDS
+) -> DataFrame:
+    """Min-label (HashToMin) propagation until fixpoint.
+
+    `edges` = (src, dst) DIRECTED rows (pass both directions for an
+    undirected graph); `labels` = (doc_id, label) initialized to
+    label = doc_id. Per round: `_propagate_round`, then a cheap
+    changed-row count over the localCheckpoint'ed result — the
+    kmeans-style driver loop, so convergence is detected instead of
+    assumed (a fixed unroll silently splits any component whose
+    diameter exceeds the unroll depth). Rounds needed = component
+    diameter; near-dup clusters are dense so this is typically 2-3, but
+    chain-shaped components are handled correctly too.
+
+    The checkpoint per round is the GraphX/Pregel lineage-truncation
+    pattern: without it round t's plan re-runs rounds 0..t-1, and the
+    changed-count action would double that work.
+    """
+    for _ in range(max_rounds):
+        new_labels = _propagate_round(edges, labels).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.select("doc_id", "label")
+        if changed == 0:
+            break
+    return labels
+
+
+# Exact connected components in SQL: a recursive CTE accumulates, for
+# each node, every label reachable through the (symmetric) edge set;
+# MIN over that set is the component id — correct at ANY diameter, so
+# the oracle stays in lockstep with the convergence-driven Spark loop.
+_CC_ORACLE = f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({_MINHASH_ORACLE}) p),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM pairs
 ),
-l0 AS (
-  SELECT doc_id, doc_id AS label
-  FROM (SELECT doc_a AS doc_id FROM pairs
-        UNION SELECT doc_b AS doc_id FROM pairs)
+nodes AS (
+  SELECT doc_a AS doc_id FROM pairs
+  UNION SELECT doc_b AS doc_id FROM pairs
 ),
-{', '.join(steps)}
-SELECT doc_id,
-       label AS component_id,
-       COUNT(*) OVER (PARTITION BY label) AS component_size,
-       doc_id = label AS is_keeper
-FROM l{_CC_ITERS}
+reach AS (
+  SELECT doc_id, doc_id AS label FROM nodes
+  UNION
+  SELECT e.src AS doc_id, r.label
+  FROM edges e JOIN reach r ON r.doc_id = e.dst
+),
+final AS (SELECT doc_id, MIN(label) AS component_id FROM reach GROUP BY doc_id)
+SELECT doc_id, component_id,
+       COUNT(*) OVER (PARTITION BY component_id) AS component_size,
+       doc_id = component_id AS is_keeper
+FROM final
 """
 
 
-@register("llm_dedup_components", oracle=_cc_oracle(), category="llm")
+@register("llm_dedup_components", oracle=_CC_ORACLE, category="llm")
 def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-cluster resolution: connected components over the minhash
     candidate-pair graph, electing one keeper per component.
 
     Near-dup pairs are not the end product — a training pipeline needs
-    each *cluster* collapsed to one canonical document. This runs
-    {_CC_ITERS} unrolled rounds of min-label (HashToMin) propagation:
-      label(v) <- min(label(v), min over neighbors' labels)
-    entirely in DataFrame joins/aggregates — per round, one edge join +
-    one map-side-combined min-agg; only fixed-size plans, nothing
-    driver-side. Converges for component diameter <= {_CC_ITERS}
-    (near-dup clusters are dense, diameters are tiny); production runs
-    loop with a convergence counter exactly like llm_kmeans_iter's
-    driver loop. component_id = min doc_id in the component; the keeper
-    is the doc that owns that id.
+    each *cluster* collapsed to one canonical document. Labels propagate
+    via `min_label_components`: a driver loop of min-label rounds that
+    STOPS when a round changes zero labels (like llm_kmeans_iter), so a
+    chain-shaped component of any diameter resolves correctly — no
+    fixed unroll depth to outgrow. The oracle is exact CC via a
+    recursive CTE, diameter-independent by construction.
+    component_id = min doc_id in the component; the keeper is the doc
+    that owns that id.
     """
     # Materialize the candidate pairs once: every propagation round
     # references the edge set, and without a checkpoint each round would
@@ -319,25 +368,7 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
-    for _ in range(_CC_ITERS):
-        nbr = (
-            edges.join(
-                labels.select(
-                    F.col("doc_id").alias("dst"), F.col("label").alias("nl")
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("nl").alias("nbr_min"))
-        )
-        labels = labels.join(
-            nbr, labels.doc_id == nbr.src, "left"
-        ).select(
-            "doc_id",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-            ).alias("label"),
-        )
+    labels = min_label_components(edges, labels)
     return labels.select(
         "doc_id",
         F.col("label").alias("component_id"),
@@ -402,6 +433,80 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("simhash")
         )
+    )
+
+
+# ------------------------------------------ simhash pair finding (LSH)
+
+_SIMHASH_PAIR_BANDS = 4
+_SIMHASH_BAND_BITS = _SIMHASH_BITS // _SIMHASH_PAIR_BANDS
+_SIMHASH_BAND_MASK = (1 << _SIMHASH_BAND_BITS) - 1
+# pigeonhole: a pair within Hamming distance (bands - 1) differs in at
+# most bands-1 bit positions, so at least one of the `bands` disjoint
+# bit-blocks is identical -> every qualifying pair collides in >= 1 band
+_SIMHASH_HAM_MAX = _SIMHASH_PAIR_BANDS - 1
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH fp AS ({_SIMHASH_ORACLE}),
+bands AS (
+  SELECT doc_id, b.band,
+         (simhash >> (b.band * {_SIMHASH_BAND_BITS})) & {_SIMHASH_BAND_MASK} AS key
+  FROM fp CROSS JOIN (SELECT UNNEST(range({_SIMHASH_PAIR_BANDS})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(BIT_COUNT(XOR(fa.simhash, fb.simhash)) AS INTEGER) AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.doc_a
+JOIN fp fb ON fb.doc_id = c.doc_b
+WHERE BIT_COUNT(XOR(fa.simhash, fb.simhash)) <= {_SIMHASH_HAM_MAX}
+"""
+
+
+@register("llm_dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE, category="llm")
+def llm_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded Hamming-distance blocking.
+
+    Completes the simhash strategy ({_SIMHASH_BITS}-bit fingerprints ->
+    pairs): fingerprints are split into {_SIMHASH_PAIR_BANDS} disjoint
+    {_SIMHASH_BAND_BITS}-bit blocks; candidates are formed ONLY inside a
+    (band, block-value) bucket, then verified with the exact popcount
+    Hamming distance <= {_SIMHASH_HAM_MAX}. The pigeonhole guarantee
+    makes blocking lossless at that radius, and pair cost is
+    sum(bucket^2) per band — never |docs|^2. Fingerprints are
+    checkpointed once so the bucket join and both verify probes read the
+    materialized |docs|-row table instead of re-running the voting
+    pipeline three times (at 100 TB the fingerprint table is the thing
+    you persist; pair finding is a cheap self-join over it).
+    """
+    fp = llm_dedup_simhash(spark, sf_dir).localCheckpoint(eager=True)
+    stack_args = ", ".join(
+        f"{b}, (shiftright(simhash, {b * _SIMHASH_BAND_BITS}) & {_SIMHASH_BAND_MASK})"
+        for b in range(_SIMHASH_PAIR_BANDS)
+    )
+    bands = fp.select(
+        "doc_id", F.expr(f"stack({_SIMHASH_PAIR_BANDS}, {stack_args}) AS (band, key)")
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", F.expr("cast(bit_count(sh_a ^ sh_b) AS int)"))
+        .filter(F.col("hamming") <= _SIMHASH_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 
@@ -538,9 +643,12 @@ def srp_signatures(spark: SparkSession, v: DataFrame) -> DataFrame:
     dot_w = F.expr(
         "aggregate(zip_with(e, wvec, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
     )
+    # the sign test runs on round(dot, 6): Spark folds the dot product
+    # sequentially while SQL engines may sum in another order, and an
+    # unrounded near-zero dot could flip sign between engines
     return (
         v.crossJoin(F.broadcast(wv))
-        .withColumn("dot", dot_w)
+        .withColumn("dot", F.round(dot_w, 6))
         .groupBy("vec_id", "band")
         .agg(
             F.sum(
@@ -566,7 +674,7 @@ w AS (
 wv AS (SELECT band, bit, LIST(w ORDER BY j) AS wvec FROM w GROUP BY band, bit),
 sigs AS (
   SELECT v.vec_id, wv.band,
-         CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(v.e, wv.wvec) > 0
+         CAST(SUM(CASE WHEN ROUND(LIST_DOT_PRODUCT(v.e, wv.wvec), 6) > 0
                        THEN 1 << bit ELSE 0 END) AS BIGINT) AS sig
   FROM v CROSS JOIN wv
   GROUP BY v.vec_id, wv.band

@@ -233,7 +233,7 @@ def llm_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is only touched by the centroid build (one agg, map-side
     combined); the query probes |labels| centroids + the selected
     clusters. Recall vs `llm_sim_topk_brute` is asserted in
-    tests/test_llm.py.
+    tests/test_semantics.py.
     """
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.expr(_E).alias("e")

@@ -66,16 +66,21 @@ def llm_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks = df.select("doc_id", F.split("text", " ").alias("t")).filter(
             F.size("t") >= _CONTAM_NGRAM
         )
+        # per-doc dedup via array_distinct BEFORE the explode: a narrow
+        # map, where .distinct() on the exploded (doc_id, g) stream
+        # would shuffle every corpus gram — the 100 TB difference
         return toks.select(
             "doc_id",
             F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(t) - {_CONTAM_NGRAM} + 1), "
-                    "i -> concat(element_at(t, i), ' ', element_at(t, i+1), ' ', "
-                    "element_at(t, i+2)))"
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(t) - {_CONTAM_NGRAM} + 1), "
+                        "i -> concat(element_at(t, i), ' ', element_at(t, i+1), ' ', "
+                        "element_at(t, i+2)))"
+                    )
                 )
             ).alias("g"),
-        ).distinct()
+        )
 
     bench = grams(d.filter(F.col("doc_id") < _BENCH_DOCS)).select("g").distinct()
     corpus = grams(d.filter(F.col("doc_id") >= _BENCH_DOCS))

@@ -22,8 +22,15 @@ RANGE_JOIN_DAYS = 7
 # events span 2024-01-01..2024-01-30)
 TTL_CUTOFF = "2024-01-15 00:00:00"
 
-# Incremental export split point (events before this are "already exported")
+# Incremental export split point (events before this were covered by the
+# previous export run) and rescan lower bound (the re-run rescans from
+# here to pick up units the failed previous run missed).
 INCR_EXPORT_SPLIT = "2024-01-20 00:00:00"
+INCR_EXPORT_RESCAN = "2024-01-15 00:00:00"
+# The previous run "failed mid-copy": only units with
+# event_id % MOD != MISS made it to S3; the rest must be re-shipped.
+INCR_EXPORT_MISS_MOD = 7
+INCR_EXPORT_MISS_REM = 3
 
 # Anti-join dormancy cutoff: customers with no order on/after this date
 ANTI_JOIN_CUTOFF = "2000-01-01"

@@ -100,12 +100,17 @@ def hb_export_import_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = load_table(spark, sf_dir, "events")
         ev.write.mode("overwrite").partitionBy("event_type").parquet(out)  # export
         imported = spark.read.parquet(out)  # import
+        # coalesce('') keeps the delimiter structure identical to DuckDB
+        # CONCAT under NULLs (concat_ws silently drops NULL args)
         row_md5 = F.md5(
             F.concat_ws(
                 "|",
-                F.col("event_id").cast("string"),
-                F.col("user_id").cast("string"),
-                F.round(F.col("value") * 1000000).cast("bigint").cast("string"),
+                F.coalesce(F.col("event_id").cast("string"), F.lit("")),
+                F.coalesce(F.col("user_id").cast("string"), F.lit("")),
+                F.coalesce(
+                    F.round(F.col("value") * 1000000).cast("bigint").cast("string"),
+                    F.lit(""),
+                ),
             )
         )
         src_fp = (
@@ -179,8 +184,15 @@ def sink_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .json(out)
         )
         back = spark.read.schema("doc_id LONG, text STRING, lang STRING, shard INT").json(out)
+        # coalesce('') == DuckDB CONCAT's NULL-as-empty; concat_ws alone
+        # would drop the NULL arg AND its separator
         row_md5 = F.md5(
-            F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"), F.col("lang"))
+            F.concat_ws(
+                "|",
+                F.coalesce(F.col("doc_id").cast("string"), F.lit("")),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.coalesce(F.col("lang"), F.lit("")),
+            )
         )
         return (
             back.select(F.col("shard").cast("bigint").alias("shard"), row_md5.alias("h"))

@@ -146,7 +146,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        >= INTERVAL '30 minutes'
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -155,7 +155,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
@@ -358,11 +358,13 @@ def stream_foreach_batch_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         q.stop()
         back = spark.read.parquet(out)
+        # coalesce('') so a NULL column yields 'a||c' like DuckDB CONCAT,
+        # not concat_ws's separator-dropping 'a|c'
         row_md5 = F.md5(
             F.concat_ws(
                 "|",
-                F.col("event_id").cast("string"),
-                F.col("user_id").cast("string"),
+                F.coalesce(F.col("event_id").cast("string"), F.lit("")),
+                F.coalesce(F.col("user_id").cast("string"), F.lit("")),
             )
         )
         return (

@@ -148,6 +148,12 @@ def test_q1_is_two_phase_aggregate(spark, sf_dir):
         ("llm_dedup_ngram_jaccard", 7),
         # (vec,band) sig agg + (band,sig) self-join + final cos joins
         ("llm_dedup_embedding", 3),
+        # bench-gram distinct + per-doc count; corpus grams NEVER
+        # shuffle (per-doc dedup is array_distinct, a narrow map)
+        ("llm_contamination_ngram", 2),
+        # band bucket self-join + pair distinct + popcount-verify joins
+        # over the checkpointed fingerprint table
+        ("llm_dedup_simhash_pairs", 5),
     ],
 )
 def test_shuffle_budget(name, budget, spark, sf_dir):
@@ -162,3 +168,27 @@ def test_shuffle_budget(name, budget, spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert got <= budget, f"{name}: {budget} shuffles budgeted, plan has {got}"
+
+
+def test_cc_propagation_round_shuffle_budget(spark):
+    """One min-label round must cost <= 2 exchanges (edge join + min
+    agg; the label re-join reuses the agg's partitioning). The
+    convergence loop runs this round diameter-many times, so a per-round
+    regression multiplies at scale."""
+    from pyspark.sql import functions as F
+
+    from snapshot_s3_util_spark.llm.dedup import _propagate_round
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    ).localCheckpoint(eager=True)
+    edges = pairs.unionAll(pairs.selectExpr("dst AS src", "src AS dst"))
+    labels = spark.range(1, 5).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("label")
+    ).localCheckpoint(eager=True)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        got = shuffle_count(_propagate_round(edges, labels))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert got <= 2, f"CC round: 2 shuffles budgeted, plan has {got}"

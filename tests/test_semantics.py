@@ -99,6 +99,76 @@ def test_components_match_union_find(spark, sf_dir):
     assert got == truth
 
 
+def test_components_chain_converges(spark):
+    """A chain-shaped component of diameter 5 must resolve to ONE label —
+    the case a fixed 4-round unroll silently splits. Exercises the
+    convergence-driven driver loop directly on a planted graph."""
+    from snapshot_s3_util_spark.llm.dedup import min_label_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "src long, dst long"
+    ).localCheckpoint(eager=True)
+    edges = pairs.unionAll(pairs.selectExpr("dst AS src", "src AS dst"))
+    labels = spark.range(1, 7).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("label")
+    )
+    out = {r["doc_id"]: r["label"] for r in min_label_components(edges, labels).collect()}
+    assert out == {i: 1 for i in range(1, 7)}
+
+
+def test_simhash_pairs_complete_at_radius(spark, sf_dir):
+    """Banded blocking must be LOSSLESS at the pigeonhole radius: the
+    op's pairs equal the brute-force set of all pairs within Hamming
+    distance <= 3 of the same fingerprints."""
+    from snapshot_s3_util_spark.llm.dedup import _SIMHASH_HAM_MAX
+
+    sim = {
+        r["doc_id"]: r["simhash"]
+        for r in REGISTRY["llm_dedup_simhash"].fn(spark, sf_dir).collect()
+    }
+    ids = sorted(sim)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sim[a] ^ sim[b]).count("1") <= _SIMHASH_HAM_MAX
+    }
+    rows = REGISTRY["llm_dedup_simhash_pairs"].fn(spark, sf_dir).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert got == expected
+    assert all(
+        r["hamming"] == bin(sim[r["doc_a"]] ^ sim[r["doc_b"]]).count("1")
+        for r in rows
+    )
+
+
+def test_session_oracle_equal_ts_tiebreaker():
+    """The sessionizing cumulative sum must order by (ts, event_id): on
+    same-user equal-timestamp events at a session boundary an
+    order-by-ts-only cumsum can split the pair across sessions
+    nondeterministically. Planted fixture, both insertion orders."""
+    import duckdb
+
+    oracle = REGISTRY["stream_session"].oracle
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        # two equal-ts events at the 30-min session boundary; inserted
+        # large-id-first so physical order fights the logical tiebreak
+        (3, "2024-01-01 10:40:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:40:00", 1, "view", 1.0, "{}"),
+    ]
+    for order in (rows, rows[::-1]):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+            " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+        )
+        con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", order)
+        got = sorted(con.execute(oracle).fetchall())
+        # exactly two sessions: {e1} and {e2, e3} — never a 1/1/1 split
+        assert [(r[3], r[4]) for r in got] == [(1, 1.0), (2, 2.0)], got
+
+
 def test_minhash_finds_planted_near_dups(spark, sf_dir):
     pairs = REGISTRY["llm_dedup_near_minhash"].fn(spark, sf_dir).count()
     assert pairs > 0, "LSH found no candidate pairs despite planted near-dups"
