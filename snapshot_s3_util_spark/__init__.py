@@ -32,6 +32,11 @@ _WINDOW_FIRST_NAMES = [
     "stream_foreach_batch_export",
     # new in round 3
     "llm_dedup_simhash_pairs",
+    "llm_sim_ann_lsh",
+    "agg_approx_percentile",
+    "stream_join_static",
+    "stream_stream_join",
+    "sink_sorted_layout",
     # fn/oracle changed in round 3 — need fresh rows for the new behavior
     "stream_session",          # oracle cumsum (ts, event_id) tiebreaker
     "hb_incremental_export",   # remodeled as partial-failure resume

@@ -191,6 +191,85 @@ def llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_lsh_oracle() -> str:
+    """SRP-LSH ANN oracle: same md5-derived hyperplanes as the embedding
+    dedup (imported constants, so the two strategies can never drift)."""
+    from snapshot_s3_util_spark.llm.dedup import _EMB_DIM, _SRP_BANDS, _SRP_BITS
+
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+w AS (
+  SELECT t1.band, t2.bit, t3.j,
+         CAST(('0x' || SUBSTR(MD5(t1.band || '_' || t2.bit || '_' || t3.j), 1, 8))
+              AS BIGINT) / 2147483648.0 - 1.0 AS w
+  FROM range({_SRP_BANDS}) t1(band), range({_SRP_BITS}) t2(bit),
+       range({_EMB_DIM}) t3(j)
+),
+wv AS (SELECT band, bit, LIST(w ORDER BY j) AS wvec FROM w GROUP BY band, bit),
+sigs AS (
+  SELECT v.vec_id, wv.band,
+         CAST(SUM(CASE WHEN ROUND(LIST_DOT_PRODUCT(v.e, wv.wvec), 6) > 0
+                       THEN 1 << bit ELSE 0 END) AS BIGINT) AS sig
+  FROM v CROSS JOIN wv
+  GROUP BY v.vec_id, wv.band
+),
+probe_sigs AS (SELECT band, sig FROM sigs WHERE vec_id = {_PROBE_ID}),
+cand AS (
+  SELECT DISTINCT s.vec_id
+  FROM sigs s JOIN probe_sigs p ON s.band = p.band AND s.sig = p.sig
+  WHERE s.vec_id <> {_PROBE_ID}
+),
+probe AS (SELECT e AS pe FROM v WHERE vec_id = {_PROBE_ID})
+SELECT c.vec_id,
+       ROUND(LIST_DOT_PRODUCT(v.e, pe) /
+             (SQRT(LIST_DOT_PRODUCT(v.e, v.e)) * SQRT(LIST_DOT_PRODUCT(pe, pe))), 6)
+         AS cos_sim
+FROM cand c JOIN v ON v.vec_id = c.vec_id CROSS JOIN probe
+ORDER BY LIST_DOT_PRODUCT(v.e, pe) /
+         (SQRT(LIST_DOT_PRODUCT(v.e, v.e)) * SQRT(LIST_DOT_PRODUCT(pe, pe))) DESC,
+         c.vec_id
+LIMIT {SIM_TOPK}
+"""
+
+
+@register("llm_sim_ann_lsh", oracle=_ann_lsh_oracle(), category="llm")
+def llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k: the bucket-probe sibling of the IVF
+    path, sharing `srp_signatures` with the embedding dedup.
+
+    Candidates = vectors colliding with the probe in >= 1 of its
+    _SRP_BANDS (band, signature) buckets; exact cosine scores ONLY the
+    candidate set. At 100 TB the signature table is the precomputed
+    index (one narrow pass + a tiny agg per vector); a query touches
+    its 4 bucket keys, never the corpus — contrast IVF, which prunes by
+    coarse centroid instead of random hyperplanes. Probe buckets and
+    candidate ids are broadcast; TakeOrderedAndProject keeps the top-k
+    without a global sort.
+    """
+    from snapshot_s3_util_spark.llm.dedup import srp_signatures
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_E).alias("e")
+    )
+    sigs = srp_signatures(spark, v)
+    probe_sigs = sigs.filter(F.col("vec_id") == _PROBE_ID).select("band", "sig")
+    cand = (
+        sigs.join(F.broadcast(probe_sigs), ["band", "sig"])
+        .filter(F.col("vec_id") != _PROBE_ID)
+        .select("vec_id")
+        .distinct()
+    )
+    probe = v.filter(F.col("vec_id") == _PROBE_ID).select(F.col("e").alias("pe"))
+    return (
+        v.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(probe))
+        .withColumn("raw", _cos("e", "pe"))
+        .orderBy(F.col("raw").desc(), F.col("vec_id"))
+        .limit(SIM_TOPK)
+        .select("vec_id", F.round("raw", 6).alias("cos_sim"))
+    )
+
+
 _IVF_ORACLE = f"""
 WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 probe AS (SELECT e AS pe FROM v WHERE vec_id = {_PROBE_ID}),

@@ -128,6 +128,47 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS exact_p50,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 4) AS exact_p95,
+           TRUE AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="agg",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass approximate quantiles, checked against the exact ones
+    (same tolerance-verdict contract as `agg_approx_distinct`: sketch
+    internals differ across engines, the error bound does not).
+
+    `approx_percentile` (KLL/GK-style sketch) is the 100 TB path —
+    constant memory, map-side combinable, no per-group value
+    materialization; `percentile` provides the in-plan exact reference.
+    Emits exact p50/p95 plus a deterministic `within_tol` (both approx
+    values within 1% relative error); oracle = exact + TRUE.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    agged = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))").alias("ex"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)"
+        ).alias("ap"),
+    )
+    tol = lambda i: (  # noqa: E731
+        F.abs(F.col("ap")[i] - F.col("ex")[i]) / F.col("ex")[i] <= 0.01
+    )
+    return agged.select(
+        "l_returnflag",
+        F.round(F.col("ex")[0], 4).alias("exact_p50"),
+        F.round(F.col("ex")[1], 4).alias("exact_p95"),
+        (tol(0) & tol(1)).alias("within_tol"),
+    )
+
+
 _ROLLUP_MEASURES_SQL = """
            ROUND(SUM(l_quantity), 4) AS sum_qty,
            COUNT(*) AS n_rows

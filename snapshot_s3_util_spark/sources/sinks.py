@@ -209,6 +209,57 @@ def sink_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+@register(
+    "sink_sorted_layout",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_rows,
+           MIN(ts) AS min_ts, MAX(ts) AS max_ts
+    FROM {EVENTS_REL} e
+    WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY event_type
+    """,
+    category="sink",
+)
+def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered export: partition by event_type, ts-sorted WITHIN each
+    partition file — the layout that makes time-range reads cheap.
+
+    `repartition(event_type)` gives one write task per partition value;
+    `sortWithinPartitions(ts)` means every output file's row groups
+    cover narrow, monotone ts ranges, so a later time-range query skips
+    whole row groups on parquet min/max stats instead of scanning the
+    export (at 100 TB: `repartitionByRange(ts)` inside each type for
+    multi-file partitions — same principle, bounded task size). The
+    returned counts/min/max come from READING BACK the export WITH the
+    time predicate, so both the layout round-trip and the pruned read
+    are what the oracle checks.
+    """
+    out = _scratch("sorted")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.repartition("event_type")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+        back = spark.read.parquet(out).filter(
+            F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp")
+        )
+        return (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("ts").alias("min_ts"),
+                F.max("ts").alias("max_ts"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 _restore_counter = 0
 
 

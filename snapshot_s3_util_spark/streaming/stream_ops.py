@@ -313,6 +313,121 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_join_static",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 4) AS sum_value
+    FROM {EVENTS_REL} e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+    category="streaming",
+)
+def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to a
+    STATIC dimension (customer), then aggregated per (segment, type).
+
+    The canonical streaming-enrichment shape: the static side is a
+    batch DataFrame broadcast into every micro-batch (no state, no
+    watermark needed for the join itself — only the stream side
+    progresses). At 100 TB-of-stream the dimension stays a broadcast
+    (or a Delta/parquet table re-read per trigger for slowly-changing
+    dims); the stream never shuffles for the join.
+    """
+    tmp = tempfile.mkdtemp(prefix="s3u_stream_enrich_")
+    try:
+        src = _stage(spark, sf_dir, tmp)
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        agg = (
+            src.join(F.broadcast(cust), src.user_id == cust.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+        )
+        table, _ = _run_to_table(agg, "complete")
+        return table.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "stream_stream_join",
+    oracle=f"""
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           DATE_DIFF('microsecond', v.ts, p.ts) AS lag_us
+    FROM {EVENTS_REL} v
+    JOIN {EVENTS_REL} p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    category="streaming",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: view→purchase attribution within 1 h
+    per user — both sides are streams, state is bounded by watermarks.
+
+    The attribution/conversion-funnel workhorse. Both sides carry a 2 h
+    watermark and the join condition carries the time bound, so each
+    side's buffered state ages out once the other side's watermark
+    passes the bound (without the time constraint, stream-stream state
+    grows forever). On a bounded source the emitted set converges to
+    the batch interval-join answer, which is exactly what the oracle
+    computes. lag is emitted in microseconds: both engines store µs
+    timestamps, so the difference is exact (a seconds-granularity diff
+    would disagree on boundary-crossing semantics between engines).
+    """
+    tmp = tempfile.mkdtemp(prefix="s3u_stream_ssjoin_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        src_dir = f"{tmp}/src"
+        ev.write.mode("overwrite").parquet(src_dir)
+        views = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src_dir)
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "2 hours")
+        )
+        purchases = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        joined = views.join(
+            purchases,
+            F.expr(
+                "v_user = p_user AND p_ts >= v_ts "
+                "AND p_ts <= v_ts + interval 1 hour"
+            ),
+        ).select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "purchase_id",
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+        )
+        table, _ = _run_to_table(joined, "append")
+        return table.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "stream_foreach_batch_export",
     oracle=f"""
     SELECT event_type, COUNT(*) AS n_rows,

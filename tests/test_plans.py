@@ -170,6 +170,28 @@ def test_shuffle_budget(name, budget, spark, sf_dir):
     assert got <= budget, f"{name}: {budget} shuffles budgeted, plan has {got}"
 
 
+def test_sorted_layout_read_back_pushes_ts_filter(spark, sf_dir, tmp_path):
+    """The clustered export's payoff: a time-range read of the sorted
+    copy pushes the ts bound to the scan (row-group min/max skip)."""
+    from pyspark.sql import functions as F
+
+    from snapshot_s3_util_spark.io import load_table
+
+    out = str(tmp_path / "sorted")
+    (
+        load_table(spark, sf_dir, "events")
+        .repartition("event_type")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp")
+    )
+    assert "GreaterThanOrEqual(ts" in pushed_filters(back)
+
+
 def test_cc_propagation_round_shuffle_budget(spark):
     """One min-label round must cost <= 2 exchanges (edge join + min
     agg; the label re-join reuses the agg's partitioning). The

@@ -169,6 +169,42 @@ def test_session_oracle_equal_ts_tiebreaker():
         assert [(r[3], r[4]) for r in got] == [(1, 1.0), (2, 2.0)], got
 
 
+def test_ann_lsh_candidates_share_a_probe_bucket(spark, sf_dir):
+    """Every ANN hit must collide with the probe in >= 1 (band, sig)
+    bucket — the blocking contract — and scores must be the exact
+    cosine (recomputed independently)."""
+    import math
+
+    from snapshot_s3_util_spark.llm.dedup import srp_signatures
+
+    rows = REGISTRY["llm_sim_ann_lsh"].fn(spark, sf_dir).collect()
+    assert rows, "LSH probe found no candidates at this sf"
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("e")
+    )
+    sigs = {}
+    for r in srp_signatures(spark, v).collect():
+        sigs.setdefault(r["vec_id"], set()).add((r["band"], r["sig"]))
+    emb = {r["vec_id"]: r["e"] for r in v.collect()}
+    pe = emb[0]
+    for r in rows:
+        assert sigs[r["vec_id"]] & sigs[0], f"{r['vec_id']} shares no probe bucket"
+        dot = sum(x * y for x, y in zip(emb[r["vec_id"]], pe))
+        cos = dot / (
+            math.sqrt(sum(x * x for x in emb[r["vec_id"]]))
+            * math.sqrt(sum(x * x for x in pe))
+        )
+        assert abs(r["cos_sim"] - cos) < 1e-5
+
+
+def test_stream_stream_join_respects_time_bound(spark, sf_dir):
+    """Every attribution pair must be a purchase 0..1 h AFTER the view
+    for the same user (the join's interval condition, end to end)."""
+    rows = REGISTRY["stream_stream_join"].fn(spark, sf_dir).collect()
+    assert rows, "no view->purchase pairs at this sf"
+    assert all(0 <= r["lag_us"] <= 3_600_000_000 for r in rows)
+
+
 def test_minhash_finds_planted_near_dups(spark, sf_dir):
     pairs = REGISTRY["llm_dedup_near_minhash"].fn(spark, sf_dir).count()
     assert pairs > 0, "LSH found no candidate pairs despite planted near-dups"
