@@ -37,6 +37,8 @@ _WINDOW_FIRST_NAMES = [
     "stream_join_static",
     "stream_stream_join",
     "sink_sorted_layout",
+    "join_bucketed_colocated",
+    "sink_compaction",
     # fn/oracle changed in round 3 — need fresh rows for the new behavior
     "stream_session",          # oracle cumsum (ts, event_id) tiebreaker
     "hb_incremental_export",   # remodeled as partial-failure resume

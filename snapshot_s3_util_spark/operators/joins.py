@@ -330,3 +330,83 @@ def join_cross_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name")
+
+
+# ------------------------------------------------ bucketed co-location
+
+_BUCKETS = 8
+_bucket_counter = 0
+
+
+def write_bucketed_tables(spark: SparkSession, sf_dir: str):
+    """Write orders + lineitem as bucketed/sorted tables and return
+    (orders_df, lineitem_df, drop_fn). Shared by the operator and the
+    zero-exchange plan test."""
+    global _bucket_counter
+    _bucket_counter += 1
+    on = f"s3u_bkt_orders_{_bucket_counter}"
+    ln = f"s3u_bkt_lineitem_{_bucket_counter}"
+    (
+        load_table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .bucketBy(_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(on)
+    )
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .write.mode("overwrite")
+        .bucketBy(_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(ln)
+    )
+
+    def drop() -> None:
+        spark.sql(f"DROP TABLE IF EXISTS {on}")
+        spark.sql(f"DROP TABLE IF EXISTS {ln}")
+
+    return spark.table(on), spark.table(ln), drop
+
+
+def bucketed_join_plan(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """The co-located join + agg plan over two bucketed tables (lazy,
+    so tests can assert it contains ZERO Exchange nodes)."""
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice), 4) AS sum_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+    category="join",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join: both sides pre-bucketed on
+    the join key, so the join AND the per-key aggregate run with ZERO
+    exchanges (asserted in tests/test_plans.py).
+
+    This is THE 100 TB fact-fact strategy: pay one bucketed write per
+    table at ingest, then every subsequent join/agg on that key is
+    shuffle-free — scans report the bucket hash-partitioning and
+    Catalyst plans a SortMergeJoin with no Exchange (sortBy also
+    removes the per-task sort). The same layout serves any number of
+    downstream queries; contrast the per-query shuffle of
+    `join_inner_hash`.
+    """
+    orders, lineitem, drop = write_bucketed_tables(spark, sf_dir)
+    try:
+        return bucketed_join_plan(orders, lineitem).localCheckpoint(eager=True)
+    finally:
+        drop()

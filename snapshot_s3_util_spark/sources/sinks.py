@@ -397,3 +397,74 @@ def sink_s3_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_COMPACT_SMALL_FILES = 64
+_COMPACT_TARGET_FILES = 4
+
+
+@register(
+    "sink_compaction",
+    oracle=f"""
+    SELECT CAST({_COMPACT_TARGET_FILES} AS BIGINT) AS n_files_after,
+           COUNT(*) AS n_rows,
+           MD5(STRING_AGG(row_md5, '' ORDER BY row_md5)) AS content_fp
+    FROM (SELECT MD5(CONCAT(CAST(event_id AS VARCHAR), '|',
+                            CAST(user_id AS VARCHAR))) AS row_md5
+          FROM {EVENTS_REL} e)
+    """,
+    category="sink",
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: {_COMPACT_SMALL_FILES} ingest shards
+    rewritten as {_COMPACT_TARGET_FILES} right-sized files, losslessly.
+
+    The small-file problem is the #1 operational failure of streaming
+    ingest at 100 TB (every micro-batch writes a file per partition;
+    metadata and open() overhead eventually dominate scans). The
+    compactor is a plain read -> `coalesce(n)` -> write: coalesce MERGES
+    partitions map-side with no shuffle — repartition(n) would pay a
+    full exchange for perfect balance, the classic compaction tradeoff.
+    The oracle checks the emitted file count AND the order-insensitive
+    content fingerprint of the compacted copy against the source, so a
+    row lost/duplicated by the rewrite fails the comparison.
+    """
+    root = _scratch("compact")
+    small, compacted = f"{root}/small", f"{root}/compacted"
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartition(_COMPACT_SMALL_FILES).write.mode("overwrite").parquet(small)
+        (
+            spark.read.parquet(small)
+            .coalesce(_COMPACT_TARGET_FILES)
+            .write.mode("overwrite")
+            .parquet(compacted)
+        )
+        n_files = len(
+            [f for f in os.listdir(compacted) if f.endswith(".parquet")]
+        )
+        back = spark.read.parquet(compacted)
+        row_md5 = F.md5(
+            F.concat_ws(
+                "|",
+                F.coalesce(F.col("event_id").cast("string"), F.lit("")),
+                F.coalesce(F.col("user_id").cast("string"), F.lit("")),
+            )
+        )
+        return (
+            back.select(row_md5.alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias(
+                    "content_fp"
+                ),
+            )
+            .select(
+                F.lit(n_files).cast("bigint").alias("n_files_after"),
+                "n_rows",
+                "content_fp",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -80,7 +80,12 @@ def test_topk_per_group_limits_inside_window(spark, sf_dir):
 # ops that execute eagerly inside fn() (sinks/streaming/catalog — their
 # returned checkpoint has no plan to inspect cheaply).
 _PYTHON_OK_CATEGORIES = {"udf", "multimodal", "streaming", "sink", "source"}
-_EAGER_NAMES = {"llm_dedup_components", "hb_export_import_cycle", "hb_restore_catalog"}
+_EAGER_NAMES = {
+    "llm_dedup_components",
+    "hb_export_import_cycle",
+    "hb_restore_catalog",
+    "join_bucketed_colocated",
+}
 
 
 def _jvm_side_ops():
@@ -190,6 +195,31 @@ def test_sorted_layout_read_back_pushes_ts_filter(spark, sf_dir, tmp_path):
         F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp")
     )
     assert "GreaterThanOrEqual(ts" in pushed_filters(back)
+
+
+def test_bucketed_join_and_agg_have_zero_exchanges(spark, sf_dir):
+    """The co-location payoff: with both sides bucketed on the join key,
+    the join AND the per-key aggregate plan with NO Exchange node — the
+    strategy that amortizes one ingest-time shuffle across every
+    downstream query at 100 TB."""
+    from snapshot_s3_util_spark.operators.joins import (
+        bucketed_join_plan,
+        write_bucketed_tables,
+    )
+
+    orders, lineitem, drop = write_bucketed_tables(spark, sf_dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # disable auto-broadcast: at test sf the sides are tiny enough to
+    # broadcast, which would hide the bucket co-location being asserted
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_join_plan(orders, lineitem)
+        assert shuffle_count(df) == 0, physical_plan(df)
+        assert has_node(df, "SortMergeJoin")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        drop()
 
 
 def test_cc_propagation_round_shuffle_budget(spark):
