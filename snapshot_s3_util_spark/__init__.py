@@ -39,6 +39,8 @@ _WINDOW_FIRST_NAMES = [
     "sink_sorted_layout",
     "join_bucketed_colocated",
     "sink_compaction",
+    "udtf_python_table",
+    "hb_balanced_splits",
     # fn/oracle changed in round 3 — need fresh rows for the new behavior
     "stream_session",          # oracle cumsum (ts, event_id) tiebreaker
     "hb_incremental_export",   # remodeled as partial-failure resume

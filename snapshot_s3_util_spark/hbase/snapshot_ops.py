@@ -254,3 +254,52 @@ def hb_snapshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("2024-02-01 00:00:00").cast("timestamp").alias("created_ts"),
         )
     )
+
+
+_N_SPLITS = 4
+
+
+@register(
+    "hb_balanced_splits",
+    oracle=f"""
+    WITH sized AS (
+      SELECT source, CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS bytes
+      FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT source, bytes,
+             ROW_NUMBER() OVER (ORDER BY bytes DESC, source) AS rk
+      FROM sized
+    )
+    SELECT CAST((rk - 1) % {_N_SPLITS} AS BIGINT) AS split_id,
+           COUNT(*) AS n_sources,
+           SUM(bytes) AS total_bytes
+    FROM ranked
+    GROUP BY 1
+    """,
+    category="hbase",
+)
+def hb_balanced_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced export splits (A5: ExportSnapshot's
+    getBalancedSplits assigns files to mappers by size).
+
+    Declarative LPT approximation: rank partitions by byte size
+    descending, deal them round-robin into {_N_SPLITS} splits — the
+    big items spread first, so split totals stay within one max-item of
+    each other, deterministically and without the sequential greedy
+    loop (which SQL/DataFrames can't express and a driver shouldn't
+    run at 100 TB partition counts). Output = per-split source count +
+    byte total, the mapper work assignment the reference computes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    nbytes = F.length(F.encode(F.col("text"), "UTF-8"))
+    sized = d.groupBy("source").agg(F.sum(nbytes).cast("bigint").alias("bytes"))
+    w = Window.orderBy(F.col("bytes").desc(), F.col("source"))
+    return (
+        sized.withColumn("rk", F.row_number().over(w))
+        .groupBy(((F.col("rk") - 1) % _N_SPLITS).cast("bigint").alias("split_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum("bytes").alias("total_bytes"),
+        )
+    )

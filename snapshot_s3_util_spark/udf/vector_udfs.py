@@ -208,3 +208,49 @@ def udtf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return ev.mapInPandas(flatten, schema="event_id long, k long, props_len long")
+
+
+_UDTF_DOC_CAP = 100
+
+
+@register(
+    "udtf_python_table",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(UNNEST(range(1, len(toks) + 1)) AS INTEGER) AS pos,
+           UNNEST(toks) AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < {_UDTF_DOC_CAP})
+    """,
+    category="udf",
+)
+def udtf_python_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Python UDTF (Spark 4 `@udtf` + LATERAL join): one input row
+    -> many output rows, the table-function shape `mapInPandas` can't
+    express relationally (no lateral correlation there).
+
+    Tokenizes each document into (pos, token) rows via a registered
+    UDTF invoked with `LATERAL` — the API for custom generators/
+    parsers feeding joins. The logic is deliberately explode-equivalent
+    so the oracle is plain UNNEST WITH ORDINALITY; production UDTFs do
+    work Spark lacks a builtin for (custom record formats, tokenizers).
+    Bounded to doc_id < {_UDTF_DOC_CAP} — at scale a UDTF streams
+    per-partition like any generator, no driver involvement.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string")
+    class Tokenize:
+        def eval(self, text: str):  # noqa: ANN001
+            if text:
+                for i, tok in enumerate(text.split(" ")):
+                    yield i + 1, tok
+
+    spark.udtf.register("s3u_tokenize", Tokenize)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _UDTF_DOC_CAP
+    ).createOrReplaceTempView("s3u_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM s3u_udtf_docs d, LATERAL s3u_tokenize(d.text) t"
+    )
