@@ -41,6 +41,8 @@ _WINDOW_FIRST_NAMES = [
     "sink_compaction",
     "udtf_python_table",
     "hb_balanced_splits",
+    "llm_split_assign",
+    "llm_pack_sequences",
     # fn/oracle changed in round 3 — need fresh rows for the new behavior
     "stream_session",          # oracle cumsum (ts, event_id) tiebreaker
     "hb_incremental_export",   # remodeled as partial-failure resume

@@ -111,3 +111,113 @@ def llm_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_chars"),
         F.round(F.avg(F.when(kept, F.col("dr"))), 6).alias("kept_distinct_ratio"),
     )
+
+
+# ------------------------------------------------ split assignment
+
+_SPLIT_TRAIN_PCT, _SPLIT_VAL_PCT = 90, 95  # train <90, val 90-94, test 95+
+
+
+@register(
+    "llm_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN b < {_SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN b < {_SPLIT_VAL_PCT}   THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 100 AS b
+          FROM documents)
+    """,
+    category="llm",
+)
+def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment by content-stable
+    hash — the step every training pipeline runs before export.
+
+    Hash-mod bucketing (md5(doc_id) % 100, the engine's portable hash
+    idiom) instead of `randomSplit`: the assignment is a pure function
+    of the key, so re-runs, backfills, and incremental arrivals land in
+    the SAME split — `randomSplit` reshuffles membership whenever
+    partitioning changes, silently leaking val into train across runs.
+    Narrow map, zero shuffles, trivially 100 TB-safe.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = F.expr(
+        "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint)"
+        " % 100"
+    )
+    return d.select(
+        "doc_id",
+        F.when(b < _SPLIT_TRAIN_PCT, "train")
+        .when(b < _SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ------------------------------------------------ sequence packing
+
+_PACK_BUDGET = 512   # tokens per context window
+_PACK_SHARDS = 8     # independent packer shards
+
+
+@register(
+    "llm_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             doc_id % {_PACK_SHARDS} AS shard,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING)
+                         - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS window_id
+      FROM toks
+    )
+    SELECT shard, window_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS sum_tokens
+    FROM packed
+    GROUP BY shard, window_id
+    """,
+    category="llm",
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed token-budget
+    context windows ({_PACK_BUDGET} tokens), shard-local.
+
+    The pre-tokenization packing step of a training pipeline: documents
+    fill a window until the running token count crosses the budget
+    (overflow docs straddle the boundary — the padding-free packing
+    convention). Packing is GREEDY WITHIN A SHARD (doc_id % shards),
+    never global: the cumulative sum is a window over each shard only,
+    so shards pack in parallel and the plan has no single-partition
+    global window — the property that keeps packing linear at 100 TB
+    (a global ORDER BY cumsum would serialize the corpus through one
+    task). Deterministic: shard and order are pure key functions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "window_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET)
+        .cast("bigint"),
+    )
+    return packed.groupBy("shard", "window_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )

@@ -205,6 +205,45 @@ def test_stream_stream_join_respects_time_bound(spark, sf_dir):
     assert all(0 <= r["lag_us"] <= 3_600_000_000 for r in rows)
 
 
+def test_split_assign_proportions_and_stability(spark, sf_dir):
+    """Hash-split must hit ~90/5/5 and be a pure function of doc_id
+    (two runs identical — the anti-randomSplit property)."""
+    rows = REGISTRY["llm_split_assign"].fn(spark, sf_dir).collect()
+    frac = sum(r["split"] == "train" for r in rows) / len(rows)
+    assert 0.8 < frac < 0.97, frac
+    again = {
+        r["doc_id"]: r["split"]
+        for r in REGISTRY["llm_split_assign"].fn(spark, sf_dir).collect()
+    }
+    assert {r["doc_id"]: r["split"] for r in rows} == again
+
+
+def test_pack_sequences_windows_contiguous_and_lossless(spark, sf_dir):
+    """Per shard: window ids are 0..max with no gaps, and the packed
+    token total equals the shard's token total (no doc dropped)."""
+    from collections import defaultdict
+
+    rows = REGISTRY["llm_pack_sequences"].fn(spark, sf_dir).collect()
+    per_shard = defaultdict(list)
+    for r in rows:
+        per_shard[r["shard"]].append(r)
+    d = load_table(spark, sf_dir, "documents")
+    totals = {
+        r["shard"]: r["t"]
+        for r in d.select(
+            (F.col("doc_id") % 8).alias("shard"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n"),
+        )
+        .groupBy("shard")
+        .agg(F.sum("n").alias("t"))
+        .collect()
+    }
+    for shard, ws in per_shard.items():
+        ids = sorted(w["window_id"] for w in ws)
+        assert ids == list(range(len(ids))), f"shard {shard} gaps: {ids}"
+        assert sum(w["sum_tokens"] for w in ws) == totals[shard]
+
+
 def test_minhash_finds_planted_near_dups(spark, sf_dir):
     pairs = REGISTRY["llm_dedup_near_minhash"].fn(spark, sf_dir).count()
     assert pairs > 0, "LSH found no candidate pairs despite planted near-dups"
