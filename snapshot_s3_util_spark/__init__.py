@@ -43,6 +43,10 @@ _WINDOW_FIRST_NAMES = [
     "hb_balanced_splits",
     "llm_split_assign",
     "llm_pack_sequences",
+    "llm_domain_mixture",
+    "llm_sample_weighted",
+    "llm_repetition_stats",
+    "llm_tfidf_topterms",
     # fn/oracle changed in round 3 — need fresh rows for the new behavior
     "stream_session",          # oracle cumsum (ts, event_id) tiebreaker
     "hb_incremental_export",   # remodeled as partial-failure resume

@@ -6,3 +6,4 @@ import snapshot_s3_util_spark.llm.textstats  # noqa: F401
 import snapshot_s3_util_spark.llm.multimodal  # noqa: F401
 import snapshot_s3_util_spark.llm.clustering  # noqa: F401
 import snapshot_s3_util_spark.llm.pipeline  # noqa: F401
+import snapshot_s3_util_spark.llm.mixture  # noqa: F401

@@ -9,7 +9,7 @@ aggregation shuffle regardless of corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snapshot_s3_util_spark.io import load_table
@@ -361,4 +361,184 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(",", F.slice(hs, 1, _FP_KEEP))).alias("fingerprint"),
         # array_join-serialized: raw arrays crash the driver's canonicalizer
         F.array_join(F.slice(hs, 1, _FP_KEEP), ",").alias("sketch"),
+    )
+
+
+# Gopher-style repetition thresholds: flag a doc when its most frequent
+# word exceeds this share of all tokens, or its duplicated-bigram share
+# crosses the band below.  Flags computed on the ROUND(6) values so the
+# keep decision can never diverge between engines on a borderline ulp.
+_REP_TOP_WORD_MAX = 0.20
+_REP_DUP_BIGRAM_MAX = 0.30
+
+_REPETITION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(LEN(toks) AS BIGINT) AS n_tokens,
+         list_max(list_transform(list_distinct(toks),
+                  x -> len(list_filter(toks, y -> y = x)))) AS top_cnt,
+         CASE WHEN LEN(toks) >= 2 THEN
+           list_transform(range(1, LEN(toks)), i -> toks[i] || ' ' || toks[i+1])
+         ELSE [] END AS bi
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       ROUND(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_word_frac,
+       ROUND(CASE WHEN LEN(bi) > 0 THEN
+               1.0 - CAST(LEN(LIST_DISTINCT(bi)) AS DOUBLE) / LEN(bi)
+             ELSE 0.0 END, 6) AS dup_bigram_frac,
+       (ROUND(CAST(top_cnt AS DOUBLE) / n_tokens, 6) > {_REP_TOP_WORD_MAX}
+        OR ROUND(CASE WHEN LEN(bi) > 0 THEN
+                   1.0 - CAST(LEN(LIST_DISTINCT(bi)) AS DOUBLE) / LEN(bi)
+                 ELSE 0.0 END, 6) > {_REP_DUP_BIGRAM_MAX}) AS repetitive
+FROM m
+"""
+
+
+@register("llm_repetition_stats", oracle=_REPETITION_ORACLE, category="llm")
+def llm_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher/MassiveText rules).
+
+    Top-word fraction and duplicated-bigram fraction — the two cheapest
+    detectors of boilerplate/keyword-stuffed documents that pure
+    length/diversity gates miss.  Entirely higher-order functions over
+    the token array: a narrow map, zero shuffles, whole-stage codegen.
+    The per-doc distinct×filter scan is O(n_tokens²) but n_tokens is
+    document-bounded, not corpus-bounded — the plan stays linear in
+    corpus size at 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    m = d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "array_max(transform(array_distinct(toks),"
+            " x -> size(filter(toks, y -> y = x))))"
+        ).alias("top_cnt"),
+        F.expr(
+            "CASE WHEN size(toks) >= 2 THEN"
+            " transform(sequence(1, size(toks) - 1),"
+            "           i -> concat(toks[i-1], ' ', toks[i]))"
+            " ELSE array() END"
+        ).alias("bi"),
+    )
+    twf = F.round(F.col("top_cnt").cast("double") / F.col("n_tokens"), 6)
+    dbf = F.round(
+        F.when(
+            F.size("bi") > 0,
+            1.0
+            - F.expr("cast(size(array_distinct(bi)) AS double)")
+            / F.size("bi"),
+        ).otherwise(0.0),
+        6,
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        twf.alias("top_word_frac"),
+        dbf.alias("dup_bigram_frac"),
+        ((twf > _REP_TOP_WORD_MAX) | (dbf > _REP_DUP_BIGRAM_MAX)).alias(
+            "repetitive"
+        ),
+    )
+
+
+_TFIDF_TOPK = 3
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+tf AS (
+  SELECT doc_id, u.term AS term, u.tf AS tf FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(list_distinct(t),
+             x -> struct_pack(term := x,
+                              tf := CAST(len(list_filter(t, y -> y = x))
+                                         AS BIGINT)))) AS u
+    FROM toks)
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * LN(n.n_total / dfreq.df) AS tfidf_raw
+  FROM tf JOIN dfreq USING (term), n
+)
+SELECT doc_id, rank, term, tf, df, ROUND(tfidf_raw, 6) AS tfidf
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY tfidf_raw DESC, term) AS BIGINT) AS rank
+  FROM scored)
+WHERE rank <= {_TFIDF_TOPK}
+"""
+
+
+@register("llm_tfidf_topterms", oracle=_TFIDF_ORACLE, category="llm")
+def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TFIDF_TOPK} characteristic terms per document by tf-idf.
+
+    Plan shape chosen for 100 TB: term frequencies are computed
+    DOC-LOCALLY (higher-order transform over the token array, then one
+    explode) so the (doc, term, tf) stream needs NO shuffle to build —
+    the naive explode->groupBy(doc, term) plan shuffles the full token
+    stream.  Then: one map-side-combined groupBy(term) for document
+    frequency, one term-keyed join back (AQE broadcasts it when the
+    vocabulary is small), a single-row count broadcast for N, and one
+    doc-keyed window for the top-k.  Ranking ties break on the term
+    itself, so the result is deterministic; ln() on the double path is
+    bit-identical across engines (decimal literals are not — see
+    tests).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    tf = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(array_distinct(t),"
+                " x -> struct(x AS term,"
+                "             cast(size(filter(t, y -> y = x)) AS bigint)"
+                "             AS tf))"
+            )
+        ).alias("u"),
+    ).select("doc_id", "u.term", "u.tf")
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.col("n_total") / F.col("df"))).alias(
+                "tfidf_raw"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_raw"), F.asc("term")
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("rank") <= _TFIDF_TOPK)
+        .select(
+            "doc_id",
+            "rank",
+            "term",
+            "tf",
+            "df",
+            F.round("tfidf_raw", 6).alias("tfidf"),
+        )
     )

@@ -159,6 +159,18 @@ def test_q1_is_two_phase_aggregate(spark, sf_dir):
         # band bucket self-join + pair distinct + popcount-verify joins
         # over the checkpointed fingerprint table
         ("llm_dedup_simhash_pairs", 5),
+        # one corpus groupBy(source); normalizer windows run over the
+        # |sources|-row aggregate (single corpus scan — see docstring)
+        ("llm_domain_mixture", 2),
+        # doc-local tf (narrow) + df agg + doc window; the df join
+        # broadcasts and the N-count is a single-row broadcast
+        ("llm_tfidf_topterms", 3),
+        # shard-local packing: one shard exchange serves cumsum + agg
+        ("llm_pack_sequences", 1),
+        # hash-threshold sampling and split assignment are narrow maps
+        ("llm_sample_weighted", 0),
+        ("llm_split_assign", 0),
+        ("llm_repetition_stats", 0),
     ],
 )
 def test_shuffle_budget(name, budget, spark, sf_dir):

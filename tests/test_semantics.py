@@ -302,3 +302,81 @@ def test_simhash_near_dups_close(spark, sf_dir):
         pytest.skip("no near-dup pairs at this sf")
     dists = [bin(sim[p["doc_a"]] ^ sim[p["doc_b"]]).count("1") for p in pairs]
     assert sum(d <= 6 for d in dists) / len(dists) >= 0.8, dists
+
+
+def test_domain_mixture_weights_normalized_and_temperature_flattens(spark, sf_dir):
+    """Weights and shares must each sum to 1, and sqrt-temperature must
+    pull weights toward uniform: every source's weight sits between its
+    raw share and 1/|sources| (inclusive)."""
+    rows = REGISTRY["llm_domain_mixture"].fn(spark, sf_dir).collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    uniform = 1.0 / len(rows)
+    for r in rows:
+        lo, hi = sorted((r["share"], uniform))
+        assert lo - 1e-6 <= r["weight"] <= hi + 1e-6, r
+
+
+def test_sample_weighted_deterministic_and_rate_shaped(spark, sf_dir):
+    """Two runs keep the identical doc set (the anti-rand() property),
+    and each source's kept fraction tracks its tier rate."""
+    kept = REGISTRY["llm_sample_weighted"].fn(spark, sf_dir).collect()
+    again = {r["doc_id"] for r in REGISTRY["llm_sample_weighted"].fn(spark, sf_dir).collect()}
+    assert {r["doc_id"] for r in kept} == again
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    from collections import Counter
+
+    by_src = Counter(r["source"] for r in kept)
+    rates = {r["source"]: r["rate"] for r in kept}
+    for src, rate in rates.items():
+        frac = by_src[src] / totals[src]
+        assert abs(frac - rate) < 0.35, (src, rate, frac)
+
+
+def test_repetition_stats_match_python_recompute(spark, sf_dir):
+    """Recompute both fractions in plain Python for a sample of docs."""
+    rows = REGISTRY["llm_repetition_stats"].fn(spark, sf_dir).collect()[:25]
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin([r["doc_id"] for r in rows]))
+        .collect()
+    }
+    from collections import Counter
+
+    for r in rows:
+        toks = texts[r["doc_id"]].split(" ")
+        top = Counter(toks).most_common(1)[0][1]
+        assert abs(r["top_word_frac"] - top / len(toks)) < 1e-5
+        bi = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        dup = 1 - len(set(bi)) / len(bi) if bi else 0.0
+        assert abs(r["dup_bigram_frac"] - dup) < 1e-5
+
+
+def test_tfidf_topterms_ranked_and_bounded(spark, sf_dir):
+    """Per doc: <= 3 rows, ranks contiguous from 1, tfidf non-increasing
+    with rank, and the rank-1 term beats a Python recompute's max."""
+    import math
+    from collections import Counter, defaultdict
+
+    rows = REGISTRY["llm_tfidf_topterms"].fn(spark, sf_dir).collect()
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r["doc_id"]].append(r)
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, sf_dir, "documents").collect()}
+    df = Counter()
+    for text in docs.values():
+        df.update(set(text.split(" ")))
+    n = float(len(docs))
+    for doc_id, rs in per_doc.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["tfidf"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        tf = Counter(docs[doc_id].split(" "))
+        best = max(c * math.log(n / df[t]) for t, c in tf.items())
+        assert abs(rs[0]["tfidf"] - best) < 1e-4, doc_id
