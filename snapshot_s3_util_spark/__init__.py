@@ -47,6 +47,10 @@ _WINDOW_FIRST_NAMES = [
     "llm_sample_weighted",
     "llm_repetition_stats",
     "llm_tfidf_topterms",
+    "agg_hll_sketch_union",
+    "join_salted_skew",
+    "llm_dedup_incremental",
+    "sink_partition_overwrite",
     # fn/oracle changed in round 3 — need fresh rows for the new behavior
     "stream_session",          # oracle cumsum (ts, event_id) tiebreaker
     "hb_incremental_export",   # remodeled as partial-failure resume

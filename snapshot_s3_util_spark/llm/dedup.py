@@ -748,3 +748,83 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cos_raw") >= _COS_DUP_THRESHOLD).alias("is_dup"),
         )
     )
+
+
+# ------------------------------------------------ incremental dedup
+
+# New-batch boundary: docs at/after this id are "today's crawl"; docs
+# before it are the already-indexed corpus.  A fixed id split keeps both
+# engines' batch definition identical and deterministic.
+_INCR_SPLIT_FRAC = 0.8  # first 80% of ids = indexed corpus
+
+_INCR_ORACLE = f"""
+WITH bound AS (
+  SELECT CAST(FLOOR(MAX(doc_id) * {_INCR_SPLIT_FRAC}) AS BIGINT) AS b
+  FROM documents
+),
+d AS (
+  SELECT doc_id,
+         MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+             string_split(LOWER(text), ' '))), ' ')) AS digest,
+         doc_id >= bound.b AS is_new
+  FROM documents, bound
+),
+survivors AS (
+  SELECT n.doc_id, n.digest
+  FROM (SELECT doc_id, digest,
+               ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+        FROM d WHERE is_new) n
+  WHERE n.rn = 1
+    AND NOT EXISTS (SELECT 1 FROM d c
+                    WHERE NOT c.is_new AND c.digest = n.digest)
+)
+SELECT doc_id, digest FROM survivors
+"""
+
+
+@register("llm_dedup_incremental", oracle=_INCR_ORACLE, category="llm")
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: today's batch against the indexed corpus.
+
+    The continuous-crawl shape: the historical corpus is never
+    re-deduped — its digests are a standing index (at 100 TB a bucketed
+    digest table written once at ingest; here derived in-plan from the
+    same source).  A new batch survives only if (a) it wins the
+    within-batch keeper election (min doc_id per digest) and (b) its
+    digest misses the index (left_anti join).  The digest is the sorted
+    distinct-token set (a bag-of-words canonicalization), so reordered
+    or repetition-edited copies of an indexed doc still collide — a
+    byte-exact digest finds nothing on crawl data whose re-fetches
+    reorder content.  Cost scales with the
+    BATCH, not the corpus: the batch-side window and the anti-join probe
+    shuffle batch rows only; the index side ships just its digest
+    column, and at scale the anti-join prunes to the bucketed index
+    partitions the batch's digests hash into.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bound = d.agg(
+        F.floor(F.max("doc_id") * _INCR_SPLIT_FRAC).cast("bigint").alias("b")
+    )
+    with_digest = d.crossJoin(F.broadcast(bound)).select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))),
+                " ",
+            )
+        ).alias("digest"),
+        (F.col("doc_id") >= F.col("b")).alias("is_new"),
+    )
+    batch = with_digest.filter("is_new")
+    index = with_digest.filter("NOT is_new").select("digest")
+    keeper = (
+        batch.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("digest").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "digest")
+    )
+    return keeper.join(index, "digest", "left_anti").select("doc_id", "digest")

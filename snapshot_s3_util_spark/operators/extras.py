@@ -205,3 +205,103 @@ def join_5way_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "agg_hll_sketch_union",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           TRUE AS within_tol
+    FROM {EVENTS_REL} e
+    GROUP BY event_type
+    """,
+    category="agg",
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable DataSketches HLL: per-day sketches unioned across days.
+
+    The pattern that replaces COUNT(DISTINCT) at 100 TB: each
+    day/partition builds a constant-size `hll_sketch_agg` sketch ONCE at
+    ingest; any later rollup (per week, per source, all-time) is a cheap
+    `hll_union_agg` over kilobyte-sized sketch blobs instead of a
+    re-scan of raw data — distinct-counting becomes re-aggregable the
+    way SUM is. Checked with the tolerance-verdict contract
+    (`agg_approx_distinct`): DuckDB has no bit-identical sketch, so the
+    oracle pins the exact count and the claim |est-exact|/exact <= 5%.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sketch"))
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("est_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_days",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("within_tol"),
+        )
+    )
+
+
+_JOIN_SALT = 8
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    category="join",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join: the skew recipe when BOTH sides are too big
+    to broadcast and AQE's skew split can't help (one logical key's rows
+    must still meet).
+
+    Big side (lineitem) takes a deterministic salt in [0, S) from a
+    column uncorrelated with the join key; the other side is replicated
+    S ways with `explode(sequence(...))`; the join key becomes
+    (key, salt), spreading one hot orderkey's rows over S reducers.
+    Result is provably identical to the plain join (the oracle IS the
+    plain join). Completes the skew pair with `agg_salted_skew`;
+    SCALE.md documents when to prefer AQE's runtime skew-join split.
+    """
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_salt", F.pmod(F.col("l_linenumber"), F.lit(_JOIN_SALT))
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_salt", F.explode(F.sequence(F.lit(0), F.lit(_JOIN_SALT - 1)))
+    )
+    return (
+        li.join(
+            orders,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_salt") == F.col("o_salt")),
+            "inner",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )

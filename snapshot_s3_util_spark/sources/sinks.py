@@ -468,3 +468,70 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# Partitions rewritten by the second (incremental) run; the filter the
+# rewrite applies.  Fixed literals keep both engines' expectation identical.
+_POVR_LANGS = ("en", "de")
+_POVR_MIN_CHARS = 150
+
+_POVR_ORACLE = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MD5(STRING_AGG(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY CAST(doc_id AS VARCHAR)))
+         AS content_fp
+FROM documents
+WHERE lang NOT IN {_POVR_LANGS!r}
+   OR n_chars >= {_POVR_MIN_CHARS}
+GROUP BY lang
+"""
+
+
+@register("sink_partition_overwrite", oracle=_POVR_ORACLE, category="sink")
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: the incremental re-export primitive.
+
+    Run 1 exports the full corpus partitioned by lang.  Run 2 re-curates
+    ONLY {_POVR_LANGS} (dropping docs under {_POVR_MIN_CHARS} chars) and
+    writes with `partitionOverwriteMode=dynamic`: Spark replaces exactly
+    the partitions present in the incoming frame and leaves every other
+    partition's files untouched — the behavior that makes daily
+    re-exports O(changed partitions), not O(table).  (STATIC mode would
+    truncate the whole table first — the classic data-loss footgun this
+    op exists to pin down.)  The read-back fingerprint proves both
+    directions: overwritten partitions carry the curated subset,
+    untouched partitions carry their original bytes.
+    """
+    out = _scratch("povr")
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(mode_key, "STATIC")
+    try:
+        d = load_table(spark, sf_dir, "documents")
+        d.write.mode("overwrite").partitionBy("lang").parquet(out)
+        updated = d.filter(
+            F.col("lang").isin(*_POVR_LANGS)
+            & (F.col("n_chars") >= _POVR_MIN_CHARS)
+        )
+        spark.conf.set(mode_key, "dynamic")
+        updated.write.mode("overwrite").partitionBy("lang").parquet(out)
+        back = spark.read.parquet(out)
+        return (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.array_sort(
+                            F.collect_list(F.col("doc_id").cast("string"))
+                        ),
+                    )
+                ).alias("content_fp"),
+            )
+            # materialize before the scratch dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set(mode_key, before)
+        shutil.rmtree(out, ignore_errors=True)

@@ -256,3 +256,39 @@ def test_cc_propagation_round_shuffle_budget(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert got <= 2, f"CC round: 2 shuffles budgeted, plan has {got}"
+
+
+def test_salted_join_spreads_hot_keys_without_broadcast(spark, sf_dir):
+    """With broadcast off (the regime salting exists for), the salted
+    plan must still be a shuffle join on the COMPOUND (key, salt) key —
+    proving one hot orderkey's rows land on _JOIN_SALT reducers."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["join_salted_skew"].fn(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "l_salt" in plan and "o_salt" in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_incremental_dedup_shuffle_budget(spark, sf_dir):
+    """Batch keeper window + index anti-join in <= 2 exchanges — the
+    property that keeps incremental dedup O(batch), not O(corpus)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        got = shuffle_count(REGISTRY["llm_dedup_incremental"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert got <= 2, got
+
+
+def test_hll_sketch_union_is_two_phase(spark, sf_dir):
+    """The sketch path must build per-day partials and merge them — a
+    partial + final HashAggregate pair on the sketch column — never a
+    raw re-scan per rollup."""
+    plan = physical_plan(REGISTRY["agg_hll_sketch_union"].fn(spark, sf_dir))
+    assert plan.count("hll_union_agg") >= 1 and plan.count("hll_sketch_agg") >= 1, plan

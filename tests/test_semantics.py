@@ -380,3 +380,80 @@ def test_tfidf_topterms_ranked_and_bounded(spark, sf_dir):
         tf = Counter(docs[doc_id].split(" "))
         best = max(c * math.log(n / df[t]) for t, c in tf.items())
         assert abs(rs[0]["tfidf"] - best) < 1e-4, doc_id
+
+
+def test_hll_union_within_tolerance_and_multiday(spark, sf_dir):
+    """The union must merge >1 daily sketch per group (otherwise the op
+    degenerates to a single sketch) and every estimate must verdict
+    in-tolerance."""
+    rows = REGISTRY["agg_hll_sketch_union"].fn(spark, sf_dir).collect()
+    assert rows and all(r["within_tol"] for r in rows)
+    assert all(r["n_days"] > 1 for r in rows)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must be result-invisible: identical to the plain join."""
+    salted = {
+        r["o_orderpriority"]: (r["n_lines"], r["revenue"])
+        for r in REGISTRY["join_salted_skew"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    plain = {
+        r["o_orderpriority"]: (r["n"], r["rev"])
+        for r in li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("rev"),
+        )
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_incremental_dedup_survivors_disjoint_from_index(spark, sf_dir):
+    """No survivor digest may exist in the indexed corpus, survivors are
+    digest-unique, and at least one batch doc must be eliminated by the
+    index (the planted duplicates guarantee collisions)."""
+    out = REGISTRY["llm_dedup_incremental"].fn(spark, sf_dir).collect()
+    digests = [r["digest"] for r in out]
+    assert len(digests) == len(set(digests))
+    d = load_table(spark, sf_dir, "documents")
+    bound = int(d.agg(F.floor(F.max("doc_id") * 0.8)).collect()[0][0])
+    dg = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " "
+        )
+    ).alias("dg")
+    index = {
+        r["dg"] for r in d.filter(F.col("doc_id") < bound).select(dg).collect()
+    }
+    assert not (set(digests) & index)
+    n_batch_distinct = (
+        d.filter(F.col("doc_id") >= bound).select(dg).distinct().count()
+    )
+    assert len(digests) < n_batch_distinct  # the index removed something
+
+
+def test_partition_overwrite_touches_only_target_partitions(spark, sf_dir):
+    """Overwritten langs carry the curated subset; untouched langs keep
+    their full original row counts."""
+    rows = {r["lang"]: r["n_rows"] for r in REGISTRY["sink_partition_overwrite"].fn(spark, sf_dir).collect()}
+    d = load_table(spark, sf_dir, "documents")
+    raw = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    cur = {
+        r["lang"]: r["n"]
+        for r in d.filter(F.col("n_chars") >= 150)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, n in rows.items():
+        if lang in ("en", "de"):
+            assert n == cur[lang], (lang, n, cur[lang])
+        else:
+            assert n == raw[lang], (lang, n, raw[lang])
+    assert rows["en"] < raw["en"]  # the curation actually dropped rows
