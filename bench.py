@@ -41,6 +41,7 @@ BENCH_QUERIES = (
     "llm_pipeline_curate",    # extra headline: full curation funnel
     "llm_dedup_components",   # extra headline: cluster resolution (iterative)
     "llm_contamination_ngram",# extra headline: benchmark decontamination
+    "llm_pipeline_export",    # extra headline: fused export funnel (round 3)
 )
 
 

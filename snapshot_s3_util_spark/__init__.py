@@ -51,6 +51,13 @@ _WINDOW_FIRST_NAMES = [
     "join_salted_skew",
     "llm_dedup_incremental",
     "sink_partition_overwrite",
+    "fn_variant",
+    "scan_file_metadata",
+    "sink_observed_export",
+    "agg_approx_topk",
+    "win_fill_forward",
+    "agg_histogram",
+    "llm_pipeline_export",
     # fn/oracle changed in round 3 — need fresh rows for the new behavior
     "stream_session",          # oracle cumsum (ts, event_id) tiebreaker
     "hb_incremental_export",   # remodeled as partial-failure resume

@@ -266,3 +266,37 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.base64(F.encode(F.substring("text", 1, 24), "UTF-8")).alias("head_b64"),
         F.md5("text").alias("content_digest"),
     )
+
+
+@register(
+    "fn_variant",
+    oracle=f"""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT)        AS k_long,
+           CAST(props->>'$.k' AS BIGINT) * 2    AS k_doubled,
+           CAST(props->>'$.missing' AS BIGINT)  AS missing_typed
+    FROM {EVENTS_REL} e
+    """,
+    category="function",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT: parse the JSON blob ONCE into the binary
+    variant encoding, then do typed `variant_get` accesses.
+
+    At 100 TB this replaces per-access `get_json_object` re-parses —
+    each string access re-runs Jackson over the blob, while variant
+    parses once and every subsequent path access is an O(log fields)
+    binary lookup; with Parquet variant shredding the scan itself
+    prunes to the accessed paths. `try_variant_get` on a missing path
+    yields typed NULL (the total version of a cast failure). DuckDB has
+    no variant type; the oracle states the SEMANTICS via json
+    extraction + cast, which the binary encoding must agree with.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_long"),
+        (F.variant_get(v, "$.k", "bigint") * 2).alias("k_doubled"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_typed"),
+    )

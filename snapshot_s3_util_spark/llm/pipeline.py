@@ -221,3 +221,132 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("sum_tokens"),
     )
+
+
+# ------------------------------------------------ fused export pipeline
+
+_EXPORT_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(LEN(LIST_DISTINCT(string_split(text, ' '))) AS DOUBLE)
+           / LEN(string_split(text, ' ')) AS dr,
+         MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+             string_split(LOWER(text), ' '))), ' ')) AS digest
+  FROM documents
+),
+flagged AS (
+  SELECT *,
+         (n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
+          AND dr >= {_MIN_DISTINCT}) AS keep,
+         ROW_NUMBER() OVER (
+           PARTITION BY digest
+           ORDER BY CASE WHEN (n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
+                               AND dr >= {_MIN_DISTINCT}) THEN 0 ELSE 1 END,
+                    doc_id) AS rn
+  FROM m
+),
+kept AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 < {_SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 < {_SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         doc_id % {_PACK_SHARDS} AS shard
+  FROM flagged WHERE keep AND rn = 1
+),
+packed AS (
+  SELECT split, shard, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY split, shard
+                                         ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                     - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS window_id
+  FROM kept
+)
+SELECT split, shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(MAX(window_id) + 1 AS BIGINT) AS n_windows
+FROM packed
+GROUP BY split, shard
+"""
+
+
+@register("llm_pipeline_export", oracle=_EXPORT_ORACLE, category="llm")
+def llm_pipeline_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training export funnel fused into ONE Catalyst plan:
+    quality gate → token-set dedup (keeper prefers the quality-passing
+    copy) → deterministic train/val/test split → shard-local sequence
+    packing → per-(split, shard) export accounting.
+
+    Composes the standalone stages (`llm_quality_score`,
+    `llm_dedup_incremental`'s digest, `llm_split_assign`,
+    `llm_pack_sequences`) the way a production job would: per-doc
+    metrics are one narrow map; the dedup keeper election is the single
+    corpus-wide shuffle (by digest); split/shard are pure key functions
+    (zero shuffles); the packing cumsum and the final accounting SHARE
+    the (split, shard) exchange.  TWO exchanges end-to-end for the
+    entire pipeline (locked in test_plans.py) — the number that
+    matters when each exchange is a full network pass at 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    m = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "dr"
+        ),
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))),
+                " ",
+            )
+        ).alias("digest"),
+    )
+    keep = (
+        F.col("n_tokens").between(_MIN_TOKENS, _MAX_TOKENS)
+        & (F.col("dr") >= _MIN_DISTINCT)
+    )
+    flagged = m.select(
+        "doc_id",
+        "n_tokens",
+        keep.alias("keep"),
+        F.row_number()
+        .over(
+            Window.partitionBy("digest").orderBy(
+                F.when(keep, 0).otherwise(1), "doc_id"
+            )
+        )
+        .alias("rn"),
+    )
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10)"
+        " AS bigint) % 100"
+    )
+    kept = flagged.filter("keep AND rn = 1").select(
+        "doc_id",
+        "n_tokens",
+        F.when(bucket < _SPLIT_TRAIN_PCT, "train")
+        .when(bucket < _SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("split", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = kept.withColumn(
+        "window_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET
+        ).cast("bigint"),
+    )
+    return packed.groupBy("split", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        (F.max("window_id") + 1).cast("bigint").alias("n_windows"),
+    )

@@ -305,3 +305,87 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+_TOPK_SKETCH_K = 5
+_TOPK_SKETCH_CAP = 100_000  # >> vocabulary, so counts are exact here
+
+_TOPK_SKETCH_ORACLE = f"""
+SELECT CAST(rank AS BIGINT) AS rank, item, CAST(cnt AS BIGINT) AS cnt
+FROM (
+  SELECT t AS item, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS rank
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY t)
+WHERE rank <= {_TOPK_SKETCH_K}
+"""
+
+
+@register("agg_approx_topk", oracle=_TOPK_SKETCH_ORACLE, category="agg")
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch: corpus-wide top-{_TOPK_SKETCH_K} tokens
+    via `approx_top_k` instead of explode → groupBy(vocabulary) → sort.
+
+    The sketch is a bounded-memory summary built per partition and
+    MERGED (one shuffle of sketch blobs, like the HLL op) — the exact
+    plan shuffles one row per distinct token and then global-sorts
+    them; at web-corpus vocabulary sizes that is a multi-TB exchange
+    for a 5-row answer.  Capacity {_TOPK_SKETCH_CAP} exceeds this
+    corpus's vocabulary, so reported counts are exact and the top-k
+    (distinct counts, checked in tests) is deterministic — the oracle
+    states it with an exact GROUP BY.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("t"))
+    sk = toks.agg(
+        F.expr(
+            f"approx_top_k(t, {_TOPK_SKETCH_K}, {_TOPK_SKETCH_CAP})"
+        ).alias("tk")
+    )
+    return sk.select(
+        F.posexplode("tk").alias("pos", "entry")
+    ).select(
+        (F.col("pos") + 1).cast("bigint").alias("rank"),
+        F.col("entry.item").alias("item"),
+        F.col("entry.count").cast("bigint").alias("cnt"),
+    )
+
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 500.0, 20
+
+_HIST_ORACLE = f"""
+SELECT event_type,
+       CAST(LEAST(FLOOR((value - {_HIST_LO})
+                        / (({_HIST_HI} - {_HIST_LO}) / {_HIST_BINS})),
+                  {_HIST_BINS} - 1) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(value), 6) AS lo,
+       ROUND(MAX(value), 6) AS hi
+FROM {EVENTS_REL} e
+GROUP BY 1, 2
+"""
+
+
+@register("agg_histogram", oracle=_HIST_ORACLE, category="agg")
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid histogram per group — the distribution-profiling agg
+    a quality dashboard runs over every numeric column.
+
+    Bin = floor((v - lo) / width) clamped to the last bin (identical
+    integer arithmetic both engines — Spark's `width_bucket` has no
+    DuckDB twin, so the portable formula IS the contract).  A
+    two-phase aggregate on (group, bin): the shuffle carries ≤
+    |groups|×|bins| rows regardless of input size — histograms are the
+    textbook map-side-combine win.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    width = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    bin_col = F.least(
+        F.floor((F.col("value") - _HIST_LO) / width),
+        F.lit(_HIST_BINS - 1),
+    ).cast("bigint")
+    return ev.groupBy("event_type", bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )

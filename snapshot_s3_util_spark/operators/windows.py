@@ -161,3 +161,56 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOPK_PER_GROUP)
         .select("user_id", "event_id", "ts", "value")
     )
+
+
+_FF_ORACLE = f"""
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS reading
+  FROM {EVENTS_REL} e
+)
+SELECT event_id, user_id,
+       ROUND(COALESCE(LAST_VALUE(reading IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING), -1.0), 6) AS filled
+FROM g
+"""
+
+
+@register("win_fill_forward", oracle=_FF_ORACLE, category="window")
+def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill (LOCF): carry each user's last valid reading forward
+    over NULLed-out rows — the telemetry/sensor resampling primitive.
+
+    NULLs are planted deterministically (error events lose their
+    reading, same rule both engines).  `last(..., ignorenulls=True)`
+    over a (user, time)-ordered running frame is the whole operator:
+    one keyed exchange, no self-join, no driver loop — the plan a
+    100 TB fill must have (per-key sequential scan within partitions).
+    Leading NULLs (no prior reading) fill with the -1 sentinel on both
+    engines so the output stays scalar and comparable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("reading"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.coalesce(
+                F.last("reading", ignorenulls=True).over(w), F.lit(-1.0)
+            ),
+            6,
+        ).alias("filled"),
+    )

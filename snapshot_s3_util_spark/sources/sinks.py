@@ -535,3 +535,56 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set(mode_key, before)
         shutil.rmtree(out, ignore_errors=True)
+
+
+_OBS_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(value), 4) AS sum_value,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       TRUE AS verified
+FROM {EVENTS_REL} e
+"""
+
+
+@register("sink_observed_export", oracle=_OBS_ORACLE, category="sink")
+def sink_observed_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export with in-flight data-quality metrics via `Observation`.
+
+    `df.observe()` piggybacks accumulator-backed aggregates on the
+    WRITE pass itself — row count, value total, error-row count arrive
+    with the export at zero extra scans, where a naive quality gate
+    re-reads the data it just wrote.  At 100 TB that second pass is
+    hours; observation is free.  The op returns the observed metrics
+    plus a `verified` verdict that the read-back row count equals the
+    observed count — the export-completeness check a production
+    pipeline alerts on.
+    """
+    from pyspark.sql import Observation
+
+    out = _scratch("obs")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        obs = Observation("export_metrics")
+        observed = ev.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.count_if(F.col("event_type") == "error").alias("e"),
+        )
+        observed.write.mode("overwrite").parquet(out)
+        m = obs.get  # blocks until the write action completes
+        n_back = spark.read.parquet(out).count()
+        return spark.createDataFrame(
+            [
+                (
+                    int(m["n"]),
+                    round(float(m["s"]), 4),
+                    int(m["e"]),
+                    n_back == m["n"],
+                )
+            ],
+            "n_rows bigint, sum_value double, n_errors bigint, verified boolean",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

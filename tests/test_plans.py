@@ -171,6 +171,14 @@ def test_q1_is_two_phase_aggregate(spark, sf_dir):
         ("llm_sample_weighted", 0),
         ("llm_split_assign", 0),
         ("llm_repetition_stats", 0),
+        # quality gate + dedup keeper + split + pack + accounting:
+        # digest window, then packing cumsum + final agg share the
+        # (split, shard) exchange
+        ("llm_pipeline_export", 2),
+        # LOCF gap-fill: one keyed exchange, no self-join
+        ("win_fill_forward", 1),
+        # (group, bin) two-phase agg
+        ("agg_histogram", 1),
     ],
 )
 def test_shuffle_budget(name, budget, spark, sf_dir):
