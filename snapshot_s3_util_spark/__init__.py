@@ -58,6 +58,9 @@ _WINDOW_FIRST_NAMES = [
     "win_fill_forward",
     "agg_histogram",
     "llm_pipeline_export",
+    "set_intersect_all",
+    "set_except_distinct",
+    "fn_map",
     # fn/oracle changed in round 3 — need fresh rows for the new behavior
     "stream_session",          # oracle cumsum (ts, event_id) tiebreaker
     "hb_incremental_export",   # remodeled as partial-failure resume
@@ -69,9 +72,10 @@ _WINDOW_FIRST_NAMES = [
 # Round-1-only backlog, ordered so the categories touched by round-2
 # refactors (join_anti rewrite 6c9ef68, scan pushdown 24aa982) re-verify
 # soonest. The r2-green members of these categories are skipped.
-# Round-3 window = 11 never-verified + 6 changed + the first 33 of this
-# backlog; the tail that slips (setops, fn_*, composites — untouched
-# since their r1 green rows) rotates to the front of round 4's window.
+# Round-3 window = 31 never-verified + 6 changed + the first 13 of this
+# backlog (the full join family + 2 scans); the tail that slips (aggs,
+# windows, sorts, setops, fn_*, composites — untouched since their r1
+# green rows) rotates to the front of round 4's window.
 _WINDOW_NEXT_CATEGORIES = [
     "join", "scan", "filter", "agg", "window", "sort", "setop",
     "function", "composite",

@@ -300,3 +300,63 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.variant_get(v, "$.k", "bigint") * 2).alias("k_doubled"),
         F.try_variant_get(v, "$.missing", "bigint").alias("missing_typed"),
     )
+
+
+_MAP_HOT_MIN = 3
+
+_MAP_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(LEN(LIST_DISTINCT(toks)) AS BIGINT) AS n_keys,
+       CAST(LEN(list_filter(LIST_DISTINCT(toks),
+                x -> len(list_filter(toks, y -> y = x)) >= {_MAP_HOT_MIN}))
+            AS BIGINT) AS n_hot,
+       COALESCE(ARRAY_TO_STRING(
+         list_transform(
+           list_sort(list_filter(LIST_DISTINCT(toks),
+                     x -> len(list_filter(toks, y -> y = x)) >= {_MAP_HOT_MIN})),
+           x -> x || ':' || CAST(len(list_filter(toks, y -> y = x)) AS VARCHAR)),
+         ','), '') AS hot_serialized
+FROM t
+"""
+
+
+@register("fn_map", oracle=_MAP_ORACLE, category="function")
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType family: build a token→count map per document with
+    `map_from_entries`, prune it with `map_filter`, read it with
+    `map_entries` — the wide-row / dynamic-qualifier access pattern
+    (the reference's HBase rows are maps of qualifier→cell; SURVEY
+    §1.1 maps that to MapType columns).
+
+    Map iteration order is UNDEFINED in Spark, so any serialized
+    output must sort `map_entries` first (the same determinism rule as
+    `collect_list`).  DuckDB has no MapType twin for this shape; the
+    oracle states identical semantics via list functions.  Entirely
+    higher-order JVM codegen — narrow map, zero shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    m = d.withColumn(
+        "counts",
+        F.expr(
+            "map_from_entries(transform(array_distinct(toks),"
+            " x -> struct(x AS key,"
+            "             size(filter(toks, y -> y = x)) AS value)))"
+        ),
+    ).withColumn(
+        "hot", F.expr(f"map_filter(counts, (k, v) -> v >= {_MAP_HOT_MIN})")
+    )
+    return m.select(
+        "doc_id",
+        F.size("counts").cast("bigint").alias("n_keys"),
+        F.size("hot").cast("bigint").alias("n_hot"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(map_entries(hot)),"
+                " e -> concat(e.key, ':', cast(e.value AS string)))"
+            ),
+            ",",
+        ).alias("hot_serialized"),
+    )

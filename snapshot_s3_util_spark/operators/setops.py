@@ -60,3 +60,42 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset difference (EXCEPT ALL) — the manifest-diff analog."""
     a, b = _slices(spark, sf_dir)
     return a.exceptAll(b)
+
+
+@register(
+    "set_intersect_all", oracle=f"{_A_SQL} INTERSECT ALL {_B_SQL}", category="setop"
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): each common row kept
+    min(count_a, count_b) times — the semantics for reconciling
+    manifests that legitimately carry duplicate entries, where the
+    distinct variant would hide a count mismatch."""
+    a, b = _slices(spark, sf_dir)
+    return a.intersectAll(b)
+
+
+_AD_SQL = (
+    f"SELECT user_id, CAST(ts AS DATE) AS day FROM {EVENTS_REL} e "
+    f"WHERE ts < TIMESTAMP '{_A_HI}'"
+)
+_BD_SQL = (
+    f"SELECT user_id, CAST(ts AS DATE) AS day FROM {EVENTS_REL} e "
+    f"WHERE ts >= TIMESTAMP '{_B_LO}'"
+)
+
+
+@register(
+    "set_except_distinct", oracle=f"{_AD_SQL} EXCEPT {_BD_SQL}", category="setop"
+)
+def set_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT, distinct semantics) over (user, active
+    day): the activity pairs present only in the early slice — i.e.
+    days before the overlap window.  Projected to days (not the
+    low-cardinality (user, event_type) pairs, where every A-row also
+    appears in B and the difference is vacuously empty — checked
+    non-empty in tests)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("ts") < F.lit(_A_HI).cast("timestamp"))
+    b = ev.filter(F.col("ts") >= F.lit(_B_LO).cast("timestamp"))
+    cols = [F.col("user_id"), F.to_date("ts").alias("day")]
+    return a.select(cols).subtract(b.select(cols))

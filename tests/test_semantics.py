@@ -581,3 +581,33 @@ def test_pipeline_export_funnel_consistent(spark, sf_dir):
     q = REGISTRY["llm_quality_score"].fn(spark, sf_dir).collect()
     n_quality = sum(1 for x in q if x["keep"])
     assert 0 < total_kept <= n_quality
+
+
+def test_set_all_variants_differ_from_distinct(spark, sf_dir):
+    """The ALL/distinct pairs must actually differ on this data (else
+    an op is vacuously equal to its sibling), and except-distinct must
+    be non-empty (the projection was chosen to guarantee real rows)."""
+    ia = REGISTRY["set_intersect_all"].fn(spark, sf_dir).count()
+    i = REGISTRY["set_intersect"].fn(spark, sf_dir).count()
+    assert ia > i, (ia, i)
+    ed = REGISTRY["set_except_distinct"].fn(spark, sf_dir).count()
+    assert ed > 0
+
+
+def test_map_counts_match_python(spark, sf_dir):
+    """Recompute the hot-token map in Python for a sample of docs."""
+    from collections import Counter
+
+    rows = REGISTRY["fn_map"].fn(spark, sf_dir).collect()[:30]
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin([r["doc_id"] for r in rows]))
+        .collect()
+    }
+    for r in rows:
+        c = Counter(texts[r["doc_id"]].split(" "))
+        assert r["n_keys"] == len(c)
+        hot = sorted((k, v) for k, v in c.items() if v >= 3)
+        assert r["n_hot"] == len(hot)
+        assert r["hot_serialized"] == ",".join(f"{k}:{v}" for k, v in hot)
