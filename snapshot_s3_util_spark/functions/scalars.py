@@ -360,3 +360,46 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("hot_serialized"),
     )
+
+
+_TRY_ORACLE = f"""
+SELECT event_id,
+       ROUND(value / NULLIF(CAST(user_id % 5 AS DOUBLE), 0.0), 6)
+         AS safe_ratio,
+       TRY_CAST(props->>'$.k' AS BIGINT) AS k_typed,
+       TRY_CAST(event_type AS BIGINT) AS bad_cast,
+       (CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END
+        + CASE WHEN TRY_CAST(event_type AS BIGINT) IS NULL THEN 1 ELSE 0 END)
+         AS n_nulled
+FROM {EVENTS_REL} e
+"""
+
+
+@register("fn_try", oracle=_TRY_ORACLE, category="function")
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic/casts: `try_divide` / `try_cast` turn
+    divide-by-zero and malformed casts into typed NULLs instead of
+    failed jobs.
+
+    The scale rationale: under ANSI mode one bad row kills a 10-hour
+    job at hour 9; the `try_*` family quarantines bad rows as NULLs
+    you can count and route to a dead-letter sink (`n_nulled` is that
+    audit column).  Division semantics pinned cross-engine via
+    NULLIF-denominator in the oracle (DuckDB's `/` is always
+    float-safe; Spark's ANSI `/` is not).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    denom = (F.col("user_id") % 5).cast("double")
+    bad = F.expr("try_cast(event_type AS bigint)")
+    return ev.select(
+        "event_id",
+        F.round(F.expr("try_divide(value, cast(user_id % 5 AS double))"), 6)
+        .alias("safe_ratio"),
+        F.expr("try_cast(get_json_object(props, '$.k') AS bigint)")
+        .alias("k_typed"),
+        bad.alias("bad_cast"),
+        (
+            F.when(denom == 0, 1).otherwise(0)
+            + F.when(bad.isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_nulled"),
+    )
