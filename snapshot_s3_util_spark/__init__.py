@@ -19,72 +19,79 @@ exposes the registry to the driver harness.
 from snapshot_s3_util_spark.registry import REGISTRY, register  # noqa: F401
 
 
-# The driver's correctness harness checks the FIRST 50 registry entries in
-# registration order.  Rotation policy (round-3 revision, per ADVICE):
-# 1. Never-verified and changed-since-last-verified ops ALWAYS outrank
-#    rotation — a behavior change must get a fresh external row.
-# 2. Then the backlog of ops whose most recent green row is oldest
-#    (round 3 = the relational core last hard-checked in round 1).
-# 3. Then everything else (most recently re-verified), preserving
-#    registration order.
-_WINDOW_FIRST_NAMES = [
-    # never driver-checked (registered late in round 2)
-    "stream_foreach_batch_export",
-    # new in round 3
-    "llm_dedup_simhash_pairs",
-    "llm_sim_ann_lsh",
-    "agg_approx_percentile",
-    "stream_join_static",
-    "stream_stream_join",
-    "sink_sorted_layout",
-    "join_bucketed_colocated",
-    "sink_compaction",
-    "udtf_python_table",
+# The driver's correctness harness checks the FIRST 50 registry entries
+# in registration order.  Rotation policy (round-4 revision, computed —
+# the round-3 hand-curated list silently omitted fn_try, exactly the
+# drift the policy was meant to prevent):
+# 1. Ops behavior-changed this round (hand-declared below — the ONLY
+#    remaining manual input, because "changed" isn't derivable from
+#    CORRECTNESS history alone) come first: a behavior change must get
+#    a fresh external row.
+# 2. Never-verified ops: REGISTRY − union(CORRECTNESS_r*.json names),
+#    computed at load time.  A newly registered op can no longer be
+#    forgotten.
+# 3. Ops whose LATEST driver row failed (rows/schema/hash mismatch or
+#    error).
+# 4. Everything else, oldest-green-round first, so stale verifications
+#    drain; registration order breaks ties (stable sort).
+_WINDOW_CHANGED_THIS_ROUND = [
+    # round 4: oracle CAST(SUM(...) AS BIGINT) fixes (DuckDB DECIMAL ->
+    # pandas float64 broke the driver hash while rows/schema matched)
     "hb_balanced_splits",
-    "llm_split_assign",
     "llm_pack_sequences",
-    "llm_domain_mixture",
-    "llm_sample_weighted",
-    "llm_repetition_stats",
-    "llm_tfidf_topterms",
-    "agg_hll_sketch_union",
+    # round 4: empty-string semantics aligned with oracle (yield (1, ''))
+    "udtf_python_table",
+    # round 4: salt derived from hash(linenumber, partkey) so all
+    # _JOIN_SALT buckets populate (result set unchanged, plan changed)
     "join_salted_skew",
-    "llm_dedup_incremental",
-    "sink_partition_overwrite",
-    "fn_variant",
-    "scan_file_metadata",
-    "sink_observed_export",
-    "agg_approx_topk",
-    "win_fill_forward",
-    "agg_histogram",
-    "llm_pipeline_export",
-    "set_intersect_all",
-    "set_except_distinct",
-    "fn_map",
-    # fn/oracle changed in round 3 — need fresh rows for the new behavior
-    "stream_session",          # oracle cumsum (ts, event_id) tiebreaker
-    "hb_incremental_export",   # remodeled as partial-failure resume
-    "llm_dedup_components",    # convergence loop + recursive-CTE oracle
-    "llm_dedup_embedding",     # SRP sign test on round(dot, 6)
-    "sink_jsonl_shards",       # NULL-safe fingerprint (coalesce)
-    "hb_export_import_cycle",  # NULL-safe fingerprint (coalesce)
 ]
-# Round-1-only backlog, ordered so the categories touched by round-2
-# refactors (join_anti rewrite 6c9ef68, scan pushdown 24aa982) re-verify
-# soonest. The r2-green members of these categories are skipped.
-# Round-3 window = 31 never-verified + 6 changed + the first 13 of this
-# backlog (the full join family + 2 scans); the tail that slips (aggs,
-# windows, sorts, setops, fn_*, composites — untouched since their r1
-# green rows) rotates to the front of round 4's window.
-_WINDOW_NEXT_CATEGORIES = [
-    "join", "scan", "filter", "agg", "window", "sort", "setop",
-    "function", "composite",
-]
-_WINDOW_SKIP_NAMES = {
-    # already re-verified green in round 2's window
-    "agg_hash_groupby", "agg_approx_distinct", "agg_collect_ordered",
-    "fn_array", "multimodal_bytes",
-}
+
+
+def _verification_history(repo_root) -> tuple:
+    """Scan CORRECTNESS_r*.json driver artifacts.
+
+    Returns (checked, latest, green) where
+      checked: {op name -> latest round with any row},
+      latest:  {op name -> that row's dict},
+      green:   {op name -> latest round whose row was fully green}.
+    Missing/corrupt files are skipped — with no artifacts every op
+    ranks as never-verified, i.e. plain registration order.
+    """
+    import json
+    import re
+
+    checked: dict = {}
+    latest: dict = {}
+    green: dict = {}
+    try:
+        paths = sorted(repo_root.glob("CORRECTNESS_r*.json"))
+    except OSError:
+        return checked, latest, green
+    for path in paths:
+        m = re.search(r"r(\d+)", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            checked[name] = rnd
+            latest[name] = row
+            ok = (
+                row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") in (True, None)
+                and not row.get("err")
+            )
+            if ok:
+                green[name] = rnd
+    return checked, latest, green
 
 
 def load_all_operators() -> None:
@@ -94,6 +101,8 @@ def load_all_operators() -> None:
     correctness row soonest come first (see window-rotation note
     above); relative order within each group is preserved.
     """
+    from pathlib import Path
+
     import snapshot_s3_util_spark.operators  # noqa: F401
     import snapshot_s3_util_spark.functions  # noqa: F401
     import snapshot_s3_util_spark.hbase  # noqa: F401
@@ -102,12 +111,17 @@ def load_all_operators() -> None:
     import snapshot_s3_util_spark.udf  # noqa: F401
     import snapshot_s3_util_spark.sources  # noqa: F401
 
+    repo_root = Path(__file__).resolve().parent.parent
+    checked, _latest, green = _verification_history(repo_root)
+
     def _rank(op) -> tuple:
-        if op.name in _WINDOW_FIRST_NAMES:
-            return (0, _WINDOW_FIRST_NAMES.index(op.name))
-        if op.category in _WINDOW_NEXT_CATEGORIES and op.name not in _WINDOW_SKIP_NAMES:
-            return (1, _WINDOW_NEXT_CATEGORIES.index(op.category))
-        return (2, 0)
+        if op.name in _WINDOW_CHANGED_THIS_ROUND:
+            return (0, _WINDOW_CHANGED_THIS_ROUND.index(op.name))
+        if op.name not in checked:
+            return (1, 0)  # never verified
+        if green.get(op.name) != checked[op.name]:
+            return (2, 0)  # latest driver row failed
+        return (3, green[op.name])  # oldest green first
 
     ordered = sorted(REGISTRY.values(), key=_rank)  # stable sort
     REGISTRY.clear()

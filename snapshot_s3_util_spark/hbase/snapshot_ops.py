@@ -273,7 +273,7 @@ _N_SPLITS = 4
     )
     SELECT CAST((rk - 1) % {_N_SPLITS} AS BIGINT) AS split_id,
            COUNT(*) AS n_sources,
-           SUM(bytes) AS total_bytes
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes
     FROM ranked
     GROUP BY 1
     """,

@@ -181,7 +181,7 @@ _PACK_SHARDS = 8     # independent packer shards
     )
     SELECT shard, window_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS sum_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
     FROM packed
     GROUP BY shard, window_id
     """,

@@ -285,7 +285,10 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALE.md documents when to prefer AQE's runtime skew-join split.
     """
     li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "l_salt", F.pmod(F.col("l_linenumber"), F.lit(_JOIN_SALT))
+        # hash of two columns, not l_linenumber alone: linenumber is
+        # 1..7, so pmod of it would leave salt bucket 0 forever empty.
+        "l_salt",
+        F.pmod(F.hash("l_linenumber", "l_partkey"), F.lit(_JOIN_SALT)),
     )
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "o_salt", F.explode(F.sequence(F.lit(0), F.lit(_JOIN_SALT - 1)))

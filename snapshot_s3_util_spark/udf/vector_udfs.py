@@ -242,7 +242,9 @@ def udtf_python_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos: int, token: string")
     class Tokenize:
         def eval(self, text: str):  # noqa: ANN001
-            if text:
+            # `is not None`, not truthiness: an empty string must emit
+            # one (1, '') row like the oracle's string_split('', ' ').
+            if text is not None:
                 for i, tok in enumerate(text.split(" ")):
                     yield i + 1, tok
 

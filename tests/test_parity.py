@@ -33,9 +33,14 @@ def test_op_parity(name, spark, sf_dir, duck, op_runs):
         assert len(s_rows) > 0, f"{name}: rows-only op returned 0 rows"
         return
 
-    cur = duck.execute(op.oracle)
-    d_cols = [d[0] for d in cur.description]
-    d_rows = cur.fetchall()
+    # Arrow fetch, not fetchall(): fetchall() coerces DECIMAL/HUGEINT to
+    # Python int, masking the oracle-type mismatches the driver's
+    # pandas-based canonicalization catches (round-3 hb_balanced_splits/
+    # llm_pack_sequences failures). Arrow yields Decimal -> canon "f:",
+    # which correctly diverges from Spark's int64 "i:".
+    tbl = duck.execute(op.oracle).fetch_arrow_table()
+    d_cols = list(tbl.column_names)
+    d_rows = [tuple(rec[c] for c in d_cols) for rec in tbl.to_pylist()]
 
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
     sn, sh = table_hash(s_cols, s_rows)
@@ -56,6 +61,64 @@ def test_oracle_keys_subset():
     q, o = entrymod.queries(), entrymod.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) > 0
+
+
+def test_oracle_no_decimal_outputs(duck):
+    """No oracle may output DECIMAL/HUGEINT columns.
+
+    DuckDB returns SUM(BIGINT) as DECIMAL128(38,0); the driver
+    canonicalizes oracle results via pandas, where DECIMAL renders as
+    float ("123.0") while Spark emits int64 ("123") — a guaranteed hash
+    mismatch even with identical values (round-3 driver failures on
+    hb_balanced_splits / llm_pack_sequences). Planning each oracle with
+    LIMIT 0 exposes the output schema without running it.
+    """
+    offenders = {}
+    for name, op in REGISTRY.items():
+        if op.oracle is None:
+            continue
+        tbl = duck.execute(
+            f"SELECT * FROM ({op.oracle}) AS __q LIMIT 0"
+        ).fetch_arrow_table()
+        bad = [
+            f"{f.name}:{f.type}"
+            for f in tbl.schema
+            if "decimal" in str(f.type).lower()
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"oracles with DECIMAL output columns (add CAST(... AS "
+        f"BIGINT/DOUBLE)): {offenders}"
+    )
+
+
+def test_window_ranking_computed():
+    """A never-verified op must sort into the driver's 50-entry window.
+
+    Round 3 shipped fn_try with no external correctness row because the
+    window was a hand-curated list; the ranking is now computed from
+    CORRECTNESS_r*.json, so any op absent from every artifact outranks
+    all already-green ops.
+    """
+    import snapshot_s3_util_spark as pkg
+    from snapshot_s3_util_spark.registry import Op
+
+    dummy = "zz_dummy_never_verified"
+    assert dummy not in REGISTRY
+    REGISTRY[dummy] = Op(
+        name=dummy, fn=lambda spark, sf: None, oracle=None, category="test"
+    )
+    try:
+        pkg.load_all_operators()
+        window = list(REGISTRY)[:50]
+        assert dummy in window, "never-verified op fell outside the window"
+        # the round-3 failures + fn_try must sit in the window too
+        for must in ("hb_balanced_splits", "llm_pack_sequences", "fn_try"):
+            assert must in window, f"{must} fell outside the window"
+    finally:
+        REGISTRY.pop(dummy, None)
+        pkg.load_all_operators()
 
 
 @pytest.mark.parametrize("name", all_ops())

@@ -72,9 +72,28 @@ def main() -> int:
             continue
 
         try:
-            cur = con.execute(oracles[name])
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
+            # fetch via Arrow -> pandas, NOT fetchall(): the driver
+            # canonicalizes through pandas, where DuckDB DECIMAL/HUGEINT
+            # become float64 ("123.0") while fetchall() yields Python
+            # int ("123") — fetchall() masked exactly the uncast-SUM
+            # hash mismatches the round-3 driver caught.
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            d_cols = list(tbl.column_names)
+            bad_types = [
+                f"{f.name}:{f.type}"
+                for f in tbl.schema
+                if "decimal" in str(f.type).lower()
+            ]
+            if bad_types:
+                failures.append(name)
+                print(
+                    f"FAIL {name}: oracle outputs DECIMAL column(s) "
+                    f"{bad_types} — pandas renders these as floats and "
+                    f"the driver hash diverges from Spark's int64; "
+                    f"CAST(... AS BIGINT/DOUBLE) in the oracle SQL"
+                )
+                continue
+            d_rows = [tuple(rec[c] for c in d_cols) for rec in tbl.to_pylist()]
         except Exception as ex:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {type(ex).__name__}: {str(ex)[:500]}")
