@@ -42,6 +42,8 @@ BENCH_QUERIES = (
     "llm_dedup_components",   # extra headline: cluster resolution (iterative)
     "llm_contamination_ngram",# extra headline: benchmark decontamination
     "llm_pipeline_export",    # extra headline: fused export funnel (round 3)
+    "llm_sim_ann_lsh",        # extra headline: ANN index-probe path (round 4)
+    "stream_foreach_batch_export",  # extra headline: streaming export sink (round 4)
 )
 
 

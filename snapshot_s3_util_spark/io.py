@@ -45,31 +45,52 @@ def load_table(
 ) -> DataFrame:
     """Load one test table; canonicalizes the `events` timestamp.
 
-    `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS) which Spark 4
-    refuses to read natively. With `nanosAsLong=true` it arrives as
-    bigint nanos; `timestamp_micros(ts DIV 1000)` truncates ns->us with
-    integer division — float division would round half-microseconds and
-    diverge from DuckDB's `CAST(ts AS TIMESTAMP)` truncation
-    (SURVEY.md §1.2, verified).
+    `events.parquet` has shipped in two physical encodings across driver
+    testdata generations; both normalize to the SAME logical column — a
+    session-UTC `timestamp` (LTZ) at microsecond precision, value-equal
+    to DuckDB's `CAST(ts AS TIMESTAMP)`:
+
+    - INT64 TIMESTAMP(NANOS): Spark 4 refuses it natively; with
+      `nanosAsLong=true` it arrives as bigint nanos and
+      `timestamp_micros(ts DIV 1000)` truncates ns->us with integer
+      division — float division would round half-microseconds and
+      diverge from DuckDB's truncation (SURVEY.md §1.2, verified).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark infers
+      `timestamp_ntz`; cast to `timestamp` under the UTC session tz is
+      a value-preserving retag, restoring the type every downstream
+      `unix_micros`/interval-arithmetic op was written against.
 
     ``ts_min`` / ``ts_max`` (events only, whole-second UTC literals,
     [min, max) semantics) apply the time-range predicate on the RAW
-    bigint-ns column BELOW the conversion: a filter on the converted
-    timestamp expression cannot reach the parquet scan (only
-    IsNotNull pushes), so without this a 100 TB TTL sweep reads every
-    row group. `ns >= c*1000` is exactly `ns DIV 1000 >= c` for integer
-    microsecond cutoffs, so pre- and post-conversion filters agree;
-    callers keep their post-conversion filters as the semantic source
-    of truth and pass these purely as pushdown accelerators.
+    stored column BELOW the conversion: a filter above a conversion
+    expression cannot reach the parquet scan (only IsNotNull pushes),
+    so without this a 100 TB TTL sweep reads every row group. On the
+    ns path `ns >= c*1000` is exactly `ns DIV 1000 >= c` for integer
+    microsecond cutoffs; on the µs path the literal is compared as
+    `timestamp_ntz` directly, so pre- and post-conversion filters
+    agree; callers keep their post-conversion filters as the semantic
+    source of truth and pass these purely as pushdown accelerators.
     """
     ensure_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        if ts_min is not None:
-            df = df.filter(F.col("ts") >= F.lit(_utc_ns(ts_min)))
-        if ts_max is not None:
-            df = df.filter(F.col("ts") < F.lit(_utc_ns(ts_max)))
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # ns-encoded generation
+            if ts_min is not None:
+                df = df.filter(F.col("ts") >= F.lit(_utc_ns(ts_min)))
+            if ts_max is not None:
+                df = df.filter(F.col("ts") < F.lit(_utc_ns(ts_max)))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":  # µs-encoded generation
+            if ts_min is not None:
+                df = df.filter(
+                    F.col("ts") >= F.lit(ts_min).cast("timestamp_ntz")
+                )
+            if ts_max is not None:
+                df = df.filter(
+                    F.col("ts") < F.lit(ts_max).cast("timestamp_ntz")
+                )
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
