@@ -403,3 +403,41 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(bad.isNull(), 1).otherwise(0)
         ).cast("bigint").alias("n_nulled"),
     )
+
+
+_BITWISE_ORACLE = f"""
+SELECT event_id,
+       event_id & 255 AS low_byte,
+       event_id | 4096 AS with_flag,
+       xor(event_id, user_id) AS key_mix,
+       ~event_id AS inverted,
+       (event_id & 255) << 8 AS shifted_up,
+       event_id >> 4 AS shifted_down,
+       CAST(bit_count(user_id) AS BIGINT) AS key_popcount
+FROM {EVENTS_REL} e
+"""
+
+
+@register("fn_bitwise", oracle=_BITWISE_ORACLE, category="function")
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family: AND/OR/XOR/NOT, shifts, popcount —
+    the rowkey-engineering toolkit (HBase keys pack shard, salt and
+    timestamp into int64 bit fields; SURVEY §1.1).
+
+    All eight expressions are JVM-codegen'd single-row ops (narrow
+    map, zero shuffles); `bit_count` is the same popcount the SimHash
+    Hamming verify uses on 100 TB fingerprints.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("key_mix"),
+        F.bitwise_not(F.col("event_id")).alias("inverted"),
+        F.shiftleft(F.col("event_id").bitwiseAND(F.lit(255)), 8).alias(
+            "shifted_up"
+        ),
+        F.shiftright(F.col("event_id"), 4).alias("shifted_down"),
+        F.bit_count("user_id").cast("bigint").alias("key_popcount"),
+    )

@@ -303,3 +303,163 @@ def hb_balanced_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bytes").alias("total_bytes"),
         )
     )
+
+
+_WAL_SPLIT = "2024-01-20 00:00:00"  # base snapshot < split; WAL edits >= split
+_N_RANGE_SPLITS = 4
+
+
+@register(
+    "hb_wal_replay_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM {EVENTS_REL} e WHERE ts < TIMESTAMP '{_WAL_SPLIT}')
+      WHERE rn = 1
+    ),
+    wal AS (
+      SELECT user_id, ts, value, event_type = 'error' AS tomb FROM (
+        SELECT user_id, ts, value, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM {EVENTS_REL} e WHERE ts >= TIMESTAMP '{_WAL_SPLIT}')
+      WHERE rn = 1
+    )
+    SELECT COALESCE(w.user_id, b.user_id) AS user_id,
+           COALESCE(w.ts, b.ts) AS ts,
+           ROUND(COALESCE(w.value, b.value), 6) AS value,
+           CASE WHEN w.user_id IS NOT NULL THEN 'wal' ELSE 'base' END AS src
+    FROM base b FULL JOIN wal w ON b.user_id = w.user_id
+    WHERE w.tomb IS NULL OR NOT w.tomb
+    """,
+    category="hbase",
+)
+def hb_wal_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAL replay over a base snapshot (A4 restore + catch-up): apply a
+    log of timestamped cell edits — puts and delete tombstones — to the
+    latest-version state of an exported snapshot.
+
+    HBase restores a snapshot, then replays the write-ahead log to
+    reach a point-in-time state; the same merge is every lakehouse CDC
+    upsert. `events` rows before {_WAL_SPLIT} form the base snapshot
+    (latest version per `user_id` key); rows at/after it are the edit
+    log, where `event_type='error'` is a delete tombstone. Replay =
+    per-key latest WAL edit wins (tombstone removes the row), keys
+    untouched by the WAL keep their base version.
+
+    Plan: both latest-version windows hash-partition on `user_id`, and
+    the full-outer merge join reuses that partitioning — one exchange
+    per branch, no further shuffle for the join; cost scales with
+    |keys| + |log|, never |base| x |log|. Deterministic keeper via
+    (ts, event_id) tiebreak, never dropDuplicates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_WAL_SPLIT).cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    base = latest(ev.filter(F.col("ts") < split)).select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("value").alias("b_value"),
+    )
+    wal = latest(ev.filter(F.col("ts") >= split)).select(
+        F.col("user_id").alias("w_user"),
+        F.col("ts").alias("w_ts"),
+        F.col("value").alias("w_value"),
+        (F.col("event_type") == "error").alias("tomb"),
+    )
+    merged = base.join(wal, base.b_user == wal.w_user, "full")
+    return merged.filter(
+        F.col("tomb").isNull() | ~F.col("tomb")
+    ).select(
+        F.coalesce("w_user", "b_user").alias("user_id"),
+        F.coalesce("w_ts", "b_ts").alias("ts"),
+        F.round(F.coalesce("w_value", "b_value"), 6).alias("value"),
+        F.when(F.col("w_user").isNotNull(), "wal")
+        .otherwise("base")
+        .alias("src"),
+    )
+
+
+@register(
+    "hb_region_range_splits",
+    oracle=f"""
+    WITH sized AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(OCTET_LENGTH(ENCODE(props)) + 16) AS BIGINT) AS bytes
+      FROM {EVENTS_REL} e GROUP BY 1
+    ),
+    cum AS (
+      SELECT day, bytes,
+             SUM(bytes) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               - bytes AS cum_before,
+             SUM(bytes) OVER () AS total
+      FROM sized
+    )
+    SELECT CAST((cum_before * {_N_RANGE_SPLITS}) // total AS BIGINT)
+             AS split_id,
+           MIN(day) AS day_min, MAX(day) AS day_max,
+           COUNT(*) AS n_days,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes
+    FROM cum GROUP BY 1
+    """,
+    category="hbase",
+)
+def hb_region_range_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTIGUOUS size-balanced key-range splits (A5, region-shaped):
+    cut the time-keyed keyspace into {_N_RANGE_SPLITS} adjacent ranges
+    of roughly equal byte weight.
+
+    HBase regions are contiguous rowkey ranges, so a range-preserving
+    export needs contiguous cut points — `hb_balanced_splits`' LPT deal
+    balances better but scatters sources across splits. Here each
+    day-bucket lands in split `floor(cum_bytes_before * N / total)`
+    (integer arithmetic on both engines — float division could round a
+    boundary differently), which is exactly the greedy contiguous
+    partitioning into N quantile ranges by byte weight.
+
+    Plan: the byte accounting aggregates 100 TB down to one row per
+    day FIRST (map-side combined); the unpartitioned cumulative window
+    runs on that |days|-row frame only — the single-partition window
+    never sees raw data. Output is the (split -> day range) assignment
+    an exporter would feed its mapper scheduler.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    nbytes = F.length(F.encode(F.col("props"), "UTF-8")) + 16
+    sized = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(nbytes).cast("bigint").alias("bytes")
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = sized.select(
+        "day",
+        "bytes",
+        (F.sum("bytes").over(w_cum) - F.col("bytes")).alias("cum_before"),
+        F.sum("bytes").over(w_all).alias("total"),
+    )
+    return cum.groupBy(
+        F.expr(f"(cum_before * {_N_RANGE_SPLITS}) div total")
+        .cast("bigint")
+        .alias("split_id")
+    ).agg(
+        F.min("day").alias("day_min"),
+        F.max("day").alias("day_max"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+    )

@@ -542,3 +542,210 @@ def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("tfidf_raw", 6).alias("tfidf"),
         )
     )
+
+
+_BLOOM_K = 4        # hash functions
+_BLOOM_M = 65536    # filter bits
+
+_BLOOM_ORACLE = f"""
+WITH doc_toks AS (
+  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS t
+  FROM documents
+),
+bench AS (SELECT DISTINCT t FROM doc_toks WHERE doc_id < {_BENCH_DOCS}),
+bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || SUBSTR(MD5(t || ':' || CAST(i AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_BLOOM_M} AS pos
+  FROM bench, range({_BLOOM_K}) r(i)
+),
+corpus AS (SELECT doc_id, t FROM doc_toks WHERE doc_id >= {_BENCH_DOCS}),
+cpos AS (
+  SELECT doc_id, t,
+         CAST(('0x' || SUBSTR(MD5(t || ':' || CAST(i AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_BLOOM_M} AS pos
+  FROM corpus, range({_BLOOM_K}) r(i)
+),
+m AS (
+  SELECT doc_id, t, COUNT(b.pos) AS n_set
+  FROM cpos LEFT JOIN bits b USING (pos)
+  GROUP BY doc_id, t
+),
+ex AS (
+  SELECT c.doc_id, c.t, (b.t IS NOT NULL) AS ex
+  FROM corpus c LEFT JOIN bench b ON c.t = b.t
+)
+SELECT m.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_probe_tokens,
+       CAST(SUM(CASE WHEN ex.ex THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_hits,
+       CAST(SUM(CASE WHEN m.n_set = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_hits,
+       BOOL_AND(NOT ex.ex OR m.n_set = {_BLOOM_K}) AS no_false_negatives
+FROM m JOIN ex ON m.doc_id = ex.doc_id AND m.t = ex.t
+GROUP BY m.doc_id
+"""
+
+
+@register("llm_contamination_bloom", oracle=_BLOOM_ORACLE, category="llm")
+def llm_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination probe: per training doc, how many of
+    its distinct tokens hit the held-out set's vocabulary — membership
+    tested through a {_BLOOM_M}-bit / {_BLOOM_K}-hash Bloom filter,
+    cross-checked against exact membership.
+
+    At 100 TB the benchmark-side state must be CONSTANT-SIZE to ship to
+    every executor: a Bloom filter is kilobytes where the exact
+    vocabulary set is gigabytes, and it can never produce a false
+    NEGATIVE — so bloom-clean docs are provably clean and only the
+    tiny flagged fraction needs the exact re-check. (Spark's built-in
+    `bloom_filter_agg` is not SQL-registered, and its XXH64 bits are
+    not reproducible in the oracle anyway; the filter here is built
+    from the engine's portable md5-hash idiom — `llm_split_assign`,
+    minhash — so DuckDB verifies the EXACT bit pattern, hits and
+    misses both, not just a tolerance verdict.)
+
+    Plan: bench vocabulary -> {_BLOOM_K} bit positions per token ->
+    distinct position set (the "filter", broadcast); corpus tokens
+    explode to their positions and EQUI-JOIN the broadcast set — a
+    hash join per position, never a per-row linear scan of the filter
+    array. One (doc, token) aggregation folds the {_BLOOM_K} position
+    probes into the all-bits-set verdict, one doc aggregation emits
+    the counts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    doc_toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("t"),
+    )
+    bench = doc_toks.filter(F.col("doc_id") < _BENCH_DOCS).select("t").distinct()
+    pos_of = (
+        f"cast(conv(substring(md5(concat(t, ':', cast(i AS string))), 1, 8),"
+        f" 16, 10) AS bigint) % {_BLOOM_M}"
+    )
+    bits = (
+        bench.select(
+            F.explode(
+                F.expr(f"transform(sequence(0, {_BLOOM_K - 1}), i -> {pos_of})")
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("bit_set", F.lit(1))
+    )
+    corpus = doc_toks.filter(F.col("doc_id") >= _BENCH_DOCS)
+    exact = corpus.join(
+        F.broadcast(bench.withColumn("ex", F.lit(True))), "t", "left"
+    ).select("doc_id", "t", F.coalesce("ex", F.lit(False)).alias("ex"))
+    cpos = exact.select(
+        "doc_id",
+        "t",
+        "ex",
+        F.explode(
+            F.expr(f"transform(sequence(0, {_BLOOM_K - 1}), i -> {pos_of})")
+        ).alias("pos"),
+    )
+    probed = (
+        cpos.join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "t")
+        .agg(
+            F.max("ex").alias("ex"),
+            (F.sum(F.coalesce("bit_set", F.lit(0))) == _BLOOM_K).alias(
+                "bloom_hit"
+            ),
+        )
+    )
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probe_tokens"),
+        F.sum(F.when(F.col("ex"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_hits"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_hits"),
+        F.bool_and(~F.col("ex") | F.col("bloom_hit")).alias(
+            "no_false_negatives"
+        ),
+    )
+
+
+_LOGPROB_FLAG = -7.8  # docs averaging below this unigram logprob flag
+
+_LOGPROB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+tf AS (
+  SELECT doc_id, u.term AS term, u.tf AS tf FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(list_distinct(t),
+             x -> struct_pack(term := x,
+                              tf := CAST(len(list_filter(t, y -> y = x))
+                                         AS BIGINT)))) AS u
+    FROM toks)
+),
+vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total FROM vocab)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND(SUM(tf * LN(vocab.cnt / tot.n_total)) / SUM(tf), 6)
+         AS avg_logprob,
+       ROUND(SUM(tf * LN(vocab.cnt / tot.n_total)) / SUM(tf), 6)
+         < {_LOGPROB_FLAG} AS low_quality
+FROM tf JOIN vocab USING (term), tot
+GROUP BY doc_id
+"""
+
+
+@register("llm_unigram_logprob", oracle=_LOGPROB_ORACLE, category="llm")
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: mean log p(token) per doc
+    under the corpus's own unigram distribution (the cheap stand-in for
+    perplexity-based filtering — CCNet/KenLM-style — when no external
+    LM is available).
+
+    Docs full of rare junk tokens score far below the corpus average;
+    boilerplate scores above it; both tails are curation targets
+    (`low_quality` flags the junk tail at {_LOGPROB_FLAG}).
+
+    Plan: term frequencies are doc-local (the `llm_tfidf_topterms`
+    trick — no (doc, term) shuffle to build), the unigram table is one
+    map-side-combined groupBy over that stream, the total is a 1-row
+    broadcast, and scoring is a term-keyed join back (AQE broadcasts
+    the vocabulary when it fits). The flag compares the ROUNDED score
+    so both engines decide the boundary on identical inputs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    tf = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(array_distinct(t),"
+                " x -> struct(x AS term,"
+                "             cast(size(filter(t, y -> y = x)) AS bigint)"
+                "             AS tf))"
+            )
+        ).alias("u"),
+    ).select("doc_id", "u.term", "u.tf")
+    vocab = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("n_total"))
+    scored = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            (
+                F.sum(
+                    F.col("tf") * F.log(F.col("cnt") / F.col("n_total"))
+                )
+                / F.sum("tf")
+            ).alias("raw"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round("raw", 6).alias("avg_logprob"),
+        (F.round("raw", 6) < _LOGPROB_FLAG).alias("low_quality"),
+    )

@@ -9,7 +9,7 @@ shuffle to |groups| x partitions rows, so low-cardinality keys like
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snapshot_s3_util_spark.io import load_table
@@ -292,4 +292,47 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    SELECT l_returnflag, mode_qty, n_occurrences
+    FROM (
+      SELECT l_returnflag,
+             l_quantity AS mode_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, l_quantity)
+               AS rn
+      FROM lineitem
+      GROUP BY l_returnflag, l_quantity)
+    WHERE rn = 1
+    """,
+    category="agg",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value) with a DETERMINISTIC
+    lowest-value tiebreak.
+
+    Built-in `mode()` leaves tie order engine-defined, so verified
+    output uses the explicit two-phase formulation: count per
+    (group, value) — map-side combined, shuffle is |groups x values|,
+    never raw rows — then a window keeper over each group's value
+    histogram. The same shape computes any "argmax over a
+    distribution" (top label, majority vote) at 100 TB: the window
+    only ever sees aggregated rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", F.col("l_quantity").alias("mode_qty")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n_occurrences").desc(), F.col("mode_qty").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", "mode_qty", "n_occurrences")
     )

@@ -410,3 +410,71 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         return bucketed_join_plan(orders, lineitem).localCheckpoint(eager=True)
     finally:
         drop()
+
+
+_BUCKET_US = 3_600_000_000  # 1 h in microseconds == the interval length
+
+
+@register(
+    "join_range_bucketed",
+    oracle=f"""
+    SELECT s.user_id,
+           COUNT(*) AS n_follow_ups,
+           MIN(f.ts) AS first_follow_up
+    FROM {EVENTS_REL} s
+    JOIN {EVENTS_REL} f
+      ON s.user_id = f.user_id
+     AND f.ts > s.ts
+     AND f.ts <= s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup'
+    GROUP BY s.user_id
+    """,
+    category="join",
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via time-bucket decomposition — the 100 TB plan for
+    `join_range_interval` when no selective equi key exists (or one
+    key's interval list is itself huge).
+
+    Each 1 h probe interval is exploded onto the (at most 2) 1 h epoch
+    buckets it can overlap; each follow-up event maps to its single
+    bucket. The range condition then rides a plain EQUI join on
+    (user_id, bucket) with the exact interval test as a post-probe
+    residual — a hash/sort-merge join Catalyst can shuffle-partition,
+    instead of the broadcast-nested-loop a pure range predicate forces.
+    Bucket width == interval length, so each (probe, event) pair meets
+    in EXACTLY one bucket (the event's own) — no dedup pass needed.
+    Same oracle as `join_range_interval`: the decomposition is
+    result-identical by construction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr(f"unix_micros(ts) div {_BUCKET_US}")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+            F.explode(
+                F.array(bucket, bucket + 1)
+            ).alias("bucket"),
+        )
+    )
+    f_ = ev.select(
+        F.col("user_id").alias("f_user"),
+        F.col("ts").alias("f_ts"),
+        bucket.alias("bucket"),
+    )
+    cond = (
+        (F.col("s_user") == F.col("f_user"))
+        & (s.bucket == f_.bucket)
+        & (F.col("f_ts") > F.col("s_ts"))
+        & (F.col("f_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        s.join(f_, cond)
+        .groupBy(F.col("s_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_follow_ups"),
+            F.min("f_ts").alias("first_follow_up"),
+        )
+    )

@@ -214,3 +214,92 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("filled"),
     )
+
+
+@register(
+    "win_pattern_funnel",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v
+      FROM {EVENTS_REL} e WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c
+      FROM {EVENTS_REL} e JOIN v ON e.user_id = v.user_id AND e.ts > v.v
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p
+      FROM {EVENTS_REL} e JOIN c ON e.user_id = c.user_id AND e.ts > c.c
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    u AS (SELECT DISTINCT user_id FROM {EVENTS_REL} e)
+    SELECT u.user_id,
+           v.v AS first_view, c.c AS first_click, p.p AS first_purchase,
+           CAST(CASE WHEN v.v IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN c.c IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN p.p IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS stage
+    FROM u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    """,
+    category="window",
+)
+def win_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel per user: first view, first click
+    STRICTLY AFTER that view, first purchase strictly after that click
+    (MATCH_RECOGNIZE-shaped product analytics).
+
+    The naive SQL is three self-joins, each re-shuffling the events
+    table. Here the whole pattern runs in ONE shuffle: sort each
+    user's events (collect_list + sort_array — (ts, event_id) order
+    makes ties deterministic), then a single `aggregate` fold walks
+    the timeline once carrying the (view, click, purchase) state —
+    per-user linear, whole-stage-codegen'd, no Python. At 100 TB the
+    fold's state is 3 timestamps regardless of history length; a hot
+    user's array is the only skew point (cap or salt the collect at
+    ingest if a key can exceed memory). The oracle IS the three-join
+    formulation, so the fold is verified against the quadratic-shuffle
+    plan it replaces.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", F.col("event_type").alias("et")))
+        ).alias("evs")
+    )
+    folded = g.select(
+        "user_id",
+        F.expr(
+            """
+            aggregate(
+              evs,
+              named_struct('v', CAST(NULL AS TIMESTAMP),
+                           'c', CAST(NULL AS TIMESTAMP),
+                           'p', CAST(NULL AS TIMESTAMP)),
+              (s, e) -> named_struct(
+                'v', CASE WHEN e.et = 'view' AND s.v IS NULL
+                          THEN e.ts ELSE s.v END,
+                'c', CASE WHEN e.et = 'click' AND s.v IS NOT NULL
+                               AND e.ts > s.v AND s.c IS NULL
+                          THEN e.ts ELSE s.c END,
+                'p', CASE WHEN e.et = 'purchase' AND s.c IS NOT NULL
+                               AND e.ts > s.c AND s.p IS NULL
+                          THEN e.ts ELSE s.p END))
+            """
+        ).alias("f"),
+    )
+    stage = (
+        F.when(F.col("f.v").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("f.c").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("f.p").isNotNull(), 1).otherwise(0)
+    )
+    return folded.select(
+        "user_id",
+        F.col("f.v").alias("first_view"),
+        F.col("f.c").alias("first_click"),
+        F.col("f.p").alias("first_purchase"),
+        stage.cast("bigint").alias("stage"),
+    )

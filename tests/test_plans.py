@@ -300,3 +300,46 @@ def test_hll_sketch_union_is_two_phase(spark, sf_dir):
     raw re-scan per rollup."""
     plan = physical_plan(REGISTRY["agg_hll_sketch_union"].fn(spark, sf_dir))
     assert plan.count("hll_union_agg") >= 1 and plan.count("hll_sketch_agg") >= 1, plan
+
+
+def test_range_bucketed_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The whole point of bucket decomposition: the interval condition
+    must ride an equi join on (user, bucket) — BNLJ is quadratic."""
+    df = REGISTRY["join_range_bucketed"].fn(spark, sf_dir)
+    assert not has_node(df, "BroadcastNestedLoopJoin"), physical_plan(df)
+    assert not has_node(df, "CartesianProduct")
+    assert has_node(df, "BroadcastHashJoin") or has_node(df, "SortMergeJoin") \
+        or has_node(df, "ShuffledHashJoin")
+
+
+def test_pattern_funnel_single_shuffle_no_join(spark, sf_dir):
+    """The fold formulation replaces three self-joins: one user_id
+    exchange, zero join nodes."""
+    df = REGISTRY["win_pattern_funnel"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin"):
+        assert not has_node(df, node), node
+
+
+def test_bloom_probe_joins_broadcast_never_scans_filter(spark, sf_dir):
+    """Bench-side vocabulary and bit set must broadcast; the probe is
+    a hash join per position, not a per-row array scan."""
+    df = REGISTRY["llm_contamination_bloom"].fn(spark, sf_dir)
+    assert has_node(df, "BroadcastHashJoin"), physical_plan(df)
+    assert not has_node(df, "BroadcastNestedLoopJoin")
+
+
+def test_wal_replay_reuses_user_partitioning_for_merge(spark, sf_dir):
+    """Each branch exchanges once on user_id; the full-outer merge
+    itself must not add a third shuffle."""
+    df = REGISTRY["hb_wal_replay_merge"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 2, physical_plan(df)
+
+
+def test_mode_window_sees_only_aggregated_rows(spark, sf_dir):
+    """agg_mode's keeper window must sit above the (group, value)
+    aggregate — two exchanges max (partial+final agg, window), and the
+    window input is the histogram, not raw lineitem."""
+    df = REGISTRY["agg_mode"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 2, physical_plan(df)

@@ -611,3 +611,111 @@ def test_map_counts_match_python(spark, sf_dir):
         hot = sorted((k, v) for k, v in c.items() if v >= 3)
         assert r["n_hot"] == len(hot)
         assert r["hot_serialized"] == ",".join(f"{k}:{v}" for k, v in hot)
+
+
+def test_bloom_probe_never_false_negative_and_fp_bounded(spark, sf_dir):
+    """A Bloom filter can never miss a true member; its false-positive
+    excess at this fill factor must stay small or the hashing is
+    broken."""
+    rows = REGISTRY["llm_contamination_bloom"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r["no_false_negatives"] for r in rows)
+    n_probe = sum(r["n_probe_tokens"] for r in rows)
+    fp_excess = sum(r["n_bloom_hits"] - r["n_exact_hits"] for r in rows)
+    assert fp_excess >= 0
+    assert fp_excess <= 0.05 * n_probe, (fp_excess, n_probe)
+
+
+def test_range_bucketed_equals_interval_join(spark, sf_dir):
+    """Bucket decomposition must be result-identical to the direct
+    range join it replaces."""
+    a = {
+        (r["user_id"], r["n_follow_ups"], r["first_follow_up"])
+        for r in REGISTRY["join_range_bucketed"].fn(spark, sf_dir).collect()
+    }
+    b = {
+        (r["user_id"], r["n_follow_ups"], r["first_follow_up"])
+        for r in REGISTRY["join_range_interval"].fn(spark, sf_dir).collect()
+    }
+    assert a == b
+
+
+def test_wal_replay_tombstones_and_untouched_keys(spark, sf_dir):
+    """Tombstoned keys vanish; keys without WAL traffic keep their base
+    version; every WAL-surviving key carries the WAL timestamp."""
+    from snapshot_s3_util_spark.hbase.snapshot_ops import _WAL_SPLIT
+
+    out = {r["user_id"]: r for r in
+           REGISTRY["hb_wal_replay_merge"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_WAL_SPLIT).cast("timestamp")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    wal_latest = (
+        ev.filter(F.col("ts") >= split)
+        .withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
+    )
+    base_users = {
+        r["user_id"] for r in ev.filter(F.col("ts") < split)
+        .select("user_id").distinct().collect()
+    }
+    for r in wal_latest:
+        if r["event_type"] == "error":
+            assert r["user_id"] not in out, r["user_id"]
+        else:
+            assert out[r["user_id"]]["src"] == "wal"
+            assert out[r["user_id"]]["ts"] == r["ts"]
+    wal_users = {r["user_id"] for r in wal_latest}
+    for u in base_users - wal_users:
+        assert out[u]["src"] == "base"
+
+
+def test_funnel_stages_ordered_and_consistent(spark, sf_dir):
+    """Stage timestamps must be strictly increasing and a later stage
+    implies every earlier one."""
+    rows = REGISTRY["win_pattern_funnel"].fn(spark, sf_dir).collect()
+    assert rows
+    assert any(r["stage"] == 3 for r in rows) or len(rows) < 50
+    for r in rows:
+        v, c, p = r["first_view"], r["first_click"], r["first_purchase"]
+        if c is not None:
+            assert v is not None and c > v
+        if p is not None:
+            assert c is not None and p > c
+        assert r["stage"] == sum(x is not None for x in (v, c, p))
+
+
+def test_region_range_splits_contiguous_and_balanced(spark, sf_dir):
+    """Splits must tile the day range without overlap, and no split may
+    exceed the ideal share by more than one day's weight."""
+    rows = sorted(
+        REGISTRY["hb_region_range_splits"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["split_id"],
+    )
+    assert rows
+    for a, b in zip(rows, rows[1:]):
+        assert a["day_max"] < b["day_min"]
+    total = sum(r["total_bytes"] for r in rows)
+    ev = load_table(spark, sf_dir, "events")
+    per_day = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg((F.sum(F.length(F.encode("props", "UTF-8")) + 16)).alias("b"))
+        .collect()
+    )
+    assert sum(r["b"] for r in per_day) == total  # lossless
+    max_day = max(r["b"] for r in per_day)
+    for r in rows:
+        assert r["total_bytes"] <= total / len(rows) + max_day
+
+
+def test_unigram_logprob_in_range_and_token_lossless(spark, sf_dir):
+    """Scores are negative log-probabilities; per-doc token counts must
+    reconcile with the raw corpus."""
+    rows = REGISTRY["llm_unigram_logprob"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -20.0 < r["avg_logprob"] < 0.0
+    d = load_table(spark, sf_dir, "documents")
+    n_corpus = d.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    assert sum(r["n_tokens"] for r in rows) == n_corpus
