@@ -588,3 +588,89 @@ def sink_observed_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+_Z_DIM_BITS = 5          # bits per clustering dimension
+_Z_BUCKET_SHIFT = 6      # keep the top 2 bits of each dim -> 16 tiles
+
+
+def _z_interleave_sql(x: str, y: str) -> str:
+    """Bit-interleaved Z-value of two {_Z_DIM_BITS}-bit dims.
+
+    Plain integer arithmetic (&, >>, *, +) that parses identically in
+    Spark SQL and DuckDB — ONE generated formula string is the
+    cross-engine contract, never two hand-synced variants
+    (SURVEY §7 dialect rule).
+    """
+    terms = []
+    for i in range(_Z_DIM_BITS):
+        terms.append(f"((({x}) >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((({y}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_ORACLE = f"""
+WITH dims AS (
+  SELECT user_id % 32 AS ux, EXTRACT(DAY FROM ts) AS dy, value
+  FROM {EVENTS_REL} e
+)
+SELECT CAST({_z_interleave_sql('ux', 'dy')} >> {_Z_BUCKET_SHIFT} AS BIGINT)
+         AS zbucket,
+       COUNT(*) AS n_rows,
+       CAST(MIN(ux) AS BIGINT) AS u_lo, CAST(MAX(ux) AS BIGINT) AS u_hi,
+       CAST(MIN(dy) AS BIGINT) AS d_lo, CAST(MAX(dy) AS BIGINT) AS d_hi,
+       ROUND(SUM(value), 4) AS sum_value
+FROM dims
+GROUP BY 1
+"""
+
+
+@register("sink_zorder_layout", oracle=_Z_ORACLE, category="sink")
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered export: interleave the bits of two query
+    dimensions (user group, day-of-month) and partition the written
+    files by Z-tile — the multi-dimensional layout (Delta
+    OPTIMIZE ZORDER / Iceberg sort-order) that single-column sorting
+    cannot give.
+
+    A ts-sorted layout (`sink_sorted_layout`) prunes time-range reads
+    but scatters each user across every file; Z-interleaving makes
+    every written tile cover a NARROW RECTANGLE in (user, day) space —
+    the per-tile u/d spans in the output are exactly that locality
+    guarantee (each top-2-bit tile spans <= 8 of 32 values per dim), so
+    a read filtering BOTH dimensions touches only the tiles its
+    rectangle intersects instead of |files| x full scan. The bucket id
+    is pure integer bit math — no `repartitionByRange` (whose sampled
+    boundaries are nondeterministic) — and the verified output is
+    computed from READING THE EXPORT BACK, so layout + round-trip are
+    what the oracle checks.
+    """
+    out = _scratch("zorder")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        z = _z_interleave_sql("(user_id % 32)", "day(ts)")
+        (
+            ev.withColumn(
+                "zbucket",
+                F.expr(f"{z} >> {_Z_BUCKET_SHIFT}").cast("bigint"),
+            )
+            .repartition("zbucket")
+            .write.mode("overwrite")
+            .partitionBy("zbucket")
+            .parquet(out)
+        )
+        back = spark.read.parquet(out)
+        return (
+            back.groupBy(F.col("zbucket").cast("bigint").alias("zbucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min(F.col("user_id") % 32).cast("bigint").alias("u_lo"),
+                F.max(F.col("user_id") % 32).cast("bigint").alias("u_hi"),
+                F.min(F.dayofmonth("ts")).cast("bigint").alias("d_lo"),
+                F.max(F.dayofmonth("ts")).cast("bigint").alias("d_hi"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

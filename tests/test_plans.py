@@ -343,3 +343,44 @@ def test_mode_window_sees_only_aggregated_rows(spark, sf_dir):
     window input is the histogram, not raw lineitem."""
     df = REGISTRY["agg_mode"].fn(spark, sf_dir)
     assert shuffle_count(df) <= 2, physical_plan(df)
+
+
+def test_partitioned_export_reads_get_partition_pruning(spark, sf_dir, tmp_path):
+    """The §4 claim that partition pruning needs zero custom work, in
+    both flavors: a literal filter on the partition key propagates
+    STATICALLY through the join (no DPP node needed — the scan never
+    lists other partitions), and a filter on a non-key dim attribute
+    triggers DYNAMIC partition pruning (the scan's partition filter is
+    resolved from the broadcast at runtime)."""
+    import pyspark.sql.functions as F
+
+    from snapshot_s3_util_spark.io import load_table
+
+    out = str(tmp_path / "dpp")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+
+    # static: a literal partition-key predicate must land in the scan's
+    # PartitionFilters (directory-level pruning — the CF/keyrange read
+    # pattern of §1.1), not in the post-scan data filters
+    static_plan = physical_plan(
+        fact.filter(F.col("event_type") == "purchase").groupBy().count()
+    )
+    pf_lines = [
+        ln for ln in static_plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert pf_lines and any("purchase" in ln for ln in pf_lines), static_plan
+
+    # dynamic: selective filter on a dim ATTRIBUTE, not the key
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("click", 0), ("view", 0), ("signup", 0), ("error", 0)],
+        "event_type string, billable int",
+    )
+    j = (
+        fact.join(F.broadcast(dim), "event_type")
+        .filter(F.col("billable") == 1)
+        .groupBy("event_type")
+        .count()
+    )
+    assert "dynamicpruning" in physical_plan(j).lower(), physical_plan(j)

@@ -719,3 +719,16 @@ def test_unigram_logprob_in_range_and_token_lossless(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     n_corpus = d.select(F.sum(F.size(F.split("text", " ")))).first()[0]
     assert sum(r["n_tokens"] for r in rows) == n_corpus
+
+
+def test_zorder_tiles_are_narrow_rectangles_and_lossless(spark, sf_dir):
+    """Every Z-tile must cover <= a quarter of each dimension's range
+    (that narrowness IS the multi-dim pruning guarantee), and tile row
+    counts must sum to the corpus."""
+    rows = REGISTRY["sink_zorder_layout"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["u_hi"] - r["u_lo"] <= 7, r
+        assert r["d_hi"] - r["d_lo"] <= 7, r
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r["n_rows"] for r in rows) == ev.count()
