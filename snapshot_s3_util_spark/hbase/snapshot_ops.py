@@ -463,3 +463,56 @@ def hb_region_range_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
         F.sum("bytes").cast("bigint").alias("total_bytes"),
     )
+
+
+_KEEP_VERSIONS = 3
+
+
+@register(
+    "hb_version_compaction",
+    oracle=f"""
+    SELECT user_id, event_id, ts, value,
+           CAST(rn AS BIGINT) AS version_rank
+    FROM (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM {EVENTS_REL} e
+      WHERE ts >= TIMESTAMP '{TTL_CUTOFF}')
+    WHERE rn <= {_KEEP_VERSIONS}
+    """,
+    category="hbase",
+)
+def hb_version_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Major-compaction retention semantics: keep the {_KEEP_VERSIONS}
+    NEWEST versions of each cell AND drop TTL-expired versions, in one
+    pass — HBase's `VERSIONS={_KEEP_VERSIONS}` + `TTL` column-family
+    config applied together (generalizes `hb_latest_version`, which is
+    the N=1 case, and `hb_ttl_expiry`, which is the retention-only
+    case).
+
+    Plan: the TTL predicate filters BEFORE the window (it reaches the
+    parquet scan; expired versions never shuffle), then one keyed
+    window ranks versions newest-first. Spark 3.5+ turns the rn<=N
+    filter into WindowGroupLimit, so a hot key's version pile is
+    top-N-pruned inside the sort rather than fully materialized —
+    the property that keeps compaction linear when one key has
+    millions of versions. Deterministic (ts, event_id) version order.
+    """
+    ev = load_table(spark, sf_dir, "events", ts_min=TTL_CUTOFF).filter(
+        F.col("ts") >= F.lit(TTL_CUTOFF).cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KEEP_VERSIONS)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.col("rn").cast("bigint").alias("version_rank"),
+        )
+    )

@@ -478,3 +478,72 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("f_ts").alias("first_follow_up"),
         )
     )
+
+
+_ASOF_TOLERANCE_MIN = 15
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN v.ts >= p.ts - INTERVAL {_ASOF_TOLERANCE_MIN} MINUTE
+                THEN v.ts END AS last_view_ts,
+           (v.ts IS NOT NULL
+            AND v.ts < p.ts - INTERVAL {_ASOF_TOLERANCE_MIN} MINUTE)
+             AS stale_dropped
+    FROM (SELECT * FROM {EVENTS_REL} e WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts FROM {EVENTS_REL} e
+                    WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    category="join",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: the latest 'view' at or
+    before each 'purchase' counts ONLY if it happened within
+    {_ASOF_TOLERANCE_MIN} minutes — older matches are reported as
+    dropped-stale, the guard every telemetry/attribution join needs
+    (an hours-old reading is not "the current state").
+
+    Same single-shuffle union+running-last plan as `join_asof` — the
+    tolerance is a post-window predicate, so bounding the match window
+    costs nothing. The oracle is DuckDB's native ASOF JOIN with the
+    tolerance applied to its match, pinning both the kept and the
+    nulled-out cases.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("view_ts"),
+        F.lit(0).alias("is_probe"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        F.lit(1).alias("is_probe"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    unioned = views.unionByName(purchases).withColumn(
+        "matched_ts", F.last("view_ts", ignorenulls=True).over(w)
+    )
+    bound = F.col("ts") - F.expr(f"INTERVAL {_ASOF_TOLERANCE_MIN} MINUTES")
+    return unioned.filter(F.col("is_probe") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("matched_ts") >= bound, F.col("matched_ts")).alias(
+            "last_view_ts"
+        ),
+        (
+            F.col("matched_ts").isNotNull() & (F.col("matched_ts") < bound)
+        ).alias("stale_dropped"),
+    )

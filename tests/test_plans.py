@@ -384,3 +384,12 @@ def test_partitioned_export_reads_get_partition_pruning(spark, sf_dir, tmp_path)
         .count()
     )
     assert "dynamicpruning" in physical_plan(j).lower(), physical_plan(j)
+
+
+def test_version_compaction_prunes_topn_inside_sort(spark, sf_dir):
+    """VERSIONS=N retention must ride WindowGroupLimit (top-N pruned in
+    the sort) and push its TTL predicate to the scan."""
+    df = REGISTRY["hb_version_compaction"].fn(spark, sf_dir)
+    assert has_node(df, "WindowGroupLimit"), physical_plan(df)
+    assert "GreaterThanOrEqual(ts" in pushed_filters(df) or \
+        "GreaterThanOrEqual" in pushed_filters(df), pushed_filters(df)

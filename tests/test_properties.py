@@ -105,3 +105,30 @@ def test_contamination_only_flags_noncorpus_overlap(spark, sf_dir):
         assert r["doc_id"] >= _BENCH_DOCS
         assert r["n_shared_grams"] >= 1
         assert r["drop_doc"] == (r["n_shared_grams"] >= _CONTAM_SEVERE)
+
+
+def test_z_interleave_formula_matches_python_reference():
+    """The generated SQL string must compute true bit interleaving —
+    checked against a Python reference over the full 5-bit domain via
+    DuckDB (the same parser the oracle uses)."""
+    import duckdb
+
+    from snapshot_s3_util_spark.sources.sinks import _z_interleave_sql
+
+    def z_ref(x: int, y: int) -> int:
+        out = 0
+        for i in range(5):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    con = duckdb.connect()
+    expr = _z_interleave_sql("x", "y")
+    rows = con.execute(
+        f"SELECT x, y, {expr} AS z FROM range(32) r1(x), range(32) r2(y)"
+    ).fetchall()
+    assert len(rows) == 1024
+    for x, y, z in rows:
+        assert z == z_ref(x, y), (x, y, z)
+    # bijectivity on the 10-bit domain
+    assert len({z for _, _, z in rows}) == 1024

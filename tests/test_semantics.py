@@ -732,3 +732,53 @@ def test_zorder_tiles_are_narrow_rectangles_and_lossless(spark, sf_dir):
         assert r["d_hi"] - r["d_lo"] <= 7, r
     ev = load_table(spark, sf_dir, "events")
     assert sum(r["n_rows"] for r in rows) == ev.count()
+
+
+def test_asof_tolerance_subsets_plain_asof(spark, sf_dir):
+    """Tolerance only NULLs out stale matches: wherever it keeps a
+    match it must equal join_asof's match, and stale_dropped rows must
+    have a plain-asof match older than the bound."""
+    import datetime
+
+    plain = {
+        r["event_id"]: r["last_view_ts"]
+        for r in REGISTRY["join_asof"].fn(spark, sf_dir).collect()
+    }
+    tol = REGISTRY["join_asof_tolerance"].fn(spark, sf_dir).collect()
+    assert len(tol) == len(plain)
+    bound = datetime.timedelta(minutes=15)
+    for r in tol:
+        if r["last_view_ts"] is not None:
+            assert r["last_view_ts"] == plain[r["event_id"]]
+            assert r["ts"] - r["last_view_ts"] <= bound
+            assert not r["stale_dropped"]
+        elif r["stale_dropped"]:
+            assert plain[r["event_id"]] is not None
+            assert r["ts"] - plain[r["event_id"]] > bound
+        else:
+            assert plain[r["event_id"]] is None
+
+
+def test_version_compaction_keeps_newest_within_ttl(spark, sf_dir):
+    """Per key: at most 3 rows, ranked newest-first, none TTL-expired,
+    and exactly min(3, n_alive) versions survive."""
+    from snapshot_s3_util_spark.params import TTL_CUTOFF
+
+    rows = REGISTRY["hb_version_compaction"].fn(spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append(r)
+    ev = load_table(spark, sf_dir, "events")
+    alive = {
+        r["user_id"]: r["n"]
+        for r in ev.filter(
+            F.col("ts") >= F.lit(TTL_CUTOFF).cast("timestamp")
+        ).groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for u, vs in per_user.items():
+        vs.sort(key=lambda r: r["version_rank"])
+        assert len(vs) == min(3, alive[u])
+        for a, b in zip(vs, vs[1:]):
+            assert (a["ts"], a["event_id"]) > (b["ts"], b["event_id"])
