@@ -31,6 +31,13 @@ TABLES = (
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument(
+        "--window",
+        action="store_true",
+        help="check exactly the driver's correctness window: the first "
+        "50 registry entries in registration order (the rotation-ranked "
+        "order the driver sees)",
+    )
     ap.add_argument("ops", nargs="*")
     args = ap.parse_args()
 
@@ -38,7 +45,10 @@ def main() -> int:
     from snapshot_s3_util_spark.session import get_spark
 
     qs, oracles = e.queries(), e.oracle_sql()
-    names = args.ops or sorted(qs)
+    if args.window:
+        names = list(qs)[:50]
+    else:
+        names = args.ops or sorted(qs)
     unknown = [n for n in names if n not in qs]
     if unknown:
         print(f"unknown ops: {unknown}")
