@@ -44,6 +44,8 @@ BENCH_QUERIES = (
     "llm_pipeline_export",    # extra headline: fused export funnel (round 3)
     "llm_sim_ann_lsh",        # extra headline: ANN index-probe path (round 4)
     "stream_foreach_batch_export",  # extra headline: streaming export sink (round 4)
+    "join_range_bucketed",    # extra headline: bucketed interval join (round 4)
+    "hb_wal_replay_merge",    # extra headline: WAL replay / CDC merge (round 4)
 )
 
 
