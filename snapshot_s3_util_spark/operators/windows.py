@@ -216,6 +216,28 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The funnel state machine as ONE higher-order fold over a (ts,
+# event_id)-sorted `evs` array of struct<ts, event_id, et>. Module-level
+# so the property test (tests/test_properties.py) exercises THIS text
+# against a Python reference, not a copy that could drift.
+FUNNEL_FOLD_EXPR = """
+aggregate(
+  evs,
+  named_struct('v', CAST(NULL AS TIMESTAMP),
+               'c', CAST(NULL AS TIMESTAMP),
+               'p', CAST(NULL AS TIMESTAMP)),
+  (s, e) -> named_struct(
+    'v', CASE WHEN e.et = 'view' AND s.v IS NULL
+              THEN e.ts ELSE s.v END,
+    'c', CASE WHEN e.et = 'click' AND s.v IS NOT NULL
+                   AND e.ts > s.v AND s.c IS NULL
+              THEN e.ts ELSE s.c END,
+    'p', CASE WHEN e.et = 'purchase' AND s.c IS NOT NULL
+                   AND e.ts > s.c AND s.p IS NULL
+              THEN e.ts ELSE s.p END))
+"""
+
+
 @register(
     "win_pattern_funnel",
     oracle=f"""
@@ -270,27 +292,7 @@ def win_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct("ts", "event_id", F.col("event_type").alias("et")))
         ).alias("evs")
     )
-    folded = g.select(
-        "user_id",
-        F.expr(
-            """
-            aggregate(
-              evs,
-              named_struct('v', CAST(NULL AS TIMESTAMP),
-                           'c', CAST(NULL AS TIMESTAMP),
-                           'p', CAST(NULL AS TIMESTAMP)),
-              (s, e) -> named_struct(
-                'v', CASE WHEN e.et = 'view' AND s.v IS NULL
-                          THEN e.ts ELSE s.v END,
-                'c', CASE WHEN e.et = 'click' AND s.v IS NOT NULL
-                               AND e.ts > s.v AND s.c IS NULL
-                          THEN e.ts ELSE s.c END,
-                'p', CASE WHEN e.et = 'purchase' AND s.c IS NOT NULL
-                               AND e.ts > s.c AND s.p IS NULL
-                          THEN e.ts ELSE s.p END))
-            """
-        ).alias("f"),
-    )
+    folded = g.select("user_id", F.expr(FUNNEL_FOLD_EXPR).alias("f"))
     stage = (
         F.when(F.col("f.v").isNotNull(), 1).otherwise(0)
         + F.when(F.col("f.c").isNotNull(), 1).otherwise(0)

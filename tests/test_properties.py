@@ -132,3 +132,57 @@ def test_z_interleave_formula_matches_python_reference():
         assert z == z_ref(x, y), (x, y, z)
     # bijectivity on the 10-bit domain
     assert len({z for _, _, z in rows}) == 1024
+
+
+_event_type = st.sampled_from(["view", "click", "purchase", "signup"])
+
+
+@given(
+    evs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5), _event_type),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_funnel_fold_matches_python_reference(spark, evs):
+    """The win_pattern_funnel fold lambda vs a pure-Python walk over the
+    same (ts, event_id)-sorted timeline — including equal-timestamp
+    ties, which the fixed corpus rarely exercises. Events synthesize
+    onto one user; ts collisions are forced by the tiny ts domain."""
+    import datetime
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 0, t), i, et)
+        for i, (t, et) in enumerate(evs)
+    ]
+
+    def ref():
+        v = c = p = None
+        for _, ts, _, et in sorted(rows, key=lambda r: (r[1], r[2])):
+            if et == "view" and v is None:
+                v = ts
+            elif et == "click" and v is not None and ts > v and c is None:
+                c = ts
+            elif et == "purchase" and c is not None and ts > c and p is None:
+                p = ts
+        return v, c, p
+
+    from snapshot_s3_util_spark.operators.windows import FUNNEL_FOLD_EXPR
+
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, event_type string"
+    )
+    g = df.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("ts", "event_id", F.col("event_type").alias("et"))
+            )
+        ).alias("evs")
+    )
+    out = g.select(F.expr(FUNNEL_FOLD_EXPR).alias("f")).collect()
+    if not rows:
+        assert not out
+        return
+    f = out[0]["f"]
+    assert (f["v"], f["c"], f["p"]) == ref()
