@@ -34,16 +34,10 @@ from snapshot_s3_util_spark.registry import REGISTRY, register  # noqa: F401
 #    error).
 # 4. Everything else, oldest-green-round first, so stale verifications
 #    drain; registration order breaks ties (stable sort).
-_WINDOW_CHANGED_THIS_ROUND = [
-    # round 4: oracle CAST(SUM(...) AS BIGINT) fixes (DuckDB DECIMAL ->
-    # pandas float64 broke the driver hash while rows/schema matched)
-    "hb_balanced_splits",
-    "llm_pack_sequences",
-    # round 4: empty-string semantics aligned with oracle (yield (1, ''))
-    "udtf_python_table",
-    # round 4: salt derived from hash(linenumber, partkey) so all
-    # _JOIN_SALT buckets populate (result set unchanged, plan changed)
-    "join_salted_skew",
+_WINDOW_CHANGED_THIS_ROUND: list = [
+    # round 5: no behavior changes to previously verified ops yet; the
+    # round-4 entries all got fresh green rows in CORRECTNESS_r04.json.
+    # New round-5 ops are never-verified and rank first automatically.
 ]
 
 

@@ -344,7 +344,7 @@ def hb_wal_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     HBase restores a snapshot, then replays the write-ahead log to
     reach a point-in-time state; the same merge is every lakehouse CDC
-    upsert. `events` rows before {_WAL_SPLIT} form the base snapshot
+    upsert. `events` rows before _WAL_SPLIT (2024-01-20) form the base snapshot
     (latest version per `user_id` key); rows at/after it are the edit
     log, where `event_type='error'` is a delete tombstone. Replay =
     per-key latest WAL edit wins (tombstone removes the row), keys
@@ -419,7 +419,7 @@ def hb_wal_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hb_region_range_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTIGUOUS size-balanced key-range splits (A5, region-shaped):
-    cut the time-keyed keyspace into {_N_RANGE_SPLITS} adjacent ranges
+    cut the time-keyed keyspace into _N_RANGE_SPLITS (4) adjacent ranges
     of roughly equal byte weight.
 
     HBase regions are contiguous rowkey ranges, so a range-preserving
@@ -484,9 +484,9 @@ _KEEP_VERSIONS = 3
     category="hbase",
 )
 def hb_version_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Major-compaction retention semantics: keep the {_KEEP_VERSIONS}
-    NEWEST versions of each cell AND drop TTL-expired versions, in one
-    pass — HBase's `VERSIONS={_KEEP_VERSIONS}` + `TTL` column-family
+    """Major-compaction retention semantics: keep the _KEEP_VERSIONS
+    (3) NEWEST versions of each cell AND drop TTL-expired versions, in
+    one pass — HBase's `VERSIONS=3` + `TTL` column-family
     config applied together (generalizes `hb_latest_version`, which is
     the N=1 case, and `hb_ttl_expiry`, which is the retention-only
     case).

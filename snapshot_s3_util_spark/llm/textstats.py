@@ -591,7 +591,7 @@ GROUP BY m.doc_id
 def llm_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination probe: per training doc, how many of
     its distinct tokens hit the held-out set's vocabulary — membership
-    tested through a {_BLOOM_M}-bit / {_BLOOM_K}-hash Bloom filter,
+    tested through a _BLOOM_M-bit (65536) / _BLOOM_K-hash (4) Bloom filter,
     cross-checked against exact membership.
 
     At 100 TB the benchmark-side state must be CONSTANT-SIZE to ship to
@@ -605,11 +605,11 @@ def llm_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash — so DuckDB verifies the EXACT bit pattern, hits and
     misses both, not just a tolerance verdict.)
 
-    Plan: bench vocabulary -> {_BLOOM_K} bit positions per token ->
+    Plan: bench vocabulary -> _BLOOM_K bit positions per token ->
     distinct position set (the "filter", broadcast); corpus tokens
     explode to their positions and EQUI-JOIN the broadcast set — a
     hash join per position, never a per-row linear scan of the filter
-    array. One (doc, token) aggregation folds the {_BLOOM_K} position
+    array. One (doc, token) aggregation folds the _BLOOM_K position
     probes into the all-bits-set verdict, one doc aggregation emits
     the counts.
     """

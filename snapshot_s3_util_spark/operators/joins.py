@@ -502,7 +502,7 @@ _ASOF_TOLERANCE_MIN = 15
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join with a staleness tolerance: the latest 'view' at or
     before each 'purchase' counts ONLY if it happened within
-    {_ASOF_TOLERANCE_MIN} minutes — older matches are reported as
+    _ASOF_TOLERANCE_MIN (15) minutes — older matches are reported as
     dropped-stale, the guard every telemetry/attribution join needs
     (an hours-old reading is not "the current state").
 

@@ -595,7 +595,7 @@ _Z_BUCKET_SHIFT = 6      # keep the top 2 bits of each dim -> 16 tiles
 
 
 def _z_interleave_sql(x: str, y: str) -> str:
-    """Bit-interleaved Z-value of two {_Z_DIM_BITS}-bit dims.
+    """Bit-interleaved Z-value of two _Z_DIM_BITS-bit (5) dims.
 
     Plain integer arithmetic (&, >>, *, +) that parses identically in
     Spark SQL and DuckDB — ONE generated formula string is the

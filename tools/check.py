@@ -40,6 +40,9 @@ def main() -> int:
     )
     ap.add_argument("ops", nargs="*")
     args = ap.parse_args()
+    if args.window and args.ops:
+        ap.error("--window checks the driver's 50-entry window; it cannot "
+                 "be combined with explicitly listed ops")
 
     import __spark_entry__ as e
     from snapshot_s3_util_spark.session import get_spark
