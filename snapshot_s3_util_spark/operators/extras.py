@@ -392,3 +392,105 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
     )
+
+
+_CMS_D = 4       # sketch depth (independent hash rows)
+_CMS_W = 512     # sketch width (counters per row)
+_CMS_PROBE_MOD = 13  # probe keys: user_id % _CMS_PROBE_MOD == 0
+
+# Shared md5 bucket idiom (Spark `conv` == DuckDB '0x' cast), so both
+# engines build bit-identical sketches and the estimate is deterministic.
+_CMS_BUCKET_SPARK = (
+    "cast(conv(substring(md5(concat(cast(i AS string), ':', "
+    f"cast(user_id AS string))), 1, 8), 16, 10) AS bigint) % {_CMS_W}"
+)
+_CMS_BUCKET_DUCK = (
+    "CAST(('0x' || SUBSTR(MD5(CAST(i AS VARCHAR) || ':' || "
+    f"CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % {_CMS_W}"
+)
+
+_CMS_ORACLE = f"""
+WITH ev AS (SELECT user_id FROM events),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM ev),
+cells AS (
+  SELECT user_id, r.i AS i, {_CMS_BUCKET_DUCK} AS b
+  FROM ev, range({_CMS_D}) r(i)
+),
+sketch AS (
+  SELECT i, b, CAST(COUNT(*) AS BIGINT) AS c FROM cells GROUP BY i, b
+),
+truth AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM ev WHERE user_id % {_CMS_PROBE_MOD} = 0 GROUP BY user_id
+),
+probe_cells AS (
+  SELECT t.user_id, r.i AS i, {_CMS_BUCKET_DUCK} AS b
+  FROM (SELECT user_id FROM truth) t, range({_CMS_D}) r(i)
+),
+est AS (
+  SELECT p.user_id, MIN(s.c) AS cms_est
+  FROM probe_cells p JOIN sketch s ON s.i = p.i AND s.b = p.b
+  GROUP BY p.user_id
+)
+SELECT t.user_id, t.true_cnt, e.cms_est,
+       e.cms_est >= t.true_cnt AS overestimates,
+       e.cms_est <= t.true_cnt
+         + CEIL(2.718281828459045 * n.n_total / {_CMS_W}) AS within_bound
+FROM truth t JOIN est e ON e.user_id = t.user_id, n
+"""
+
+
+@register("agg_count_min_sketch", oracle=_CMS_ORACLE, category="agg")
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch: point-frequency estimates from a bounded
+    counter table, checked against exact counts.
+
+    A hand-rolled portable CMS (depth {_CMS_D} x width {_CMS_W}; the
+    md5 bucket idiom is shared with the oracle, so both engines build
+    the SAME sketch and the estimate deterministically equals DuckDB's).
+    Why this beats exact GROUP BY at 100 TB: after the map-side partial
+    aggregate the shuffle carries AT MOST d*w = {_CMS_D * _CMS_W} rows
+    per map partition regardless of input size or key cardinality — a
+    heavy-hitter frequency service over billions of keys shuffles
+    kilobytes. Probe keys (user_id % {_CMS_PROBE_MOD} == 0) are looked
+    up by joining their d cells against the sketch and taking the
+    row-wise MIN; the output also states the CMS contract per key:
+    `overestimates` (est >= true, always) and `within_bound`
+    (est <= true + ceil(e/w * N), the standard (eps, delta) guarantee).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    n = ev.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    cells = ev.select(
+        "user_id", F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("i")
+    ).select("user_id", "i", F.expr(_CMS_BUCKET_SPARK).alias("b"))
+    sketch = cells.groupBy("i", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    truth = (
+        ev.filter(F.col("user_id") % _CMS_PROBE_MOD == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+    )
+    probe_cells = truth.select(
+        "user_id", F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("i")
+    ).select("user_id", "i", F.expr(_CMS_BUCKET_SPARK).alias("b"))
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["i", "b"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        truth.join(est, "user_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "user_id",
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("true_cnt")).alias("overestimates"),
+            (
+                F.col("cms_est")
+                <= F.col("true_cnt")
+                + F.ceil(F.lit(2.718281828459045) * F.col("n_total") / _CMS_W)
+            ).alias("within_bound"),
+        )
+    )

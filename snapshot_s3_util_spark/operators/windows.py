@@ -305,3 +305,64 @@ def win_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.p").alias("first_purchase"),
         stage.cast("bigint").alias("stage"),
     )
+
+
+# EWMA smoothing factor. alpha = 0.5 is deliberate: every weight is an
+# exact power of two (POWER(0.5, k) is correctly rounded to 2^-k in any
+# IEEE libm), so Spark and DuckDB compute identical per-row terms and
+# only the summation order can drift (handled by ROUND like every other
+# float aggregate in the registry).
+_EWMA_ORACLE = f"""
+WITH r AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rd,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt
+  FROM {EVENTS_REL} e
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(MAX(CASE WHEN rd = 1 THEN value END), 6) AS last_value,
+       ROUND(SUM(CASE WHEN rd = cnt THEN POWER(0.5, cnt - 1)
+                      ELSE POWER(0.5, rd) END * value), 6) AS ewma
+FROM r GROUP BY user_id
+"""
+
+
+@register("win_ewma", oracle=_EWMA_ORACLE, category="window")
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per key — the smoothed
+    "current state" a telemetry pipeline keeps per sensor/user.
+
+    The recursion ewma_t = a*x_t + (1-a)*ewma_{t-1} is rewritten in
+    closed form over the REVERSE rank rd (1 = newest): the rd-th newest
+    reading weighs a*(1-a)^(rd-1), the oldest weighs (1-a)^(n-1). That
+    turns a sequential fold into one window pass + one aggregate that
+    SHARE the user_id partitioning — a single shuffle, no per-row
+    Python, no recursive self-join. The per-row closed form is used
+    instead of a running forward cumsum because the forward rewrite
+    needs 2^i scale factors that overflow past ~1000 rows; the reverse
+    form only ever multiplies by 2^-k, which underflows to an exact 0
+    and stays correct. Weights are exact powers of two (see note above)
+    so both engines agree term-for-term.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    wp = Window.partitionBy("user_id")
+    r = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rd"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+    )
+    weight = F.when(
+        F.col("rd") == F.col("cnt"), F.pow(F.lit(0.5), F.col("cnt") - 1)
+    ).otherwise(F.pow(F.lit(0.5), F.col("rd")))
+    return r.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.max(F.when(F.col("rd") == 1, F.col("value"))), 6).alias(
+            "last_value"
+        ),
+        F.round(F.sum(weight * F.col("value")), 6).alias("ewma"),
+    )
