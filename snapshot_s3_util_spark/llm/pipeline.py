@@ -350,3 +350,78 @@ def llm_pipeline_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
         (F.max("window_id") + 1).cast("bigint").alias("n_windows"),
     )
+
+
+_CHUNK_W = 64   # chunk size (tokens)
+_CHUNK_S = 48   # stride (tokens) -> 16-token overlap between chunks
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+m AS (
+  SELECT doc_id, t,
+         1 + CAST((GREATEST(len(t) - {_CHUNK_W}, 0) + {_CHUNK_S} - 1)
+                  // {_CHUNK_S} AS BIGINT) AS n_chunks
+  FROM toks
+),
+c AS (
+  SELECT doc_id, t, UNNEST(range(n_chunks)) AS chunk_id FROM m
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(t, chunk_id * {_CHUNK_S} + 1,
+                           chunk_id * {_CHUNK_S} + {_CHUNK_W})) AS BIGINT)
+         AS n_chunk_tokens,
+       MD5(array_to_string(list_slice(t, chunk_id * {_CHUNK_S} + 1,
+                                      chunk_id * {_CHUNK_S} + {_CHUNK_W}), ' '))
+         AS chunk_fp,
+       t[chunk_id * {_CHUNK_S} + 1] AS first_token
+FROM c
+"""
+
+
+@register("llm_doc_chunking", oracle=_CHUNK_ORACLE, category="llm")
+def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: {_CHUNK_W}-token chunks with a
+    {_CHUNK_S}-token stride ({_CHUNK_W - _CHUNK_S} tokens of overlap) —
+    the step that turns curated documents into fixed-size training /
+    embedding inputs while keeping context across chunk boundaries.
+
+    Entirely NARROW: tokenization, chunk-count arithmetic, the
+    `sequence` explode and the per-chunk `slice` are all per-row
+    expressions — zero shuffles at any corpus size, so the op scales
+    with pure map throughput (and composes with `llm_split_assign` /
+    `llm_pack_sequences` downstream without re-partitioning). Chunk
+    count = 1 + ceil(max(n_tokens - W, 0) / S) in exact integer
+    arithmetic; the final chunk may be short (slice truncates
+    identically in both engines). Chunk content is fingerprinted
+    (md5 of the re-joined tokens) rather than re-emitted, so the
+    verified result stays narrow too.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    m = toks.withColumn(
+        "n_chunks",
+        (
+            F.lit(1)
+            + F.expr(
+                f"(greatest(size(t) - {_CHUNK_W}, 0) + {_CHUNK_S} - 1) "
+                f"div {_CHUNK_S}"
+            )
+        ).cast("bigint"),
+    )
+    c = m.select(
+        "doc_id",
+        "t",
+        F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("chunk_id"),
+    )
+    chunk = F.expr(f"slice(t, chunk_id * {_CHUNK_S} + 1, {_CHUNK_W})")
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+        F.element_at(
+            F.col("t"), (F.col("chunk_id") * _CHUNK_S + 1).cast("int")
+        ).alias("first_token"),
+    )

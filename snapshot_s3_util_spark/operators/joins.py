@@ -547,3 +547,108 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("matched_ts").isNotNull() & (F.col("matched_ts") < bound)
         ).alias("stale_dropped"),
     )
+
+
+_OVL_W_US = 3_600_000_000  # bucket width = 1 h in microseconds
+_OVL_A_HOURS = 2           # signup interval length
+_OVL_B_HOURS = 1           # error interval length
+
+_OVERLAP_ORACLE = f"""
+WITH a AS (
+  SELECT user_id, ts AS a_ts, ts + INTERVAL {_OVL_A_HOURS} HOUR AS a_e
+  FROM {{events_rel}} e WHERE event_type = 'signup'
+),
+b AS (
+  SELECT user_id, ts AS b_ts, ts + INTERVAL {_OVL_B_HOURS} HOUR AS b_e
+  FROM {{events_rel}} e WHERE event_type = 'error'
+)
+SELECT a.user_id, a.a_ts, b.b_ts,
+       CAST(epoch_us(LEAST(a.a_e, b.b_e))
+            - epoch_us(GREATEST(a.a_ts, b.b_ts)) AS BIGINT) AS overlap_us
+FROM a JOIN b ON a.user_id = b.user_id
+             AND a.a_ts < b.b_e AND b.b_ts < a.a_e
+"""
+
+
+@register(
+    "join_interval_overlap",
+    oracle=_OVERLAP_ORACLE.format(events_rel=EVENTS_REL),
+    category="join",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join where BOTH sides are interval sets —
+    signup activity windows (2 h) against error windows (1 h) per user.
+
+    The general case `join_range_bucketed` doesn't cover: when both
+    sides are true intervals, a pair can meet in SEVERAL shared epoch
+    buckets, so bucket decomposition needs a dedup rule. The canonical-
+    bucket trick keeps it shuffle-free: each side explodes onto every
+    1 h bucket its interval touches (<= 3 resp. <= 2 here), the overlap
+    test rides the (user, bucket) EQUI join, and a pair is emitted ONLY
+    in the bucket containing the overlap's start
+    (`bucket == greatest(a_start, b_start) div W`) — exactly one
+    surviving copy per pair, no distinct pass, no second shuffle. This
+    is the standard 100 TB plan for IP-range joins, ad-attribution
+    windows and downtime correlation; a naive range predicate forces a
+    BroadcastNestedLoopJoin that cannot shuffle-partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+            (F.col("ts") + F.expr(f"INTERVAL {_OVL_A_HOURS} HOURS")).alias("a_e"),
+        )
+        .select(
+            "a_user",
+            "a_ts",
+            "a_e",
+            F.explode(
+                F.expr(
+                    f"sequence(unix_micros(a_ts) div {_OVL_W_US}, "
+                    f"(unix_micros(a_e) - 1) div {_OVL_W_US})"
+                )
+            ).alias("bucket"),
+        )
+    )
+    b = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+            (F.col("ts") + F.expr(f"INTERVAL {_OVL_B_HOURS} HOURS")).alias("b_e"),
+        )
+        .select(
+            "b_user",
+            "b_ts",
+            "b_e",
+            F.explode(
+                F.expr(
+                    f"sequence(unix_micros(b_ts) div {_OVL_W_US}, "
+                    f"(unix_micros(b_e) - 1) div {_OVL_W_US})"
+                )
+            ).alias("bucket"),
+        )
+    )
+    canonical = F.expr(
+        f"greatest(unix_micros(a_ts), unix_micros(b_ts)) div {_OVL_W_US}"
+    )
+    pairs = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (a.bucket == b.bucket)
+        & (F.col("a_ts") < F.col("b_e"))
+        & (F.col("b_ts") < F.col("a_e")),
+    ).filter(a["bucket"] == canonical)
+    return pairs.select(
+        F.col("a_user").alias("user_id"),
+        "a_ts",
+        "b_ts",
+        (
+            F.least(F.expr("unix_micros(a_e)"), F.expr("unix_micros(b_e)"))
+            - F.greatest(
+                F.expr("unix_micros(a_ts)"), F.expr("unix_micros(b_ts)")
+            )
+        ).cast("bigint").alias("overlap_us"),
+    )
