@@ -828,3 +828,207 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "digest")
     )
     return keeper.join(index, "digest", "left_anti").select("doc_id", "digest")
+
+
+_JEST_TOL = 0.35  # ~2.5 sigma of a K=12 minhash estimator at j=0.5
+
+_JEST_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= {MINHASH_SHINGLE}
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(
+           range(1, len(t) - {MINHASH_SHINGLE} + 2),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || SUBSTR(MD5(sh), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || SUBSTR(MD5(sh), 9, 8)) AS BIGINT) AS h2
+  FROM shingles
+),
+minhashes AS (
+  SELECT doc_id,
+         {', '.join(f'MIN((h1 + {k} * h2) % {_MINHASH_P}) AS mh{k}' for k in range(MINHASH_K))}
+  FROM hashed GROUP BY doc_id
+),
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id
+),
+band_sigs AS (
+  {' UNION ALL '.join(
+      'SELECT doc_id, {b} AS band, MD5(CONCAT({args})) AS sig FROM minhashes'.format(
+          b=b,
+          args=", ',', ".join(f'mh{b * _ROWS_PER_BAND + i}' for i in range(_ROWS_PER_BAND)),
+      )
+      for b in range(MINHASH_BANDS)
+  )}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band_sigs a JOIN band_sigs b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM pairs p
+  JOIN shingles sa ON sa.doc_id = p.doc_a
+  JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+  GROUP BY p.doc_a, p.doc_b
+),
+est AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST({' + '.join(f'CASE WHEN ma.mh{k} = mb.mh{k} THEN 1 ELSE 0 END' for k in range(MINHASH_K))}
+              AS DOUBLE) / {MINHASH_K} AS est_raw
+  FROM pairs p
+  JOIN minhashes ma ON ma.doc_id = p.doc_a
+  JOIN minhashes mb ON mb.doc_id = p.doc_b
+)
+SELECT e.doc_a, e.doc_b,
+       COALESCE(i.n_common, 0) AS n_common,
+       ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+             / (za.n_sh + zb.n_sh - COALESCE(i.n_common, 0)), 6)
+         AS exact_jaccard,
+       ROUND(e.est_raw, 6) AS est_jaccard,
+       ABS(e.est_raw - CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+           / (za.n_sh + zb.n_sh - COALESCE(i.n_common, 0))) <= {_JEST_TOL}
+         AS within_tol
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes za ON za.doc_id = e.doc_a
+JOIN sizes zb ON zb.doc_id = e.doc_b
+"""
+
+
+@register("llm_minhash_jaccard_est", oracle=_JEST_ORACLE, category="llm")
+def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard ESTIMATION, audited against the exact overlap —
+    the verify stage a production LSH dedup runs on its candidates
+    before dropping documents.
+
+    For every LSH candidate pair (same banding as
+    `llm_dedup_near_minhash`, distinct shingle sets, no df-cap so the
+    estimator sees exactly what the exact computation sees):
+    est = |{{k : mh_a[k] = mh_b[k]}}| / K against
+    exact = |A∩B| / |A∪B|. Both are DETERMINISTIC — the md5-derived
+    hash family is shared with the oracle, so even the "approximate"
+    column is bit-reproducible; `within_tol` states the estimator
+    guarantee (|est − exact| <= {_JEST_TOL}, ~2.5σ for K={MINHASH_K}).
+    Scale shape: signatures come from the one keyed shuffle every
+    minhash op pays; the exact-overlap join touches ONLY candidate
+    pairs' shingles (candidates × shingles, never corpus²), which is
+    precisely why verify-then-drop is affordable at 100 TB while exact
+    all-pairs Jaccard is not.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= MINHASH_SHINGLE
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {MINHASH_SHINGLE} + 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i+1), ' ', "
+                "element_at(t, i+2)))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    hashed = shingles.select(
+        "doc_id",
+        F.expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) AS bigint)").alias("h1"),
+        F.expr("cast(conv(substring(md5(sh), 9, 8), 16, 10) AS bigint)").alias("h2"),
+    )
+    minhashes = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h1") + F.lit(k) * F.col("h2")) % F.lit(_MINHASH_P)).alias(
+                f"mh{k}"
+            )
+            for k in range(MINHASH_K)
+        ]
+    ).localCheckpoint(eager=False)
+    sizes = shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    sig_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[F.col(f"mh{b * _ROWS_PER_BAND + i}") for i in range(_ROWS_PER_BAND)],
+            )
+        ).alias(f"sig{b}")
+        for b in range(MINHASH_BANDS)
+    ]
+    stack_expr = "stack({n}, {args}) AS (band, sig)".format(
+        n=MINHASH_BANDS,
+        args=", ".join(f"{b}, sig{b}" for b in range(MINHASH_BANDS)),
+    )
+    band_sigs = minhashes.select("doc_id", *sig_cols).select(
+        "doc_id", F.expr(stack_expr)
+    )
+    pairs = (
+        band_sigs.alias("a")
+        .join(
+            band_sigs.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh_a = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
+    sh_b = shingles.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    ma = minhashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{k}").alias(f"a_mh{k}") for k in range(MINHASH_K)],
+    )
+    mb = minhashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{k}").alias(f"b_mh{k}") for k in range(MINHASH_K)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_mh{k}") == F.col(f"b_mh{k}"), 1).otherwise(0)
+        for k in range(MINHASH_K)
+    )
+    est = (
+        pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / MINHASH_K).alias("est_raw"),
+        )
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    n_common = F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint")
+    exact_raw = n_common.cast("double") / (
+        F.col("na") + F.col("nb") - n_common
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.alias("n_common"),
+            F.round(exact_raw, 6).alias("exact_jaccard"),
+            F.round("est_raw", 6).alias("est_jaccard"),
+            (F.abs(F.col("est_raw") - exact_raw) <= _JEST_TOL).alias(
+                "within_tol"
+            ),
+        )
+    )

@@ -749,3 +749,148 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("raw", 6).alias("avg_logprob"),
         (F.round("raw", 6) < _LOGPROB_FLAG).alias("low_quality"),
     )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+_BM25_N_QTERMS = 8
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+qt AS (
+  SELECT DISTINCT u AS term
+  FROM (SELECT UNNEST(t) AS u FROM toks
+        WHERE doc_id = (SELECT MIN(doc_id) FROM documents))
+  ORDER BY term LIMIT {_BM25_N_QTERMS}
+),
+dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         AVG(dl) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, u.term AS term, u.tf AS tf FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(list_distinct(t),
+             x -> struct_pack(term := x,
+                              tf := CAST(len(list_filter(t, y -> y = x))
+                                         AS DOUBLE)))) AS u
+    FROM toks)
+),
+tfq AS (SELECT tf.* FROM tf JOIN qt USING (term)),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tfq GROUP BY term),
+scored AS (
+  SELECT tfq.doc_id,
+         LN(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * tfq.tf * ({_BM25_K1} + 1)
+           / (tfq.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                     + {_BM25_B} * dl.dl / s.avgdl)) AS sc
+  FROM tfq JOIN dfreq d USING (term)
+           JOIN dl ON dl.doc_id = tfq.doc_id, stats s
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched_terms,
+         SUM(sc) AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, n_matched_terms, ROUND(score, 6) AS score
+FROM agg ORDER BY rank LIMIT {_BM25_TOPK}
+"""
+
+
+@register("llm_bm25_retrieval", oracle=_BM25_ORACLE, category="llm")
+def llm_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: top-{_BM25_TOPK} documents for a fixed
+    query term set (k1={_BM25_K1}, b={_BM25_B}) — the sparse half of
+    every RAG / training-data-curation retrieval stack.
+
+    The query is derived deterministically from the corpus itself (the
+    {_BM25_N_QTERMS} lexicographically first distinct tokens of the
+    lowest-doc_id document), so both engines score literally the same
+    terms. Plan shape for 100 TB: term frequencies are DOC-LOCAL
+    (higher-order transform, no shuffle to build, same as
+    `llm_tfidf_topterms`), the candidate stream is immediately
+    restricted by a BROADCAST semi-join on the tiny query vocabulary —
+    so df aggregation, scoring and the final top-k all run over
+    |docs containing a query term|, never the full corpus token
+    stream. Document length and avgdl are exact-integer sums (order-
+    independent below 2^53), df/tf are exact counts, so the only float
+    drift is the <= {_BM25_N_QTERMS}-term score summation, canonicalized
+    with ROUND. Final ranking ties break on doc_id; the global top-k is
+    a TakeOrderedAndProject, not a full sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    min_id = d.agg(F.min("doc_id").alias("mid"))
+    qt = (
+        toks.join(F.broadcast(min_id), F.col("doc_id") == F.col("mid"))
+        .select(F.explode(F.array_distinct("t")).alias("term"))
+        .distinct()
+        .orderBy("term")
+        .limit(_BM25_N_QTERMS)
+    )
+    dl = toks.select("doc_id", F.size("t").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(array_distinct(t),"
+                " x -> struct(x AS term,"
+                "             cast(size(filter(t, y -> y = x)) AS double)"
+                "             AS tf))"
+            )
+        ).alias("u"),
+    ).select("doc_id", "u.term", "u.tf")
+    tfq = tf.join(F.broadcast(qt), "term")
+    dfreq = tfq.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    scored = (
+        tfq.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (_BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("sc"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched_terms"),
+        F.sum("sc").alias("score"),
+    )
+    return (
+        agg.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .cast("bigint")
+            .alias("rank"),
+            "doc_id",
+            "n_matched_terms",
+            F.round("score", 6).alias("score"),
+        )
+    )
