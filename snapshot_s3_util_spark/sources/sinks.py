@@ -674,3 +674,117 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+_TT_SPLIT = "2024-01-20 00:00:00"  # v1 snapshot covers events before this
+
+
+def _tt_version_sql(where: str) -> str:
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           MD5(STRING_AGG(row_md5, '' ORDER BY row_md5)) AS content_fp
+    FROM (SELECT MD5(CONCAT(CAST(user_id AS VARCHAR), '|',
+                            CAST(event_id AS VARCHAR))) AS row_md5
+          FROM (SELECT user_id, event_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                         AS rn
+                FROM {EVENTS_REL} e {where})
+          WHERE rn = 1)
+    """
+
+
+@register(
+    "hb_time_travel_read",
+    oracle=f"""
+    SELECT CAST(1 AS BIGINT) AS version, n_keys, content_fp,
+           TRUE AS manifest_ok
+    FROM ({_tt_version_sql(f"WHERE ts < TIMESTAMP '{_TT_SPLIT}'")})
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS version, n_keys, content_fp,
+           TRUE AS manifest_ok
+    FROM ({_tt_version_sql("")})
+    """,
+    category="hbase",
+)
+def hb_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel: read a versioned table AS OF each retained
+    snapshot version, resolved through a manifest (A2's versioned
+    snapshots are exactly an Iceberg/Delta-style version history).
+
+    Two immutable snapshot versions are written — v1 is the
+    latest-cell-per-key state of everything before {_TT_SPLIT}, v2 the
+    same view over the full log (i.e. v1 after a WAL catch-up) — plus a
+    manifest recording (version, n_rows) at commit time. The time-
+    travel read then loads each version's PHYSICAL copy, fingerprints
+    it, and reconciles row counts against the manifest (`manifest_ok`),
+    so a corrupted, partially-written or mis-registered version fails
+    the oracle comparison. At 100 TB this layout is the point: an
+    immutable version is a directory of parquet never rewritten in
+    place, a version read is an O(1) manifest lookup + plain scan, and
+    version diffs (`join_anti` on keys) never touch live writers.
+    """
+    root = _scratch("timetravel")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        from pyspark.sql import Window
+
+        def _state(df):
+            w = Window.partitionBy("user_id").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+            return (
+                df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("user_id", "event_id", "ts", "value")
+            )
+
+        split = F.lit(_TT_SPLIT).cast("timestamp")
+        versions = {
+            1: _state(ev.filter(F.col("ts") < split)),
+            2: _state(ev),
+        }
+        manifest_rows = []
+        for v, df in versions.items():
+            df.write.mode("overwrite").parquet(f"{root}/v{v}")
+            manifest_rows.append((v, f"{root}/v{v}", df.count()))
+        spark.createDataFrame(
+            manifest_rows, "version bigint, path string, n_rows bigint"
+        ).write.mode("overwrite").parquet(f"{root}/_manifest")
+
+        manifest = spark.read.parquet(f"{root}/_manifest")
+        row_md5 = F.md5(
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                F.col("event_id").cast("string"),
+            )
+        )
+        back = None
+        for v in versions:
+            vb = (
+                spark.read.parquet(f"{root}/v{v}")
+                .select(
+                    F.lit(v).cast("bigint").alias("version"),
+                    row_md5.alias("h"),
+                )
+            )
+            back = vb if back is None else back.unionByName(vb)
+        per_version = back.groupBy("version").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias(
+                "content_fp"
+            ),
+        )
+        return (
+            per_version.join(F.broadcast(manifest), "version")
+            .select(
+                "version",
+                "n_keys",
+                "content_fp",
+                (F.col("n_keys") == F.col("n_rows")).alias("manifest_ok"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
