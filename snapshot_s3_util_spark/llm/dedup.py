@@ -915,8 +915,11 @@ def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = |{{k : mh_a[k] = mh_b[k]}}| / K against
     exact = |A∩B| / |A∪B|. Both are DETERMINISTIC — the md5-derived
     hash family is shared with the oracle, so even the "approximate"
-    column is bit-reproducible; `within_tol` states the estimator
-    guarantee (|est − exact| <= {_JEST_TOL}, ~2.5σ for K={MINHASH_K}).
+    column is bit-reproducible. `within_tol` reports
+    |est − exact| <= _JEST_TOL (0.35, ~2.5σ for K=12); note the
+    estimator is selection-biased on candidates (a band match forces
+    est >= 3/12), so a FALSE here is precisely an LSH false positive —
+    the pairs this verify stage exists to drop.
     Scale shape: signatures come from the one keyed shuffle every
     minhash op pays; the exact-overlap join touches ONLY candidate
     pairs' shingles (candidates × shingles, never corpus²), which is

@@ -393,3 +393,44 @@ def test_version_compaction_prunes_topn_inside_sort(spark, sf_dir):
     assert has_node(df, "WindowGroupLimit"), physical_plan(df)
     assert "GreaterThanOrEqual(ts" in pushed_filters(df) or \
         "GreaterThanOrEqual" in pushed_filters(df), pushed_filters(df)
+
+
+def test_interval_overlap_join_is_equi_not_nested_loop(spark, sf_dir):
+    """Both sides are interval sets; the canonical-bucket decomposition
+    must keep the join a shuffle-partitionable hash/SMJ, never the
+    BroadcastNestedLoop a raw range predicate forces."""
+    df = REGISTRY["join_interval_overlap"].fn(spark, sf_dir)
+    assert not has_node(df, "BroadcastNestedLoopJoin"), physical_plan(df)
+    assert not has_node(df, "CartesianProduct")
+
+
+def test_doc_chunking_is_narrow(spark, sf_dir):
+    """Chunking is a pure per-row explode/slice pipeline — zero
+    shuffles at any corpus size."""
+    assert shuffle_count(REGISTRY["llm_doc_chunking"].fn(spark, sf_dir)) == 0
+
+
+def test_ewma_single_shuffle(spark, sf_dir):
+    """The reverse-rank closed form lets the window pass and the final
+    per-user aggregate share ONE user_id exchange."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        got = shuffle_count(REGISTRY["win_ewma"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert got <= 1, got
+
+
+def test_cms_probe_lookup_broadcasts_sketch(spark, sf_dir):
+    """The d*w-counter sketch is tiny by construction; probing it must
+    be a broadcast join, never a shuffle of the probe stream against
+    it."""
+    df = REGISTRY["agg_count_min_sketch"].fn(spark, sf_dir)
+    assert has_node(df, "BroadcastHashJoin"), physical_plan(df)
+
+
+def test_bm25_topk_never_global_sorts(spark, sf_dir):
+    """The final top-k must be TakeOrderedAndProject (partial top-k per
+    partition merged on the driver), not a global Sort + Limit."""
+    df = REGISTRY["llm_bm25_retrieval"].fn(spark, sf_dir)
+    assert has_node(df, "TakeOrderedAndProject"), physical_plan(df)

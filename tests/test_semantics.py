@@ -782,3 +782,148 @@ def test_version_compaction_keeps_newest_within_ttl(spark, sf_dir):
         assert len(vs) == min(3, alive[u])
         for a, b in zip(vs, vs[1:]):
             assert (a["ts"], a["event_id"]) > (b["ts"], b["event_id"])
+
+
+def test_cms_never_underestimates_and_stays_in_bound(spark, sf_dir):
+    """The two CMS contracts: est >= true always (min over counters
+    that each saw every occurrence of the key), and est <= true +
+    ceil(e/w * N) from the sketch dimensioning."""
+    rows = REGISTRY["agg_count_min_sketch"].fn(spark, sf_dir).collect()
+    assert rows, "probe set empty"
+    assert all(r["cms_est"] >= r["true_cnt"] for r in rows)
+    assert all(r["overestimates"] for r in rows)
+    assert all(r["within_bound"] for r in rows)
+
+
+def test_ewma_matches_sequential_recursion(spark, sf_dir):
+    """The closed-form window rewrite must equal the literal
+    ewma = a*x + (1-a)*prev recursion run sequentially in Python."""
+    got = {
+        r["user_id"]: r
+        for r in REGISTRY["win_ewma"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(got) == set(by_user)
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        ewma = rows[0]["value"]
+        for r in rows[1:]:
+            ewma = 0.5 * r["value"] + 0.5 * ewma
+        assert abs(got[uid]["ewma"] - round(ewma, 6)) < 1e-5, uid
+        assert got[uid]["n_events"] == len(rows)
+        assert got[uid]["last_value"] == round(rows[-1]["value"], 6)
+
+
+def test_interval_overlap_equals_naive_range_join(spark, sf_dir):
+    """The bucketed plan must be result-identical to the naive range
+    predicate join it replaces (same pairs, same overlap lengths —
+    exactly once each)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("a_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("a_e"),
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("b_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOURS")).alias("b_e"),
+    )
+    naive = (
+        a.join(b, "u")
+        .filter((F.col("a_ts") < F.col("b_e")) & (F.col("b_ts") < F.col("a_e")))
+        .select("u", "a_ts", "b_ts")
+        .collect()
+    )
+    got = REGISTRY["join_interval_overlap"].fn(spark, sf_dir).collect()
+    assert sorted((r["user_id"], r["a_ts"], r["b_ts"]) for r in got) == sorted(
+        (r["u"], r["a_ts"], r["b_ts"]) for r in naive
+    )
+    assert all(r["overlap_us"] > 0 for r in got)
+
+
+def test_doc_chunking_covers_every_token(spark, sf_dir):
+    """Chunk-count formula and coverage: chunks start at multiples of
+    the stride, the last chunk reaches the end of the document, and
+    consecutive chunks overlap by W - S tokens."""
+    W, S = 64, 48
+    chunks = REGISTRY["llm_doc_chunking"].fn(spark, sf_dir).collect()
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    per_doc: dict = {}
+    for r in chunks:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == set(n_tokens)
+    for doc_id, rows in per_doc.items():
+        n = n_tokens[doc_id]
+        expected = 1 + max(0, -(-(n - W) // S)) if n > W else 1
+        assert len(rows) == expected, (doc_id, n)
+        rows.sort(key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        last = rows[-1]
+        # last chunk must reach the end of the token stream
+        assert last["chunk_id"] * S + last["n_chunk_tokens"] == n
+        for r in rows[:-1]:
+            assert r["n_chunk_tokens"] == W
+
+
+def test_bm25_ranking_contract(spark, sf_dir):
+    """Ranks are 1..k without gaps, scores are positive and
+    non-increasing, and no doc matches more than the query's terms."""
+    rows = sorted(
+        REGISTRY["llm_bm25_retrieval"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r["score"] > 0 for r in rows)
+    assert all(1 <= r["n_matched_terms"] <= 8 for r in rows)
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_minhash_jaccard_estimate_quality(spark, sf_dir):
+    """The estimator audit itself: exact and estimated Jaccard are
+    valid probabilities, candidates skew high-similarity (LSH found
+    them), and the stated tolerance verdict holds for every pair."""
+    rows = REGISTRY["llm_minhash_jaccard_est"].fn(spark, sf_dir).collect()
+    assert rows, "no LSH candidates at this sf"
+    for r in rows:
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        # every candidate matched at least one 3-row band, so at least
+        # 3 of the 12 minhashes agree — the LSH selection invariant
+        assert r["est_jaccard"] >= round(3 / 12, 6) - 1e-9
+        # genuine near-dups are where the estimator is concentrated;
+        # out-of-tolerance rows are exactly the LSH false positives the
+        # verify stage exists to drop
+        if r["exact_jaccard"] >= 0.5:
+            assert r["within_tol"], r
+    # banding with 3 rows/band targets high-j pairs: the best candidate
+    # must be a genuine near-duplicate
+    assert max(r["exact_jaccard"] for r in rows) > 0.5
+    # and the audit should pass the bulk of candidates
+    assert sum(r["within_tol"] for r in rows) >= 0.8 * len(rows)
+
+
+def test_time_travel_versions_are_consistent(spark, sf_dir):
+    """v2 extends v1 (keys only ever get added by the catch-up), the
+    two versions differ, and every version matches its manifest."""
+    rows = {
+        r["version"]: r
+        for r in REGISTRY["hb_time_travel_read"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[2]["n_keys"] >= rows[1]["n_keys"]
+    assert rows[1]["content_fp"] != rows[2]["content_fp"]
+    assert rows[1]["manifest_ok"] and rows[2]["manifest_ok"]
