@@ -46,6 +46,8 @@ BENCH_QUERIES = (
     "stream_foreach_batch_export",  # extra headline: streaming export sink (round 4)
     "join_range_bucketed",    # extra headline: bucketed interval join (round 4)
     "hb_wal_replay_merge",    # extra headline: WAL replay / CDC merge (round 4)
+    "llm_bm25_retrieval",     # extra headline: sparse retrieval (round 5)
+    "llm_doc_chunking",       # extra headline: narrow chunking (round 5)
 )
 
 

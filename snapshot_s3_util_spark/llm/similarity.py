@@ -340,3 +340,107 @@ def llm_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SIM_TOPK)
         .select("vec_id", "label", F.round("raw", 6).alias("cos_sim"))
     )
+
+
+_QUANT_LEVELS = 255  # int8-style: 256 levels, 255 intervals
+
+_QUANT_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, v,
+         list_aggregate(v, 'min') AS lo,
+         list_aggregate(v, 'max') AS hi
+  FROM e
+),
+s AS (
+  SELECT vec_id, v, lo, hi,
+         CASE WHEN hi > lo THEN (hi - lo) / {_QUANT_LEVELS}
+              ELSE 1.0 END AS scale
+  FROM m
+),
+q AS (
+  SELECT vec_id, v, lo, hi, scale,
+         list_transform(v, x -> FLOOR((x - lo) / scale + 0.5)) AS qi
+  FROM s
+),
+d AS (
+  SELECT vec_id, lo, hi, scale,
+         list_aggregate(
+           list_transform(range(1, len(v) + 1),
+                          i -> ABS(v[i] - (lo + qi[i] * scale))),
+           'max') AS max_abs_err,
+         list_aggregate(qi, 'min') AS q_min,
+         list_aggregate(qi, 'max') AS q_max
+  FROM q
+)
+SELECT vec_id, ROUND(lo, 6) AS lo, ROUND(hi, 6) AS hi,
+       CAST(q_min AS BIGINT) AS q_min, CAST(q_max AS BIGINT) AS q_max,
+       ROUND(max_abs_err, 6) AS max_abs_err,
+       max_abs_err <= scale / 2 + 1e-12 AS within_bound
+FROM d
+"""
+
+
+@register("llm_embed_quantize", oracle=_QUANT_ORACLE, category="llm")
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization of embeddings with a
+    reconstruction-error audit — the 4× storage/bandwidth cut every
+    billion-vector ANN index takes before sharding.
+
+    Each vector is affinely mapped onto {_QUANT_LEVELS + 1} levels
+    between its own min and max (`floor(x/scale + 0.5)` instead of
+    round() — floor is exact and identically defined in both engines,
+    while round()'s half-way rule is dialect lore), then dequantized
+    to measure `max_abs_err`, which the quantizer contract bounds by
+    scale/2 (`within_bound`). Entirely NARROW — min/max/quantize/
+    reconstruct are per-row array expressions, zero shuffles at any
+    corpus size; floats widen to double before arithmetic on both
+    engines (SURVEY §1.2). Quantized codes stay in [0, {_QUANT_LEVELS}]
+    (`q_min`/`q_max` prove it), ready for a BinaryType pack.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("v"),
+    )
+    s = e.select(
+        "vec_id",
+        "v",
+        F.array_min("v").alias("lo"),
+        F.array_max("v").alias("hi"),
+    ).withColumn(
+        "scale",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            (F.col("hi") - F.col("lo")) / _QUANT_LEVELS,
+        ).otherwise(F.lit(1.0)),
+    )
+    q = s.withColumn(
+        "qi", F.expr("transform(v, x -> floor((x - lo) / scale + 0.5))")
+    )
+    d = q.select(
+        "vec_id",
+        "lo",
+        "hi",
+        "scale",
+        F.array_max(
+            F.expr("zip_with(v, qi, (x, c) -> abs(x - (lo + c * scale)))")
+        ).alias("max_abs_err"),
+        F.array_min("qi").alias("q_min"),
+        F.array_max("qi").alias("q_max"),
+    )
+    return d.select(
+        "vec_id",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        F.col("q_min").cast("bigint").alias("q_min"),
+        F.col("q_max").cast("bigint").alias("q_max"),
+        F.round("max_abs_err", 6).alias("max_abs_err"),
+        (F.col("max_abs_err") <= F.col("scale") / 2 + 1e-12).alias(
+            "within_bound"
+        ),
+    )

@@ -813,13 +813,15 @@ def llm_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     The query is derived deterministically from the corpus itself (the
     {_BM25_N_QTERMS} lexicographically first distinct tokens of the
     lowest-doc_id document), so both engines score literally the same
-    terms. Plan shape for 100 TB: term frequencies are DOC-LOCAL
-    (higher-order transform, no shuffle to build, same as
-    `llm_tfidf_topterms`), the candidate stream is immediately
-    restricted by a BROADCAST semi-join on the tiny query vocabulary —
-    so df aggregation, scoring and the final top-k all run over
-    |docs containing a query term|, never the full corpus token
-    stream. Document length and avgdl are exact-integer sums (order-
+    terms. Plan shape for 100 TB: the exploded token stream is
+    restricted by a BROADCAST hash join on the tiny query vocabulary
+    BEFORE any aggregation — unlike `llm_tfidf_topterms` (which needs
+    every term's tf and therefore computes doc-locally), BM25 only
+    needs tf for query terms, so the (doc, term) shuffle carries just
+    the matching hits and df aggregation, scoring and the final top-k
+    all run over |docs containing a query term|, never the full
+    corpus token stream. Document length and avgdl are exact-integer
+    sums (order-
     independent below 2^53), df/tf are exact counts, so the only float
     drift is the <= {_BM25_N_QTERMS}-term score summation, canonicalized
     with ROUND. Final ranking ties break on doc_id; the global top-k is
@@ -840,18 +842,12 @@ def llm_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    tf = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(array_distinct(t),"
-                " x -> struct(x AS term,"
-                "             cast(size(filter(t, y -> y = x)) AS double)"
-                "             AS tf))"
-            )
-        ).alias("u"),
-    ).select("doc_id", "u.term", "u.tf")
-    tfq = tf.join(F.broadcast(qt), "term")
+    tok = toks.select("doc_id", F.explode("t").alias("term"))
+    tfq = (
+        tok.join(F.broadcast(qt), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
     dfreq = tfq.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )

@@ -494,3 +494,49 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+_SAMPLE_K = 5  # sample size per group
+
+_SAMPLE_ORACLE = f"""
+SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id
+FROM (
+  SELECT event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY MD5(CAST(event_id AS VARCHAR)), event_id)
+           AS rnk
+  FROM events
+)
+WHERE rnk <= {_SAMPLE_K}
+"""
+
+
+@register("agg_sample_bottomk", oracle=_SAMPLE_ORACLE, category="agg")
+def agg_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sampling via bottom-k hash order — the
+    re-runnable replacement for reservoir sampling.
+
+    Ranking rows by md5(event_id) is a uniform random permutation that
+    is a PURE FUNCTION of the data: re-runs, retries and backfills
+    draw the SAME sample (`TABLESAMPLE`/`rand()` re-draw whenever
+    partitioning or task retries change), and the sample of a union is
+    computable from per-shard samples — the mergeable-bottom-k
+    property that lets 1000 executors each keep k local minima and a
+    single reduce pick the global k. The per-group window rides
+    WindowGroupLimit (rank <= k prunes inside the sort, never
+    materializing a full per-group ordering). The md5 order is shared
+    with the oracle, so the "random" sample is bit-reproducible.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _SAMPLE_K)
+        .select("event_type", "rnk", "event_id")
+    )

@@ -366,3 +366,70 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum(weight * F.col("value")), 6).alias("ewma"),
     )
+
+
+_ZS_FRAME = 10     # trailing window length (rows, excluding current)
+_ZS_MIN_PREV = 5   # minimum history before scoring
+_ZS_THRESH = 3.0   # |z| above this flags an anomaly
+
+_ZSCORE_ORACLE = f"""
+WITH w AS (
+  SELECT event_id, user_id, value, ts,
+         COUNT(*)     OVER fr AS n_prev,
+         AVG(value)   OVER fr AS mu,
+         STDDEV_SAMP(value) OVER fr AS sd
+  FROM {EVENTS_REL} e
+  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN {_ZS_FRAME} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ROUND(value, 6) AS value,
+       CAST(n_prev AS BIGINT) AS n_prev,
+       ROUND((value - mu) / sd, 6) AS z,
+       ABS(ROUND((value - mu) / sd, 6)) > {_ZS_THRESH} AS is_anomaly
+FROM w
+WHERE n_prev >= {_ZS_MIN_PREV} AND sd > 0
+"""
+
+
+@register("win_anomaly_zscore", oracle=_ZSCORE_ORACLE, category="window")
+def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each reading scored against
+    the mean/stddev of its own trailing {_ZS_FRAME} readings — the
+    self-calibrating telemetry monitor (no global thresholds, adapts
+    per key as its baseline drifts).
+
+    One user_id exchange serves all three frame aggregates (count,
+    avg, stddev share the WINDOW spec); rows with under {_ZS_MIN_PREV}
+    observations of history are withheld rather than scored against
+    noise. The anomaly verdict compares the ROUNDED z on both engines,
+    so the float boundary is decided identically. At 100 TB this is a
+    pure streaming-friendly shape: the frame state is O(window) per
+    key and the same logic runs under Structured Streaming with
+    `applyInPandasWithState` if continuous scoring is needed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ZS_FRAME, -1)
+    )
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count("value").over(fr).alias("n_prev"),
+        F.avg("value").over(fr).alias("mu"),
+        F.stddev_samp("value").over(fr).alias("sd"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6)
+    return (
+        w.filter((F.col("n_prev") >= _ZS_MIN_PREV) & (F.col("sd") > 0))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 6).alias("value"),
+            F.col("n_prev").cast("bigint").alias("n_prev"),
+            z.alias("z"),
+            (F.abs(z) > _ZS_THRESH).alias("is_anomaly"),
+        )
+    )
