@@ -434,3 +434,35 @@ def test_bm25_topk_never_global_sorts(spark, sf_dir):
     partition merged on the driver), not a global Sort + Limit."""
     df = REGISTRY["llm_bm25_retrieval"].fn(spark, sf_dir)
     assert has_node(df, "TakeOrderedAndProject"), physical_plan(df)
+
+
+def test_sample_bottomk_prunes_inside_sort(spark, sf_dir):
+    """rank <= k over the hash order must ride WindowGroupLimit — a
+    full per-group sort of the table would defeat the sample."""
+    df = REGISTRY["agg_sample_bottomk"].fn(spark, sf_dir)
+    assert has_node(df, "WindowGroupLimit"), physical_plan(df)
+
+
+def test_embed_quantize_is_narrow(spark, sf_dir):
+    """Quantize/reconstruct/audit are per-row array expressions —
+    zero shuffles at any corpus size."""
+    assert shuffle_count(REGISTRY["llm_embed_quantize"].fn(spark, sf_dir)) == 0
+
+
+def test_zscore_single_shuffle(spark, sf_dir):
+    """count/avg/stddev share one trailing frame over one user_id
+    exchange."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        got = shuffle_count(REGISTRY["win_anomaly_zscore"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert got <= 1, got
+
+
+def test_bm25_filters_token_stream_before_aggregation(spark, sf_dir):
+    """The query-vocabulary restriction must be a broadcast hash join
+    below the tf aggregation — the full (doc, term) stream never
+    shuffles."""
+    df = REGISTRY["llm_bm25_retrieval"].fn(spark, sf_dir)
+    assert has_node(df, "BroadcastHashJoin"), physical_plan(df)

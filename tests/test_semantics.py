@@ -927,3 +927,70 @@ def test_time_travel_versions_are_consistent(spark, sf_dir):
     assert rows[2]["n_keys"] >= rows[1]["n_keys"]
     assert rows[1]["content_fp"] != rows[2]["content_fp"]
     assert rows[1]["manifest_ok"] and rows[2]["manifest_ok"]
+
+
+def test_sample_bottomk_is_deterministic_uniform_subset(spark, sf_dir):
+    """k rows per group, drawn from the group, stable across runs."""
+    r1 = REGISTRY["agg_sample_bottomk"].fn(spark, sf_dir).collect()
+    r2 = REGISTRY["agg_sample_bottomk"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    by_type: dict = {}
+    for r in r1:
+        by_type.setdefault(r["event_type"], []).append(r)
+    ev = load_table(spark, sf_dir, "events")
+    counts = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    ids_by_type = {
+        t: {r["event_id"] for r in ev.filter(F.col("event_type") == t).collect()}
+        for t in by_type
+    }
+    for t, rows in by_type.items():
+        assert len(rows) == min(5, counts[t])
+        assert sorted(r["rnk"] for r in rows) == list(range(1, len(rows) + 1))
+        assert {r["event_id"] for r in rows} <= ids_by_type[t]
+
+
+def test_zscore_matches_python_reference(spark, sf_dir):
+    """Rolling mean/std over the trailing frame, recomputed naively."""
+    import statistics as st
+
+    got = {
+        r["event_id"]: r
+        for r in REGISTRY["win_anomaly_zscore"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    expected = {}
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for i, r in enumerate(rows):
+            prev = [x["value"] for x in rows[max(0, i - 10):i]]
+            if len(prev) >= 5:
+                sd = st.stdev(prev)
+                if sd > 0:
+                    expected[r["event_id"]] = (r["value"] - st.mean(prev)) / sd
+    assert set(got) == set(expected)
+    for eid, z in expected.items():
+        assert abs(got[eid]["z"] - round(z, 6)) < 1e-4, eid
+        assert got[eid]["is_anomaly"] == (abs(round(z, 6)) > 3.0)
+
+
+def test_embed_quantize_bounds_and_reversibility(spark, sf_dir):
+    """Codes span [0, 255], the reconstruction error honors the
+    scale/2 contract everywhere, and constant vectors degrade
+    gracefully (scale fallback, zero error)."""
+    rows = REGISTRY["llm_embed_quantize"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["q_min"] <= r["q_max"] <= 255
+        assert r["within_bound"], r
+        assert r["lo"] <= r["hi"]
+        assert r["max_abs_err"] >= 0
