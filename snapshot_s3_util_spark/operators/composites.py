@@ -132,3 +132,151 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("session_id")
         .select("user_id", "session_start", "session_end", "n_events", "sum_value")
     )
+
+
+_RESAMPLE_G_US = 21_600_000_000  # 6 h grid step, microseconds
+
+_RESAMPLE_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM {EVENTS_REL} e
+),
+rng AS (
+  SELECT user_id, MIN(us) AS mn, MAX(us) AS mx FROM ev GROUP BY user_id
+),
+grid AS (
+  SELECT user_id,
+         UNNEST(range(((mn + {_RESAMPLE_G_US} - 1) // {_RESAMPLE_G_US})
+                        * {_RESAMPLE_G_US},
+                      mx + 1, {_RESAMPLE_G_US})) AS us
+  FROM rng
+),
+pts AS (
+  SELECT user_id, us, event_id, value, 0 AS is_grid FROM ev
+  UNION ALL
+  SELECT user_id, us, NULL, NULL, 1 FROM grid
+),
+w AS (
+  SELECT user_id, us, is_grid,
+         LAST_VALUE(CASE WHEN value IS NOT NULL
+                         THEN struct_pack(pus := us, pv := value) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id
+                 ORDER BY us, is_grid, event_id NULLS LAST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+         FIRST_VALUE(CASE WHEN value IS NOT NULL
+                          THEN struct_pack(nus := us, nv := value) END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id
+                 ORDER BY us, is_grid, event_id NULLS LAST
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+  FROM pts
+)
+SELECT user_id, make_timestamp(us) AS grid_ts,
+       ROUND(p.pv + (n.nv - p.pv)
+             * CAST(us - p.pus AS DOUBLE) / (n.nus - p.pus), 6)
+         AS value_interp
+FROM w
+WHERE is_grid = 1 AND p IS NOT NULL AND n IS NOT NULL
+"""
+
+
+@register(
+    "ts_resample_interpolate", oracle=_RESAMPLE_ORACLE, category="composite"
+)
+def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's irregular readings onto a regular 6 h grid
+    with LINEAR interpolation — the step that aligns telemetry before
+    any cross-series math (LOCF gap-fill, `win_fill_forward`, is its
+    step-function sibling).
+
+    Grid points are generated per key from its own [min, max] span
+    (exact integer µs arithmetic), unioned with the readings, and ONE
+    user_id exchange serves both carry windows: running `last` of the
+    most recent reading (ts, value) and running `first` of the next —
+    `ignorenulls` over a struct carries the bracketing pair without a
+    self-join (the naive as-of formulation pays two joins). A grid
+    point emits only when both brackets exist (no extrapolation);
+    ordering is (us, is_grid, event_id NULLS LAST) on BOTH engines, so
+    a grid point coinciding exactly with a reading deterministically
+    interpolates to that reading's value. At 100 TB the shape is the
+    point: grid density is a constant per key-day, the exchange
+    carries |readings| + |grid| rows once, and state never exceeds the
+    two bracketing structs per row.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "value",
+    )
+    rng = ev.groupBy("user_id").agg(
+        F.min("us").alias("mn"), F.max("us").alias("mx")
+    )
+    grid = rng.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"sequence(((mn + {_RESAMPLE_G_US} - 1) div {_RESAMPLE_G_US})"
+                f" * {_RESAMPLE_G_US}, mx, {_RESAMPLE_G_US})"
+            )
+        ).alias("us"),
+    )
+    pts = ev.select(
+        "user_id", "us", "event_id", "value", F.lit(0).alias("is_grid")
+    ).unionByName(
+        grid.select(
+            "user_id",
+            "us",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    order = [
+        F.asc("us"),
+        F.asc("is_grid"),
+        F.asc_nulls_last("event_id"),
+    ]
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carry_p = F.last(
+        F.when(
+            F.col("value").isNotNull(),
+            F.struct(F.col("us").alias("pus"), F.col("value").alias("pv")),
+        ),
+        ignorenulls=True,
+    ).over(wprev)
+    carry_n = F.first(
+        F.when(
+            F.col("value").isNotNull(),
+            F.struct(F.col("us").alias("nus"), F.col("value").alias("nv")),
+        ),
+        ignorenulls=True,
+    ).over(wnext)
+    w = pts.select(
+        "user_id", "us", "is_grid", carry_p.alias("p"), carry_n.alias("n")
+    )
+    interp = F.col("p.pv") + (F.col("n.nv") - F.col("p.pv")) * (
+        (F.col("us") - F.col("p.pus")).cast("double")
+        / (F.col("n.nus") - F.col("p.pus"))
+    )
+    return (
+        w.filter(
+            (F.col("is_grid") == 1)
+            & F.col("p").isNotNull()
+            & F.col("n").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("us")).alias("grid_ts"),
+            F.round(interp, 6).alias("value_interp"),
+        )
+    )

@@ -540,3 +540,125 @@ def agg_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _SAMPLE_K)
         .select("event_type", "rnk", "event_id")
     )
+
+
+_KMV_K = 64
+_KMV_DEN = float(16 ** 12)  # 48-bit md5 prefix -> exact double fraction
+_KMV_TOL = 0.38             # ~3/sqrt(K-1)
+
+_KMV_U_DUCK = (
+    "CAST(('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+    f" / {_KMV_DEN}"
+)
+
+_KMV_ORACLE = f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type, user_id, {_KMV_U_DUCK} AS u FROM du),
+mins AS (
+  SELECT * FROM (
+    SELECT h.*, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY u, user_id) AS rn
+    FROM h)
+  WHERE rn <= {_KMV_K}
+),
+per AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM du GROUP BY event_type
+),
+sk AS (
+  SELECT event_type, COUNT(*) AS n_minima, MAX(u) AS u_k
+  FROM mins GROUP BY event_type
+),
+grp AS (
+  SELECT p.event_type AS grp, p.n_exact,
+         CASE WHEN s.n_minima < {_KMV_K} THEN CAST(s.n_minima AS DOUBLE)
+              ELSE {_KMV_K - 1}.0 / s.u_k END AS est
+  FROM per p JOIN sk s USING (event_type)
+),
+gu AS (SELECT DISTINCT user_id, u FROM mins),
+gm AS (
+  SELECT * FROM (
+    SELECT gu.*, ROW_NUMBER() OVER (ORDER BY u, user_id) AS rn FROM gu)
+  WHERE rn <= {_KMV_K}
+),
+alln AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM du),
+allr AS (
+  SELECT 'ALL' AS grp, a.n_exact,
+         CASE WHEN (SELECT COUNT(*) FROM gm) < {_KMV_K}
+              THEN CAST((SELECT COUNT(*) FROM gm) AS DOUBLE)
+              ELSE {_KMV_K - 1}.0 / (SELECT MAX(u) FROM gm) END AS est
+  FROM alln a
+),
+u AS (SELECT * FROM grp UNION ALL SELECT * FROM allr)
+SELECT grp, n_exact, ROUND(est, 6) AS kmv_est,
+       ROUND(ABS(est - n_exact) / n_exact, 6) AS rel_err,
+       ABS(est - n_exact) / n_exact <= {_KMV_TOL} AS within_tol
+FROM u
+"""
+
+
+@register("agg_kmv_distinct", oracle=_KMV_ORACLE, category="agg")
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch with exact audit —
+    the mergeable bottom-k alternative to HLL
+    (`agg_hll_sketch_union` uses Spark's native sketch; this one is
+    hash-portable, so DuckDB reproduces the estimate bit-for-bit).
+
+    Each key hashes to an exact 48-bit md5 fraction u ∈ (0,1); a
+    group's k-th smallest u estimates distinct = (k-1)/u_k. The per-
+    group bottom-k rides WindowGroupLimit (bounded state, never a full
+    sort), and the 'ALL' row demonstrates the property that matters at
+    100 TB: per-group sketches MERGE — the global k minima are found
+    inside the union of per-group minima (≤ |groups|·k rows), so
+    re-aggregating to any coarser grouping never rescans data. Groups
+    with fewer than k distinct keys report exactly. `rel_err` and
+    `within_tol` (≤ {_KMV_TOL}, ~3σ for k={_KMV_K}) audit the estimate
+    against the exact count on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    h = du.withColumn(
+        "u",
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id AS string)), 1, 12), 16, 10)"
+            f" AS bigint) / {_KMV_DEN}"
+        ),
+    )
+    wk = Window.partitionBy("event_type").orderBy("u", "user_id")
+    mins = h.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    per = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    sk = mins.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_minima"), F.max("u").alias("u_k")
+    )
+    est_col = F.when(
+        F.col("n_minima") < _KMV_K, F.col("n_minima").cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) / F.col("u_k"))
+    grp = (
+        per.join(sk, "event_type")
+        .select(F.col("event_type").alias("grp"), "n_exact", est_col.alias("est"))
+    )
+    gu = mins.select("user_id", "u").distinct()
+    gm = gu.withColumn(
+        "rn", F.row_number().over(Window.orderBy("u", "user_id"))
+    ).filter(F.col("rn") <= _KMV_K)
+    gsk = gm.agg(F.count(F.lit(1)).alias("n_minima"), F.max("u").alias("u_k"))
+    alln = du.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    allr = (
+        alln.crossJoin(F.broadcast(gsk))
+        .select(F.lit("ALL").alias("grp"), "n_exact", est_col.alias("est"))
+    )
+    out = grp.unionByName(allr)
+    rel = F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact")
+    return out.select(
+        "grp",
+        "n_exact",
+        F.round("est", 6).alias("kmv_est"),
+        F.round(rel, 6).alias("rel_err"),
+        (rel <= _KMV_TOL).alias("within_tol"),
+    )
