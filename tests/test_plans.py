@@ -466,3 +466,22 @@ def test_bm25_filters_token_stream_before_aggregation(spark, sf_dir):
     shuffles."""
     df = REGISTRY["llm_bm25_retrieval"].fn(spark, sf_dir)
     assert has_node(df, "BroadcastHashJoin"), physical_plan(df)
+
+
+def test_kmv_bottomk_prunes_inside_sort(spark, sf_dir):
+    """The per-group k minima must ride WindowGroupLimit — bounded
+    sketch state, never a full per-group sort."""
+    df = REGISTRY["agg_kmv_distinct"].fn(spark, sf_dir)
+    assert has_node(df, "WindowGroupLimit"), physical_plan(df)
+
+
+def test_resample_shares_one_keyed_exchange_for_both_carries(spark, sf_dir):
+    """Both bracketing carries (prev reading, next reading) must ride
+    the same user_id window exchange; the whole plan needs at most the
+    min/max agg exchange plus the window exchange."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        got = shuffle_count(REGISTRY["ts_resample_interpolate"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert got <= 3, got

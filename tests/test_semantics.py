@@ -994,3 +994,76 @@ def test_embed_quantize_bounds_and_reversibility(spark, sf_dir):
         assert r["within_bound"], r
         assert r["lo"] <= r["hi"]
         assert r["max_abs_err"] >= 0
+
+
+def test_resample_matches_python_linear_interpolation(spark, sf_dir):
+    """Recompute the 6 h grid and the bracketing linear interpolation
+    naively per user and compare."""
+    G = 21_600_000_000
+    got = {
+        (r["user_id"], r["grid_ts"]): r["value_interp"]
+        for r in REGISTRY["ts_resample_interpolate"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros("ts").alias("us"), "value", "event_id")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    import datetime as dt
+
+    expected = {}
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r["us"], r["event_id"]))
+        mn, mx = rows[0]["us"], rows[-1]["us"]
+        g = -(-mn // G) * G
+        while g <= mx:
+            prev = max((r for r in rows if r["us"] <= g), key=lambda r: (r["us"], r["event_id"]))
+            nxt = min((r for r in rows if r["us"] > g), key=lambda r: (r["us"], r["event_id"]), default=None)
+            if prev["us"] == g:
+                val = prev["value"]
+            elif nxt is not None:
+                val = prev["value"] + (nxt["value"] - prev["value"]) * (
+                    (g - prev["us"]) / (nxt["us"] - prev["us"])
+                )
+            else:
+                g += G
+                continue
+            ts = dt.datetime.fromtimestamp(g / 1e6, dt.timezone.utc).replace(tzinfo=None)
+            expected[(uid, ts)] = round(val, 6)
+            g += G
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-5, k
+
+
+def test_kmv_exact_below_k_and_merge_consistent(spark, sf_dir):
+    """Groups with fewer than k distinct keys must report exactly; the
+    ALL row must equal a python KMV over the union of distinct keys;
+    every estimate carries its audit verdict."""
+    rows = {r["grp"]: r for r in REGISTRY["agg_kmv_distinct"].fn(spark, sf_dir).collect()}
+    assert "ALL" in rows
+    import hashlib
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id").collect()
+    groups: dict = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], set()).add(r["user_id"])
+    all_users = set().union(*groups.values())
+    assert rows["ALL"]["n_exact"] == len(all_users)
+
+    def kmv(users):
+        us = sorted(
+            int(hashlib.md5(str(u).encode()).hexdigest()[:12], 16) / 16**12
+            for u in users
+        )
+        return len(us) if len(us) < 64 else 63.0 / us[63]
+
+    for g, users in groups.items():
+        assert rows[g]["n_exact"] == len(users)
+        assert abs(rows[g]["kmv_est"] - round(kmv(users), 6)) < 1e-5
+        if len(users) < 64:
+            assert rows[g]["kmv_est"] == float(len(users))
+    assert abs(rows["ALL"]["kmv_est"] - round(kmv(all_users), 6)) < 1e-5
