@@ -4,13 +4,18 @@ Design (SURVEY §1.1 bytes-column class + task brief): image/audio/video
 travel as opaque `BinaryType` columns next to typed metadata columns.
 Feature extraction / decode / frame sampling run as Arrow-batched
 `mapInPandas` over those bytes — the Spark-side plumbing (schema,
-batching, partitioning) is real and oracle-checked; the actual codec
-call is stubbed behind :func:`decode_image` because no image/audio
-libraries exist in this environment.
+batching, partitioning) is real and oracle-checked. Codec status is
+split honestly by modality:
 
-The synthetic payload is `encode(text, 'utf-8')` — a deterministic
-byte string standing in for an image blob, so every derived feature is
-reproducible in the DuckDB oracle (ascii/length/md5 arithmetic).
+- IMAGE: no image library exists in this container, so the image
+  decode is stubbed behind :func:`decode_image` (PIL-gated) and the
+  image ops use the deterministic :func:`_fake_decode_dims` over
+  `encode(text, 'utf-8')` payloads.
+- AUDIO: fully REAL — `multimodal_audio_decode` synthesizes genuine
+  RIFF/WAVE PCM16 blobs and parses them back with Python's stdlib
+  `wave` codec; the oracle predicts header fields and sample
+  statistics in closed form, so the writer->Arrow->parser chain is
+  verified end-to-end, not simulated.
 """
 
 from __future__ import annotations
@@ -153,4 +158,134 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.mapInPandas(
         sample, schema="doc_id long, frame_no long, frame_key string"
+    )
+
+
+# ---- real-codec audio path (stdlib `wave` — no third-party library) ----
+#
+# Unlike the image ops above (PIL-gated, deterministic fake), the audio
+# op below exercises a REAL codec end-to-end: genuine RIFF/WAVE PCM16
+# payloads are synthesized per document, travel through Spark as
+# BinaryType across the Arrow boundary, and are parsed back with
+# Python's stdlib `wave` reader. The oracle predicts header fields and
+# sample statistics ARITHMETICALLY from doc_id, so a mismatch anywhere
+# in the write->ship->parse chain (header layout, sample width,
+# endianness, frame count) fails the comparison.
+
+_WAV_RATE = 8000
+
+
+def _wav_params(doc_id: int) -> tuple[int, int, int]:
+    """(n_samples, period, amplitude) — pure function of doc_id."""
+    return 200 + doc_id % 300, 10 + doc_id % 20, 1000 + (doc_id % 10) * 500
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """Write a real PCM16 mono WAV: an alternating ±A square wave."""
+    import array
+    import io
+    import wave
+
+    n, p, amp = _wav_params(doc_id)
+    samples = array.array(
+        "h", [amp if (i // p) % 2 == 0 else -amp for i in range(n)]
+    )
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(_WAV_RATE)
+    w.writeframes(samples.tobytes())
+    w.close()
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL decode: parse the RIFF container with stdlib `wave`."""
+    import array
+    import io
+    import wave
+
+    w = wave.open(io.BytesIO(payload), "rb")
+    n = w.getnframes()
+    samples = array.array("h")
+    samples.frombytes(w.readframes(n))
+    return {
+        "n_channels": w.getnchannels(),
+        "samp_width": w.getsampwidth(),
+        "frame_rate": w.getframerate(),
+        "n_samples": n,
+        "peak": max(samples),
+        "trough": min(samples),
+        "sum_abs": sum(abs(s) for s in samples),
+    }
+
+
+@register(
+    "multimodal_audio_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(44 + 2 * (200 + doc_id % 300) AS BIGINT) AS n_bytes,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(2 AS BIGINT) AS samp_width,
+           CAST(8000 AS BIGINT) AS frame_rate,
+           CAST(200 + doc_id % 300 AS BIGINT) AS n_samples,
+           CAST(1000 + (doc_id % 10) * 500 AS BIGINT) AS peak,
+           CAST(-(1000 + (doc_id % 10) * 500) AS BIGINT) AS trough,
+           CAST((200 + doc_id % 300) * (1000 + (doc_id % 10) * 500)
+                AS BIGINT) AS sum_abs
+    FROM documents
+    """,
+    category="multimodal",
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction through a REAL codec: synthesize PCM16
+    WAV blobs, ship them as BinaryType, parse them back with stdlib
+    `wave` and emit header + sample statistics.
+
+    Two Arrow-batched mapInPandas stages: a writer (doc_id -> RIFF
+    bytes) and a reader (RIFF bytes -> features), so the payload
+    crosses the JVM/Python Arrow boundary in BOTH directions exactly as
+    a production audio pipeline's would. The oracle derives every
+    output column in closed form from doc_id — the 44-byte canonical
+    header size, PCM16 mono layout, frame count, ±A square-wave peak/
+    trough and n·A absolute sum — so any disagreement between the WAV
+    writer and parser (or corruption in transit) is a hash mismatch,
+    not a silent pass. Entirely narrow: zero shuffles at any scale;
+    per-doc cost is O(n_samples) in vectorized Python.
+    """
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(synth_wav),
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(decode_wav)
+            out = {"doc_id": pdf["doc_id"]}
+            out["n_bytes"] = pdf["payload"].map(len).astype("int64")
+            for k in (
+                "n_channels",
+                "samp_width",
+                "frame_rate",
+                "n_samples",
+                "peak",
+                "trough",
+                "sum_abs",
+            ):
+                out[k] = feats.map(lambda d, k=k: d[k]).astype("int64")
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    wavs = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return wavs.mapInPandas(
+        decode,
+        schema="doc_id long, n_bytes long, n_channels long, samp_width long, "
+        "frame_rate long, n_samples long, peak long, trough long, "
+        "sum_abs long",
     )

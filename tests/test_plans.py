@@ -485,3 +485,11 @@ def test_resample_shares_one_keyed_exchange_for_both_carries(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert got <= 3, got
+
+
+def test_audio_decode_is_narrow_python_stages(spark, sf_dir):
+    """Synth + decode are two Arrow stages with no shuffle between or
+    around them."""
+    df = REGISTRY["multimodal_audio_decode"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert uses_python(df)

@@ -1067,3 +1067,35 @@ def test_kmv_exact_below_k_and_merge_consistent(spark, sf_dir):
         if len(users) < 64:
             assert rows[g]["kmv_est"] == float(len(users))
     assert abs(rows["ALL"]["kmv_est"] - round(kmv(all_users), 6)) < 1e-5
+
+
+def test_wav_roundtrip_is_a_real_riff_container(spark, sf_dir):
+    """The audio path must produce genuine WAV files: canonical RIFF
+    magic, 44-byte PCM header, and a stdlib-wave parse that agrees
+    with the synthesis parameters — plus corruption must NOT parse."""
+    import pytest as _pytest
+
+    from snapshot_s3_util_spark.llm.multimodal import (
+        _wav_params,
+        decode_wav,
+        synth_wav,
+    )
+
+    payload = synth_wav(7)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    n, p, amp = _wav_params(7)
+    assert len(payload) == 44 + 2 * n
+    feats = decode_wav(payload)
+    assert feats["n_samples"] == n
+    assert feats["peak"] == amp and feats["trough"] == -amp
+    assert feats["frame_rate"] == 8000
+    with _pytest.raises(Exception):
+        decode_wav(payload[:20])  # truncated container must fail loudly
+
+    rows = REGISTRY["multimodal_audio_decode"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows[:20]:
+        en, _ep, ea = _wav_params(r["doc_id"])
+        assert r["n_samples"] == en and r["peak"] == ea
+        assert r["sum_abs"] == en * ea
