@@ -186,3 +186,107 @@ def test_funnel_fold_matches_python_reference(spark, evs):
         return
     f = out[0]["f"]
     assert (f["v"], f["c"], f["p"]) == ref()
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_ewma_closed_form_matches_recursion_and_stays_in_range(vals):
+    """The reverse-rank closed form (the win_ewma rewrite) must equal
+    the sequential recursion for ANY series, and an EWMA is a convex
+    combination so it never leaves [min, max] of the series."""
+    n = len(vals)
+    # closed form exactly as the operator computes it
+    closed = sum(
+        (0.5 ** (n - 1) if rd == n else 0.5**rd) * v
+        for rd, v in zip(range(n, 0, -1), vals)
+    )
+    rec = vals[0]
+    for v in vals[1:]:
+        rec = 0.5 * v + 0.5 * rec
+    assert abs(closed - rec) <= 1e-6 * max(1.0, abs(rec))
+    assert min(vals) - 1e-9 <= closed <= max(vals) + 1e-9
+
+
+@given(n=st.integers(min_value=1, max_value=2000))
+@settings(**_SETTINGS)
+def test_chunking_formula_covers_exactly(n):
+    """1 + ceil(max(n-W,0)/S) chunks of size W stride S cover [0, n)
+    with no token beyond the last chunk and none missed."""
+    W, S = 64, 48
+    n_chunks = 1 + max(0, -(-(n - W) // S)) if n > W else 1
+    starts = [i * S for i in range(n_chunks)]
+    assert starts[-1] < n  # last chunk is non-empty
+    assert starts[-1] + W >= n  # reaches the end
+    covered = set()
+    for s0 in starts:
+        covered.update(range(s0, min(s0 + W, n)))
+    assert covered == set(range(n))
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=300)
+)
+@settings(**_SETTINGS)
+def test_kmv_merge_equals_kmv_of_union(keys):
+    """KMV mergeability (the agg_kmv_distinct 'ALL' row): the k minima
+    of a union equal the k minima of the union of per-part minima —
+    for any split of the key set."""
+    import hashlib
+
+    K = 64
+    us = {
+        int(hashlib.md5(str(k).encode()).hexdigest()[:12], 16) / 16**12
+        for k in keys
+    }
+    mid = len(keys) // 2
+    a = {
+        int(hashlib.md5(str(k).encode()).hexdigest()[:12], 16) / 16**12
+        for k in keys[:mid]
+    }
+    b = {
+        int(hashlib.md5(str(k).encode()).hexdigest()[:12], 16) / 16**12
+        for k in keys[mid:]
+    }
+    direct = sorted(us)[:K]
+    merged = sorted(set(sorted(a)[:K]) | set(sorted(b)[:K]))[:K]
+    assert direct == merged
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=400)
+)
+@settings(**_SETTINGS)
+def test_cms_python_model_never_underestimates(keys):
+    """The CMS estimate (min over d counters addressed by the same md5
+    buckets the operator uses) can never undercount — for any key
+    multiset."""
+    import hashlib
+    from collections import Counter
+
+    D, W = 4, 512
+    sketch = Counter()
+    for k in keys:
+        for i in range(D):
+            b = int(
+                hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16
+            ) % W
+            sketch[(i, b)] += 1
+    truth = Counter(keys)
+    for k, true_cnt in truth.items():
+        est = min(
+            sketch[
+                (
+                    i,
+                    int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16)
+                    % W,
+                )
+            ]
+            for i in range(D)
+        )
+        assert est >= true_cnt
