@@ -516,3 +516,85 @@ def hb_version_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("version_rank"),
         )
     )
+
+
+_VDIFF_SPLIT = "2024-01-20 00:00:00"  # v1 snapshot boundary
+
+
+@register(
+    "hb_version_diff",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM {{events_rel}} e WHERE ts < TIMESTAMP '{_VDIFF_SPLIT}')
+      WHERE rn = 1
+    ),
+    v2 AS (
+      SELECT user_id, event_id, event_type FROM (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM {{events_rel}} e)
+      WHERE rn = 1
+    ),
+    v2_live AS (SELECT user_id, event_id FROM v2 WHERE event_type <> 'error'),
+    d AS (
+      SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+             a.event_id AS v1_event_id, b.event_id AS v2_event_id,
+             CASE WHEN a.user_id IS NULL THEN 'added'
+                  WHEN b.user_id IS NULL THEN 'removed'
+                  WHEN a.event_id <> b.event_id THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 a FULL OUTER JOIN v2_live b ON a.user_id = b.user_id
+    )
+    SELECT user_id, status, v1_event_id, v2_event_id
+    FROM d WHERE status <> 'unchanged'
+    """.format(events_rel=EVENTS_REL),
+    category="hbase",
+)
+def hb_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two snapshot versions — what a
+    downstream consumer replays instead of re-reading the table
+    (pairs with `hb_time_travel_read`'s version layout).
+
+    v1 = latest cell per key before the split; v2 = latest cell per
+    key over the full log, where a trailing tombstone (`error`)
+    DELETES the key. The diff is one full-outer join on the key:
+    `added` / `removed` / `changed` rows only — `unchanged` keys (the
+    overwhelming majority at 100 TB) are filtered before anything
+    downstream pays for them. Both version states and the merge share
+    one user_id partitioning, and at scale the two window passes read
+    the SAME shuffled layout (AQE reuses the exchange) — the diff
+    never shuffles the table twice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    split = F.lit(_VDIFF_SPLIT).cast("timestamp")
+
+    v1 = (
+        ev.filter(F.col("ts") < split)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("v1_event_id"))
+    )
+    v2 = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("event_type") != "error")
+        .select("user_id", F.col("event_id").alias("v2_event_id"))
+    )
+    d = v1.join(v2, "user_id", "full_outer")
+    status = (
+        F.when(F.col("v1_event_id").isNull(), "added")
+        .when(F.col("v2_event_id").isNull(), "removed")
+        .when(F.col("v1_event_id") != F.col("v2_event_id"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        d.withColumn("status", status)
+        .filter(F.col("status") != "unchanged")
+        .select("user_id", "status", "v1_event_id", "v2_event_id")
+    )

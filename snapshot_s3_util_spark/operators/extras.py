@@ -662,3 +662,56 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rel, 6).alias("rel_err"),
         (rel <= _KMV_TOL).alias("within_tol"),
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT l_returnflag, measure, ROUND(SUM(v), 4) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT l_returnflag, 'quantity' AS measure, l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', l_discount FROM lineitem
+    )
+    GROUP BY l_returnflag, measure
+    """,
+    category="agg",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long, the inverse of `agg_pivot`) + aggregate:
+    melt three measure columns into (measure, value) rows and
+    summarize per (returnflag, measure).
+
+    Uses the native `DataFrame.unpivot` (Expand node) — one pass over
+    the scan emitting 3 rows per input row BEFORE the aggregate's
+    map-side combine, so the shuffle still carries only
+    |groups| × |measures| partial rows, not the melted stream. This is
+    the long-format gateway every metrics store / ML feature pipeline
+    needs; a UNION ALL of N per-measure scans would read the table N
+    times, the Expand reads it once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    ).unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure_col",
+        valueColumnName="v",
+    )
+    measure = (
+        F.when(F.col("measure_col") == "l_quantity", "quantity")
+        .when(F.col("measure_col") == "l_extendedprice", "extendedprice")
+        .otherwise("discount")
+    )
+    return (
+        melted.select("l_returnflag", measure.alias("measure"), "v")
+        .groupBy("l_returnflag", "measure")
+        .agg(
+            F.round(F.sum("v"), 4).alias("sum_value"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )

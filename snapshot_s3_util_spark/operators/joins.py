@@ -652,3 +652,63 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("overlap_us"),
     )
+
+
+_FUZZY_MAX_DIST = 2
+
+
+@register(
+    "join_fuzzy_levenshtein",
+    oracle=f"""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_brand AS brand,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+    """,
+    category="join",
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string-similarity self-join: part-name pairs within edit
+    distance {_FUZZY_MAX_DIST}, blocked by brand — entity-resolution /
+    catalog-dedup in one EQUI join.
+
+    Edit distance can't be hashed directly, so the join is structured
+    as blocking-key equality (p_brand) with `levenshtein` as a
+    post-probe RESIDUAL — Catalyst keeps a shuffle-partitionable hash
+    join and evaluates the quadratic-cost predicate only INSIDE each
+    block (Σ block², never |parts|²). At 100 TB the blocking key is
+    the whole game: a brand/category/prefix key bounds block sizes, a
+    skewed block salts like any hot join key, and the residual cost
+    per pair is the DP table of two ~20-char strings. Levenshtein is
+    exact integer — both engines implement the same classic DP, so
+    parity is bit-for-bit.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_name"
+    )
+    a = p.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("brand") == F.col("brand_b"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .filter(F.levenshtein("name_a", "name_b") <= _FUZZY_MAX_DIST)
+        .select(
+            "part_a",
+            "part_b",
+            "brand",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
+        )
+    )
