@@ -493,3 +493,22 @@ def test_audio_decode_is_narrow_python_stages(spark, sf_dir):
     df = REGISTRY["multimodal_audio_decode"].fn(spark, sf_dir)
     assert shuffle_count(df) == 0
     assert uses_python(df)
+
+
+def test_unpivot_expands_single_scan(spark, sf_dir):
+    """The melt must be an Expand over ONE scan — not N per-measure
+    scans unioned."""
+    df = REGISTRY["agg_unpivot"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert has_node(df, "Expand"), plan
+
+
+def test_fuzzy_join_blocks_on_equi_key(spark, sf_dir):
+    """Levenshtein must ride the brand-blocked hash join as a residual,
+    never force a nested loop over all part pairs."""
+    df = REGISTRY["join_fuzzy_levenshtein"].fn(spark, sf_dir)
+    assert not has_node(df, "BroadcastNestedLoopJoin"), physical_plan(df)
+    assert not has_node(df, "CartesianProduct")

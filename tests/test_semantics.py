@@ -1099,3 +1099,69 @@ def test_wav_roundtrip_is_a_real_riff_container(spark, sf_dir):
         en, _ep, ea = _wav_params(r["doc_id"])
         assert r["n_samples"] == en and r["peak"] == ea
         assert r["sum_abs"] == en * ea
+
+
+def test_version_diff_statuses_are_consistent(spark, sf_dir):
+    """added keys appear only after the split, removed keys end on a
+    tombstone, changed keys have distinct latest events, and no
+    unchanged rows leak through."""
+    rows = REGISTRY["hb_version_diff"].fn(spark, sf_dir).collect()
+    assert rows
+    assert {r["status"] for r in rows} <= {"added", "removed", "changed"}
+    for r in rows:
+        if r["status"] == "added":
+            assert r["v1_event_id"] is None and r["v2_event_id"] is not None
+        elif r["status"] == "removed":
+            assert r["v1_event_id"] is not None and r["v2_event_id"] is None
+        else:
+            assert r["v1_event_id"] != r["v2_event_id"]
+
+
+def test_unpivot_totals_match_direct_aggregates(spark, sf_dir):
+    """The melted aggregate must equal the direct per-column sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("quantity"),
+        F.round(F.sum("l_extendedprice"), 4).alias("extendedprice"),
+        F.round(F.sum("l_discount"), 4).alias("discount"),
+    ).collect()
+    got = {
+        (r["l_returnflag"], r["measure"]): r["sum_value"]
+        for r in REGISTRY["agg_unpivot"].fn(spark, sf_dir).collect()
+    }
+    for r in direct:
+        for m in ("quantity", "extendedprice", "discount"):
+            assert got[(r["l_returnflag"], m)] == r[m]
+
+
+def test_fuzzy_join_matches_python_levenshtein(spark, sf_dir):
+    """Spark's levenshtein must agree with a reference DP on every
+    emitted pair, and every pair must share a brand block."""
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    p = {
+        r["p_partkey"]: (r["p_brand"], r["p_name"])
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand", "p_name")
+        .collect()
+    }
+    rows = REGISTRY["join_fuzzy_levenshtein"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        ba, na = p[r["part_a"]]
+        bb, nb = p[r["part_b"]]
+        assert ba == bb == r["brand"]
+        assert r["dist"] == lev(na, nb) <= 2
