@@ -788,3 +788,105 @@ def hb_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_FMT_LIST = ("parquet", "orc", "json", "csv")
+
+_FMT_FP_SQL = f"""
+  SELECT COUNT(*) AS n_rows,
+         MD5(STRING_AGG(h, '' ORDER BY h)) AS content_fp
+  FROM (SELECT MD5(CONCAT(CAST(event_id AS VARCHAR), '|',
+                          CAST(user_id AS VARCHAR), '|', event_type, '|',
+                          CAST(epoch_us(ts) AS VARCHAR))) AS h
+        FROM {EVENTS_REL} e)
+"""
+
+
+@register(
+    "sink_format_matrix",
+    oracle=f"""
+    WITH src AS ({_FMT_FP_SQL})
+    SELECT fmt, src.n_rows, src.content_fp, TRUE AS matches_source
+    FROM src, (SELECT UNNEST(['parquet', 'orc', 'json', 'csv']) AS fmt)
+    ORDER BY fmt
+    """,
+    category="sink",
+)
+def sink_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every interchange format round-trips losslessly: the same frame
+    written as parquet, ORC, JSON-lines and CSV, each read back and
+    content-fingerprinted against the source.
+
+    Format coverage is an export tool's contract (A3's consumers pick
+    the format; the engine must not corrupt on any of them). The two
+    lossy-prone columns are handled the way a 100 TB pipeline would:
+    the timestamp travels as epoch-microsecond BIGINT (CSV/JSON
+    timestamp parsing is locale/format lore; integers are not), and
+    text formats read back through the SAME explicit schema they were
+    written from (inference re-derives types from strings — a
+    round-trip test that infers is testing the inferencer). The
+    returned fingerprints come from the READ-BACK copies; `matches_
+    source` asserts equality engine-side and the oracle re-derives the
+    expected fingerprint from the source, so a row lost or a value
+    re-encoded by ANY format fails the comparison.
+    """
+    root = _scratch("fmtmatrix")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+        )
+        schema = "event_id bigint, user_id bigint, event_type string, us bigint"
+        row_md5 = F.md5(
+            F.concat_ws(
+                "|",
+                F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+                F.col("us").cast("string"),
+            )
+        )
+        src_fp = ev.select(row_md5.alias("h")).agg(
+            F.count(F.lit(1)).alias("src_rows"),
+            F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias(
+                "src_fp"
+            ),
+        )
+        per_fmt = None
+        for fmt in _FMT_LIST:
+            path = f"{root}/{fmt}"
+            w = ev.write.mode("overwrite").format(fmt)
+            if fmt == "csv":
+                w = w.option("header", "true")
+            w.save(path)
+            r = spark.read.format(fmt)
+            if fmt in ("json", "csv"):
+                r = r.schema(schema)
+            if fmt == "csv":
+                r = r.option("header", "true")
+            back = r.load(path)
+            fp = back.select(row_md5.alias("h")).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.md5(
+                    F.concat_ws("", F.sort_array(F.collect_list("h")))
+                ).alias("content_fp"),
+            ).select(F.lit(fmt).alias("fmt"), "n_rows", "content_fp")
+            per_fmt = fp if per_fmt is None else per_fmt.unionByName(fp)
+        return (
+            per_fmt.crossJoin(F.broadcast(src_fp))
+            .select(
+                "fmt",
+                "n_rows",
+                "content_fp",
+                (
+                    (F.col("n_rows") == F.col("src_rows"))
+                    & (F.col("content_fp") == F.col("src_fp"))
+                ).alias("matches_source"),
+            )
+            .orderBy("fmt")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

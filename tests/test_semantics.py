@@ -1165,3 +1165,13 @@ def test_fuzzy_join_matches_python_levenshtein(spark, sf_dir):
         bb, nb = p[r["part_b"]]
         assert ba == bb == r["brand"]
         assert r["dist"] == lev(na, nb) <= 2
+
+
+def test_format_matrix_all_formats_lossless(spark, sf_dir):
+    """All four interchange formats must round-trip the same
+    fingerprint."""
+    rows = REGISTRY["sink_format_matrix"].fn(spark, sf_dir).collect()
+    assert sorted(r["fmt"] for r in rows) == ["csv", "json", "orc", "parquet"]
+    fps = {r["content_fp"] for r in rows}
+    assert len(fps) == 1, "formats disagree on content"
+    assert all(r["matches_source"] for r in rows)
