@@ -598,3 +598,70 @@ def hb_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("status") != "unchanged")
         .select("user_id", "status", "v1_event_id", "v2_event_id")
     )
+
+
+_GC_ORACLE = """
+WITH inv AS (
+  -- emulated store-file inventory: one file per (source, doc_id%5)
+  SELECT source, doc_id % 5 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS bytes
+  FROM documents GROUP BY source, doc_id % 5
+),
+refs AS (
+  -- the surviving snapshot's manifest references only these files
+  SELECT DISTINCT source, doc_id % 5 AS bucket
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT i.source,
+       CAST(COUNT(*) AS BIGINT) AS n_orphan_files,
+       CAST(SUM(i.n_docs) AS BIGINT) AS n_orphan_docs,
+       CAST(SUM(i.bytes) AS BIGINT) AS reclaim_bytes
+FROM inv i ANTI JOIN refs r
+  ON i.source = r.source AND i.bucket = r.bucket
+GROUP BY i.source
+"""
+
+
+@register("hb_snapshot_gc", oracle=_GC_ORACLE, category="hbase")
+def hb_snapshot_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot garbage collection (the reference's cleanup concern:
+    after a snapshot is deleted / TTL-expired, store files referenced
+    by NO surviving manifest must be found and reclaimed — HBase's
+    SnapshotHFileCleaner, done declaratively).
+
+    The emulated layout derives a file inventory (one store file per
+    (source, doc_id%5) bucket) and the surviving snapshot's manifest
+    refs from the same corpus; GC is then inventory ANTI-JOIN refs —
+    the exact "delete what nothing references" set — rolled up to a
+    per-source reclaim report. The ref side collapses to |files|
+    distinct keys before the join, so AQE broadcasts it; the
+    inventory side is one map-side-combined groupBy over the scan.
+    At 100 TB this is the only safe GC shape: no driver-side file
+    listing, no per-file existence probes — two aggregates and an
+    anti-join, all pushdown-friendly.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("doc_id") % 5).alias("bucket"),
+        F.col("doc_id").alias("doc_id"),
+        F.length(F.encode(F.col("text"), "UTF-8")).alias("nbytes"),
+    )
+    inv = d.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nbytes").cast("bigint").alias("bytes"),
+    )
+    refs = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select("source", "bucket")
+        .distinct()
+    )
+    return (
+        inv.join(refs, ["source", "bucket"], "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_orphan_files"),
+            F.sum("n_docs").cast("bigint").alias("n_orphan_docs"),
+            F.sum("bytes").cast("bigint").alias("reclaim_bytes"),
+        )
+    )

@@ -1035,3 +1035,82 @@ def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_LINE_TOKS = 10
+
+_LINE_DEDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+lines AS (
+  SELECT doc_id, i AS line_idx,
+         array_to_string(t[i * {_LINE_TOKS} + 1 : (i + 1) * {_LINE_TOKS}],
+                         ' ') AS line
+  FROM toks,
+       UNNEST(range(CAST(CEIL(LEN(t) / {_LINE_TOKS}.0) AS BIGINT))) AS u(i)
+),
+flagged AS (
+  SELECT doc_id, line_idx, line,
+         ROW_NUMBER() OVER (PARTITION BY line
+                            ORDER BY doc_id, line_idx) = 1 AS keep
+  FROM lines
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       MD5(COALESCE(string_agg(CASE WHEN keep THEN line END, ' '
+                               ORDER BY line_idx), '')) AS kept_md5
+FROM flagged
+GROUP BY doc_id
+"""
+
+
+@register("llm_line_dedup", oracle=_LINE_DEDUP_ORACLE, category="llm")
+def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide LINE deduplication: split every document
+    into fixed-width lines ({_LINE_TOKS} tokens), keep each distinct
+    line's FIRST occurrence (ordered by doc_id, position), and rebuild
+    the documents from their surviving lines — the sub-document dedup
+    that doc-level exact/minhash dedup cannot express (boilerplate
+    headers/footers repeat across otherwise-distinct pages).
+
+    Plan: line explosion is a narrow higher-order transform; the only
+    exchange is the rank window keyed on the line TEXT (equivalently
+    its hash) — one shuffle of |lines| rows with a deterministic
+    keeper, exactly the `llm_dedup_exact` shape one level down.
+    Reassembly happens doc-locally: `array_sort(collect_list(struct))`
+    inside the doc groupBy (lines per doc are bounded, so the struct
+    array is too), and the rebuilt text ships as an md5 fingerprint,
+    not a payload, through the comparator. At 100 TB the line-hash
+    shuffle dominates and is unavoidable for global dedup; everything
+    else stays map-side.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    lines = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(t) / {_LINE_TOKS}.0)"
+                f" AS int) - 1),"
+                f" i -> array_join(slice(t, i * {_LINE_TOKS} + 1,"
+                f" {_LINE_TOKS}), ' '))"
+            )
+        ).alias("line_idx", "line"),
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "line_idx")
+    flagged = lines.withColumn("keep", F.row_number().over(w) == 1)
+    kept_sorted = F.expr(
+        "array_join(transform(array_sort(collect_list("
+        "  CASE WHEN keep THEN struct(line_idx, line) END)),"
+        " x -> x.line), ' ')"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.md5(kept_sorted).alias("kept_md5"),
+    )

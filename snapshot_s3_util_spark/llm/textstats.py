@@ -890,3 +890,137 @@ def llm_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("score"),
         )
     )
+
+
+# PII patterns kept RE2/Java-regex-portable: no backrefs, no lookaround.
+_PII_EMAIL_RE = "[a-z0-9]+@example\\.com"
+_PII_PHONE_RE = "555-[0-9]{4}"
+
+_PII_ORACLE = f"""
+WITH seeded AS (
+  -- Deterministic synthetic PII: the corpus has none, so the op seeds
+  -- each doc with a known email + phone before scrubbing (non-vacuous
+  -- at every SF; counts then verify the scrub actually fired).
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '{_PII_EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(LEN(regexp_extract_all(text, '{_PII_PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       MD5(regexp_replace(regexp_replace(text, '{_PII_EMAIL_RE}', '<EMAIL>',
+                                         'g'),
+                          '{_PII_PHONE_RE}', '<PHONE>', 'g')) AS clean_md5
+FROM seeded
+"""
+
+
+@register("llm_pii_redact", oracle=_PII_ORACLE, category="llm")
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact email / phone patterns in
+    every document — the compliance gate a web-crawl corpus runs
+    before anything else touches the text.
+
+    The corpus has no organic PII, so each doc is seeded with a
+    deterministic synthetic email+phone first (both engines seed
+    identically; the emitted counts prove the scrub fired — no
+    vacuous all-zeros pass). Everything is JVM-side `regexp_*` in one
+    narrow projection: zero shuffles, whole-stage codegen, and the
+    patterns avoid lookaround/backrefs so Java regex and RE2-family
+    engines agree. The redacted text itself is fingerprinted (md5)
+    rather than returned — at 100 TB you write the clean text to the
+    sink, not through the comparator.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL_RE, "<EMAIL>"),
+        _PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{_PII_EMAIL_RE}', 0)"))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_PII_PHONE_RE}', 0)"))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+_NGRAM_TOPK = 25
+
+_NGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT UNNEST(CASE WHEN LEN(t) >= 2 THEN
+           list_transform(range(1, LEN(t)), i -> t[i] || ' ' || t[i+1])
+         ELSE [] END) AS bigram
+  FROM toks
+),
+counted AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM grams GROUP BY bigram
+)
+SELECT bigram, cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, bigram) AS BIGINT) AS rank
+FROM counted
+ORDER BY cnt DESC, bigram
+LIMIT {_NGRAM_TOPK}
+"""
+
+
+@register("llm_ngram_topk", oracle=_NGRAM_ORACLE, category="llm")
+def llm_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-{_NGRAM_TOPK} bigram counts — the exact n-gram
+    census behind boilerplate mining, stop-phrase lists, and the
+    contamination-gram tables (`llm_contamination_ngram` consumes
+    exactly this shape).
+
+    Bigrams are built doc-locally with a higher-order `transform`
+    (narrow, codegen'd), then ONE map-side-combined groupBy counts
+    them — the heavy-hitter head combines away on the map side, so
+    the exchange carries |distinct bigrams| not |total bigrams|. The
+    final top-k is rank-windowed AFTER a `cnt DESC` TakeOrdered prune
+    would... instead Spark plans the `ORDER BY + LIMIT` as
+    TakeOrderedAndProject directly: no global sort. Ties break on the
+    bigram string on both engines.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t")
+    )
+    grams = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN"
+                " transform(sequence(1, size(t) - 1),"
+                "           i -> concat(t[i-1], ' ', t[i]))"
+                " ELSE array() END"
+            )
+        ).alias("bigram")
+    )
+    counted = grams.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("bigram"))
+    return (
+        counted.orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(_NGRAM_TOPK)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select("bigram", "cnt", "rank")
+    )

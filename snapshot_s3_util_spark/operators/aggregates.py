@@ -336,3 +336,64 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_returnflag", "mode_qty", "n_occurrences")
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+_CORR_ORACLE = f"""
+WITH pairs AS (
+{chr(10).join(
+    "  SELECT '" + a + "' AS col_a, '" + b + "' AS col_b,"
+    " corr(" + a + ", " + b + ") AS c,"
+    " CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem"
+    + (" UNION ALL" if (a, b) != ("l_discount", "l_tax") else "")
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1:]
+)}
+)
+SELECT col_a, col_b, ROUND(c, 4) AS corr_v, n_rows FROM pairs
+"""
+
+
+@register("agg_corr_matrix", oracle=_CORR_ORACLE, category="aggregate")
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the fact table's
+    numeric measures, in long form (col_a, col_b, corr) — the column-
+    profiling step a feature-engineering pipeline runs before pruning
+    redundant signals.
+
+    All C(4,2)=6 correlations are computed in ONE pass / ONE reduce:
+    a single global aggregate whose 6 `corr` expressions share the
+    scan (Spark's corr is a streaming one-pass covariance, map-side
+    combined) — not 6 scans, and no driver-side Statistics.corr RDD
+    detour. Output is rounded to 4 digits on both engines because the
+    two accumulate partials in different orders. Scale: the shuffle is
+    exactly one row of 6 moment-triples regardless of corpus size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = list(_CORR_COLS)
+    row = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.round(F.corr(a, b), 4).alias(f"c_{i}_{j}")
+            for i, a in enumerate(cols)
+            for j, b in enumerate(cols)
+            if i < j
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"c_{i}_{j}").alias("corr_v"),
+            )
+            for i, a in enumerate(cols)
+            for j, b in enumerate(cols)
+            if i < j
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("p"), "n_rows")
+        .select("p.col_a", "p.col_b", "p.corr_v", "n_rows")
+    )

@@ -280,3 +280,144 @@ def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(interp, 6).alias("value_interp"),
         )
     )
+
+
+_OHLC_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, value
+  FROM {EVENTS_REL}
+),
+w AS (
+  SELECT event_type, day, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY us, event_id) AS rn_open,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY us DESC, event_id DESC) AS rn_close
+  FROM ev
+)
+SELECT event_type, day,
+       MAX(CASE WHEN rn_open = 1 THEN value END) AS open_v,
+       MAX(value) AS high_v,
+       MIN(value) AS low_v,
+       MAX(CASE WHEN rn_close = 1 THEN value END) AS close_v,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(AVG(value), 6) AS avg_v
+FROM w
+GROUP BY event_type, day
+"""
+
+
+@register("ts_ohlc_bars", oracle=_OHLC_ORACLE, category="composite")
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (event_type, day) bar with the first /
+    max / min / last reading — the classic telemetry rollup that turns
+    a raw event stream into a fixed-density summary series.
+
+    Open/close need a deterministic "first/last by time"; instead of a
+    rank window (which would force a per-bar sort exchange before the
+    aggregate), both are ONE lexicographic struct min/max — `min(
+    struct(us, event_id, value))` — inside the same hash aggregate as
+    high/low/count. The whole bar is a single map-side-combinable
+    groupBy: one exchange of |bars| rows regardless of corpus size,
+    no window state. event_id (unique) breaks same-µs ties identically
+    on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "value",
+    )
+    return ev.groupBy("event_type", "day").agg(
+        F.min(F.struct("us", "event_id", "value"))["value"].alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max(F.struct("us", "event_id", "value"))["value"].alias("close_v"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_v"),
+    )
+
+
+_COHORT_ORACLE = f"""
+WITH firsts AS (
+  SELECT user_id,
+         CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM {EVENTS_REL} GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST((epoch(date_trunc('week', e.ts))
+               - epoch(CAST(f.cohort_week AS TIMESTAMP))) / 604800 AS BIGINT)
+           AS offset_weeks
+  FROM {EVENTS_REL} e JOIN firsts f USING (user_id)
+),
+sizes AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM firsts
+  GROUP BY cohort_week
+)
+SELECT a.cohort_week, a.offset_weeks,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       s.cohort_size,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / s.cohort_size, 6) AS retention_frac
+FROM activity a JOIN sizes s USING (cohort_week)
+GROUP BY a.cohort_week, a.offset_weeks, s.cohort_size
+"""
+
+
+@register("win_retention_cohort", oracle=_COHORT_ORACLE, category="composite")
+def win_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted again in every later week they return — the product-
+    analytics staple (and, for a training corpus, the "how much of
+    source X's week-0 crawl is still contributing at week k" view).
+
+    Plan: ONE shuffle on user_id serves both the per-user first-week
+    aggregate and the (user, week) distinct; the cohort membership
+    then re-aggregates on the |cohorts|×|weeks| key (tiny), and cohort
+    sizes join back broadcast. No window over the raw stream, no
+    per-user state beyond the groupBy — at 100 TB the big exchanges
+    are both map-side combined on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min("week").cast("date").alias("cohort_week")
+    )
+    activity = (
+        ev.distinct()
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                (
+                    F.unix_timestamp(F.col("week"))
+                    - F.unix_timestamp(F.col("cohort_week").cast("timestamp"))
+                )
+                / 604800
+            )
+            .cast("bigint")
+            .alias("offset_weeks"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_week", "offset_weeks")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "offset_weeks",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention_frac"),
+        )
+    )

@@ -712,3 +712,68 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
         )
     )
+
+
+_NULLSAFE_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, NULLIF(c_nationkey % 7, 3) AS seg FROM customer
+),
+dim AS (
+  SELECT seg,
+         COALESCE('seg-' || CAST(seg AS VARCHAR), 'seg-unknown') AS seg_name
+  FROM (SELECT seg
+        FROM (SELECT CAST(UNNEST(range(7)) AS BIGINT) AS seg)
+        WHERE seg <> 3
+        UNION ALL SELECT NULL)
+)
+SELECT d.seg_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(MIN(c.c_custkey) AS BIGINT) AS min_custkey
+FROM c JOIN dim d ON c.seg IS NOT DISTINCT FROM d.seg
+GROUP BY d.seg_name
+"""
+
+
+@register("join_null_safe", oracle=_NULLSAFE_ORACLE, category="join")
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): rows
+    whose key is NULL match the dimension's NULL row instead of being
+    silently dropped — the "unknown bucket" lookup every warehouse
+    dimension join needs (plain `=` discards NULL keys, which at 100 TB
+    quietly loses whole partitions of unattributed rows).
+
+    NULL segments are derived deterministically with NULLIF so the op
+    is non-vacuous at every SF; the dimension enumerates its full
+    static domain (segments 0-6 minus the NULLIF'd value, plus the
+    NULL "unknown" row), so every fact row finds exactly one match.
+    `eqNullSafe` keeps the join an equi-join — Catalyst still plans a
+    broadcast hash join on the tiny dimension (NULL hashes like any
+    other key value) rather than degrading to a cartesian + filter as
+    a raw `t1.k = t2.k OR (t1.k IS NULL AND t2.k IS NULL)` predicate
+    would.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 7, F.lit(3)).alias("seg")
+    )
+    dim = (
+        spark.range(7)
+        .filter(F.col("id") != 3)
+        .select(F.col("id").alias("seg"))
+        .unionByName(
+            spark.range(1).select(F.lit(None).cast("long").alias("seg"))
+        )
+        .select(
+            "seg",
+            F.coalesce(
+                F.concat(F.lit("seg-"), F.col("seg").cast("string")),
+                F.lit("seg-unknown"),
+            ).alias("seg_name"),
+        )
+    )
+    return (
+        c.join(F.broadcast(dim), c["seg"].eqNullSafe(dim["seg"]))
+        .groupBy("seg_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").cast("bigint").alias("min_custkey"),
+        )
+    )

@@ -512,3 +512,66 @@ def test_fuzzy_join_blocks_on_equi_key(spark, sf_dir):
     df = REGISTRY["join_fuzzy_levenshtein"].fn(spark, sf_dir)
     assert not has_node(df, "BroadcastNestedLoopJoin"), physical_plan(df)
     assert not has_node(df, "CartesianProduct")
+
+
+def test_ohlc_bars_single_aggregate_no_window(spark, sf_dir):
+    """Open/close via struct min/max must stay inside the one hash
+    aggregate — no rank window, no per-bar sort exchange."""
+    df = REGISTRY["ts_ohlc_bars"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
+    assert not has_node(df, "Window"), physical_plan(df)
+
+
+def test_retention_cohort_broadcasts_sizes_no_cartesian(spark, sf_dir):
+    df = REGISTRY["win_retention_cohort"].fn(spark, sf_dir)
+    assert has_node(df, "BroadcastHashJoin"), physical_plan(df)
+    assert not has_node(df, "CartesianProduct")
+    assert not has_node(df, "BroadcastNestedLoopJoin")
+
+
+def test_corr_matrix_is_one_pass_one_scan(spark, sf_dir):
+    """Six correlations must share a single scan + single global
+    aggregate — not six scans or a join."""
+    import re
+
+    df = REGISTRY["agg_corr_matrix"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert not has_node(df, "Join"), plan
+    assert shuffle_count(df) == 1, plan
+
+
+def test_null_safe_join_stays_broadcast_hash(spark, sf_dir):
+    """eqNullSafe must plan as an equi broadcast hash join, not
+    degrade to a nested loop."""
+    df = REGISTRY["join_null_safe"].fn(spark, sf_dir)
+    assert has_node(df, "BroadcastHashJoin"), physical_plan(df)
+    assert not has_node(df, "BroadcastNestedLoopJoin")
+    assert not has_node(df, "CartesianProduct")
+
+
+def test_pii_redact_is_narrow_jvm_regex(spark, sf_dir):
+    df = REGISTRY["llm_pii_redact"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0, physical_plan(df)
+    assert not uses_python(df), physical_plan(df)
+
+
+def test_ngram_topk_never_global_sorts(spark, sf_dir):
+    df = REGISTRY["llm_ngram_topk"].fn(spark, sf_dir)
+    assert has_node(df, "TakeOrderedAndProject"), physical_plan(df)
+
+
+def test_line_dedup_two_exchanges(spark, sf_dir):
+    """One shuffle keyed on the line text (the dedup), one on doc_id
+    (the reassembly) — nothing else."""
+    df = REGISTRY["llm_line_dedup"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 2, physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_snapshot_gc_is_anti_join_no_nested_loop(spark, sf_dir):
+    df = REGISTRY["hb_snapshot_gc"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert not has_node(df, "CartesianProduct")
+    assert not has_node(df, "BroadcastNestedLoopJoin")

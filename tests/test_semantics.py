@@ -1175,3 +1175,174 @@ def test_format_matrix_all_formats_lossless(spark, sf_dir):
     fps = {r["content_fp"] for r in rows}
     assert len(fps) == 1, "formats disagree on content"
     assert all(r["matches_source"] for r in rows)
+
+
+def test_ohlc_bars_match_python_reference(spark, sf_dir):
+    """Struct-min open / struct-max close must equal the literal
+    first/last-by-(ts, event_id) computed sequentially."""
+    got = {
+        (r["event_type"], str(r["day"])): r
+        for r in REGISTRY["ts_ohlc_bars"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    bars: dict = {}
+    for r in ev:
+        key = (r["event_type"], str(r["ts"].date()))
+        bars.setdefault(key, []).append(r)
+    assert set(got) == set(bars)
+    for key, rows in bars.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        b = got[key]
+        assert b["open_v"] == rows[0]["value"], key
+        assert b["close_v"] == rows[-1]["value"], key
+        assert b["high_v"] == max(r["value"] for r in rows)
+        assert b["low_v"] == min(r["value"] for r in rows)
+        assert b["n_events"] == len(rows)
+
+
+def test_retention_cohort_week_zero_is_total(spark, sf_dir):
+    """Every cohort retains 100% of itself at offset 0, offsets are
+    non-negative, and no offset ever exceeds the cohort size."""
+    rows = REGISTRY["win_retention_cohort"].fn(spark, sf_dir).collect()
+    assert rows
+    zero = {r["cohort_week"]: r for r in rows if r["offset_weeks"] == 0}
+    cohorts = {r["cohort_week"] for r in rows}
+    assert set(zero) == cohorts
+    for r in rows:
+        assert r["offset_weeks"] >= 0
+        assert 0 < r["n_active"] <= r["cohort_size"]
+        if r["offset_weeks"] == 0:
+            assert r["n_active"] == r["cohort_size"]
+            assert r["retention_frac"] == 1.0
+
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    got = {
+        (r["col_a"], r["col_b"]): r["corr_v"]
+        for r in REGISTRY["agg_corr_matrix"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) == 6
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_extendedprice")
+        .collect()
+    )
+    q = np.array([r["l_quantity"] for r in li])
+    p = np.array([r["l_extendedprice"] for r in li])
+    expect = float(np.corrcoef(q, p)[0, 1])
+    assert abs(got[("l_quantity", "l_extendedprice")] - expect) < 1e-3
+
+
+def test_null_safe_join_keeps_every_customer_once(spark, sf_dir):
+    rows = REGISTRY["join_null_safe"].fn(spark, sf_dir).collect()
+    total = sum(r["n_customers"] for r in rows)
+    cust = load_table(spark, sf_dir, "customer")
+    assert total == cust.count()
+    unknown = {r["seg_name"]: r["n_customers"] for r in rows}.get(
+        "seg-unknown", 0
+    )
+    assert unknown == cust.filter(F.col("c_nationkey") % 7 == 3).count()
+    assert unknown > 0, "NULL bucket must be non-vacuous"
+
+
+def test_pii_redact_fires_on_every_doc(spark, sf_dir):
+    rows = REGISTRY["llm_pii_redact"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_emails"] >= 1, r["doc_id"]
+        assert r["n_phones"] >= 1, r["doc_id"]
+    # the scrub changes the text: the clean fingerprint never matches
+    # the seeded text's own fingerprint
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    seeded = {
+        d["doc_id"]: hashlib.md5(
+            (
+                f"{d['text']} contact user{d['doc_id']}@example.com "
+                f"or 555-{d['doc_id'] % 10000:04d}"
+            ).encode()
+        ).hexdigest()
+        for d in docs
+    }
+    for r in rows:
+        assert r["clean_md5"] != seeded[r["doc_id"]]
+
+
+def test_ngram_topk_matches_python_recount(spark, sf_dir):
+    from collections import Counter
+
+    rows = REGISTRY["llm_ngram_topk"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+    c: Counter = Counter()
+    for d in docs:
+        t = d["text"].split(" ")
+        c.update(f"{a} {b}" for a, b in zip(t, t[1:]))
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
+    assert [(r["bigram"], r["cnt"]) for r in rows] == expect
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_line_dedup_matches_python_reference(spark, sf_dir):
+    import hashlib
+
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["llm_line_dedup"].fn(spark, sf_dir).collect()
+    }
+    docs = sorted(
+        load_table(spark, sf_dir, "documents").collect(),
+        key=lambda d: d["doc_id"],
+    )
+    seen: set = set()
+    for d in docs:
+        t = d["text"].split(" ")
+        lines = [
+            " ".join(t[i * 10 : (i + 1) * 10])
+            for i in range((len(t) + 9) // 10)
+        ]
+        kept = []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        r = got[d["doc_id"]]
+        assert r["n_lines"] == len(lines)
+        assert r["n_kept"] == len(kept)
+        assert (
+            r["kept_md5"]
+            == hashlib.md5(" ".join(kept).encode()).hexdigest()
+        )
+    total_kept = sum(r["n_kept"] for r in got.values())
+    assert total_kept == len(seen)
+
+
+def test_snapshot_gc_reclaims_exactly_the_unreferenced_bucket(spark, sf_dir):
+    rows = {
+        r["source"]: r
+        for r in REGISTRY["hb_snapshot_gc"].fn(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    orphan_docs = d.filter(F.col("doc_id") % 5 == 0)
+    expect = {
+        r["source"]: r
+        for r in orphan_docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length(F.encode(F.col("text"), "UTF-8")))
+            .cast("bigint")
+            .alias("b"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(expect)
+    for s, e in expect.items():
+        assert rows[s]["n_orphan_files"] == 1
+        assert rows[s]["n_orphan_docs"] == e["n"]
+        assert rows[s]["reclaim_bytes"] == e["b"]
