@@ -397,3 +397,86 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         row.select(F.explode(pairs).alias("p"), "n_rows")
         .select("p.col_a", "p.col_b", "p.corr_v", "n_rows")
     )
+
+
+_ENTROPY_ORACLE = """
+WITH counts AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, lang
+),
+src_p AS (
+  SELECT source, c,
+         CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY source) AS p
+  FROM counts
+),
+per_source AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_langs,
+         ROUND(-SUM(p * LN(p)), 6) AS lang_entropy
+  FROM src_p GROUP BY source
+),
+marginal AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS c FROM counts GROUP BY lang),
+all_p AS (
+  SELECT c, CAST(c AS DOUBLE) / SUM(c) OVER () AS p FROM marginal
+),
+overall AS (
+  SELECT 'ALL' AS source,
+         CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_langs,
+         ROUND(-SUM(p * LN(p)), 6) AS lang_entropy
+  FROM all_p
+)
+SELECT * FROM per_source UNION ALL SELECT * FROM overall
+"""
+
+
+@register("agg_entropy", oracle=_ENTROPY_ORACLE, category="aggregate")
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each source's language distribution,
+    plus the corpus-wide row — the mixture-diversity profile a
+    training-data pipeline watches per ingest slice (entropy collapse
+    = a source went monolingual / a scraper broke).
+
+    One groupBy builds the (source, lang) contingency counts — the
+    ONLY pass over the corpus; both the per-source entropies and the
+    'ALL' row are computed from those counts (the marginal is a
+    re-aggregation of |sources|x|langs| rows, never a rescan). Window-
+    over-aggregate supplies the denominators; the -Σ p ln p fold is
+    plain column math. Same merge discipline as `agg_kmv_distinct`:
+    the global row derives from per-group state.
+    """
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+
+    def _entropy(df: DataFrame, key_col) -> DataFrame:
+        w = Window.partitionBy("gkey")
+        tot = F.sum("c").over(w)
+        p = F.col("c").cast("double") / tot
+        return (
+            df.select(key_col.alias("gkey"), "c", "lang")
+            .select("gkey", "c", (p * F.log(p)).alias("plp"))
+            .groupBy("gkey")
+            .agg(
+                F.sum("c").cast("bigint").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_langs"),
+                F.round(-F.sum("plp"), 6).alias("lang_entropy"),
+            )
+            .select(
+                F.col("gkey").alias("source"),
+                "n_docs",
+                "n_langs",
+                "lang_entropy",
+            )
+        )
+
+    per_source = _entropy(counts, F.col("source"))
+    marginal = counts.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+    overall = _entropy(marginal, F.lit("ALL"))
+    return per_source.unionByName(overall)

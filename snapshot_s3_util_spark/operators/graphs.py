@@ -1,0 +1,223 @@
+"""Graph operators over derived edge lists.
+
+`llm/dedup.py` already runs min-label-propagation connected components
+over the similarity graph; this module adds centrality (PageRank) over
+the trade graph the relational tables imply.  The scale pattern is the
+same Pregel-shaped loop: per-iteration cost = one edge join + one
+map-side-combined aggregate, lineage truncated so iteration k never
+replays iterations 1..k-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.registry import register
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+_EDGES_SQL = """
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+"""
+
+
+def _pagerank_oracle() -> str:
+    """Unroll the damped power iteration as chained CTEs (exact —
+    every engine computes the identical fixed iteration count)."""
+    sql = f"""
+WITH edges AS ({_EDGES_SQL}),
+norm AS (
+  SELECT src, dst,
+         CAST(w AS DOUBLE) / SUM(w) OVER (PARTITION BY src) AS p
+  FROM edges
+),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""",
+r{i} AS (
+  SELECT n.node,
+         (1 - {_PR_DAMP}) / (SELECT n FROM nn)
+         + {_PR_DAMP} * COALESCE(SUM(e.p * r.rank), 0) AS rank
+  FROM nodes n
+  LEFT JOIN norm e ON e.dst = n.node
+  LEFT JOIN {prev} r ON r.node = e.src
+  GROUP BY n.node
+)"""
+        prev = f"r{i}"
+    sql += f"""
+SELECT na.n_name AS nation, ROUND(r.rank, 6) AS pagerank
+FROM {prev} r JOIN nation na ON na.n_nationkey = r.node
+"""
+    return sql
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle(), category="graph")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 fixed iterations) over the trade
+    graph: customer-nation -> supplier-nation edges weighted by how
+    many lineitems flow between them.
+
+    The edge list is built once by the 4-way relational join (the
+    dimension legs broadcast; the fact-side joins shuffle on their
+    keys), out-normalized with one window, then `localCheckpoint`ed —
+    the iteration loop must NOT replay the join lineage every pass.
+    Each iteration is the Pregel step: edges JOIN ranks on src (ranks
+    is |nodes| rows — broadcast), then a map-side-combined sum by dst.
+    Dangling-node mass is dropped (sum < 1), the common simplification
+    when ranks are used ordinally; the damping floor keeps every node
+    nonzero. Fixed iteration count (not convergence) so the oracle can
+    unroll the exact same computation — `llm_dedup_components` is the
+    convergence-detection sibling.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    from pyspark.sql import Window
+
+    norm = edges.select(
+        "src",
+        "dst",
+        (
+            F.col("w").cast("double")
+            / F.sum("w").over(Window.partitionBy("src"))
+        ).alias("p"),
+    ).localCheckpoint()
+
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    n_nodes = nodes.count()
+    ranks = nodes.select(
+        "node", (F.lit(1.0) / n_nodes).alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            norm.join(
+                F.broadcast(ranks), norm["src"] == ranks["node"]
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("mass"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit((1 - _PR_DAMP) / n_nodes)
+                + _PR_DAMP * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.join(
+        F.broadcast(nation), ranks["node"] == nation["n_nationkey"]
+    ).select(F.col("n_name").alias("nation"), F.round("rank", 6).alias("pagerank"))
+
+
+_SPATIAL_R = 0.02
+
+_SPATIAL_ORACLE = f"""
+WITH p AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(SQRT((a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y)), 6) AS dist
+FROM p a JOIN p b ON a.vec_id < b.vec_id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      < {_SPATIAL_R} * {_SPATIAL_R}
+"""
+
+
+@register("join_spatial_grid", oracle=_SPATIAL_ORACLE, category="join")
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join in 2-D (all point pairs within L2 distance
+    {_SPATIAL_R}) via GRID-CELL blocking — the spatial sibling of the
+    interval-bucket joins: decompose the continuous predicate onto an
+    equi key so Catalyst plans a hash join, never a cartesian.
+
+    Points (the embedding's first two dims) land in square cells of
+    width = radius; the LEFT side keeps its home cell, the RIGHT side
+    replicates to its 3x3 neighborhood (one copy per cell — exactly
+    the cells any within-radius partner's home can be in, since
+    |dx|,|dy| < r means cell offsets are at most 1). Each qualifying
+    pair therefore meets EXACTLY once (left's single home cell), so no
+    dedup pass; vec_id ordering fixes orientation. Work is sum of
+    cell-pair products, never |points|^2 — the oracle IS the naive
+    quadratic join, result-identical by construction. The exact
+    distance test rides the hash join as a residual.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    cell = lambda col: F.floor(col / _SPATIAL_R).cast("long")  # noqa: E731
+    left = pts.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        cell(F.col("x")).alias("cx"),
+        cell(F.col("y")).alias("cy"),
+    )
+    right = (
+        pts.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("x").alias("xb"),
+            F.col("y").alias("yb"),
+            F.explode(
+                F.array(*[F.lit(d) for d in (-1, 0, 1)])
+            ).alias("dx"),
+            cell(F.col("y")).alias("cy0"),
+        )
+        .select(
+            "vec_b",
+            "xb",
+            "yb",
+            (F.floor(F.col("xb") / _SPATIAL_R).cast("long") + F.col("dx")).alias("cx"),
+            F.explode(
+                F.array(*[F.lit(d) for d in (-1, 0, 1)])
+            ).alias("dy"),
+            "cy0",
+        )
+        .select(
+            "vec_b", "xb", "yb", "cx", (F.col("cy0") + F.col("dy")).alias("cy")
+        )
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        left.join(
+            right,
+            (left["cx"] == right["cx"])
+            & (left["cy"] == right["cy"])
+            & (left["vec_a"] < right["vec_b"]),
+        )
+        .filter(d2 < F.lit(_SPATIAL_R * _SPATIAL_R))
+        .select("vec_a", "vec_b", F.round(F.sqrt(d2), 6).alias("dist"))
+    )

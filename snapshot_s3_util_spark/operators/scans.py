@@ -139,3 +139,90 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("order_fp"),
     )
+
+
+_CSV_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(SUM(CASE WHEN c_custkey % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_good,
+       ROUND(SUM(CASE WHEN c_custkey % 7 <> 0 THEN c_acctbal END), 2)
+         AS sum_acctbal
+FROM customer
+"""
+
+
+@register("source_csv_permissive", oracle=_CSV_ORACLE, category="scan")
+def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Messy-CSV ingestion with corrupt-record accounting: the raw-
+    text landing zone every real pipeline starts from. Deterministic
+    synthetic mess — every custkey%7==0 row carries a non-numeric
+    balance, every name is quoted and contains an embedded comma —
+    written as raw text lines, then read back through an EXPLICIT
+    schema in PERMISSIVE mode with `columnNameOfCorruptRecord`: bad
+    rows land whole in the corrupt column (never abort the scan, never
+    silently vanish), good rows parse through the quoting.
+
+    The oracle never sees the file — it predicts the ingest report
+    straight from the clean table, so writer, quoting, parser, and
+    corrupt-row routing all have to agree for the hash to match.
+    Scale: text source scans split by line ranges; PERMISSIVE keeps
+    per-row failure isolated (DROPMALFORMED/FAILFAST are the
+    alternatives you can't afford at 100 TB — silent loss or a dead
+    job 90 TB in).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    lines = c.select(
+        F.concat(
+            F.col("c_custkey").cast("string"),
+            F.lit(',"'),
+            F.col("c_name"),
+            F.lit(', Esq.",'),
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("oops")).otherwise(
+                F.col("c_acctbal").cast("string")
+            ),
+        ).alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="s3u_spark_csvsrc_")
+    try:
+        lines.write.mode("overwrite").text(root)
+        schema = StructType(
+            [
+                StructField("custkey", LongType()),
+                StructField("name", StringType()),
+                StructField("acctbal", DoubleType()),
+                StructField("_corrupt", StringType()),
+            ]
+        )
+        parsed = spark.read.csv(
+            root,
+            schema=schema,
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord="_corrupt",
+        )
+        return parsed.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_corrupt"),
+            F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_good"),
+            F.round(
+                F.sum(F.when(F.col("_corrupt").isNull(), F.col("acctbal"))), 2
+            ).alias("sum_acctbal"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -575,3 +575,31 @@ def test_snapshot_gc_is_anti_join_no_nested_loop(spark, sf_dir):
     assert "LeftAnti" in plan, plan
     assert not has_node(df, "CartesianProduct")
     assert not has_node(df, "BroadcastNestedLoopJoin")
+
+
+def test_pagerank_iteration_joins_broadcast_ranks(spark, sf_dir):
+    """Every Pregel step must broadcast the |nodes|-row rank frame;
+    the checkpointed edge list means no iteration replays the 4-way
+    relational join."""
+    df = REGISTRY["graph_pagerank"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_node(df, "BroadcastHashJoin"), plan
+    assert not has_node(df, "CartesianProduct")
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+
+def test_spatial_grid_join_is_equi_not_nested_loop(spark, sf_dir):
+    df = REGISTRY["join_spatial_grid"].fn(spark, sf_dir)
+    assert not has_node(df, "BroadcastNestedLoopJoin"), physical_plan(df)
+    assert not has_node(df, "CartesianProduct")
+
+
+def test_entropy_single_corpus_pass(spark, sf_dir):
+    """Per-source AND overall entropies must derive from the one
+    (source, lang) contingency aggregate — the checkpoint means the
+    corpus parquet is scanned zero times in the final plan."""
+    import re
+
+    df = REGISTRY["agg_entropy"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan

@@ -1346,3 +1346,93 @@ def test_snapshot_gc_reclaims_exactly_the_unreferenced_bucket(spark, sf_dir):
         assert rows[s]["n_orphan_files"] == 1
         assert rows[s]["n_orphan_docs"] == e["n"]
         assert rows[s]["reclaim_bytes"] == e["b"]
+
+
+def test_pagerank_matches_python_power_iteration(spark, sf_dir):
+    """3 damped iterations recomputed sequentially in Python from the
+    same edge weights must agree to float tolerance, and ranks must be
+    a valid sub-stochastic vector (dangling mass dropped)."""
+    got = {
+        r["nation"]: r["pagerank"]
+        for r in REGISTRY["graph_pagerank"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    edges: dict = {}
+    rows = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select("c_nationkey", "s_nationkey")
+        .collect()
+    )
+    for r in rows:
+        edges[(r["c_nationkey"], r["s_nationkey"])] = (
+            edges.get((r["c_nationkey"], r["s_nationkey"]), 0) + 1
+        )
+    out_w: dict = {}
+    for (src, _), w in edges.items():
+        out_w[src] = out_w.get(src, 0) + w
+    nodes = sorted(nation)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        mass = {v: 0.0 for v in nodes}
+        for (src, dst), w in edges.items():
+            mass[dst] += (w / out_w[src]) * rank[src]
+        rank = {v: 0.15 / n + 0.85 * mass[v] for v in nodes}
+    assert set(got) == {nation[v] for v in nodes}
+    for v in nodes:
+        assert abs(got[nation[v]] - rank[v]) < 1e-5, nation[v]
+    assert sum(got.values()) <= 1.0 + 1e-6
+
+
+def test_spatial_grid_equals_brute_force(spark, sf_dir):
+    """The grid-blocked plan must be result-identical to the naive
+    quadratic pair scan — same pairs, exactly once each."""
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in REGISTRY["join_spatial_grid"].fn(spark, sf_dir).collect()
+    }
+    pts = [
+        (r["vec_id"], float(r["embedding"][0]), float(r["embedding"][1]))
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    expect = set()
+    r2 = 0.02 * 0.02
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            a, b = pts[i], pts[j]
+            if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 < r2:
+                expect.add((min(a[0], b[0]), max(a[0], b[0])))
+    assert got == expect
+
+
+def test_csv_permissive_routes_every_bad_row(spark, sf_dir):
+    row = REGISTRY["source_csv_permissive"].fn(spark, sf_dir).collect()[0]
+    cust = load_table(spark, sf_dir, "customer")
+    assert row["n_rows"] == cust.count()
+    assert row["n_corrupt"] == cust.filter(F.col("c_custkey") % 7 == 0).count()
+    assert row["n_corrupt"] > 0, "mess must be non-vacuous"
+    assert row["n_good"] + row["n_corrupt"] == row["n_rows"]
+
+
+def test_entropy_bounds_and_all_row(spark, sf_dir):
+    import math
+
+    rows = REGISTRY["agg_entropy"].fn(spark, sf_dir).collect()
+    per = [r for r in rows if r["source"] != "ALL"]
+    alls = [r for r in rows if r["source"] == "ALL"]
+    assert len(alls) == 1 and per
+    for r in rows:
+        # 0 <= H <= ln(n_langs)
+        assert -1e-9 <= r["lang_entropy"] <= math.log(r["n_langs"]) + 1e-9, r
+    assert alls[0]["n_docs"] == sum(r["n_docs"] for r in per)
