@@ -48,6 +48,8 @@ BENCH_QUERIES = (
     "hb_wal_replay_merge",    # extra headline: WAL replay / CDC merge (round 4)
     "llm_bm25_retrieval",     # extra headline: sparse retrieval (round 5)
     "llm_doc_chunking",       # extra headline: narrow chunking (round 5)
+    "llm_line_dedup",         # extra headline: sub-document global dedup (round 5)
+    "graph_pagerank",         # extra headline: iterative graph class (round 5)
 )
 
 
