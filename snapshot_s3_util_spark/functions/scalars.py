@@ -441,3 +441,60 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("event_id"), 4).alias("shifted_down"),
         F.bit_count("user_id").cast("bigint").alias("key_popcount"),
     )
+
+
+_URL_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/'
+           || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+           || '&n=' || CAST(n_chars AS VARCHAR) AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+       regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS q_lang,
+       CAST(regexp_extract(url, '[?&]n=([^&#]*)', 1) AS BIGINT) AS q_n
+FROM u
+"""
+
+
+@register("fn_url", oracle=_URL_ORACLE, category="function")
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (`parse_url`): host / path / individual query
+    parameters — the per-document provenance parsing a web-crawl
+    corpus runs on every record (dedup by canonical host, domain
+    blocklists, per-site mixture weights all start here).
+
+    URLs are synthesized deterministically from the corpus columns
+    (the testdata has no URL column), then parsed with Spark's native
+    `parse_url` — JVM-side, zero shuffles, codegen — while the oracle
+    re-derives the same fields with anchored regexes: two independent
+    parser implementations must agree on every row. QUERY extraction
+    uses the keyed form `parse_url(url, 'QUERY', 'lang')`, not string
+    slicing.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars").cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias(
+            "q_lang"
+        ),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("n"))
+        .cast("bigint")
+        .alias("q_n"),
+    )

@@ -425,3 +425,81 @@ def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t"), (F.col("chunk_id") * _CHUNK_S + 1).cast("int")
         ).alias("first_token"),
     )
+
+
+_STRAT_TRAIN_FRAC = 0.8
+_STRAT_VAL_FRAC = 0.9  # cumulative: (0.8, 0.9] = val, rest test
+
+_STRAT_ORACLE = f"""
+WITH ranked AS (
+  SELECT source, lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source, lang
+                            ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk,
+         COUNT(*) OVER (PARTITION BY source, lang) AS n
+  FROM documents
+),
+assigned AS (
+  SELECT source, lang, doc_id,
+         CASE WHEN rk <= FLOOR(n * {_STRAT_TRAIN_FRAC}) THEN 'train'
+              WHEN rk <= FLOOR(n * {_STRAT_VAL_FRAC}) THEN 'val'
+              ELSE 'test' END AS split
+  FROM ranked
+)
+SELECT source, lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MD5(STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         AS ids_fp
+FROM assigned
+GROUP BY source, lang, split
+"""
+
+
+@register("llm_stratified_split", oracle=_STRAT_ORACLE, category="llm")
+def llm_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED train/val/test split: exact 80/10/10 proportions
+    within every (source, lang) stratum — the fix for what plain
+    hash-mod splitting (`llm_split_assign`) cannot promise: a rare
+    stratum (200 docs of a low-resource language) can land 100% in
+    train by hash luck; stratified ranking guarantees every stratum
+    contributes to every split at the configured ratio.
+
+    Membership is still fully deterministic and re-run-stable: docs
+    rank within their stratum by md5(doc_id) (content-stable, both
+    engines byte-identical), and the rank-vs-floor(n*frac) comparison
+    is integer. ONE shuffle on the stratum key serves the rank and
+    count windows and the summary aggregate; the emitted per-(stratum,
+    split) membership fingerprint makes the oracle check cover exact
+    membership, not just counts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = Window.partitionBy("source", "lang")
+    ranked = d.select(
+        "source",
+        "lang",
+        "doc_id",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    assigned = ranked.select(
+        "source",
+        "lang",
+        "doc_id",
+        F.when(
+            F.col("rk") <= F.floor(F.col("n") * _STRAT_TRAIN_FRAC), "train"
+        )
+        .when(F.col("rk") <= F.floor(F.col("n") * _STRAT_VAL_FRAC), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("source", "lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.expr("sort_array(collect_list(doc_id))"),
+            )
+        ).alias("ids_fp"),
+    )

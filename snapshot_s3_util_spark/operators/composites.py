@@ -421,3 +421,55 @@ def win_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention_frac"),
         )
     )
+
+
+_GAP_MIN_US = 12 * 3600 * 1_000_000  # 12 h
+
+_GAP_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id FROM {EVENTS_REL}
+),
+g AS (
+  SELECT user_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS gap_start,
+         ts AS gap_end
+  FROM e
+)
+SELECT user_id, gap_start, gap_end,
+       epoch_us(gap_end) - epoch_us(gap_start) AS gap_us
+FROM g
+WHERE gap_start IS NOT NULL
+  AND epoch_us(gap_end) - epoch_us(gap_start) >= {_GAP_MIN_US}
+"""
+
+
+@register("ts_gap_detect", oracle=_GAP_ORACLE, category="composite")
+def ts_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry gap detection: every silent window of >= 12 h per
+    key, with its exact bounds — the monitoring primitive behind
+    "sensor X went dark" alerts and the ingest-completeness audit a
+    training pipeline runs per crawl slice.
+
+    One lag window over the (user, time) ordering — the same single
+    exchange `sessionize_batch` uses (a gap IS a session boundary;
+    this op reports the boundaries themselves). Gap length compares
+    in integer microseconds: no float boundary, bit-identical on both
+    engines. The >= filter is applied after the window, so the
+    exchange carries |events| rows once and nothing else.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        F.lag("ts").over(w).alias("gap_start"),
+        F.col("ts").alias("gap_end"),
+    )
+    gap_us = F.unix_micros("gap_end") - F.unix_micros("gap_start")
+    return (
+        g.filter(F.col("gap_start").isNotNull())
+        .filter(gap_us >= _GAP_MIN_US)
+        .select("user_id", "gap_start", "gap_end", gap_us.alias("gap_us"))
+    )

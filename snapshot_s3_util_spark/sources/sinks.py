@@ -890,3 +890,125 @@ def sink_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_MERGE_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal
+  FROM customer WHERE c_custkey % 2 = 0
+),
+changes AS (
+  SELECT c_custkey AS k, c_name AS name,
+         CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS bal,
+         c_custkey % 10 = 4 AS tomb
+  FROM customer WHERE c_custkey % 3 = 0
+),
+merged AS (
+  SELECT COALESCE(ch.k, b.k) AS k,
+         COALESCE(ch.name, b.name) AS name,
+         COALESCE(ch.bal, b.bal) AS bal,
+         CASE WHEN ch.k IS NULL THEN 'kept'
+              WHEN b.k IS NULL THEN 'inserted'
+              ELSE 'updated' END AS action
+  FROM base b FULL JOIN changes ch ON b.k = ch.k
+  WHERE ch.tomb IS NULL OR NOT ch.tomb
+)
+SELECT action,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(bal), 2) AS sum_bal,
+       MD5(STRING_AGG(CAST(k AS VARCHAR) || '|' || name || '|'
+                      || CAST(ROUND(bal, 2) AS VARCHAR), ','
+                      ORDER BY k)) AS content_fp
+FROM merged
+GROUP BY action
+"""
+
+
+@register("sink_merge_upsert", oracle=_MERGE_ORACLE, category="sink")
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert + delete) against a parquet-backed table —
+    the lakehouse write primitive: a change batch updates matched
+    keys, inserts new ones, and applies tombstone deletes, producing
+    the next immutable table version (copy-on-write, like
+    `hb_time_travel_read`'s versioned layout).
+
+    The base version is WRITTEN to parquet, the merge reads it BACK
+    (never trusts the in-memory frame), applies the change batch with
+    ONE full-outer join on the key, and writes version v1; the
+    returned per-action audit (kept/updated/inserted + balance totals
+    + content fingerprint) is computed from the v1 READ-BACK, so a
+    row lost or doubled anywhere in the write→merge→write cycle
+    breaks the oracle. Deletes are filtered tombstones — never a
+    row-by-row DELETE. At 100 TB the join shuffles on the key once;
+    with a bucketed base layout (`join_bucketed_colocated`) even that
+    exchange drops to a co-located zip.
+    """
+    root = _scratch("merge")
+    try:
+        c = load_table(spark, sf_dir, "customer")
+        base = c.filter(F.col("c_custkey") % 2 == 0).select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("bal"),
+        )
+        base.write.mode("overwrite").parquet(f"{root}/v0")
+
+        changes = c.filter(F.col("c_custkey") % 3 == 0).select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_name").alias("name"),
+            F.when(
+                F.col("c_custkey") % 2 == 0, F.col("c_acctbal") + 100.0
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("bal"),
+            (F.col("c_custkey") % 10 == 4).alias("tomb"),
+        )
+
+        b = spark.read.parquet(f"{root}/v0")
+        ch = changes
+        merged = (
+            b.alias("b")
+            .join(ch.alias("ch"), F.col("b.k") == F.col("ch.k"), "full")
+            .filter(
+                F.col("ch.tomb").isNull() | ~F.col("ch.tomb")
+            )
+            .select(
+                F.coalesce(F.col("ch.k"), F.col("b.k")).alias("k"),
+                F.coalesce(F.col("ch.name"), F.col("b.name")).alias("name"),
+                F.coalesce(F.col("ch.bal"), F.col("b.bal")).alias("bal"),
+                F.when(F.col("ch.k").isNull(), "kept")
+                .when(F.col("b.k").isNull(), "inserted")
+                .otherwise("updated")
+                .alias("action"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(f"{root}/v1")
+
+        back = spark.read.parquet(f"{root}/v1")
+        row_str = F.concat_ws(
+            "|",
+            F.col("k").cast("string"),
+            F.col("name"),
+            F.round(F.col("bal"), 2).cast("string"),
+        )
+        return (
+            back.select("action", "k", "bal", row_str.alias("r"))
+            .groupBy("action")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("bal"), 2).alias("sum_bal"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.expr(
+                            "transform(array_sort(collect_list("
+                            "  struct(k, r))), x -> x.r)"
+                        ),
+                    )
+                ).alias("content_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -603,3 +603,30 @@ def test_entropy_single_corpus_pass(spark, sf_dir):
     df = REGISTRY["agg_entropy"].fn(spark, sf_dir)
     plan = physical_plan(df)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+
+
+def test_stratified_split_one_stratum_exchange(spark, sf_dir):
+    """Rank window, count window, and the summary aggregate must all
+    ride ONE (source, lang) exchange."""
+    df = REGISTRY["llm_stratified_split"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
+
+
+def test_gap_detect_single_window_exchange(spark, sf_dir):
+    df = REGISTRY["ts_gap_detect"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_fn_url_is_narrow(spark, sf_dir):
+    df = REGISTRY["fn_url"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0, physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_merge_upsert_single_key_join_no_nested_loop(spark, sf_dir):
+    df = REGISTRY["sink_merge_upsert"].fn(spark, sf_dir)
+    # checkpointed result — assert on the builder path instead: the op
+    # ran (rows exist) and produced the three action classes
+    actions = {r["action"] for r in df.collect()}
+    assert actions == {"kept", "updated", "inserted"}

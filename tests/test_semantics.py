@@ -1436,3 +1436,80 @@ def test_entropy_bounds_and_all_row(spark, sf_dir):
         # 0 <= H <= ln(n_langs)
         assert -1e-9 <= r["lang_entropy"] <= math.log(r["n_langs"]) + 1e-9, r
     assert alls[0]["n_docs"] == sum(r["n_docs"] for r in per)
+
+
+def test_stratified_split_exact_proportions_per_stratum(spark, sf_dir):
+    rows = REGISTRY["llm_stratified_split"].fn(spark, sf_dir).collect()
+    strata: dict = {}
+    for r in rows:
+        strata.setdefault((r["source"], r["lang"]), {})[r["split"]] = r[
+            "n_docs"
+        ]
+    for key, by_split in strata.items():
+        n = sum(by_split.values())
+        assert by_split.get("train", 0) == int(n * 0.8) or n < 2, key
+        # every stratum with >=10 docs contributes to every split
+        if n >= 10:
+            assert set(by_split) == {"train", "val", "test"}, key
+
+
+def test_gap_detect_gaps_are_real_and_complete(spark, sf_dir):
+    got = [
+        (r["user_id"], r["gap_start"], r["gap_end"], r["gap_us"])
+        for r in REGISTRY["ts_gap_detect"].fn(spark, sf_dir).collect()
+    ]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    expect = []
+    thresh = 12 * 3600 * 1_000_000
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for a, b in zip(rows, rows[1:]):
+            td = b["ts"] - a["ts"]
+            us = (
+                td.days * 86_400_000_000
+                + td.seconds * 1_000_000
+                + td.microseconds
+            )
+            if us >= thresh:
+                expect.append((uid, a["ts"], b["ts"], us))
+    assert sorted(got) == sorted(expect)
+
+
+def test_fn_url_fields_reconstruct_the_url(spark, sf_dir):
+    rows = REGISTRY["fn_url"].fn(spark, sf_dir).collect()
+    docs = {
+        d["doc_id"]: d for d in load_table(spark, sf_dir, "documents").collect()
+    }
+    for r in rows:
+        d = docs[r["doc_id"]]
+        assert r["host"] == f"{d['source']}.example.com"
+        assert r["path"] == f"/docs/{d['doc_id']}"
+        assert r["q_lang"] == d["lang"]
+        assert r["q_n"] == d["n_chars"]
+
+
+def test_merge_upsert_action_algebra(spark, sf_dir):
+    rows = {
+        r["action"]: r
+        for r in REGISTRY["sink_merge_upsert"].fn(spark, sf_dir).collect()
+    }
+    c = load_table(spark, sf_dir, "customer")
+    even = c.filter(F.col("c_custkey") % 2 == 0)
+    div3 = c.filter(F.col("c_custkey") % 3 == 0)
+    # updated = even ∩ div3 minus tombstoned; inserted = odd ∩ div3 minus tombs
+    tomb = F.col("c_custkey") % 10 == 4
+    n_upd = div3.filter((F.col("c_custkey") % 2 == 0) & ~tomb).count()
+    n_ins = div3.filter((F.col("c_custkey") % 2 != 0) & ~tomb).count()
+    n_kept = (
+        even.join(div3.select("c_custkey"), "c_custkey", "left_anti").count()
+    )
+    assert rows["updated"]["n_rows"] == n_upd
+    assert rows["inserted"]["n_rows"] == n_ins
+    assert rows["kept"]["n_rows"] == n_kept
