@@ -480,3 +480,53 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     overall = _entropy(marginal, F.lit("ALL"))
     return per_source.unionByName(overall)
+
+
+# Hours since 2024-01-01 — centering the regressor near the data keeps
+# the moment arithmetic (var/covar) away from catastrophic cancellation
+# at epoch magnitudes, where the two engines' accumulation orders would
+# visibly diverge.
+_LINREG_X0 = 1704067200.0 / 3600.0
+
+_LINREG_ORACLE = f"""
+WITH x AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0 - {_LINREG_X0}
+           AS xh,
+         value
+  FROM {{EVENTS_REL}} e
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(regr_slope(value, xh), 6) AS slope,
+       ROUND(regr_intercept(value, xh), 6) AS intercept,
+       ROUND(regr_r2(value, xh), 6) AS r2
+FROM x GROUP BY event_type
+""".format(EVENTS_REL=EVENTS_REL)
+
+
+@register("agg_linreg", oracle=_LINREG_ORACLE, category="aggregate")
+def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend: slope / intercept / R²
+    of the metric against time, one line per event_type — drift
+    detection as an aggregate (is 'error' value creeping up?), the
+    regression cousin of `agg_corr_matrix`.
+
+    Native `regr_*` aggregates: one-pass streaming moments, map-side
+    combined, JVM codegen — never a collect-and-fit. The regressor is
+    hours since a fixed recent origin, NOT raw epoch (centering keeps
+    var/covar cancellation-free so both engines' accumulation orders
+    agree to 6 digits). Shuffle = |groups| moment tuples.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    xh = (F.unix_micros("ts") / 3.6e9) - _LINREG_X0
+    return (
+        ev.select("event_type", xh.alias("xh"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.regr_slope("value", "xh"), 6).alias("slope"),
+            F.round(F.regr_intercept("value", "xh"), 6).alias("intercept"),
+            F.round(F.regr_r2("value", "xh"), 6).alias("r2"),
+        )
+    )

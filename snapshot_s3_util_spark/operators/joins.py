@@ -777,3 +777,113 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c_custkey").cast("bigint").alias("min_custkey"),
         )
     )
+
+
+_ASOF_NEAREST_ORACLE = f"""
+WITH pts AS (
+  SELECT NULL::BIGINT AS event_id, user_id, ts, ts AS view_ts,
+         0 AS is_probe
+  FROM {EVENTS_REL} e WHERE event_type = 'view'
+  UNION ALL
+  SELECT event_id, user_id, ts, NULL::TIMESTAMP AS view_ts, 1 AS is_probe
+  FROM {EVENTS_REL} e WHERE event_type = 'purchase'
+),
+carried AS (
+  SELECT *,
+         LAST_VALUE(view_ts IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, is_probe, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prev_view,
+         FIRST_VALUE(view_ts IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, is_probe, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_view
+  FROM pts
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN next_view IS NULL THEN prev_view
+            WHEN prev_view IS NULL THEN next_view
+            WHEN epoch_us(ts) - epoch_us(prev_view)
+                 <= epoch_us(next_view) - epoch_us(ts) THEN prev_view
+            ELSE next_view END AS nearest_view_ts,
+       CASE WHEN next_view IS NULL THEN 'backward'
+            WHEN prev_view IS NULL THEN 'forward'
+            WHEN epoch_us(ts) - epoch_us(prev_view)
+                 <= epoch_us(next_view) - epoch_us(ts) THEN 'backward'
+            ELSE 'forward' END AS direction
+FROM carried
+WHERE is_probe = 1
+  AND (prev_view IS NOT NULL OR next_view IS NOT NULL)
+"""
+
+
+@register("join_asof_nearest", oracle=_ASOF_NEAREST_ORACLE, category="join")
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction='nearest' (pandas merge_asof's third
+    mode): each purchase matches its CLOSEST view in time — behind
+    when the preceding view is nearer, ahead when the following one
+    is; exact-µs ties resolve backward, matching the plain as-of.
+
+    Same single-exchange shape as `join_asof` and the resample op:
+    union the two streams, ONE user_id window pass carrying BOTH the
+    running last view (backward candidate) and running first view
+    (forward candidate) — `ignorenulls` over the probe/build ordering
+    — then an integer-µs argmin picks the winner. No self-join, no
+    second shuffle; probes with no view at all drop out (inner-join
+    semantics), matching pandas.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("view_ts"),
+        F.lit(0).alias("is_probe"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        F.lit(1).alias("is_probe"),
+    )
+    order = [F.asc("ts"), F.asc("is_probe"), F.asc_nulls_last("event_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = views.unionByName(purchases).select(
+        "*",
+        F.last("view_ts", ignorenulls=True).over(wb).alias("prev_view"),
+        F.first("view_ts", ignorenulls=True).over(wf).alias("next_view"),
+    )
+    back_closer = (
+        F.unix_micros("ts") - F.unix_micros("prev_view")
+    ) <= (F.unix_micros("next_view") - F.unix_micros("ts"))
+    pick_back = (
+        F.col("next_view").isNull()
+        | (F.col("prev_view").isNotNull() & back_closer)
+    )
+    return (
+        carried.filter(F.col("is_probe") == 1)
+        .filter(
+            F.col("prev_view").isNotNull() | F.col("next_view").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(pick_back, F.col("prev_view"))
+            .otherwise(F.col("next_view"))
+            .alias("nearest_view_ts"),
+            F.when(pick_back, "backward")
+            .otherwise("forward")
+            .alias("direction"),
+        )
+    )

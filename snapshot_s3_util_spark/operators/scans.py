@@ -226,3 +226,74 @@ def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_EVOLVE_ORACLE = f"""
+WITH v0 AS (
+  SELECT event_id, user_id, value FROM {EVENTS_REL} e
+  WHERE event_id % 2 = 0
+),
+v1 AS (
+  SELECT event_id, user_id, value, event_type FROM {EVENTS_REL} e
+  WHERE event_id % 2 = 1
+),
+unioned AS (
+  SELECT event_id, user_id, value, NULL AS event_type FROM v0
+  UNION ALL
+  SELECT event_id, user_id, value, event_type FROM v1
+)
+SELECT COALESCE(event_type, '<pre-schema>') AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(value), 2) AS sum_value
+FROM unioned
+GROUP BY 1
+"""
+
+
+@register("scan_schema_evolution", oracle=_EVOLVE_ORACLE, category="scan")
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: a dataset whose early files were written
+    BEFORE a column existed (v0: 3 columns) and whose later files
+    carry the new column (v1: +event_type), read as ONE table with
+    `mergeSchema` — old rows surface NULL for the new column instead
+    of failing the scan or silently dropping files.
+
+    The report buckets rows by the evolved column (pre-schema rows
+    under a sentinel) with per-bucket counts and value totals; the
+    oracle predicts it from the source table and the same even/odd
+    file-generation rule, so footer merging, NULL backfill, and both
+    read paths must agree. At 100 TB schema evolution is the NORMAL
+    state of a long-lived dataset — a reader that requires uniform
+    footers forces a full rewrite per added column. mergeSchema costs
+    a footer read per file at planning; pin the merged schema
+    explicitly in production readers to avoid even that.
+    """
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="s3u_spark_evolve_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "user_id", "value"
+        ).write.mode("overwrite").parquet(f"{root}/g=0")
+        ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "user_id", "value", "event_type"
+        ).write.mode("overwrite").parquet(f"{root}/g=1")
+        back = spark.read.option("mergeSchema", "true").parquet(
+            f"{root}/g=0", f"{root}/g=1"
+        )
+        return (
+            back.groupBy(
+                F.coalesce(F.col("event_type"), F.lit("<pre-schema>")).alias(
+                    "event_type"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -630,3 +630,18 @@ def test_merge_upsert_single_key_join_no_nested_loop(spark, sf_dir):
     # ran (rows exist) and produced the three action classes
     actions = {r["action"] for r in df.collect()}
     assert actions == {"kept", "updated", "inserted"}
+
+
+def test_linreg_single_pass_single_scan(spark, sf_dir):
+    import re
+
+    df = REGISTRY["agg_linreg"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert shuffle_count(df) == 1, plan
+
+
+def test_asof_nearest_one_exchange_no_self_join(spark, sf_dir):
+    df = REGISTRY["join_asof_nearest"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
+    assert not has_node(df, "Join"), physical_plan(df)

@@ -1513,3 +1513,81 @@ def test_merge_upsert_action_algebra(spark, sf_dir):
     assert rows["updated"]["n_rows"] == n_upd
     assert rows["inserted"]["n_rows"] == n_ins
     assert rows["kept"]["n_rows"] == n_kept
+
+
+def test_asof_nearest_picks_true_argmin(spark, sf_dir):
+    """Every emitted match must be the closest view in either
+    direction, verified against a sequential scan; ties go backward;
+    and the backward choices agree with the plain as-of join."""
+    got = {
+        r["event_id"]: r
+        for r in REGISTRY["join_asof_nearest"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .collect()
+    )
+    views: dict = {}
+    for r in ev:
+        if r["event_type"] == "view":
+            views.setdefault(r["user_id"], []).append(r["ts"])
+    purchases = [r for r in ev if r["event_type"] == "purchase"]
+    for p in purchases:
+        vs = views.get(p["user_id"], [])
+        if not vs:
+            assert p["event_id"] not in got
+            continue
+        best = min(vs, key=lambda v: (abs(v - p["ts"]), v > p["ts"]))
+        r = got[p["event_id"]]
+        assert r["nearest_view_ts"] == best, p["event_id"]
+        assert r["direction"] == (
+            "backward" if best <= p["ts"] else "forward"
+        )
+    # backward-direction rows must equal join_asof's answer
+    plain = {
+        r["event_id"]: r["last_view_ts"]
+        for r in REGISTRY["join_asof"].fn(spark, sf_dir).collect()
+    }
+    for eid, r in got.items():
+        if r["direction"] == "backward":
+            assert plain[eid] == r["nearest_view_ts"], eid
+
+
+def test_linreg_matches_numpy_polyfit(spark, sf_dir):
+    import numpy as np
+
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["agg_linreg"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.unix_micros("ts").alias("us"), "value")
+        .collect()
+    )
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["us"] / 3.6e9 - 1704067200.0 / 3600.0, r["value"])
+        )
+    for et, pts in by_type.items():
+        x = np.array([p[0] for p in pts])
+        y = np.array([p[1] for p in pts])
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(rows[et]["slope"] - slope) < 1e-4, et
+        assert abs(rows[et]["intercept"] - intercept) < 1e-4, et
+        assert rows[et]["n"] == len(pts)
+
+
+def test_schema_evolution_null_backfill_accounting(spark, sf_dir):
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["scan_schema_evolution"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    n_old = ev.filter(F.col("event_id") % 2 == 0).count()
+    assert rows["<pre-schema>"]["n_rows"] == n_old
+    assert (
+        sum(r["n_rows"] for r in rows.values()) == ev.count()
+    ), "no file dropped, no row doubled"
