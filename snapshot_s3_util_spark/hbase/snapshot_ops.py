@@ -665,3 +665,74 @@ def hb_snapshot_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bytes").cast("bigint").alias("reclaim_bytes"),
         )
     )
+
+
+_THROTTLE_MBPS = 40  # per-mapper bandwidth cap (MB/s), ExportSnapshot -bandwidth
+_THROTTLE_SPLITS = 4
+
+
+@register(
+    "hb_export_throttle_plan",
+    oracle=f"""
+    WITH sized AS (
+      SELECT source, CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS bytes
+      FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT source, bytes,
+             ROW_NUMBER() OVER (ORDER BY bytes DESC, source) AS rk
+      FROM sized
+    ),
+    split AS (
+      SELECT CAST((rk - 1) % {_THROTTLE_SPLITS} AS BIGINT) AS split_id,
+             CAST(SUM(bytes) AS BIGINT) AS total_bytes
+      FROM ranked GROUP BY 1
+    )
+    SELECT split_id, total_bytes,
+           ROUND(total_bytes / ({_THROTTLE_MBPS} * 1048576.0), 3)
+             AS est_seconds,
+           ROUND(total_bytes / ({_THROTTLE_MBPS} * 1048576.0)
+                 - MIN(total_bytes / ({_THROTTLE_MBPS} * 1048576.0)) OVER (),
+                 3) AS straggler_lag_sec
+    FROM split
+    """,
+    category="hbase",
+)
+def hb_export_throttle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bandwidth-throttled export plan (the reference's `-bandwidth`
+    mapper cap): given the balanced splits and a per-worker MB/s
+    limit, the per-split transfer-time estimate and the straggler lag
+    (slowest minus fastest) — the number you check BEFORE launching a
+    multi-hour S3 copy, because one oversized split under a bandwidth
+    cap sets the whole job's wall clock.
+
+    Pure planning arithmetic on top of the `hb_balanced_splits`
+    assignment: one aggregate over per-source byte sizes, a
+    |splits|-row window for the lag — nothing touches data files. In
+    Spark terms the same estimate sizes `maxPartitionBytes` /
+    `repartition(n)` for the export write against a known egress cap.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    nbytes = F.length(F.encode(F.col("text"), "UTF-8"))
+    sized = d.groupBy("source").agg(
+        F.sum(nbytes).cast("bigint").alias("bytes")
+    )
+    w = Window.orderBy(F.col("bytes").desc(), F.col("source"))
+    split = (
+        sized.withColumn("rk", F.row_number().over(w))
+        .groupBy(
+            ((F.col("rk") - 1) % _THROTTLE_SPLITS)
+            .cast("bigint")
+            .alias("split_id")
+        )
+        .agg(F.sum("bytes").cast("bigint").alias("total_bytes"))
+    )
+    est = F.col("total_bytes") / (_THROTTLE_MBPS * 1048576.0)
+    return split.select(
+        "split_id",
+        "total_bytes",
+        F.round(est, 3).alias("est_seconds"),
+        F.round(
+            est - F.min(est).over(Window.partitionBy()), 3
+        ).alias("straggler_lag_sec"),
+    )

@@ -503,3 +503,86 @@ def llm_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ids_fp"),
     )
+
+
+_CARD_ORACLE = """
+WITH base AS (
+  SELECT source, lang, doc_id, n_chars,
+         LEN(string_split(text, ' ')) AS toks,
+         MD5(text) AS digest
+  FROM documents
+),
+flagged AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY digest
+                               ORDER BY doc_id) > 1 AS is_dup
+  FROM base
+),
+per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(SUM(toks) AS BIGINT) AS total_tokens,
+         ROUND(QUANTILE_CONT(n_chars, 0.5), 1) AS median_chars,
+         ROUND(AVG(CASE WHEN is_dup THEN 1.0 ELSE 0.0 END), 6)
+           AS exact_dup_frac
+  FROM flagged GROUP BY source
+),
+lang_rank AS (
+  SELECT source, lang,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY COUNT(*) DESC, lang) AS rn
+  FROM base GROUP BY source, lang
+)
+SELECT p.*, l.lang AS top_lang
+FROM per_source p JOIN lang_rank l ON l.source = p.source AND l.rn = 1
+"""
+
+
+@register("llm_dataset_card", oracle=_CARD_ORACLE, category="llm")
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card, one row per source: doc count, language spread +
+    dominant language, token totals, median length, and the exact-
+    duplicate fraction — the per-slice documentation table a corpus
+    release ships with (and the dashboard a 100 TB ingest watches per
+    crawl).
+
+    Two corpus passes is the floor and this op meets it: the digest
+    rank (global exact-dup detection NEEDS a digest-keyed exchange)
+    and the per-source aggregate; the dominant-language rank runs on
+    the |sources|x|langs| count frame, and its winner row broadcast-
+    joins back. Median via exact interpolated percentile — per-source
+    value lists are bounded by the source's doc count, and both
+    engines interpolate identically.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("toks"),
+        F.md5("text").alias("digest"),
+    )
+    wd = Window.partitionBy("digest").orderBy("doc_id")
+    flagged = d.withColumn("is_dup", F.row_number().over(wd) > 1)
+    per_source = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        F.round(F.expr("percentile(n_chars, 0.5D)"), 1).alias(
+            "median_chars"
+        ),
+        F.round(
+            F.avg(F.when(F.col("is_dup"), 1.0).otherwise(0.0)), 6
+        ).alias("exact_dup_frac"),
+    )
+    wl = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("lang")
+    )
+    top_lang = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return per_source.join(F.broadcast(top_lang), "source")

@@ -473,3 +473,59 @@ def ts_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(gap_us >= _GAP_MIN_US)
         .select("user_id", "gap_start", "gap_end", gap_us.alias("gap_us"))
     )
+
+
+_MOM_ORACLE = f"""
+WITH monthly AS (
+  SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 4) AS sum_value
+  FROM {EVENTS_REL} e GROUP BY 1, 2
+)
+SELECT event_type, month, n_events, sum_value,
+       ROUND(CASE WHEN LAG(sum_value) OVER w IS NOT NULL
+                  AND LAG(sum_value) OVER w <> 0
+             THEN (sum_value - LAG(sum_value) OVER w)
+                  / LAG(sum_value) OVER w * 100 END, 4) AS pct_change_mom
+FROM monthly
+WINDOW w AS (PARTITION BY event_type ORDER BY month)
+"""
+
+
+@register("win_pct_change_mom", oracle=_MOM_ORACLE, category="window")
+def win_pct_change_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month percent change per series — the reporting
+    staple layered on a calendar rollup (lag over the aggregated
+    series, NOT over raw events).
+
+    The aggregate collapses the corpus to |series|x|months| rows
+    FIRST (one map-side-combined exchange); the lag window then runs
+    over that tiny frame — partitioned by series, so no single-
+    partition bottleneck. First month (no prior) and a zero base both
+    emit NULL rather than an Inf/-Inf that would poison downstream
+    sorts. Both engines round the aggregated operand before the
+    ratio, so the division sees identical inputs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    monthly = ev.groupBy(
+        "event_type",
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy("month")
+    prev = F.lag("sum_value").over(w)
+    return monthly.select(
+        "event_type",
+        "month",
+        "n_events",
+        "sum_value",
+        F.round(
+            F.when(
+                prev.isNotNull() & (prev != 0),
+                (F.col("sum_value") - prev) / prev * 100,
+            ),
+            4,
+        ).alias("pct_change_mom"),
+    )

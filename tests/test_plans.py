@@ -645,3 +645,37 @@ def test_asof_nearest_one_exchange_no_self_join(spark, sf_dir):
     df = REGISTRY["join_asof_nearest"].fn(spark, sf_dir)
     assert shuffle_count(df) == 1, physical_plan(df)
     assert not has_node(df, "Join"), physical_plan(df)
+
+
+def test_throttle_plan_touches_only_aggregated_rows(spark, sf_dir):
+    """The window math must run on the |splits|-row frame, never the
+    corpus: one scan, and every Window sits above the aggregate."""
+    import re
+
+    df = REGISTRY["hb_export_throttle_plan"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_pct_change_lag_runs_over_aggregated_series(spark, sf_dir):
+    """Aggregate-then-lag: the window exchange must carry
+    |series|x|months| rows, i.e. the plan aggregates BEFORE the
+    Window node."""
+    df = REGISTRY["win_pct_change_mom"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # formatted plans list operators leaves-first: the aggregate must
+    # appear as a DEEPER (higher-numbered) node than the window
+    assert not uses_python(df)
+    assert shuffle_count(df) <= 2, plan
+
+
+def test_dataset_card_two_corpus_exchanges(spark, sf_dir):
+    """Digest-rank shuffle + source aggregate are the only exchanges
+    that scale with the corpus; the lang-rank/broadcast side adds at
+    most one more |sources|x|langs|-sized exchange."""
+    df = REGISTRY["llm_dataset_card"].fn(spark, sf_dir)
+    assert has_node(df, "BroadcastHashJoin"), physical_plan(df)
+    assert not uses_python(df)

@@ -1591,3 +1591,65 @@ def test_schema_evolution_null_backfill_accounting(spark, sf_dir):
     assert (
         sum(r["n_rows"] for r in rows.values()) == ev.count()
     ), "no file dropped, no row doubled"
+
+
+def test_throttle_plan_conserves_bytes_and_orders_lag(spark, sf_dir):
+    rows = REGISTRY["hb_export_throttle_plan"].fn(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    total = (
+        d.select(
+            F.sum(F.length(F.encode(F.col("text"), "UTF-8"))).alias("b")
+        ).collect()[0]["b"]
+    )
+    assert sum(r["total_bytes"] for r in rows) == total
+    lags = [r["straggler_lag_sec"] for r in rows]
+    assert min(lags) == 0.0
+    for r in rows:
+        assert abs(
+            r["est_seconds"] - r["total_bytes"] / (40 * 1048576.0)
+        ) < 1e-3
+
+
+def test_pct_change_matches_python(spark, sf_dir):
+    rows = REGISTRY["win_pct_change_mom"].fn(spark, sf_dir).collect()
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append(r)
+    for et, rs in series.items():
+        rs.sort(key=lambda r: r["month"])
+        assert rs[0]["pct_change_mom"] is None
+        for a, b in zip(rs, rs[1:]):
+            if a["sum_value"]:
+                expect = (b["sum_value"] - a["sum_value"]) / a["sum_value"] * 100
+                assert abs(b["pct_change_mom"] - expect) < 1e-3, et
+
+
+def test_dataset_card_totals_and_dup_frac(spark, sf_dir):
+    rows = {
+        r["source"]: r
+        for r in REGISTRY["llm_dataset_card"].fn(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").collect()
+    import hashlib
+    from collections import Counter
+
+    by_source: dict = {}
+    first_seen: dict = {}
+    dup_ids = set()
+    for d in sorted(docs, key=lambda d: d["doc_id"]):
+        h = hashlib.md5(d["text"].encode()).hexdigest()
+        if h in first_seen:
+            dup_ids.add(d["doc_id"])
+        else:
+            first_seen[h] = d["doc_id"]
+        by_source.setdefault(d["source"], []).append(d)
+    assert set(rows) == set(by_source)
+    for s, ds in by_source.items():
+        r = rows[s]
+        assert r["n_docs"] == len(ds)
+        assert r["total_tokens"] == sum(len(d["text"].split(" ")) for d in ds)
+        n_dup = sum(1 for d in ds if d["doc_id"] in dup_ids)
+        assert abs(r["exact_dup_frac"] - n_dup / len(ds)) < 1e-6
+        top = Counter(d["lang"] for d in ds)
+        best = sorted(top.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        assert r["top_lang"] == best, s
