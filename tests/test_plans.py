@@ -679,3 +679,9 @@ def test_dataset_card_two_corpus_exchanges(spark, sf_dir):
     df = REGISTRY["llm_dataset_card"].fn(spark, sf_dir)
     assert has_node(df, "BroadcastHashJoin"), physical_plan(df)
     assert not uses_python(df)
+
+
+def test_image_decode_is_narrow_python_stages(spark, sf_dir):
+    df = REGISTRY["multimodal_image_decode"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0, physical_plan(df)
+    assert uses_python(df)  # the declared Arrow mapInPandas surface

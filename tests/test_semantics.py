@@ -1653,3 +1653,42 @@ def test_dataset_card_totals_and_dup_frac(spark, sf_dir):
         top = Counter(d["lang"] for d in ds)
         best = sorted(top.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
         assert r["top_lang"] == best, s
+
+
+def test_bmp_roundtrip_is_a_real_dib_container(spark, sf_dir):
+    """The synthesized payload must be a spec-correct BMP: magic,
+    declared size == len, pixel offset 54, row padding to 4 bytes,
+    bottom-up row order (checked by spot-decoding one pixel)."""
+    import struct
+
+    from snapshot_s3_util_spark.llm.multimodal import (
+        _bmp_dims,
+        decode_bmp,
+        synth_bmp,
+    )
+
+    for doc_id in (0, 7, 123, 4567):
+        payload = synth_bmp(doc_id)
+        w, h = _bmp_dims(doc_id)
+        magic, size, _, _, offset = struct.unpack_from("<2sIHHI", payload, 0)
+        assert magic == b"BM" and size == len(payload) and offset == 54
+        row_size = (3 * w + 3) // 4 * 4
+        assert len(payload) == 54 + h * row_size
+        # payload row 0 is the image's BOTTOM row (y = h-1): its x=0
+        # blue byte must be (0 + (h-1) + doc_id) % 256
+        assert payload[offset] == (h - 1 + doc_id) % 256
+        d = decode_bmp(payload)
+        assert (d["width"], d["height"], d["bpp"]) == (w, h, 24)
+        expect_b = sum(
+            (x + y + doc_id) % 256 for x in range(w) for y in range(h)
+        )
+        assert d["sum_b"] == expect_b
+
+
+def test_image_decode_rejects_non_bmp(spark, sf_dir):
+    import pytest as _pytest
+
+    from snapshot_s3_util_spark.llm.multimodal import decode_bmp
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"RIFF....WAVE" + b"\x00" * 64)
