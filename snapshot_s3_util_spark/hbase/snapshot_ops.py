@@ -736,3 +736,79 @@ def hb_export_throttle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             est - F.min(est).over(Window.partitionBy()), 3
         ).alias("straggler_lag_sec"),
     )
+
+
+@register(
+    "hb_snapshot_clone",
+    oracle="""
+    WITH files AS (
+      SELECT source, doc_id % 5 AS bucket,
+             CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS bytes
+      FROM documents GROUP BY source, doc_id % 5
+    ),
+    refs AS (
+      -- original table references every file; the clone references the
+      -- subset overlapping its restored key range (buckets 0-2)
+      SELECT source, bucket, 'orig' AS tbl FROM files
+      UNION ALL
+      SELECT source, bucket, 'clone' AS tbl FROM files WHERE bucket <= 2
+    )
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN n_refs = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(SUM(f.bytes) AS BIGINT) AS physical_bytes,
+           CAST(SUM(f.bytes * n_refs) AS BIGINT) AS logical_bytes
+    FROM files f
+    JOIN (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_refs
+          FROM refs GROUP BY source, bucket) r
+      ON r.source = f.source AND r.bucket = f.bucket
+    GROUP BY f.source
+    """,
+    category="hbase",
+)
+def hb_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy snapshot clone accounting (HBase `clone_snapshot`:
+    the new table REFERENCES the snapshot's immutable files instead of
+    copying them). The report every storage audit needs: per source,
+    how many physical files exist, how many are shared by both
+    tables, and physical vs logical bytes — the gap is exactly the
+    copy the clone avoided.
+
+    Reference counting is pure set algebra over the emulated layout:
+    the file inventory aggregates once, the two tables' manifests
+    union, and a refcount groupBy joins back on the file key (AQE
+    broadcasts the |files|-row count side). `hb_snapshot_gc` is the
+    destructive half of the same bookkeeping — a file is deletable
+    exactly when this op's n_refs reaches zero.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    files = d.groupBy(
+        "source", (F.col("doc_id") % 5).alias("bucket")
+    ).agg(
+        F.sum(F.length(F.encode(F.col("text"), "UTF-8")))
+        .cast("bigint")
+        .alias("bytes")
+    ).localCheckpoint()
+    refs = files.select("source", "bucket", F.lit("orig").alias("tbl")).unionByName(
+        files.filter(F.col("bucket") <= 2).select(
+            "source", "bucket", F.lit("clone").alias("tbl")
+        )
+    )
+    refcount = refs.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_refs")
+    )
+    return (
+        files.join(refcount, ["source", "bucket"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.when(F.col("n_refs") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+            F.sum("bytes").cast("bigint").alias("physical_bytes"),
+            F.sum(F.col("bytes") * F.col("n_refs"))
+            .cast("bigint")
+            .alias("logical_bytes"),
+        )
+    )

@@ -586,3 +586,65 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("lang").alias("top_lang"))
     )
     return per_source.join(F.broadcast(top_lang), "source")
+
+
+# Fixed "trained" weights for the batch-inference op: a tiny linear
+# model over cheap text features. The weights are part of the operator
+# contract (inference applies a FROZEN model), so both engines score
+# identically.
+_INFER_W0 = -1.2        # bias
+_INFER_W_TOKS = 0.012   # per token
+_INFER_W_AVGLEN = 0.25  # per avg token length
+_INFER_THRESHOLD = 0.7
+
+_INFER_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS n_toks,
+         CAST(n_chars AS DOUBLE) / LEN(string_split(text, ' ')) AS avg_len
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         ROUND(1.0 / (1.0 + EXP(-({_INFER_W0}
+                                  + {_INFER_W_TOKS} * n_toks
+                                  + {_INFER_W_AVGLEN} * avg_len))), 6)
+           AS score
+  FROM feats
+)
+SELECT doc_id, score, score >= {_INFER_THRESHOLD} AS keep
+FROM scored
+"""
+
+
+@register("llm_inference_batch", oracle=_INFER_ORACLE, category="llm")
+def llm_inference_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference: score every document with a FROZEN
+    linear-sigmoid quality classifier and emit the keep/drop verdict —
+    the shape of every learned-filter pass (fastText quality,
+    toxicity, educational-value) a curation pipeline runs at full
+    corpus scale.
+
+    The model is two dot-product terms + a sigmoid, so inference
+    compiles to JVM column math inside whole-stage codegen: zero
+    shuffles, zero Python, no model server round-trips. The verdict
+    compares the ROUNDED score, so the decision boundary is evaluated
+    on identical inputs in both engines. When the real model is an
+    embedding MLP instead, only the scoring expression changes — to a
+    Pandas-UDF stage like `multimodal_image_decode`'s reader — and
+    the narrow plan shape survives.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " ")).cast("double")
+    avg_len = F.col("n_chars").cast("double") / n_toks
+    z = (
+        F.lit(_INFER_W0)
+        + F.lit(_INFER_W_TOKS) * n_toks
+        + F.lit(_INFER_W_AVGLEN) * avg_len
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return d.select(
+        "doc_id",
+        score.alias("score"),
+        (score >= _INFER_THRESHOLD).alias("keep"),
+    )

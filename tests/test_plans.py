@@ -685,3 +685,21 @@ def test_image_decode_is_narrow_python_stages(spark, sf_dir):
     df = REGISTRY["multimodal_image_decode"].fn(spark, sf_dir)
     assert shuffle_count(df) == 0, physical_plan(df)
     assert uses_python(df)  # the declared Arrow mapInPandas surface
+
+
+def test_inference_batch_is_pure_codegen(spark, sf_dir):
+    """A frozen linear model must compile to JVM column math: zero
+    shuffles, zero Python."""
+    df = REGISTRY["llm_inference_batch"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0, physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_snapshot_clone_no_second_corpus_scan(spark, sf_dir):
+    """Refcounting must run over the checkpointed file inventory —
+    the corpus parquet appears zero times in the final plan."""
+    import re
+
+    df = REGISTRY["hb_snapshot_clone"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan

@@ -1692,3 +1692,61 @@ def test_image_decode_rejects_non_bmp(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         decode_bmp(b"RIFF....WAVE" + b"\x00" * 64)
+
+
+def test_inference_batch_matches_python_sigmoid(spark, sf_dir):
+    import math
+
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["llm_inference_batch"].fn(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").collect()
+    assert set(rows) == {d["doc_id"] for d in docs}
+    for d in docs:
+        n = len(d["text"].split(" "))
+        z = -1.2 + 0.012 * n + 0.25 * (d["n_chars"] / n)
+        score = round(1.0 / (1.0 + math.exp(-z)), 6)
+        r = rows[d["doc_id"]]
+        assert abs(r["score"] - score) < 1e-6, d["doc_id"]
+        assert r["keep"] == (score >= 0.7)
+    assert any(r["keep"] for r in rows.values())
+    assert any(not r["keep"] for r in rows.values()), "threshold vacuous"
+
+
+def test_snapshot_clone_refcount_algebra(spark, sf_dir):
+    rows = {
+        r["source"]: r
+        for r in REGISTRY["hb_snapshot_clone"].fn(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    inv = (
+        d.groupBy("source", (F.col("doc_id") % 5).alias("bucket"))
+        .agg(
+            F.sum(F.length(F.encode(F.col("text"), "UTF-8"))).alias("b")
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    phys = defaultdict(int)
+    logi = defaultdict(int)
+    nfiles = defaultdict(int)
+    nshared = defaultdict(int)
+    for r in inv:
+        phys[r["source"]] += r["b"]
+        nfiles[r["source"]] += 1
+        refs = 2 if r["bucket"] <= 2 else 1
+        logi[r["source"]] += r["b"] * refs
+        if refs == 2:
+            nshared[r["source"]] += 1
+    for s, r in rows.items():
+        assert r["physical_bytes"] == phys[s]
+        assert r["logical_bytes"] == logi[s]
+        assert r["n_files"] == nfiles[s]
+        assert r["n_shared"] == nshared[s]
+    # corpus-wide the clone must share (a tiny source may own only
+    # out-of-range buckets and legitimately share nothing)
+    assert sum(r["logical_bytes"] for r in rows.values()) > sum(
+        r["physical_bytes"] for r in rows.values()
+    )
