@@ -120,3 +120,39 @@ def load_all_operators() -> None:
     ordered = sorted(REGISTRY.values(), key=_rank)  # stable sort
     REGISTRY.clear()
     REGISTRY.update({op.name: op for op in ordered})
+    _interpolate_docstrings()
+
+
+def _interpolate_docstrings() -> None:
+    """Resolve `{_CONST}` placeholders in operator docstrings.
+
+    Many docstrings reference their module's tuning constants (band
+    counts, thresholds, chunk widths) by name; f-strings can't be
+    docstrings, so without this pass `help()` renders the braces
+    literally (round-3 ADVICE item). Substitutes only `{_UPPER_CASE}`
+    names that resolve to an int/float/str in the op's own module —
+    anything else (legit braces, struct examples) is left untouched.
+    """
+    import re
+    import sys
+
+    pat = re.compile(r"\{(_[A-Z][A-Z0-9_]*)\}")
+    for op in REGISTRY.values():
+        doc = op.fn.__doc__
+        if not doc or "{_" not in doc:
+            continue
+        mod_vars = vars(sys.modules[op.fn.__module__])
+
+        def sub(m, mod_vars=mod_vars):
+            v = mod_vars.get(m.group(1))
+            if isinstance(v, (int, float, str)):
+                return str(v)
+            if isinstance(v, (tuple, list)) and all(
+                isinstance(x, (int, float, str)) for x in v
+            ):
+                return "/".join(str(x) for x in v)
+            return m.group(0)
+
+        fixed = pat.sub(sub, doc)
+        op.fn.__doc__ = fixed
+        op.doc = fixed

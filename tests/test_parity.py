@@ -140,3 +140,19 @@ def test_determinism(name, spark, sf_dir, op_runs):
     df = op.fn(spark, sf_dir)
     h2 = table_hash(df.columns, [tuple(r) for r in df.collect()])
     assert h1 == h2, f"{name}: nondeterministic result"
+
+
+def test_docstrings_have_no_literal_placeholders():
+    """load_all_operators interpolates {_CONST} docstring references
+    (round-3 ADVICE): after loading, no registered op's help() text
+    may render a brace placeholder literally."""
+    import re
+
+    from snapshot_s3_util_spark import REGISTRY
+
+    bad = [
+        op.name
+        for op in REGISTRY.values()
+        if re.search(r"\{_[A-Z][A-Z0-9_]*\}", op.fn.__doc__ or "")
+    ]
+    assert bad == [], bad
