@@ -290,3 +290,89 @@ def test_cms_python_model_never_underestimates(keys):
             for i in range(D)
         )
         assert est >= true_cnt
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=60, deadline=None)
+def test_bmp_codec_roundtrip_any_doc_id(doc_id):
+    """synth_bmp → decode_bmp must invert exactly for every doc_id:
+    dimensions, declared size, and per-channel sums recomputed from
+    the pixel formula."""
+    from snapshot_s3_util_spark.llm.multimodal import (
+        _bmp_dims,
+        decode_bmp,
+        synth_bmp,
+    )
+
+    w, h = _bmp_dims(doc_id)
+    d = decode_bmp(synth_bmp(doc_id))
+    assert (d["width"], d["height"], d["bpp"]) == (w, h, 24)
+    assert d["n_bytes"] == 54 + h * ((3 * w + 3) // 4 * 4)
+    grid = [(x, y) for x in range(w) for y in range(h)]
+    assert d["sum_r"] == sum((x * y + doc_id) % 256 for x, y in grid)
+    assert d["sum_g"] == sum((2 * x + doc_id) % 256 for x, y in grid)
+    assert d["sum_b"] == sum((x + y + doc_id) % 256 for x, y in grid)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_grid_blocking_finds_every_close_pair(points):
+    """The 3x3-neighborhood replication rule behind join_spatial_grid:
+    any pair within radius r must land in a common cell exactly once
+    (left home cell ∈ right's replicated neighborhood), and pairs
+    found via the rule must be the brute-force set."""
+    import math
+
+    r = 0.02
+    cell = lambda v: math.floor(v / r)  # noqa: E731
+    found = set()
+    for i, (xa, ya) in enumerate(points):
+        for j, (xb, yb) in enumerate(points):
+            if i >= j:
+                continue
+            hits = 0
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if (
+                        cell(xa) == cell(xb) + dx
+                        and cell(ya) == cell(yb) + dy
+                    ):
+                        hits += 1
+            close = (xa - xb) ** 2 + (ya - yb) ** 2 < r * r
+            if close:
+                assert hits == 1, "close pair must meet exactly once"
+                found.add((i, j))
+            else:
+                assert hits <= 1
+    brute = {
+        (i, j)
+        for i, a in enumerate(points)
+        for j, b in enumerate(points)
+        if i < j and (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2 < r * r
+    }
+    assert found == brute
+
+
+@given(st.integers(min_value=1, max_value=500))
+@settings(max_examples=80, deadline=None)
+def test_stratified_cutoffs_partition_every_stratum_size(n):
+    """floor(n*0.8)/floor(n*0.9) cutoffs yield non-overlapping splits
+    covering all n ranks, train is exactly floor(0.8n), and every
+    split is non-empty once the stratum can afford it (n >= 10)."""
+    train = sum(1 for rk in range(1, n + 1) if rk <= int(n * 0.8))
+    val = sum(
+        1 for rk in range(1, n + 1) if int(n * 0.8) < rk <= int(n * 0.9)
+    )
+    test = n - train - val
+    assert train == int(n * 0.8) and val >= 0 and test >= 0
+    if n >= 10:
+        assert train > 0 and val > 0 and test > 0
