@@ -529,3 +529,52 @@ def win_pct_change_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pct_change_mom"),
     )
+
+
+_SEASON_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(AVG(value), 6) AS avg_value
+  FROM {EVENTS_REL} e GROUP BY 1, 2
+),
+peak AS (
+  SELECT event_type, hod AS peak_hour,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY n_events DESC, hod) AS rn
+  FROM hourly
+)
+SELECT h.event_type, h.hod, h.n_events, h.avg_value, p.peak_hour
+FROM hourly h JOIN peak p ON p.event_type = h.event_type AND p.rn = 1
+"""
+
+
+@register("ts_seasonality_profile", oracle=_SEASON_ORACLE, category="composite")
+def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per series: the 24-bucket
+    diurnal shape (count + mean level) with each series' peak hour
+    stamped on every row — the load-curve view capacity planning and
+    anomaly baselining both start from (`win_anomaly_zscore` flags
+    deviations; this op supplies the baseline shape).
+
+    One calendar-bucketed aggregate collapses the corpus to
+    |series|x24 rows — the only exchange that sees data; the peak
+    election is a rank over those 24-row groups and broadcast-joins
+    back. Deterministic peak tie-break on the earlier hour.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("hod")
+    )
+    peak = (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("hod").alias("peak_hour"))
+    )
+    return hourly.join(F.broadcast(peak), "event_type")

@@ -1012,3 +1012,89 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_WAP_ORACLE = f"""
+WITH counts AS (
+  SELECT 'f0' AS file_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM {EVENTS_REL} e WHERE event_id % 3 = 0
+  UNION ALL
+  SELECT 'f1', CAST(COUNT(*) AS BIGINT)
+  FROM {EVENTS_REL} e WHERE event_id % 3 = 1
+)
+SELECT file_id, n_rows, n_rows AS manifest_rows, TRUE AS audit_ok
+FROM counts
+UNION ALL
+SELECT 'TOTAL', CAST(SUM(n_rows) AS BIGINT), CAST(SUM(n_rows) AS BIGINT),
+       TRUE
+FROM counts
+"""
+
+
+@register("sink_manifest_wap", oracle=_WAP_ORACLE, category="sink")
+def sink_manifest_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish: writers land files, an AUDIT verifies
+    counts against the manifest, and readers resolve ONLY through the
+    published manifest — so a failed writer's half-landed files (the
+    orphan dir this op deliberately plants) are invisible until a
+    commit publishes them. This is the atomicity discipline every
+    object-store table format (Iceberg/Delta-style) builds on: S3 has
+    no atomic multi-file rename, so the manifest IS the transaction.
+
+    The op writes two committed file groups + one orphan, publishes a
+    manifest for the two, then audits the READ-BACK of each published
+    file against its manifest row and proves the orphan stayed
+    excluded (the TOTAL row differs from the directory listing's
+    total iff exclusion failed — which the oracle would catch as a
+    count mismatch). Reads are per-file parquet loads resolved from
+    the manifest — never a directory glob, the 100 TB correctness
+    rule this op exists to demonstrate.
+    """
+    root = _scratch("wap")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        groups = {
+            "f0": ev.filter(F.col("event_id") % 3 == 0),
+            "f1": ev.filter(F.col("event_id") % 3 == 1),
+        }
+        manifest_rows = []
+        for fid, df in groups.items():
+            df.write.mode("overwrite").parquet(f"{root}/data/{fid}")
+            manifest_rows.append((fid, df.count()))
+        # the failed writer: files on disk, absent from the manifest
+        ev.filter(F.col("event_id") % 3 == 2).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/data/f_orphan")
+        manifest = spark.createDataFrame(
+            manifest_rows, "file_id string, manifest_rows long"
+        )
+        manifest.write.mode("overwrite").parquet(f"{root}/_manifest")
+
+        # Audit: per-file read-back counts vs the PUBLISHED manifest,
+        # resolved by join (no driver-side row loop; the known file-id
+        # set is the op's own static publish set, exactly as Spark's
+        # file index is driver-side planning state).
+        published = spark.read.parquet(f"{root}/_manifest")
+        read_back = None
+        for fid in groups:
+            c = (
+                spark.read.parquet(f"{root}/data/{fid}")
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+                .select(F.lit(fid).alias("file_id"), "n_rows")
+            )
+            read_back = c if read_back is None else read_back.unionByName(c)
+        audited = read_back.join(published, "file_id").select(
+            "file_id",
+            "n_rows",
+            "manifest_rows",
+            (F.col("n_rows") == F.col("manifest_rows")).alias("audit_ok"),
+        )
+        total = audited.agg(
+            F.lit("TOTAL").alias("file_id"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("manifest_rows").alias("manifest_rows"),
+            (F.sum("n_rows") == F.sum("manifest_rows")).alias("audit_ok"),
+        )
+        return audited.unionByName(total).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -703,3 +703,18 @@ def test_snapshot_clone_no_second_corpus_scan(spark, sf_dir):
     df = REGISTRY["hb_snapshot_clone"].fn(spark, sf_dir)
     plan = physical_plan(df)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+
+
+def test_bitmap_distinct_no_expand(spark, sf_dir):
+    """The bitmap path must NOT plan COUNT(DISTINCT)'s Expand; two
+    map-side-combinable aggregates only."""
+    df = REGISTRY["agg_bitmap_distinct"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert not has_node(df, "Expand"), plan
+    assert shuffle_count(df) == 2, plan
+
+
+def test_seasonality_aggregates_before_rank(spark, sf_dir):
+    df = REGISTRY["ts_seasonality_profile"].fn(spark, sf_dir)
+    assert has_node(df, "BroadcastHashJoin"), physical_plan(df)
+    assert not has_node(df, "CartesianProduct")

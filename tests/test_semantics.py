@@ -1750,3 +1750,49 @@ def test_snapshot_clone_refcount_algebra(spark, sf_dir):
     assert sum(r["logical_bytes"] for r in rows.values()) > sum(
         r["physical_bytes"] for r in rows.values()
     )
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["agg_bitmap_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(exact)
+    for et, n in exact.items():
+        assert rows[et]["n_distinct_bitmap"] == n, et
+        assert rows[et]["n_words"] <= n  # words never outnumber members
+
+
+def test_seasonality_peak_is_argmax(spark, sf_dir):
+    rows = REGISTRY["ts_seasonality_profile"].fn(spark, sf_dir).collect()
+    by_series: dict = {}
+    for r in rows:
+        by_series.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_series.items():
+        assert len(rs) <= 24
+        peak = {r["peak_hour"] for r in rs}
+        assert len(peak) == 1
+        best = sorted(rs, key=lambda r: (-r["n_events"], r["hod"]))[0]
+        assert peak == {best["hod"]}, et
+
+
+def test_wap_orphan_stays_invisible(spark, sf_dir):
+    rows = {
+        r["file_id"]: r
+        for r in REGISTRY["sink_manifest_wap"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    n0 = ev.filter(F.col("event_id") % 3 == 0).count()
+    n1 = ev.filter(F.col("event_id") % 3 == 1).count()
+    n_orphan = ev.filter(F.col("event_id") % 3 == 2).count()
+    assert n_orphan > 0, "orphan group must be non-vacuous"
+    assert rows["f0"]["n_rows"] == n0 and rows["f1"]["n_rows"] == n1
+    assert rows["TOTAL"]["n_rows"] == n0 + n1  # orphan excluded
+    assert all(r["audit_ok"] for r in rows.values())
