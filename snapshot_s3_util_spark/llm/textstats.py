@@ -950,12 +950,19 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PII_PHONE_RE,
         "<PHONE>",
     )
+    # Patterns passed as Column literals, NOT through F.expr — a SQL
+    # string literal would eat the `\.` escape, silently counting with
+    # a match-any dot while the redaction keeps the literal one.
     return d.select(
         "doc_id",
-        F.size(F.expr(f"regexp_extract_all(text, '{_PII_EMAIL_RE}', 0)"))
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL_RE), F.lit(0))
+        )
         .cast("bigint")
         .alias("n_emails"),
-        F.size(F.expr(f"regexp_extract_all(text, '{_PII_PHONE_RE}', 0)"))
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_PII_PHONE_RE), F.lit(0))
+        )
         .cast("bigint")
         .alias("n_phones"),
         F.md5(clean).alias("clean_md5"),

@@ -458,7 +458,7 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot = F.sum("c").over(w)
         p = F.col("c").cast("double") / tot
         return (
-            df.select(key_col.alias("gkey"), "c", "lang")
+            df.select(key_col.alias("gkey"), "c")
             .select("gkey", "c", (p * F.log(p)).alias("plp"))
             .groupBy("gkey")
             .agg(
@@ -571,9 +571,9 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     words = ev.groupBy(
         "event_type",
-        (F.col("user_id") / _BITMAP_WORD)
-        .cast("long")
-        .alias("word_idx"),
+        # integer `div`, matching the oracle's `//` exactly — a double
+        # quotient truncates (not floors) and loses precision past 2^53
+        F.expr(f"user_id div {_BITMAP_WORD}").alias("word_idx"),
     ).agg(
         F.expr(
             f"bit_or(shiftleft(1L, cast(user_id % {_BITMAP_WORD} AS int)))"

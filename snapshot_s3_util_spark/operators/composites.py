@@ -402,7 +402,9 @@ def win_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("offset_weeks"),
         )
-        .distinct()
+        # no second distinct: (user, week) is already unique and
+        # week -> offset is injective given the cohort, so another
+        # distinct would only add a corpus-scale exchange
     )
     sizes = firsts.groupBy("cohort_week").agg(
         F.count(F.lit(1)).alias("cohort_size")

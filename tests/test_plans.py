@@ -524,6 +524,7 @@ def test_ohlc_bars_single_aggregate_no_window(spark, sf_dir):
 
 def test_retention_cohort_broadcasts_sizes_no_cartesian(spark, sf_dir):
     df = REGISTRY["win_retention_cohort"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 5, physical_plan(df)
     assert has_node(df, "BroadcastHashJoin"), physical_plan(df)
     assert not has_node(df, "CartesianProduct")
     assert not has_node(df, "BroadcastNestedLoopJoin")
@@ -666,8 +667,9 @@ def test_pct_change_lag_runs_over_aggregated_series(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     win_pos = plan.find("Window")
     assert agg_pos != -1 and win_pos != -1
-    # formatted plans list operators leaves-first: the aggregate must
-    # appear as a DEEPER (higher-numbered) node than the window
+    # the formatted tree prints root-first, so the Window (consumer)
+    # must appear BEFORE the aggregate that feeds it
+    assert win_pos < agg_pos, plan
     assert not uses_python(df)
     assert shuffle_count(df) <= 2, plan
 

@@ -1796,3 +1796,26 @@ def test_wap_orphan_stays_invisible(spark, sf_dir):
     assert rows["f0"]["n_rows"] == n0 and rows["f1"]["n_rows"] == n1
     assert rows["TOTAL"]["n_rows"] == n0 + n1  # orphan excluded
     assert all(r["audit_ok"] for r in rows.values())
+
+
+def test_pii_pattern_dot_is_literal(spark, sf_dir):
+    """Regression for the F.expr escape bug: the email pattern's dot
+    must be literal in BOTH the count and the redaction — a bare `.`
+    (any char) would count '@exampleXcom' as a match."""
+    from snapshot_s3_util_spark.llm.textstats import (
+        _PII_EMAIL_RE,
+    )
+
+    df = spark.createDataFrame(
+        [("a@exampleXcom b@example.com",)], "text string"
+    )
+    row = df.select(
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(_PII_EMAIL_RE), F.lit(0)
+            )
+        ).alias("n"),
+        F.regexp_replace(F.col("text"), _PII_EMAIL_RE, "<EMAIL>").alias("r"),
+    ).collect()[0]
+    assert row["n"] == 1
+    assert row["r"] == "a@exampleXcom <EMAIL>"
