@@ -498,3 +498,63 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q_n"),
     )
+
+
+_HAV_LAT0, _HAV_LON0 = 40.7128, -74.0060  # reference point (NYC)
+_HAV_R_KM = 6371.0088  # IUGG mean Earth radius
+
+
+@register(
+    "fn_geo_haversine",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 179 AS DOUBLE) - 89.0 + 0.25 AS lat,
+             CAST((c_custkey * 7 + c_nationkey) % 359 AS DOUBLE)
+               - 179.0 + 0.5 AS lon
+      FROM customer
+    )
+    SELECT c_custkey, lat, lon,
+           ROUND(2 * {_HAV_R_KM} * ASIN(SQRT(
+             POW(SIN(RADIANS(lat - {_HAV_LAT0}) / 2), 2)
+             + COS(RADIANS({_HAV_LAT0})) * COS(RADIANS(lat))
+               * POW(SIN(RADIANS(lon - {_HAV_LON0}) / 2), 2)
+           )), 4) AS dist_km
+    FROM pts
+    """,
+    category="function",
+)
+def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine) distance from every synthesized point
+    to a fixed reference — the geo primitive behind geofencing,
+    nearest-warehouse assignment, and location dedup. Coordinates are
+    derived deterministically from keys (the testdata has no geo
+    columns).
+
+    Entirely JVM trig in one narrow projection (zero shuffles); the
+    oracle recomputes the identical formula, so radian conversion,
+    argument order, and the asin/sqrt branch all have to agree to 4
+    digits. For a radius JOIN at scale, this distance becomes the
+    residual predicate on a grid-blocked equi join exactly like
+    `join_spatial_grid` — never a cross join with a distance filter.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") % 179).cast("double") - 89.0 + 0.25
+    lon = (
+        (F.col("c_custkey") * 7 + F.col("c_nationkey")) % 359
+    ).cast("double") - 179.0 + 0.5
+    pts = c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    dlat = F.radians(F.col("lat") - F.lit(_HAV_LAT0)) / 2
+    dlon = F.radians(F.col("lon") - F.lit(_HAV_LON0)) / 2
+    a = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians(F.lit(_HAV_LAT0)))
+        * F.cos(F.radians(F.col("lat")))
+        * F.pow(F.sin(dlon), 2)
+    )
+    return pts.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.round(2 * _HAV_R_KM * F.asin(F.sqrt(a)), 4).alias("dist_km"),
+    )

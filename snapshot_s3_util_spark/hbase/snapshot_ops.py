@@ -812,3 +812,83 @@ def hb_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("logical_bytes"),
         )
     )
+
+
+_MERGE_ORACLE = """
+WITH regions AS (
+  SELECT source, doc_id % 5 AS bucket,
+         CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS bytes
+  FROM documents GROUP BY source, doc_id % 5
+),
+ranked AS (
+  SELECT source, bucket, bytes,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY bucket) AS rk,
+         AVG(bytes) OVER (PARTITION BY source) AS avg_bytes
+  FROM regions
+),
+pairs AS (
+  SELECT source, (rk - 1) // 2 AS pair_id,
+         CAST(COUNT(*) AS BIGINT) AS n_regions,
+         CAST(SUM(bytes) AS BIGINT) AS combined_bytes,
+         ROUND(MAX(avg_bytes), 3) AS avg_region_bytes
+  FROM ranked GROUP BY source, (rk - 1) // 2
+)
+SELECT source, CAST(pair_id AS BIGINT) AS pair_id, n_regions,
+       combined_bytes, avg_region_bytes,
+       n_regions = 2 AND combined_bytes < 2 * avg_region_bytes AS merge_ok
+FROM pairs
+"""
+
+
+@register("hb_merge_regions_plan", oracle=_MERGE_ORACLE, category="hbase")
+def hb_merge_regions_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-merge planning (HBase's merge_region / normalizer: fold
+    adjacent small regions so region count tracks data, not history).
+    Adjacent regions pair up in key order; a pair merges when its
+    combined size stays under 2× the table's average region size —
+    the normalizer's relative threshold, so the plan is scale-free
+    (no absolute byte constant to outgrow).
+
+    Declarative shape: region sizes are one aggregate; adjacency is a
+    rank window in key order (pairing = rank div 2 — the parallel
+    approximation of the sequential greedy fold, like
+    `hb_balanced_splits`' LPT deal); the verdict is pure column math
+    on the |regions|-row frame. Nothing rescans the corpus after the
+    first aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    regions = d.groupBy(
+        "source", (F.col("doc_id") % 5).alias("bucket")
+    ).agg(
+        F.sum(F.length(F.encode(F.col("text"), "UTF-8")))
+        .cast("bigint")
+        .alias("bytes")
+    )
+    wr = Window.partitionBy("source").orderBy("bucket")
+    wa = Window.partitionBy("source")
+    ranked = regions.select(
+        "source",
+        "bucket",
+        "bytes",
+        F.row_number().over(wr).alias("rk"),
+        F.avg("bytes").over(wa).alias("avg_bytes"),
+    )
+    pairs = ranked.groupBy(
+        "source",
+        F.expr("(rk - 1) div 2").alias("pair_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_regions"),
+        F.sum("bytes").cast("bigint").alias("combined_bytes"),
+        F.round(F.max("avg_bytes"), 3).alias("avg_region_bytes"),
+    )
+    return pairs.select(
+        "source",
+        F.col("pair_id").cast("bigint").alias("pair_id"),
+        "n_regions",
+        "combined_bytes",
+        "avg_region_bytes",
+        (
+            (F.col("n_regions") == 2)
+            & (F.col("combined_bytes") < 2 * F.col("avg_region_bytes"))
+        ).alias("merge_ok"),
+    )

@@ -580,3 +580,77 @@ def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("hod").alias("peak_hour"))
     )
     return hourly.join(F.broadcast(peak), "event_type")
+
+
+_LTTB_BUCKET = 20
+
+_LTTB_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, value,
+         (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          - 1) // {_LTTB_BUCKET} AS bucket
+  FROM {EVENTS_REL} e
+),
+scored AS (
+  SELECT user_id, bucket, ts, value,
+         ABS(value - AVG(value) OVER (PARTITION BY user_id, bucket))
+           AS dev,
+         event_id
+  FROM seq
+),
+picked AS (
+  SELECT user_id, bucket, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                            ORDER BY dev DESC, ts, event_id) AS rn
+  FROM scored
+)
+SELECT user_id, CAST(bucket AS BIGINT) AS bucket, ts,
+       ROUND(value, 6) AS value
+FROM picked WHERE rn = 1
+"""
+
+
+@register("ts_downsample_lttb", oracle=_LTTB_ORACLE, category="composite")
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visualization downsampling, largest-deviation-per-bucket (the
+    bucket-local LTOB simplification of LTTB): each key's series is
+    cut into {_LTTB_BUCKET}-point buckets and each bucket keeps its
+    most deviant point — preserving spikes a stride/avg downsample
+    erases, which is the whole reason LTTB-family sampling exists.
+
+    True LTTB's triangle chain is sequential (each pick depends on the
+    previous); the bucket-local deviation variant keeps the plotted
+    extremes AND stays data-parallel: ONE user_id exchange feeds the
+    rank window, the per-bucket mean, and the per-bucket argmax
+    (bucket keys are subsets of the partition key, so no further
+    shuffles). Output size is a fixed 1/{_LTTB_BUCKET} of input,
+    per key, deterministically (ties break on time then id).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.expr(
+            f"(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+            f" - 1) div {_LTTB_BUCKET}"
+        ).alias("bucket"),
+    )
+    wb = Window.partitionBy("user_id", "bucket")
+    scored = seq.withColumn(
+        "dev", F.abs(F.col("value") - F.avg("value").over(wb))
+    )
+    wp = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("dev").desc(), "ts", "event_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "ts",
+            F.round("value", 6).alias("value"),
+        )
+    )

@@ -99,3 +99,54 @@ def set_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ev.filter(F.col("ts") >= F.lit(_B_LO).cast("timestamp"))
     cols = [F.col("user_id"), F.to_date("ts").alias("day")]
     return a.select(cols).subtract(b.select(cols))
+
+
+_SYMDIFF_ORACLE = """
+WITH clickers AS (
+  SELECT DISTINCT user_id FROM {EVENTS_REL} e WHERE event_type = 'click'
+),
+buyers AS (
+  SELECT DISTINCT user_id FROM {EVENTS_REL} e WHERE event_type = 'purchase'
+)
+SELECT user_id, 'click_only' AS side FROM clickers
+WHERE user_id NOT IN (SELECT user_id FROM buyers)
+UNION ALL
+SELECT user_id, 'purchase_only' FROM buyers
+WHERE user_id NOT IN (SELECT user_id FROM clickers)
+"""
+
+
+@register(
+    "set_symmetric_diff",
+    oracle=_SYMDIFF_ORACLE.format(EVENTS_REL=EVENTS_REL),
+    category="setop",
+)
+def set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference with side attribution: keys in exactly one
+    of two sets, labeled by which — the audience-overlap complement
+    (clicked-never-bought vs bought-never-clicked) that plain
+    EXCEPT/INTERSECT can't express in one result.
+
+    Two anti-joins over the deduplicated key sets, unioned; both sides
+    reduce to distinct keys BEFORE joining, so the anti-join probes
+    carry |users|, not |events|, and AQE broadcasts the smaller side.
+    The side label makes the op a partition of the XOR set —
+    `set_intersect` + this op's two halves tile the union exactly
+    (asserted in tests).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clickers = (
+        ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    )
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    click_only = clickers.join(buyers, "user_id", "left_anti").select(
+        "user_id", F.lit("click_only").alias("side")
+    )
+    buy_only = buyers.join(clickers, "user_id", "left_anti").select(
+        "user_id", F.lit("purchase_only").alias("side")
+    )
+    return click_only.unionByName(buy_only)

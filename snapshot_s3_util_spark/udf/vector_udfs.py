@@ -256,3 +256,50 @@ def udtf_python_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.pos, t.token "
         "FROM s3u_udtf_docs d, LATERAL s3u_tokenize(d.text) t"
     )
+
+
+_ITER_SCALE_BINS = 10
+
+
+@register(
+    "udf_pandas_iter",
+    oracle=f"""
+    SELECT event_id,
+           ROUND(value * 2.0 + CAST(user_id % {_ITER_SCALE_BINS} AS DOUBLE)
+                 / 10.0, 6) AS scored
+    FROM {{EVENTS_REL}} e
+    """.format(EVENTS_REL=EVENTS_REL),
+    category="udf",
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-batches pandas UDF (SCALAR_ITER): the third Python
+    UDF surface next to the per-row UDF and the per-batch pandas UDF.
+    The iterator form exists for exactly one production reason —
+    expensive one-time state (a model, a codec table, a compiled
+    automaton) initialized ONCE per partition-task, then reused across
+    every Arrow batch instead of per batch or per row.
+
+    Here the "model" is a tiny lookup table built before the loop; the
+    scoring itself is vectorized numpy per batch. The oracle computes
+    the same affine transform in SQL, so batch iteration order,
+    Arrow framing, and the init-once path all have to produce
+    position-independent results.
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit SCALAR_ITER type: `from __future__ import annotations`
+    # stringifies hints, which defeats pandas_udf's hint inference
+    @pandas_udf("double", PandasUDFType.SCALAR_ITER)
+    def score(batches):
+        # one-time per-task init (the whole point of SCALAR_ITER)
+        lookup = np.arange(_ITER_SCALE_BINS) / 10.0
+        for value, user_id in batches:
+            yield value * 2.0 + lookup[
+                (user_id % _ITER_SCALE_BINS).to_numpy()
+            ]
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(score(F.col("value"), F.col("user_id")), 6).alias("scored"),
+    )

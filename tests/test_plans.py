@@ -720,3 +720,38 @@ def test_seasonality_aggregates_before_rank(spark, sf_dir):
     df = REGISTRY["ts_seasonality_profile"].fn(spark, sf_dir)
     assert has_node(df, "BroadcastHashJoin"), physical_plan(df)
     assert not has_node(df, "CartesianProduct")
+
+
+def test_lttb_single_user_exchange(spark, sf_dir):
+    """Rank, bucket mean, and argmax windows must all share the one
+    user_id exchange (bucket keys are partition-key subsets)."""
+    df = REGISTRY["ts_downsample_lttb"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 2, physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_symmetric_diff_anti_joins_no_cartesian(spark, sf_dir):
+    df = REGISTRY["set_symmetric_diff"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("LeftAnti") >= 2, plan
+    assert not has_node(df, "CartesianProduct")
+
+
+def test_udf_pandas_iter_is_single_arrow_stage(spark, sf_dir):
+    df = REGISTRY["udf_pandas_iter"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0, physical_plan(df)
+    assert uses_python(df)
+
+
+def test_haversine_is_narrow(spark, sf_dir):
+    df = REGISTRY["fn_geo_haversine"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0, physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_merge_regions_plan_single_scan(spark, sf_dir):
+    import re
+
+    df = REGISTRY["hb_merge_regions_plan"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan

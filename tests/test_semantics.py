@@ -1819,3 +1819,119 @@ def test_pii_pattern_dot_is_literal(spark, sf_dir):
     ).collect()[0]
     assert row["n"] == 1
     assert row["r"] == "a@exampleXcom <EMAIL>"
+
+
+def test_lttb_keeps_extremes_and_fixed_rate(spark, sf_dir):
+    """Every bucket's pick must be its max-|value-mean| point, and the
+    output size must be ceil(n/20) per key."""
+    got: dict = {}
+    for r in REGISTRY["ts_downsample_lttb"].fn(spark, sf_dir).collect():
+        got.setdefault(r["user_id"], {})[r["bucket"]] = (r["ts"], r["value"])
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        n_buckets = (len(rows) + 19) // 20
+        assert len(got[uid]) == n_buckets, uid
+        for b in range(n_buckets):
+            bucket = rows[b * 20 : (b + 1) * 20]
+            mean = sum(r["value"] for r in bucket) / len(bucket)
+            best = max(
+                bucket,
+                key=lambda r: (
+                    abs(r["value"] - mean),
+                    # ties: earliest — so invert for max()
+                ),
+            )
+            dev_best = abs(best["value"] - mean)
+            ts_got, v_got = got[uid][b]
+            assert (
+                abs(abs(v_got - mean) - dev_best) < 1e-9
+            ), (uid, b)
+
+
+def test_symmetric_diff_tiles_the_union(spark, sf_dir):
+    rows = REGISTRY["set_symmetric_diff"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    clickers = {
+        r["user_id"]
+        for r in ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    buyers = {
+        r["user_id"]
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    click_only = {r["user_id"] for r in rows if r["side"] == "click_only"}
+    buy_only = {r["user_id"] for r in rows if r["side"] == "purchase_only"}
+    assert click_only == clickers - buyers
+    assert buy_only == buyers - clickers
+    assert not (click_only & buy_only)
+
+
+def test_udf_iter_matches_plain_expression(spark, sf_dir):
+    """The SCALAR_ITER path must equal the same affine transform done
+    as a native column expression."""
+    got = {
+        r["event_id"]: r["scored"]
+        for r in REGISTRY["udf_pandas_iter"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    expect = {
+        r["event_id"]: r["s"]
+        for r in ev.select(
+            "event_id",
+            F.round(
+                F.col("value") * 2.0
+                + (F.col("user_id") % 10).cast("double") / 10.0,
+                6,
+            ).alias("s"),
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_haversine_known_values(spark, sf_dir):
+    """Spot-check the formula: distance to the reference point itself
+    is 0, and all outputs are within [0, half Earth circumference]."""
+    import math
+
+    rows = REGISTRY["fn_geo_haversine"].fn(spark, sf_dir).collect()
+    assert rows
+    half_circ = math.pi * 6371.0088
+    for r in rows:
+        assert 0 <= r["dist_km"] <= half_circ + 1e-6
+        # cross-check one row in Python
+    r = rows[0]
+    lat1, lon1 = math.radians(40.7128), math.radians(-74.0060)
+    lat2, lon2 = math.radians(r["lat"]), math.radians(r["lon"])
+    a = (
+        math.sin((lat2 - lat1) / 2) ** 2
+        + math.cos(lat1) * math.cos(lat2) * math.sin((lon2 - lon1) / 2) ** 2
+    )
+    d = 2 * 6371.0088 * math.asin(math.sqrt(a))
+    assert abs(d - r["dist_km"]) < 1e-3
+
+
+def test_merge_regions_plan_verdicts(spark, sf_dir):
+    rows = REGISTRY["hb_merge_regions_plan"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_regions"] in (1, 2)
+        if r["n_regions"] == 1:
+            assert not r["merge_ok"], "singleton can't merge"
+        else:
+            assert r["merge_ok"] == (
+                r["combined_bytes"] < 2 * r["avg_region_bytes"]
+            )
