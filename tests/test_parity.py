@@ -111,8 +111,26 @@ def test_window_ranking_computed():
     )
     try:
         pkg.load_all_operators()
-        window = list(REGISTRY)[:50]
-        assert dummy in window, "never-verified op fell outside the window"
+        names = list(REGISTRY)
+        window = names[:50]
+        # The real invariant: a never-verified op outranks every op
+        # that already has a green row. (When >50 never-verified ops
+        # exist — as at the end of round 5 — the dummy can't also fit
+        # in the window, so assert rank order, not membership.)
+        from pathlib import Path as _P
+
+        _checked, _latest, _green = pkg._verification_history(
+            _P(__file__).resolve().parent.parent
+        )
+        first_green_pos = next(
+            (i for i, n in enumerate(names) if n in _green), len(names)
+        )
+        assert names.index(dummy) < first_green_pos, (
+            "never-verified op ranked below a green op"
+        )
+        never_verified = [n for n in names if n not in _checked]
+        if len(never_verified) <= 50:
+            assert dummy in window, "never-verified op fell outside the window"
         # any op whose LATEST driver row failed must sit in the window;
         # computed from the artifacts so this never goes stale (the
         # round-4 hand-list version of this assertion broke the moment
