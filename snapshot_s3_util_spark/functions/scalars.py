@@ -558,3 +558,106 @@ def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lon",
         F.round(2 * _HAV_R_KM * F.asin(F.sqrt(a)), 4).alias("dist_km"),
     )
+
+
+# --- IPv4 / CIDR arithmetic -----------------------------------------
+# The log-analytics address suite: synthesize a deterministic IPv4 per
+# event (md5 of event_id -> uint32), format it dotted-quad, classify
+# RFC-1918 private ranges, and test membership in a fixed /20 via mask
+# arithmetic — all integer bit math, no string parsing in the hot
+# path.  A real pipeline stores the uint32 and formats at the edge.
+_CIDR_NET = "10.32.0.0"
+_CIDR_BITS = 12
+_CIDR_BASE = (10 << 24) | (32 << 16)               # 10.32.0.0 as uint32
+_CIDR_MASK = ((1 << 32) - 1) ^ ((1 << (32 - _CIDR_BITS)) - 1)
+
+# Bias ~1/4 of addresses into 10.0.0.0/8 so the private/cidr classes
+# are populated: when event_id % 4 = 0 force the top octet to 10.
+_IP_EXPR = (
+    "CASE WHEN event_id % 4 = 0 "
+    f" THEN (10 * 16777216) + (CAST(('0x' || SUBSTR(MD5('ip|' || CAST(event_id AS STRING)), 1, 8)) AS BIGINT) % 16777216) "
+    f" ELSE CAST(('0x' || SUBSTR(MD5('ip|' || CAST(event_id AS STRING)), 1, 8)) AS BIGINT) END"
+)
+
+_IP_ORACLE = f"""
+WITH ip AS (
+  SELECT event_id, {_IP_EXPR} AS addr FROM events
+),
+c AS (
+  SELECT event_id, addr,
+         CAST(addr // 16777216 AS STRING) || '.'
+         || CAST((addr // 65536) % 256 AS STRING) || '.'
+         || CAST((addr // 256) % 256 AS STRING) || '.'
+         || CAST(addr % 256 AS STRING) AS dotted,
+         (addr // 16777216 = 10
+          OR (addr // 16777216 = 172 AND (addr // 65536) % 256 BETWEEN 16 AND 31)
+          OR (addr // 16777216 = 192 AND (addr // 65536) % 256 = 168))
+           AS is_private,
+         ((addr // {1 << (32 - _CIDR_BITS)}) * {1 << (32 - _CIDR_BITS)})
+           = {_CIDR_BASE} AS in_cidr
+  FROM ip
+)
+SELECT is_private, in_cidr,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(addr) AS BIGINT) AS min_addr,
+       CAST(MAX(addr) AS BIGINT) AS max_addr,
+       MIN(dotted) AS min_dotted
+FROM c
+GROUP BY is_private, in_cidr
+"""
+
+
+@register("fn_ip_cidr", oracle=_IP_ORACLE, category="function")
+def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4/CIDR suite: uint32 address synthesis, dotted-quad
+    formatting, RFC-1918 private classification, and {_CIDR_NET}/{_CIDR_BITS}
+    membership — integer div/mod bit math on both engines (DuckDB has
+    no >> on the hashed BIGINT path, so the mask is `div` by 2^(32-n)`,
+    which Spark reproduces exactly).
+
+    Narrow codegen'd projection + one map-side-combined groupBy over
+    4 boolean-pair groups; at 100 TB the classification is free inside
+    the scan stage and the shuffle carries 4 rows per map partition.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_id")
+    ip = e.withColumn(
+        "addr",
+        F.expr(
+            "CASE WHEN event_id % 4 = 0 "
+            " THEN (10 * 16777216) + (conv(substr(md5(concat('ip|', CAST(event_id AS STRING))), 1, 8), 16, 10) % 16777216) "
+            " ELSE conv(substr(md5(concat('ip|', CAST(event_id AS STRING))), 1, 8), 16, 10) END"
+        ).cast("bigint"),
+    )
+    octet = lambda d, m: ((F.col("addr") / d).cast("bigint") % m)  # noqa: E731
+    step = 1 << (32 - _CIDR_BITS)
+    c = ip.select(
+        "event_id",
+        "addr",
+        F.concat_ws(
+            ".",
+            (F.col("addr") / 16777216).cast("bigint").cast("string"),
+            octet(65536, 256).cast("string"),
+            octet(256, 256).cast("string"),
+            (F.col("addr") % 256).cast("string"),
+        ).alias("dotted"),
+        (
+            ((F.col("addr") / 16777216).cast("bigint") == 10)
+            | (
+                ((F.col("addr") / 16777216).cast("bigint") == 172)
+                & octet(65536, 256).between(16, 31)
+            )
+            | (
+                ((F.col("addr") / 16777216).cast("bigint") == 192)
+                & (octet(65536, 256) == 168)
+            )
+        ).alias("is_private"),
+        (
+            ((F.col("addr") / step).cast("bigint") * step) == _CIDR_BASE
+        ).alias("in_cidr"),
+    )
+    return c.groupBy("is_private", "in_cidr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("addr").cast("bigint").alias("min_addr"),
+        F.max("addr").cast("bigint").alias("max_addr"),
+        F.min("dotted").alias("min_dotted"),
+    )

@@ -1114,3 +1114,121 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_kept"),
         F.md5(kept_sorted).alias("kept_md5"),
     )
+
+
+# --- URL canonicalization dedup -------------------------------------
+# Deterministic messy-URL synthesis (the documents table has no URL
+# column): scheme/host case noise, optional www., utm_* tracking
+# params in shuffled order, optional trailing slash, a fragment.  Two
+# docs collide iff (source, doc_id % _URL_PAGES) collide — so the
+# planted duplicate rate is known and canonicalization must strip ALL
+# the noise to find it.
+_URL_PAGES = 50
+
+_URL_BUILD = """
+  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://'
+  || (CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'WWW.' ELSE '' END)
+  || (CASE WHEN doc_id % 7 = 0 THEN UPPER(source) ELSE source END)
+  || '.Example.com/docs/page-' || CAST(doc_id % {pages} AS STRING)
+  || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+  || (CASE WHEN doc_id % 2 = 0
+           THEN '?id=' || CAST(doc_id % {pages} AS STRING)
+                || '&utm_source=feed'
+           ELSE '?utm_campaign=x&id=' || CAST(doc_id % {pages} AS STRING)
+      END)
+  || '#s' || CAST(doc_id % 4 AS STRING)
+"""
+
+_URL_DEDUP_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, source, {_URL_BUILD.format(pages=_URL_PAGES)} AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source,
+         'https://'
+         || regexp_replace(LOWER(regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1)),
+                           '^www\\.', '')
+         || regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/]+([^?#]*)', 1),
+                           '/$', '')
+         || '?id=' || regexp_extract(url, '[?&]id=([0-9]+)', 1) AS canonical
+  FROM u
+),
+flagged AS (
+  SELECT doc_id, source, canonical,
+         ROW_NUMBER() OVER (PARTITION BY canonical ORDER BY doc_id) = 1 AS keep
+  FROM c
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+       ROUND(1.0 - SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS dup_fraction,
+       MD5(string_agg(CASE WHEN keep
+                           THEN LPAD(CAST(doc_id AS VARCHAR), 8, '0') END,
+                      ',' ORDER BY doc_id)) AS kept_md5
+FROM flagged
+GROUP BY source
+"""
+
+
+@register("llm_url_dedup", oracle=_URL_DEDUP_ORACLE, category="llm")
+def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the cheap first dedup pass a crawl
+    pipeline runs before any content hashing: lowercase scheme+host,
+    strip `www.`, drop the fragment, strip tracking (`utm_*`) params
+    and the trailing slash, then keep each canonical URL's lowest
+    doc_id.  URLs are synthesized deterministically (see _URL_BUILD);
+    canonicalization genuinely PARSES the string (regexp on both
+    engines), so a regex-semantics disagreement is a hash mismatch.
+
+    Plan: URL build + canonicalize are narrow codegen'd expressions;
+    the only corpus-size exchange is the rank window keyed on the
+    canonical URL (identical shape to `llm_dedup_exact`, keyed on a
+    derived key instead of a content digest).  The per-source report
+    aggregates the flagged frame with map-side combine; kept doc_ids
+    ship as an md5 of the zero-padded sorted list, never as payload.
+    At 100 TB: one shuffle on canonical-url — the unavoidable global
+    dedup exchange — everything else map-local.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_URL_BUILD.format(pages=_URL_PAGES)).alias("url")
+    )
+    c = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("https://"),
+            F.regexp_replace(
+                F.lower(F.regexp_extract("url", r"^[a-zA-Z]+://([^/]+)", 1)),
+                r"^www\.",
+                "",
+            ),
+            F.regexp_replace(
+                F.regexp_extract("url", r"^[a-zA-Z]+://[^/]+([^?#]*)", 1),
+                r"/$",
+                "",
+            ),
+            F.lit("?id="),
+            F.regexp_extract("url", r"[?&]id=([0-9]+)", 1),
+        ).alias("canonical"),
+    )
+    w = Window.partitionBy("canonical").orderBy("doc_id")
+    flagged = c.withColumn("keep", F.row_number().over(w) == 1)
+    kept_sorted = F.expr(
+        "array_join(array_sort(collect_list("
+        "  CASE WHEN keep THEN lpad(CAST(doc_id AS STRING), 8, '0') END)), ',')"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_canonical"),
+        F.round(
+            1.0
+            - F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_fraction"),
+        F.md5(kept_sorted).alias("kept_md5"),
+    )

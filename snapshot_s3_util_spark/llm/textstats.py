@@ -1031,3 +1031,136 @@ def llm_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("bigram", "cnt", "rank")
     )
+
+
+# --- Gopher-style rule battery --------------------------------------
+# Public heuristic quality rules (Gopher / MassiveText lineage), tuned
+# to thresholds that genuinely split this corpus.  Per-rule FAILURE
+# counts per source — the diagnostic report a curation run reads to
+# see WHY a source is losing documents, which a single blended score
+# (llm_quality_score) cannot show.
+_GR_MIN_TOKS, _GR_MAX_TOKS = 30, 500
+_GR_MIN_WLEN, _GR_MAX_WLEN = 4.0, 10.0
+_GR_MIN_STOPS = 2          # distinct stopwords required
+_GR_MIN_DISTINCT = 0.30    # distinct-token ratio floor
+_GR_MAX_TOPSHARE = 0.10    # top-unigram dominance ceiling
+
+_GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, source,
+         CAST(LEN(toks) AS BIGINT) AS n_toks,
+         CAST(LEN(list_filter(toks, x -> LENGTH(x) > 0)) AS BIGINT) AS n_words,
+         list_sum(list_transform(toks, x -> LENGTH(x))) * 1.0 / LEN(toks)
+           AS mean_wlen,
+         CAST(LEN(list_filter(['the','a','of','and','to'],
+                              s -> list_contains(toks, s))) AS BIGINT)
+           AS n_stops,
+         LEN(LIST_DISTINCT(toks)) * 1.0 / LEN(toks) AS distinct_ratio,
+         list_max(list_transform(LIST_DISTINCT(toks),
+                  x -> LEN(list_filter(toks, y -> y = x)))) * 1.0 / LEN(toks)
+           AS top_share
+  FROM t
+),
+r AS (
+  SELECT source,
+         NOT (n_toks BETWEEN {_GR_MIN_TOKS} AND {_GR_MAX_TOKS}) AS f_wordcount,
+         NOT (mean_wlen BETWEEN {_GR_MIN_WLEN} AND {_GR_MAX_WLEN}) AS f_wlen,
+         n_stops < {_GR_MIN_STOPS} AS f_stopword,
+         distinct_ratio < {_GR_MIN_DISTINCT} AS f_repetition,
+         top_share > {_GR_MAX_TOPSHARE} AS f_dominance
+  FROM m
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN f_wordcount  THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordcount,
+       CAST(SUM(CASE WHEN f_wlen       THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+       CAST(SUM(CASE WHEN f_stopword   THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword,
+       CAST(SUM(CASE WHEN f_repetition THEN 1 ELSE 0 END) AS BIGINT) AS fail_repetition,
+       CAST(SUM(CASE WHEN f_dominance  THEN 1 ELSE 0 END) AS BIGINT) AS fail_dominance,
+       CAST(SUM(CASE WHEN NOT (f_wordcount OR f_wlen OR f_stopword
+                               OR f_repetition OR f_dominance)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       ROUND(SUM(CASE WHEN NOT (f_wordcount OR f_wlen OR f_stopword
+                                OR f_repetition OR f_dominance)
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS keep_rate
+FROM r
+GROUP BY source
+"""
+
+
+@register("llm_gopher_rules", oracle=_GOPHER_ORACLE, category="llm")
+def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-battery quality filter with per-rule per-source
+    failure diagnostics: word-count window [{_GR_MIN_TOKS},
+    {_GR_MAX_TOKS}], mean word length [{_GR_MIN_WLEN}, {_GR_MAX_WLEN}],
+    >= {_GR_MIN_STOPS} distinct stopwords, distinct-token ratio >=
+    {_GR_MIN_DISTINCT}, top-unigram share <= {_GR_MAX_TOPSHARE}.
+    Complements `llm_quality_score` (a blended per-doc score): the
+    output says WHICH rule is rejecting a source's documents.
+
+    Plan: every rule is a doc-local higher-order array expression
+    (zero shuffles); the only exchange is the map-side-combined
+    groupBy(source) over |docs| boolean rows — at 100 TB the rule
+    evaluation is embarrassingly parallel and the shuffle carries
+    |sources| partial rows per map partition.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    m = d.select(
+        "source",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        (
+            F.expr("aggregate(transform(toks, x -> length(x)), 0, (a, v) -> a + v)")
+            * F.lit(1.0)
+            / F.size("toks")
+        ).alias("mean_wlen"),
+        F.expr(
+            "size(filter(array('the','a','of','and','to'),"
+            " s -> array_contains(toks, s)))"
+        )
+        .cast("bigint")
+        .alias("n_stops"),
+        (
+            F.size(F.array_distinct("toks")) * F.lit(1.0) / F.size("toks")
+        ).alias("distinct_ratio"),
+        (
+            F.expr(
+                "array_max(transform(array_distinct(toks),"
+                " x -> size(filter(toks, y -> y = x))))"
+            )
+            * F.lit(1.0)
+            / F.size("toks")
+        ).alias("top_share"),
+    )
+    r = m.select(
+        "source",
+        (~F.col("n_toks").between(_GR_MIN_TOKS, _GR_MAX_TOKS)).alias("f_wordcount"),
+        (~F.col("mean_wlen").between(_GR_MIN_WLEN, _GR_MAX_WLEN)).alias("f_wlen"),
+        (F.col("n_stops") < _GR_MIN_STOPS).alias("f_stopword"),
+        (F.col("distinct_ratio") < _GR_MIN_DISTINCT).alias("f_repetition"),
+        (F.col("top_share") > _GR_MAX_TOPSHARE).alias("f_dominance"),
+    )
+    keep = ~(
+        F.col("f_wordcount")
+        | F.col("f_wlen")
+        | F.col("f_stopword")
+        | F.col("f_repetition")
+        | F.col("f_dominance")
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        cnt("f_wordcount").alias("fail_wordcount"),
+        cnt("f_wlen").alias("fail_word_len"),
+        cnt("f_stopword").alias("fail_stopword"),
+        cnt("f_repetition").alias("fail_repetition"),
+        cnt("f_dominance").alias("fail_dominance"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_keep"),
+        F.round(
+            F.sum(F.when(keep, 1).otherwise(0)) * F.lit(1.0) / F.count(F.lit(1)), 6
+        ).alias("keep_rate"),
+    )
