@@ -583,3 +583,70 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("word")).cast("bigint").alias("n_distinct_bitmap"),
         F.count(F.lit(1)).alias("n_words"),
     )
+
+
+_WMED_ORACLE = """
+WITH pp AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+),
+c AS (
+  SELECT flag, price, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY price
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY flag) AS total
+  FROM pp
+)
+SELECT flag,
+       CAST(MAX(total) AS BIGINT) AS total_weight,
+       MIN(CASE WHEN 4 * cum >= total THEN price END) AS w_p25,
+       MIN(CASE WHEN 2 * cum >= total THEN price END) AS w_median,
+       MIN(CASE WHEN 4 * cum >= 3 * total THEN price END) AS w_p75
+FROM c GROUP BY flag
+"""
+
+
+@register("agg_weighted_median", oracle=_WMED_ORACLE, category="aggregate")
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted quantiles (p25/median/p75 of price weighted by
+    quantity) per return flag — the quantile `percentile_approx`
+    cannot express (per-row weights) and `percentile` computes
+    unweighted.  All weight arithmetic is integer (quantities are
+    integral), so the threshold compare `k*cum >= m*total` never
+    touches floats and both engines pick the identical price.
+
+    Plan: pre-aggregate to (flag, price) weight sums — the corpus-size
+    exchange, map-side combined — then the cumulative window and the
+    final per-flag reduce both run on the |flags|×|prices| frame,
+    sharing its flag-hash exchange.  At 100 TB the value-domain
+    pre-aggregation is what bounds the window input; a raw cumsum
+    over line items would sort the corpus.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pp = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    wc = Window.partitionBy("flag").orderBy("price").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("flag")
+    c = pp.select(
+        "flag",
+        "price",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wt).alias("total"),
+    )
+    return c.groupBy("flag").agg(
+        F.max("total").cast("bigint").alias("total_weight"),
+        F.min(F.when(4 * F.col("cum") >= F.col("total"), F.col("price"))).alias(
+            "w_p25"
+        ),
+        F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("price"))).alias(
+            "w_median"
+        ),
+        F.min(
+            F.when(4 * F.col("cum") >= 3 * F.col("total"), F.col("price"))
+        ).alias("w_p75"),
+    )

@@ -654,3 +654,147 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 6).alias("value"),
         )
     )
+
+
+_ROLLUP_GRAIN_SQL = """
+  SELECT '{grain}' AS grain, event_type,
+         CAST(date_trunc('{grain}', ts) AS TIMESTAMP) AS bucket_start,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(SUM(value), 4) AS sum_value,
+         ROUND(MIN(value), 6) AS min_value,
+         ROUND(MAX(value), 6) AS max_value,
+         ROUND(ROUND(SUM(value), 4) / COUNT(*), 6) AS avg_value
+  FROM {rel} e GROUP BY event_type, date_trunc('{grain}', ts)
+"""
+
+_ROLLUP_CASCADE_ORACLE = (
+    _ROLLUP_GRAIN_SQL.format(grain="day", rel=EVENTS_REL)
+    + " UNION ALL "
+    + _ROLLUP_GRAIN_SQL.format(grain="week", rel=EVENTS_REL)
+)
+
+
+@register(
+    "ts_rollup_cascade",
+    oracle=_ROLLUP_CASCADE_ORACLE,
+    category="timeseries",
+)
+def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate CASCADE: hour rollup from
+    raw events, day rollup from the HOUR aggregate, week rollup from
+    the DAY aggregate — each level re-aggregates the previous level's
+    mergeable state (count/sum/min/max; avg derives at read time), the
+    materialized-rollup discipline that never rescans raw data.  The
+    oracle computes day and week grains DIRECTLY from raw events, so
+    the check proves cascaded re-aggregation is lossless.
+
+    Plan: ONE corpus-size exchange (the hourly groupBy); day and week
+    re-aggregations run over |types|×|hours| and |types|×|days| rows.
+    At 100 TB the hourly pass is the only data-shaped shuffle and is
+    map-side combined; every further grain costs catalog-sized work —
+    the reason cascades beat per-grain rescans at scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_start")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("value").alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+
+    def _up(df: DataFrame, grain: str) -> DataFrame:
+        return df.groupBy(
+            "event_type",
+            F.date_trunc(grain, "bucket_start").alias("bucket_start"),
+        ).agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+
+    daily = _up(hourly, "day")
+    weekly = _up(daily, "week")
+
+    def _out(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "event_type",
+            "bucket_start",
+            "n",
+            F.round("s", 4).alias("sum_value"),
+            F.round("mn", 6).alias("min_value"),
+            F.round("mx", 6).alias("max_value"),
+            F.round(F.round(F.col("s"), 4) / F.col("n"), 6).alias("avg_value"),
+        )
+
+    return _out(daily, "day").unionAll(_out(weekly, "week"))
+
+
+_STREAK_ORACLE = f"""
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM {EVENTS_REL} e
+),
+num AS (
+  SELECT user_id, d,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+  FROM active
+),
+isl AS (
+  SELECT user_id, d - CAST(rn AS INTEGER) AS grp,
+         CAST(COUNT(*) AS BIGINT) AS len
+  FROM num GROUP BY user_id, d - CAST(rn AS INTEGER)
+),
+per_user AS (
+  SELECT user_id, MAX(len) AS streak_len FROM isl GROUP BY user_id
+)
+SELECT streak_len,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(user_id) AS BIGINT) AS min_user
+FROM per_user GROUP BY streak_len
+"""
+
+
+@register("win_streak_islands", oracle=_STREAK_ORACLE, category="window")
+def win_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per
+    user, reported as a streak-length histogram with a deterministic
+    exemplar user.  The classic engagement metric (`current streak`)
+    that needs island detection, not plain windowing.
+
+    Plan: ONE user_id exchange — the per-user distinct day set is
+    collected (bounded by the calendar window, 30 days here; a
+    retention window at scale) and the longest run computed with a
+    doc-local `aggregate` fold over the sorted array, so no second
+    window shuffle.  The oracle solves the same problem with the
+    textbook SQL islands construction (row_number difference
+    grouping) — two genuinely different algorithms must agree on
+    every count.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = (
+        e.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .groupBy("user_id")
+        .agg(F.expr("array_sort(collect_set(d))").alias("days"))
+        .select(
+            "user_id",
+            F.expr(
+                "aggregate(days,"
+                " struct(CAST(NULL AS DATE) AS prev, 0L AS cur, 0L AS best),"
+                " (acc, d) -> struct(d AS prev,"
+                "   CASE WHEN acc.prev IS NOT NULL AND datediff(d, acc.prev) = 1"
+                "        THEN acc.cur + 1 ELSE 1L END AS cur,"
+                "   greatest(acc.best,"
+                "     CASE WHEN acc.prev IS NOT NULL AND datediff(d, acc.prev) = 1"
+                "          THEN acc.cur + 1 ELSE 1L END) AS best),"
+                " acc -> acc.best)"
+            ).alias("streak_len"),
+        )
+    )
+    return per_user.groupBy("streak_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.min("user_id").cast("bigint").alias("min_user"),
+    )
