@@ -221,3 +221,143 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(d2 < F.lit(_SPATIAL_R * _SPATIAL_R))
         .select("vec_a", "vec_b", F.round(F.sqrt(d2), 6).alias("dist"))
     )
+
+
+_TRI_ORACLE = f"""
+WITH edges AS ({_EDGES_SQL}),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_e, CAST(SUM(w) AS BIGINT) AS tot
+  FROM edges WHERE src <> dst
+),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges, stats
+  WHERE src <> dst AND 2 * w * n_e >= 3 * tot
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT UNNEST([x, y, z]) AS node FROM tri)
+  GROUP BY node
+)
+SELECT na.n_name AS nation,
+       COALESCE(p.n_triangles, 0) AS n_triangles
+FROM nation na LEFT JOIN per_node p ON p.node = na.n_nationkey
+"""
+
+
+@register("graph_triangle_count", oracle=_TRI_ORACLE, category="graph")
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting over the strong-trade graph (edges
+    whose lineitem flow is >= 1.5x the mean — a relative threshold, so
+    the graph sparsifies identically at every scale factor).  Per-
+    nation triangle participation counts, zero-filled from the nation
+    dimension.
+
+    Implemented with DEGREE-ORDERED edge orientation (each undirected
+    edge points from its lower-(degree, id) endpoint), the standard
+    trick that bounds wedge generation by sum(min-degree) instead of
+    sum(degree**2) — on a power-law graph at 100 TB this is the
+    difference between the hub node exploding into |hub-degree|**2
+    wedge candidates and the provable O(m**1.5) bound.  The closing-
+    edge check is a broadcast-hash semi join on the canonical pair.
+    The oracle counts the same triangles with the naive a<b triple
+    self-join — two different enumeration orders, identical set.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    und = (
+        edges.withColumn("n_e", F.count(F.lit(1)).over(wall))
+        .withColumn("tot", F.sum("w").over(wall))
+        .filter(2 * F.col("w") * F.col("n_e") >= 3 * F.col("tot"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    oriented = (
+        und.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(
+                    F.col("a").alias("src"),
+                    F.col("b").alias("dst"),
+                    F.col("deg_b").alias("deg_dst"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("src"),
+                    F.col("a").alias("dst"),
+                    F.col("deg_a").alias("deg_dst"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.src", "e.dst", "e.deg_dst")
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(o2, F.col("o1.src") == F.col("o2.src")).filter(
+        (F.col("o1.deg_dst") < F.col("o2.deg_dst"))
+        | (
+            (F.col("o1.deg_dst") == F.col("o2.deg_dst"))
+            & (F.col("o1.dst") < F.col("o2.dst"))
+        )
+    ).select(
+        F.col("o1.src").alias("x"),
+        F.col("o1.dst").alias("v"),
+        F.col("o2.dst").alias("w"),
+    )
+    tri = wedges.join(
+        F.broadcast(und),
+        (F.least("v", "w") == und["a"]) & (F.greatest("v", "w") == und["b"]),
+        "semi",
+    )
+    per_node = (
+        tri.select(F.explode(F.array("x", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return nation.join(
+        F.broadcast(per_node), nation["n_nationkey"] == per_node["node"], "left"
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+    )

@@ -887,3 +887,100 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+_SCD2_ORACLE = f"""
+WITH versions AS (
+  SELECT user_id, ts AS valid_from, event_id AS version_id,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM {EVENTS_REL} e WHERE event_type = 'signup'
+),
+facts AS (
+  SELECT user_id, event_id, ts, value FROM {EVENTS_REL} e
+  WHERE event_type = 'purchase'
+),
+pit AS (
+  SELECT f.user_id, f.event_id, f.value, v.version_id
+  FROM facts f
+  LEFT JOIN versions v
+    ON v.user_id = f.user_id
+   AND v.valid_from <= f.ts
+   AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+)
+SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN version_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       CAST(COUNT(DISTINCT version_id) AS BIGINT) AS n_versions,
+       ROUND(SUM(value), 4) AS sum_value,
+       MD5(string_agg(LPAD(CAST(event_id AS STRING), 10, '0') || ':'
+                      || COALESCE(CAST(version_id AS STRING), 'none'),
+                      ',' ORDER BY event_id)) AS assign_md5
+FROM pit GROUP BY 1
+"""
+
+
+@register("join_scd2_pit", oracle=_SCD2_ORACLE, category="join")
+def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time join: signup events are type-2 dimension
+    versions (valid_from = event ts, valid_to = next version, half-
+    open), purchases join the version ACTIVE at their timestamp;
+    purchases before a user's first version keep NULL.  The per-bucket
+    `assign_md5` fingerprints every (purchase, version) assignment, so
+    a single wrong pick anywhere fails the check.
+
+    Plan: implemented WITHOUT a join — versions and facts union into
+    one frame and a single user_id window (`last(version, ignorenulls)`
+    over rows-unbounded-preceding, ordered ts / kind / event_id with
+    versions sorting before same-timestamp facts) carries the active
+    version onto every fact row: ONE exchange total, the same
+    shuffle-count as `join_asof`.  The oracle runs the textbook
+    validity-interval LEFT JOIN instead — two formulations, identical
+    assignment.  At 100 TB the union-window form is the one that
+    scales: an interval theta-join explodes under skew, the window is
+    a partitioned sort.
+    """
+    e = load_table(spark, sf_dir, "events")
+    vers = e.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        "event_id",
+        F.lit(None).cast("double").alias("value"),
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"), "event_id", "value"
+    )
+    tagged = vers.unionAll(facts)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = (
+        tagged.withColumn(
+            "version_id",
+            F.last(
+                F.when(F.col("kind") == 0, F.col("event_id")), ignorenulls=True
+            ).over(w),
+        )
+        .filter(F.col("kind") == 1)
+    )
+    pair = F.concat(
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+        F.lit(":"),
+        F.coalesce(F.col("version_id").cast("string"), F.lit("none")),
+    )
+    return assigned.groupBy(
+        (F.col("user_id") % 10).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum(F.when(F.col("version_id").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.countDistinct("version_id").cast("bigint").alias("n_versions"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list(pair)), ",")
+        ).alias("assign_md5"),
+    )

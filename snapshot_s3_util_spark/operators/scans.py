@@ -297,3 +297,82 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_LEDGER_SHARDS = 8
+_LEDGER_DONE = 5  # shards 0..4 already processed
+
+
+@register(
+    "scan_incremental_ledger",
+    oracle=f"""
+    SELECT CAST(user_id % {_LEDGER_SHARDS} AS INTEGER) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM {EVENTS_REL} e
+    WHERE user_id % {_LEDGER_SHARDS} >= {_LEDGER_DONE}
+    GROUP BY 1
+    """,
+    category="scan",
+)
+def scan_incremental_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledger-driven incremental ingest: a hive-partitioned landing
+    zone ({_LEDGER_SHARDS} shards), a processed-partition ledger
+    (shards 0..{_LEDGER_DONE} exclusive), and a run that discovers
+    UNPROCESSED partitions by anti-joining the partition inventory
+    against the ledger and aggregates only those — the restartable
+    batch-ingest discipline (each run's output + ledger update commit
+    together; re-runs are no-ops).
+
+    Plan: partition discovery scans ONLY the partition column (the
+    FileScan's ReadSchema is empty — directory names, no data pages);
+    the unprocessed set is resolved driver-side and applied as a
+    literal `isin` filter, which the scan planner turns into static
+    `PartitionFilters` — processed directories are never listed into
+    the scan, so at 100 TB the run's cost scales with the NEW data
+    only, which is the entire point of a ledger.  The one driver-side
+    materialization is the todo PARTITION LIST — catalog metadata
+    bounded by |partitions| (what any metastore-pruned planner holds),
+    never row data.  (A broadcast-semi formulation stays declarative
+    but doesn't prune: DPP doesn't fire on a same-source semi join, so
+    every footer would still be read — verified on the executed plan.)
+    """
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="s3u_spark_ledger_")
+    try:
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "shard", (F.col("user_id") % _LEDGER_SHARDS).cast("int")
+        )
+        ev.write.mode("overwrite").partitionBy("shard").parquet(out)
+
+        ledger = spark.createDataFrame(
+            [(i,) for i in range(_LEDGER_DONE)], "shard int"
+        )
+        landed = spark.read.parquet(out)
+        # Partition-catalog resolution: the inventory scan reads zero
+        # data columns (ReadSchema struct<>); the collected todo list
+        # is metadata bounded by |partitions|, not row data.
+        todo = [
+            r.shard
+            for r in (
+                landed.select(F.col("shard").cast("int").alias("shard"))
+                .distinct()
+                .join(F.broadcast(ledger), "shard", "anti")
+                .collect()
+            )
+        ]
+        fresh = landed.filter(F.col("shard").isin(todo))
+        return (
+            fresh.groupBy(F.col("shard").cast("int").alias("shard"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct("user_id").cast("bigint").alias("n_users"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
