@@ -798,3 +798,94 @@ def win_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.min("user_id").cast("bigint").alias("min_user"),
     )
+
+
+_XCORR_LAGS = (-2, -1, 0, 1, 2)
+_XCORR_A, _XCORR_B = "view", "purchase"
+
+_XCORR_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(SUM(CASE WHEN event_type = '{_XCORR_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN event_type = '{_XCORR_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nb
+  FROM {EVENTS_REL} e GROUP BY 1
+),
+lagged AS (
+  SELECT l.lag, a.na AS x, b.nb AS y
+  FROM (SELECT UNNEST([{', '.join(str(x) for x in _XCORR_LAGS)}]) AS lag) l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)
+),
+m AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM lagged GROUP BY lag
+)
+SELECT lag, n,
+       ROUND((n * sxy - sx * sy)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS xcorr
+FROM m
+"""
+
+
+@register("ts_cross_correlation", oracle=_XCORR_ORACLE, category="timeseries")
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily '{_XCORR_A}' and
+    '{_XCORR_B}' series at lags {_XCORR_LAGS} — the lead/lag analysis
+    ("do views predict purchases k days later?").  All moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as exact BIGINTs and only
+    the final Pearson formula touches doubles, so both engines divide
+    IDENTICAL integers — immune to the accumulation-order drift a
+    native one-pass corr() would have.
+
+    Plan: one corpus-size exchange (the daily pivot aggregate, map-
+    side combined to |days| rows); the lag explode and self-join run
+    on the |days|-row frame.  At 100 TB the calendar frame stays
+    catalog-sized no matter the data volume — cross-correlation is
+    free after the rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == _XCORR_A, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("event_type") == _XCORR_B, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    lags = daily.withColumn(
+        "lag", F.explode(F.array(*[F.lit(x) for x in _XCORR_LAGS]))
+    )
+    b = daily.select(F.col("d").alias("d2"), F.col("nb").alias("y"))
+    lagged = lags.join(
+        F.broadcast(b),
+        F.col("d2") == F.expr("date_add(d, lag)"),
+    ).select("lag", F.col("na").alias("x"), "y")
+    m = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return m.select(
+        "lag",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            ),
+            6,
+        ).alias("xcorr"),
+    )

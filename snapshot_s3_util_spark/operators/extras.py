@@ -715,3 +715,145 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
     )
+
+
+_KMVI_TOL = 0.5  # intersection error compounds two sketches
+
+_KMVI_ORACLE = f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type, user_id, {_KMV_U_DUCK} AS u FROM du),
+mins AS (
+  SELECT * FROM (
+    SELECT h.*, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY u, user_id) AS rn
+    FROM h)
+  WHERE rn <= {_KMV_K}
+),
+sk AS (
+  SELECT event_type, COUNT(*) AS n_minima, MAX(u) AS u_k
+  FROM mins GROUP BY event_type
+),
+th AS (
+  SELECT event_type,
+         CASE WHEN n_minima < {_KMV_K} THEN 1.0 ELSE u_k END AS theta
+  FROM sk
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         LEAST(ta.theta, tb.theta) AS theta
+  FROM th ta JOIN th tb ON ta.event_type < tb.event_type
+  JOIN sk a ON a.event_type = ta.event_type
+  JOIN sk b ON b.event_type = tb.event_type
+),
+commons AS (
+  SELECT p.type_a, p.type_b, p.theta,
+         COUNT(*) FILTER (ma.u < p.theta) AS n_common
+  FROM pairs p
+  JOIN mins ma ON ma.event_type = p.type_a
+  JOIN mins mb ON mb.event_type = p.type_b AND mb.user_id = ma.user_id
+  GROUP BY p.type_a, p.type_b, p.theta
+),
+est AS (
+  SELECT p.type_a, p.type_b,
+         COALESCE(c.n_common, 0) / p.theta AS est_inter
+  FROM pairs p
+  LEFT JOIN commons c ON c.type_a = p.type_a AND c.type_b = p.type_b
+),
+exact AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT e.type_a, e.type_b, x.n_exact,
+       ROUND(e.est_inter, 6) AS est_inter,
+       ROUND(ABS(e.est_inter - x.n_exact) / x.n_exact, 6) AS rel_err,
+       ABS(e.est_inter - x.n_exact) / x.n_exact <= {_KMVI_TOL} AS within_tol
+FROM est e JOIN exact x ON x.type_a = e.type_a AND x.type_b = e.type_b
+"""
+
+
+@register("agg_kmv_intersect", oracle=_KMVI_ORACLE, category="agg")
+def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET INTERSECTION (theta-sketch style) over the KMV
+    minima: for every event-type pair, estimate the shared distinct
+    user count as |{{common sketch entries below theta}}| / theta with
+    theta = min of the pair's sketch thresholds — the mergeable-sketch
+    answer to "audience overlap" that never rescans data.  The exact
+    intersection rides along as the audit column; `within_tol` states
+    the accuracy contract (intersection error compounds two sketches,
+    hence the looser {_KMVI_TOL} bound vs `agg_kmv_distinct`).
+
+    Plan: ONE corpus pass builds the per-type bottom-K sketches
+    (WindowGroupLimit, same shape as `agg_kmv_distinct`); everything
+    pairwise happens on the |types| x K sketch rows — at 100 TB the
+    pair algebra costs nothing, which is the reason sketch set-ops
+    exist.  The exact-audit join is the only data-sized pairwise work
+    and exists purely to ground the estimate in tests.
+    """
+    e = load_table(spark, sf_dir, "events")
+    du = e.select("event_type", "user_id").distinct()
+    u = F.expr(
+        "cast(conv(substring(md5(cast(user_id AS string)), 1, 12), 16, 10)"
+        f" AS bigint) / {_KMV_DEN}"
+    )
+    h = du.select("event_type", "user_id", u.alias("u"))
+    w = Window.partitionBy("event_type").orderBy("u", "user_id")
+    mins = h.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
+    ).localCheckpoint()
+    sk = mins.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_minima"), F.max("u").alias("u_k")
+    )
+    th = sk.select(
+        "event_type",
+        F.when(F.col("n_minima") < _KMV_K, F.lit(1.0))
+        .otherwise(F.col("u_k"))
+        .alias("theta"),
+    )
+    ta = th.select(F.col("event_type").alias("type_a"), F.col("theta").alias("th_a"))
+    tb = th.select(F.col("event_type").alias("type_b"), F.col("theta").alias("th_b"))
+    pairs = ta.join(tb, F.col("type_a") < F.col("type_b")).select(
+        "type_a", "type_b", F.least("th_a", "th_b").alias("theta")
+    )
+    ma = mins.select(F.col("event_type").alias("type_a"), "user_id", "u")
+    mb = mins.select(
+        F.col("event_type").alias("mb_type"), F.col("user_id").alias("uid_b")
+    )
+    commons = (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(
+            F.broadcast(mb),
+            (F.col("type_b") == F.col("mb_type"))
+            & (F.col("user_id") == F.col("uid_b")),
+        )
+        .filter(F.col("u") < F.col("theta"))
+        .groupBy("type_a", "type_b", "theta")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    est = pairs.join(commons.drop("theta"), ["type_a", "type_b"], "left").select(
+        "type_a",
+        "type_b",
+        (F.coalesce("n_common", F.lit(0)) / F.col("theta")).alias("est_inter"),
+    )
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), F.col("user_id").alias("uid"))
+    exact = (
+        a.join(b, (F.col("user_id") == F.col("uid")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    return est.join(exact, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "n_exact",
+        F.round("est_inter", 6).alias("est_inter"),
+        F.round(F.abs(F.col("est_inter") - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_err"
+        ),
+        (
+            F.abs(F.col("est_inter") - F.col("n_exact")) / F.col("n_exact")
+            <= _KMVI_TOL
+        ).alias("within_tol"),
+    )
