@@ -715,7 +715,13 @@ def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mx").alias("mx"),
         )
 
-    daily = _up(hourly, "day")
+    # The day frame feeds BOTH output branches (its own rows and the
+    # week re-aggregation); without a checkpoint each union branch
+    # re-plans the corpus-size hourly aggregate (branch-specialized
+    # column pruning defeats ReuseExchange — verified on the plan:
+    # 2 parquet scans without, 1 with).  The materialized frame is
+    # |types| x |days| rows — catalog-sized at any data scale.
+    daily = _up(hourly, "day").localCheckpoint()
     weekly = _up(daily, "week")
 
     def _out(df: DataFrame, grain: str) -> DataFrame:
@@ -861,6 +867,11 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("nb"),
     )
+    # daily feeds both join sides; checkpoint the |days|-row frame so
+    # the corpus aggregate runs once (same rationale as
+    # ts_rollup_cascade — ReuseExchange doesn't fire across the
+    # branch-specialized projections).
+    daily = daily.localCheckpoint()
     lags = daily.withColumn(
         "lag", F.explode(F.array(*[F.lit(x) for x in _XCORR_LAGS]))
     )

@@ -941,17 +941,16 @@ def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a partitioned sort.
     """
     e = load_table(spark, sf_dir, "events")
-    vers = e.filter(F.col("event_type") == "signup").select(
+    # One scan, not a per-kind union of two filtered scans: the kind
+    # tag derives in the projection, so versions and facts ride the
+    # same FileScan with a pushed IN filter.
+    tagged = e.filter(F.col("event_type").isin("signup", "purchase")).select(
         "user_id",
         "ts",
-        F.lit(0).alias("kind"),
+        F.when(F.col("event_type") == "signup", 0).otherwise(1).alias("kind"),
         "event_id",
-        F.lit(None).cast("double").alias("value"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("value"),
     )
-    facts = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.lit(1).alias("kind"), "event_id", "value"
-    )
-    tagged = vers.unionAll(facts)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "kind", "event_id")

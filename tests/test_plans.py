@@ -755,3 +755,101 @@ def test_merge_regions_plan_single_scan(spark, sf_dir):
     df = REGISTRY["hb_merge_regions_plan"].fn(spark, sf_dir)
     plan = physical_plan(df)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+# ---------------------------------------------------- round-5 batch 17
+
+
+def test_url_dedup_one_dedup_window_no_join(spark, sf_dir):
+    """Canonical-URL dedup = the exact-dedup shape on a derived key:
+    rank window + source aggregate, no joins, no Python."""
+    df = REGISTRY["llm_url_dedup"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 2, physical_plan(df)
+    assert not has_node(df, "Join")
+    assert not uses_python(df)
+
+
+def test_gopher_rules_single_combined_aggregate(spark, sf_dir):
+    """Every rule is doc-local array math: ONE map-side-combined
+    shuffle, zero Python."""
+    df = REGISTRY["llm_gopher_rules"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_ip_cidr_is_narrow_plus_one_agg(spark, sf_dir):
+    df = REGISTRY["fn_ip_cidr"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_rollup_cascade_upper_grains_post_checkpoint(spark, sf_dir):
+    """Day/week re-aggregation must run on the checkpointed catalog-
+    sized day frame: no parquet rescans, one exchange downstream."""
+    import re
+
+    df = REGISTRY["ts_rollup_cascade"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert shuffle_count(df) <= 1, plan
+
+
+def test_streak_islands_no_window_one_user_exchange(spark, sf_dir):
+    """The island fold happens inside the per-user array — the plan
+    must show NO Window node and exactly the user aggregate + the
+    histogram aggregate."""
+    df = REGISTRY["win_streak_islands"].fn(spark, sf_dir)
+    assert not has_node(df, "Window"), physical_plan(df)
+    assert shuffle_count(df) == 2, physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_weighted_median_aggregates_before_window(spark, sf_dir):
+    """The cumulative window must consume the (flag, price) pre-
+    aggregate, not raw line items (root-first print: Window above
+    its feeding HashAggregate)."""
+    df = REGISTRY["agg_weighted_median"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    win_pos = plan.find("Window")
+    agg_pos = plan.rfind("HashAggregate")
+    assert win_pos != -1 and agg_pos != -1
+    assert win_pos < agg_pos, plan
+    assert shuffle_count(df) == 2, plan
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    """Wedge generation and the closing-edge check must stay hash
+    joins; a nested loop or cartesian is the quadratic failure."""
+    df = REGISTRY["graph_triangle_count"].fn(spark, sf_dir)
+    assert not has_node(df, "CartesianProduct"), physical_plan(df)
+    assert not has_node(df, "BroadcastNestedLoopJoin"), physical_plan(df)
+
+
+def test_scd2_single_scan_no_join(spark, sf_dir):
+    """Union-window as-of: one pushed-IN scan, version assignment via
+    Window, no validity-interval join anywhere."""
+    import re
+
+    df = REGISTRY["join_scd2_pit"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert not has_node(df, "Join"), plan
+    assert "In(event_type" in pushed_filters(df), pushed_filters(df)
+
+
+def test_cross_correlation_lag_math_post_checkpoint(spark, sf_dir):
+    """Lag explode + self-join run on the checkpointed |days| frame:
+    no parquet rescan, broadcast join, one final aggregate."""
+    import re
+
+    df = REGISTRY["ts_cross_correlation"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert has_node(df, "BroadcastHashJoin"), plan
+    assert shuffle_count(df) <= 1, plan
+
+
+def test_image_resize_three_narrow_python_stages(spark, sf_dir):
+    df = REGISTRY["multimodal_image_resize"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0, physical_plan(df)
+    assert uses_python(df)

@@ -1935,3 +1935,284 @@ def test_merge_regions_plan_verdicts(spark, sf_dir):
             assert r["merge_ok"] == (
                 r["combined_bytes"] < 2 * r["avg_region_bytes"]
             )
+
+
+# ---------------------------------------------------- round-5 batch 17
+
+
+def test_url_dedup_collision_rule(spark, sf_dir):
+    """Canonical URLs collide exactly on (source, doc_id % 50), so
+    per-source n_canonical must equal the count of distinct residues
+    present — an independent closed-form check of the whole
+    parse->canonicalize->dedup chain."""
+    rows = REGISTRY["llm_url_dedup"].fn(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    expected = {
+        (r["source"]): (r["n_res"], r["n_docs"])
+        for r in d.groupBy("source")
+        .agg(
+            F.countDistinct(F.col("doc_id") % 50).alias("n_res"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        n_res, n_docs = expected[r["source"]]
+        assert r["n_canonical"] == n_res, r
+        assert r["n_docs"] == n_docs, r
+
+
+def test_gopher_rules_fire_and_account(spark, sf_dir):
+    """The battery must genuinely split the corpus (no vacuous rule
+    set) and the keep count must be consistent with failures."""
+    rows = REGISTRY["llm_gopher_rules"].fn(spark, sf_dir).collect()
+    tot = {
+        k: sum(r[k] for r in rows)
+        for k in (
+            "n_docs",
+            "fail_wordcount",
+            "fail_stopword",
+            "fail_dominance",
+            "n_keep",
+        )
+    }
+    assert 0 < tot["n_keep"] < tot["n_docs"]
+    # at least three distinct rules fire somewhere at every sf
+    firing = sum(
+        1
+        for k in ("fail_wordcount", "fail_stopword", "fail_dominance")
+        if tot[k] > 0
+    )
+    assert firing >= 3, tot
+    for r in rows:
+        assert r["n_keep"] <= r["n_docs"]
+        assert abs(r["keep_rate"] - r["n_keep"] / r["n_docs"]) < 1e-6
+
+
+def test_ip_cidr_partition_and_ranges(spark, sf_dir):
+    """Groups partition the corpus; the CIDR is inside 10/8 so
+    in_cidr => is_private; addresses stay within uint32."""
+    rows = REGISTRY["fn_ip_cidr"].fn(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n"] for r in rows) == n_events
+    for r in rows:
+        if r["in_cidr"]:
+            assert r["is_private"]
+        assert 0 <= r["min_addr"] <= r["max_addr"] < 2**32
+
+
+def test_rollup_cascade_conserves_counts(spark, sf_dir):
+    """Day and week grains must each partition the event count — the
+    lossless-cascade invariant independent of the oracle."""
+    rows = REGISTRY["ts_rollup_cascade"].fn(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    for grain in ("day", "week"):
+        assert sum(r["n"] for r in rows if r["grain"] == grain) == n_events
+    for r in rows:
+        assert r["min_value"] <= r["max_value"]
+        assert abs(r["avg_value"] * r["n"] - r["sum_value"]) < 0.01 * r["n"]
+
+
+def test_streak_islands_matches_python(spark, sf_dir):
+    """Recompute every user's longest consecutive-day streak in plain
+    Python from the raw table and compare the histogram."""
+    from collections import Counter
+
+    rows = REGISTRY["win_streak_islands"].fn(spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .collect()
+    )
+    days: dict = {}
+    for r in ev:
+        days.setdefault(r["user_id"], set()).add(r["d"])
+    hist: Counter = Counter()
+    for _u, ds in days.items():
+        best = cur = 0
+        prev = None
+        for d in sorted(ds):
+            cur = cur + 1 if prev is not None and (d - prev).days == 1 else 1
+            best = max(best, cur)
+            prev = d
+        hist[best] += 1
+    assert {r["streak_len"]: r["n_users"] for r in rows} == dict(hist)
+
+
+def test_weighted_median_matches_python(spark, sf_dir):
+    """Independent reference: accumulate quantity weights over sorted
+    prices per flag in Python."""
+    rows = REGISTRY["agg_weighted_median"].fn(spark, sf_dir).collect()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    acc: dict = {}
+    for r in li:
+        acc.setdefault(r["l_returnflag"], {}).setdefault(
+            r["l_extendedprice"], 0
+        )
+        acc[r["l_returnflag"]][r["l_extendedprice"]] += int(r["l_quantity"])
+    for row in rows:
+        ws = acc[row["flag"]]
+        total = sum(ws.values())
+        assert row["total_weight"] == total
+        cum = 0
+        med = None
+        for price in sorted(ws):
+            cum += ws[price]
+            if 2 * cum >= total:
+                med = price
+                break
+        assert row["w_median"] == med
+        assert row["w_p25"] <= row["w_median"] <= row["w_p75"]
+
+
+def test_triangle_counts_divisible_and_match_python(spark, sf_dir):
+    """Σ per-node counts = 3 x #triangles; recount with a naive
+    Python triple loop over the thresholded edge set."""
+    rows = REGISTRY["graph_triangle_count"].fn(spark, sf_dir).collect()
+    total3 = sum(r["n_triangles"] for r in rows)
+    assert total3 % 3 == 0
+    # rebuild the thresholded undirected graph independently
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ed = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy("c_nationkey", "s_nationkey")
+        .count()
+        .collect()
+    )
+    n_e = len(ed)
+    tot = sum(r["count"] for r in ed)
+    und = set()
+    for r in ed:
+        if 2 * r["count"] * n_e >= 3 * tot:
+            a, b = sorted((r["c_nationkey"], r["s_nationkey"]))
+            und.add((a, b))
+    nodes = sorted({x for e in und for x in e})
+    tri = 0
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) not in und:
+                continue
+            for cn in nodes:
+                if cn > b and (a, cn) in und and (b, cn) in und:
+                    tri += 1
+    assert total3 == 3 * tri
+
+
+def test_incremental_ledger_processes_only_new_shards(spark, sf_dir):
+    rows = REGISTRY["scan_incremental_ledger"].fn(spark, sf_dir).collect()
+    assert {r["shard"] for r in rows} <= {5, 6, 7}
+    ev = load_table(spark, sf_dir, "events")
+    expected = ev.filter(F.col("user_id") % 8 >= 5).count()
+    assert sum(r["n_rows"] for r in rows) == expected
+
+
+def test_scd2_assignment_matches_python(spark, sf_dir):
+    """Replay the point-in-time rule in Python per user (sorted
+    signup versions; purchases bind to the latest valid_from <= ts)
+    and compare matched counts per bucket."""
+    rows = {
+        r["bucket"]: r for r in REGISTRY["join_scd2_pit"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .select("user_id", "event_id", "ts", "event_type")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    matched: dict = {}
+    purchases: dict = {}
+    for u, rs in by_user.items():
+        signups = sorted(
+            [(r["ts"], r["event_id"]) for r in rs if r["event_type"] == "signup"]
+        )
+        for r in rs:
+            if r["event_type"] != "purchase":
+                continue
+            b = u % 10
+            purchases[b] = purchases.get(b, 0) + 1
+            active = [s for s in signups if s[0] <= r["ts"]]
+            if active:
+                matched[b] = matched.get(b, 0) + 1
+    for b, row in rows.items():
+        assert row["n_purchases"] == purchases.get(b, 0)
+        assert row["n_matched"] == matched.get(b, 0)
+
+
+def test_kmv_intersect_within_tolerance(spark, sf_dir):
+    """The estimator's accuracy contract holds on real data at every
+    sf (verified up to sf0.1), and estimates are nonnegative."""
+    rows = REGISTRY["agg_kmv_intersect"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    assert all(r["within_tol"] for r in rows)
+    assert all(r["est_inter"] >= 0 for r in rows)
+
+
+def test_cross_correlation_lag0_matches_numpy(spark, sf_dir):
+    import math
+
+    rows = {
+        r["lag"]: r
+        for r in REGISTRY["ts_cross_correlation"].fn(spark, sf_dir).collect()
+    }
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "y"
+            ),
+        )
+        .collect()
+    )
+    xs = [r["x"] for r in daily]
+    ys = [r["y"] for r in daily]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    sx = math.sqrt(sum((a - mx) ** 2 for a in xs))
+    sy = math.sqrt(sum((b - my) ** 2 for b in ys))
+    ref = cov / (sx * sy)
+    assert abs(rows[0]["xcorr"] - ref) < 1e-4
+    for r in rows.values():
+        assert -1.0 <= r["xcorr"] <= 1.0
+
+
+def test_image_resize_roundtrip_python(spark, sf_dir):
+    """resize(synth(id)) must itself be a valid DIB whose decode
+    matches the closed-form sampled-grid sums, checked purely in
+    Python (no Spark in the loop)."""
+    from snapshot_s3_util_spark.llm.multimodal import (
+        _bmp_dims,
+        decode_bmp,
+        resize_bmp_half,
+        synth_bmp,
+    )
+
+    for doc_id in (0, 7, 12, 40, 99):
+        w, h = _bmp_dims(doc_id)
+        nw, nh = (w + 1) // 2, (h + 1) // 2
+        got = decode_bmp(resize_bmp_half(synth_bmp(doc_id)))
+        assert (got["width"], got["height"]) == (nw, nh)
+        exp_r = sum(
+            (2 * x * 2 * y + doc_id) % 256 for x in range(nw) for y in range(nh)
+        )
+        exp_g = sum((2 * 2 * x + doc_id) % 256 for x in range(nw) for y in range(nh))
+        exp_b = sum(
+            (2 * x + 2 * y + doc_id) % 256 for x in range(nw) for y in range(nh)
+        )
+        assert (got["sum_r"], got["sum_g"], got["sum_b"]) == (exp_r, exp_g, exp_b)
