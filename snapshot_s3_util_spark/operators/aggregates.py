@@ -650,3 +650,143 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(4 * F.col("cum") >= 3 * F.col("total"), F.col("price"))
         ).alias("w_p75"),
     )
+
+
+_AB_SPLIT = (
+    "CAST(('0x' || SUBSTR(MD5('ab|' || CAST(user_id AS STRING)), 1, 8)) "
+    "AS BIGINT) % 2"
+)
+
+_AB_ORACLE = f"""
+WITH assign AS (
+  SELECT user_id,
+         CASE WHEN {_AB_SPLIT} = 0 THEN 'A' ELSE 'B' END AS variant,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_conv
+  FROM assign GROUP BY variant
+),
+w AS (
+  SELECT MAX(CASE WHEN variant = 'A' THEN n_users END) AS na,
+         MAX(CASE WHEN variant = 'A' THEN n_conv END) AS ca,
+         MAX(CASE WHEN variant = 'B' THEN n_users END) AS nb,
+         MAX(CASE WHEN variant = 'B' THEN n_conv END) AS cb
+  FROM v
+)
+SELECT na, ca, nb, cb,
+       ROUND(CAST(ca AS DOUBLE) / na, 6) AS rate_a,
+       ROUND(CAST(cb AS DOUBLE) / nb, 6) AS rate_b,
+       ROUND((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+             / SQRT((CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1.0 / na + 1.0 / nb)), 6) AS z_score,
+       ABS((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+           / SQRT((CAST(ca + cb AS DOUBLE) / (na + nb))
+                  * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                  * (1.0 / na + 1.0 / nb))) > 1.959964 AS significant
+FROM w
+"""
+
+
+@register("agg_ab_test_z", oracle=_AB_ORACLE, category="aggregate")
+def agg_ab_test_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test on user conversion: deterministic
+    hash split (md5, re-run stable — the same discipline as
+    `llm_split_assign`), conversion = user ever made a
+    high-value purchase (value > 150), pooled-
+    variance z statistic and the 95% two-sided verdict.  Every input
+    to the float math is an exact integer count, so both engines
+    evaluate the identical formula on identical operands.
+
+    Plan: one user-level aggregate (map-side combined) then a 2-row
+    reduce to the single stats row; at 100 TB the experiment readout
+    is two exchanges and the final arithmetic is free.  The hash
+    split means assignment needs no experiment-arm table join.
+    """
+    e = load_table(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(
+            F.expr(
+                "cast(conv(substring(md5(concat('ab|', CAST(user_id AS STRING))),"
+                " 1, 8), 16, 10) AS bigint) % 2"
+            )
+            == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "converted",
+    )
+    v = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("n_conv"))).alias("ca"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_conv"))).alias("cb"),
+    )
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    pool = (F.col("ca") + F.col("cb")).cast("double") / (F.col("na") + F.col("nb"))
+    z = (pa - pb) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return w.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.959964).alias("significant"),
+    )
+
+
+_DEC_ORACLE = """
+SELECT l_returnflag AS flag,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_quantity AS DECIMAL(18,2))
+                          AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS STRING)
+         AS exact_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("agg_decimal_exact", oracle=_DEC_ORACLE, category="aggregate")
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT money arithmetic: price x quantity accumulated as
+    DECIMAL(38,4) — associative and partitioning-invariant, unlike
+    double sums whose low bits depend on partial-aggregation order.
+    The result ships as a STRING so the comparator sees the exact
+    digits (and because the driver canonicalizes DECIMAL through
+    pandas floats, which would defeat the point).
+
+    Plan: a stock two-phase HashAggregate; decimal partials are
+    128-bit fixed-point, so map-side combine stays exact at any
+    fan-in.  At 100 TB this is the ledger-grade aggregation path —
+    the float fast path is for metrics, this one is for money.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    ).cast("decimal(38,4)")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.sum(rev).cast("decimal(38,4)").cast("string").alias("exact_revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )

@@ -900,3 +900,78 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("xcorr"),
     )
+
+
+_SWEEP_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+  FROM {EVENTS_REL} e GROUP BY 1, 2
+),
+deltas AS (
+  SELECT day, s_us AS us, 1 AS delta FROM iv
+  UNION ALL
+  SELECT day, e_us + 1 AS us, -1 AS delta FROM iv
+),
+c AS (
+  SELECT day, us, delta,
+         SUM(delta) OVER (PARTITION BY day ORDER BY us, delta DESC
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM deltas
+)
+SELECT c.day,
+       CAST(n.n_active AS BIGINT) AS n_active_users,
+       CAST(MAX(c.cum) AS BIGINT) AS peak_concurrency
+FROM c
+JOIN (SELECT day, COUNT(*) AS n_active FROM iv GROUP BY day) n
+  ON n.day = c.day
+GROUP BY c.day, n.n_active
+"""
+
+
+@register("ts_concurrency_sweep", oracle=_SWEEP_ORACLE, category="timeseries")
+def ts_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day via the sweep line: each user's daily
+    activity interval [first event, last event] contributes +1/-1
+    deltas; the running sum's max is the day's peak simultaneous-user
+    count — the "how many sessions were live at once" capacity
+    question an aggregate can't answer.
+
+    Plan: intervals from ONE (user, day) aggregate; the sweep cumsum
+    PARTITIONS BY DAY, so no global single-partition sort exists —
+    the scalable segmented-sweep shape (intervals here never span
+    segments by construction; spanning intervals would add a
+    carry-in count per segment, a |segments|-row join, not a global
+    sort).  Peak is tie-order invariant: +1 deltas sort before -1 at
+    the same microsecond, and within a tie group the running max
+    depends only on the group's count.
+    """
+    e = load_table(spark, sf_dir, "events")
+    iv = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.unix_micros(F.min("ts")).alias("s_us"),
+        F.unix_micros(F.max("ts")).alias("e_us"),
+    )
+    deltas = iv.select(
+        "day", F.col("s_us").alias("us"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("day", (F.col("e_us") + 1).alias("us"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("us"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = deltas.withColumn("cum", F.sum("delta").over(w))
+    n = iv.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
+    return (
+        c.groupBy("day")
+        .agg(F.max("cum").cast("bigint").alias("peak_concurrency"))
+        .join(n, "day")
+        .select(
+            "day",
+            F.col("n_active").cast("bigint").alias("n_active_users"),
+            "peak_concurrency",
+        )
+    )

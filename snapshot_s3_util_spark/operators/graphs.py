@@ -361,3 +361,119 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
     )
+
+
+_BFS_SRC = 0
+_BFS_ROUNDS = 3
+
+_UND_EDGES_SQL = f"""
+  WITH edges AS ({_EDGES_SQL}),
+  stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_e, CAST(SUM(w) AS BIGINT) AS tot
+    FROM edges WHERE src <> dst
+  ),
+  cano AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges, stats
+    WHERE src <> dst AND 2 * w * n_e >= 3 * tot
+  )
+  SELECT a AS u, b AS v FROM cano
+  UNION ALL
+  SELECT b AS u, a AS v FROM cano
+"""
+
+
+def _bfs_oracle() -> str:
+    sql = f"""
+WITH sym AS ({_UND_EDGES_SQL}),
+h0 AS (SELECT {_BFS_SRC} AS node, 0 AS hops)"""
+    prev = "h0"
+    for i in range(1, _BFS_ROUNDS + 1):
+        sql += f""",
+h{i} AS (
+  SELECT node, MIN(hops) AS hops FROM (
+    SELECT node, hops FROM {prev}
+    UNION ALL
+    SELECT e.v AS node, p.hops + 1 AS hops
+    FROM {prev} p JOIN sym e ON e.u = p.node
+  ) GROUP BY node
+)"""
+        prev = f"h{i}"
+    sql += f"""
+SELECT na.n_name AS nation,
+       CAST(COALESCE(h.hops, -1) AS BIGINT) AS hops
+FROM nation na LEFT JOIN {prev} h ON h.node = na.n_nationkey
+"""
+    return sql
+
+
+@register("graph_bfs_hops", oracle=_bfs_oracle(), category="graph")
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-path layers from nation {_BFS_SRC} over the same
+    relative-threshold strong-trade graph as `graph_triangle_count`:
+    {_BFS_ROUNDS} fixed frontier expansions (so the oracle can unroll
+    the identical iteration as CTEs, like `graph_pagerank`), nodes
+    still unreached report -1 — on a sparsified graph that's a real
+    outcome, not a placeholder.
+
+    Plan: the symmetric edge list is built once and localCheckpoint'ed
+    (lineage truncation; each round must not replay the 4-way join);
+    every round = frontier ⋈ broadcast edges + a map-side-combined
+    MIN — the Pregel step.  At 100 TB the frontier frame is |V|-sized
+    and the per-round shuffle carries only (node, hops) pairs;
+    convergence-detection (as in `llm_dedup_components`) would replace
+    the fixed unroll in production, traded here for an exact oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    cano = (
+        edges.withColumn("n_e", F.count(F.lit(1)).over(wall))
+        .withColumn("tot", F.sum("w").over(wall))
+        .filter(2 * F.col("w") * F.col("n_e") >= 3 * F.col("tot"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    sym = (
+        cano.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(cano.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    hops = spark.createDataFrame([(_BFS_SRC, 0)], "node int, hops int")
+    for _ in range(_BFS_ROUNDS):
+        expanded = (
+            sym.join(F.broadcast(hops), sym["u"] == hops["node"])
+            .select(F.col("v").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        hops = (
+            hops.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint()
+        )
+    return nation.join(
+        F.broadcast(hops), nation["n_nationkey"] == hops["node"], "left"
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.coalesce("hops", F.lit(-1)).cast("bigint").alias("hops"),
+    )

@@ -983,3 +983,112 @@ def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_list(pair)), ",")
         ).alias("assign_md5"),
     )
+
+
+_BJ_K = 4          # bloom hash functions
+_BJ_M = 65536      # bloom bits
+_BJ_PRIORITY = "1-URGENT"
+
+_BJ_POS_DUCK = (
+    "CAST(('0x' || SUBSTR(MD5(CAST(o_orderkey AS STRING) || ':'"
+    " || CAST({i} AS STRING)), 1, 8)) AS BIGINT) % " + str(_BJ_M)
+)
+
+_BLOOM_JOIN_ORACLE = f"""
+WITH urgent AS (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '{_BJ_PRIORITY}'
+),
+bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || SUBSTR(MD5(CAST(o_orderkey AS STRING) || ':'
+              || CAST(i AS STRING)), 1, 8)) AS BIGINT) % {_BJ_M} AS pos
+  FROM urgent, range({_BJ_K}) r(i)
+),
+probe AS (
+  SELECT l.l_returnflag, l.l_orderkey,
+         l.l_extendedprice * (1 - l.l_discount) AS rev
+  FROM lineitem l
+  WHERE {_BJ_K} = (
+    SELECT COUNT(*) FROM bits b WHERE b.pos IN (
+      SELECT CAST(('0x' || SUBSTR(MD5(CAST(l.l_orderkey AS STRING) || ':'
+                  || CAST(i AS STRING)), 1, 8)) AS BIGINT) % {_BJ_M}
+      FROM range({_BJ_K}) r(i))
+  )
+),
+joined AS (
+  SELECT p.l_returnflag, p.rev,
+         (u.o_orderkey IS NOT NULL) AS true_match
+  FROM probe p LEFT JOIN urgent u ON u.o_orderkey = p.l_orderkey
+)
+SELECT l_returnflag AS flag,
+       CAST(COUNT(*) AS BIGINT) AS n_bloom_pass,
+       CAST(SUM(CASE WHEN true_match THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_match,
+       ROUND(SUM(CASE WHEN true_match THEN rev ELSE 0 END), 4) AS urgent_revenue
+FROM joined GROUP BY l_returnflag
+"""
+
+
+@register("join_bloom_prefilter", oracle=_BLOOM_JOIN_ORACLE, category="join")
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered join: the {_BJ_PRIORITY} order keys build a
+    {_BJ_M}-bit / {_BJ_K}-hash Bloom filter (portable md5 idiom — the
+    oracle reproduces the exact bit pattern); lineitem rows probe it
+    BEFORE the join, so only bloom-passing rows reach the exchange.
+    `n_bloom_pass - n_true_match` per flag is the observable false-
+    positive cost, and false negatives are impossible by construction.
+
+    Plan: the probe is {_BJ_K} chained BROADCAST-HASH LEFT SEMI joins
+    (one per hash position, each against the kilobyte position set) —
+    zero shuffles on the fact side until the surviving fraction; the
+    closing join then runs on the reduced stream.  At 100 TB this is
+    the runtime-filter pattern (Spark's own bloom runtime filters do
+    exactly this, JVM-side and non-portably): the fact-table shuffle
+    shrinks by the filter's selectivity, which is the entire win.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    urgent = o.filter(F.col("o_orderpriority") == _BJ_PRIORITY).select("o_orderkey")
+    bits = (
+        urgent.withColumn("i", F.explode(F.array(*[F.lit(i) for i in range(_BJ_K)])))
+        .select(
+            F.expr(
+                "cast(conv(substring(md5(concat(CAST(o_orderkey AS STRING), ':',"
+                f" CAST(i AS STRING))), 1, 8), 16, 10) AS bigint) % {_BJ_M}"
+            ).alias("pos")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    probe = li
+    for i in range(_BJ_K):
+        probe = probe.withColumn(
+            f"p{i}",
+            F.expr(
+                "cast(conv(substring(md5(concat(CAST(l_orderkey AS STRING), ':',"
+                f" CAST({i} AS STRING))), 1, 8), 16, 10) AS bigint) % {_BJ_M}"
+            ),
+        )
+        bi = bits.withColumnRenamed("pos", f"pos{i}")
+        probe = probe.join(
+            F.broadcast(bi), F.col(f"p{i}") == F.col(f"pos{i}"), "semi"
+        )
+    joined = probe.join(
+        F.broadcast(urgent.withColumnRenamed("o_orderkey", "u_key")),
+        F.col("l_orderkey") == F.col("u_key"),
+        "left",
+    )
+    return joined.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bloom_pass"),
+        F.sum(F.when(F.col("u_key").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true_match"),
+        F.round(
+            F.sum(F.when(F.col("u_key").isNotNull(), F.col("rev")).otherwise(0.0)),
+            4,
+        ).alias("urgent_revenue"),
+    )
