@@ -853,3 +853,40 @@ def test_image_resize_three_narrow_python_stages(spark, sf_dir):
     df = REGISTRY["multimodal_image_resize"].fn(spark, sf_dir)
     assert shuffle_count(df) == 0, physical_plan(df)
     assert uses_python(df)
+
+
+# ---------------------------------------------------- round-5 batch 18
+
+
+def test_concurrency_sweep_window_is_day_partitioned(spark, sf_dir):
+    """The sweep cumsum must declare PARTITION BY day — a global
+    ordered window would serialize the corpus through one task."""
+    df = REGISTRY["ts_concurrency_sweep"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    import re
+
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert win_specs and all("day" in w for w in win_specs), plan
+    assert not uses_python(df)
+
+
+def test_ab_test_three_reduces(spark, sf_dir):
+    df = REGISTRY["agg_ab_test_z"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 3, physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_decimal_exact_is_stock_two_phase_agg(spark, sf_dir):
+    df = REGISTRY["agg_decimal_exact"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
+    assert has_node(df, "HashAggregate"), physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_bloom_prefilter_broadcast_semis_no_fact_shuffle(spark, sf_dir):
+    """All probe stages must be broadcast joins; the only exchange is
+    the final flag aggregate."""
+    df = REGISTRY["join_bloom_prefilter"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
+    assert has_node(df, "BroadcastHashJoin")
+    assert not has_node(df, "SortMergeJoin"), physical_plan(df)

@@ -2216,3 +2216,150 @@ def test_image_resize_roundtrip_python(spark, sf_dir):
             (2 * x + 2 * y + doc_id) % 256 for x in range(nw) for y in range(nh)
         )
         assert (got["sum_r"], got["sum_g"], got["sum_b"]) == (exp_r, exp_g, exp_b)
+
+
+# ---------------------------------------------------- round-5 batch 18
+
+
+def test_concurrency_sweep_matches_python(spark, sf_dir):
+    """Replay the sweep in Python: per-day +1/-1 deltas from each
+    user's [first, last] activity, running max."""
+    rows = {
+        r["day"]: r
+        for r in REGISTRY["ts_concurrency_sweep"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.unix_micros("ts").alias("us"),
+        )
+        .collect()
+    )
+    iv: dict = {}
+    for r in ev:
+        k = (r["day"], r["user_id"])
+        s, e = iv.get(k, (r["us"], r["us"]))
+        iv[k] = (min(s, r["us"]), max(e, r["us"]))
+    by_day: dict = {}
+    for (day, _u), (s, e) in iv.items():
+        by_day.setdefault(day, []).append((s, 1))
+        by_day[day].append((e + 1, -1))
+    for day, deltas in by_day.items():
+        cur = peak = 0
+        for _us, d in sorted(deltas, key=lambda t: (t[0], -t[1])):
+            cur += d
+            peak = max(peak, cur)
+        assert rows[day]["peak_concurrency"] == peak, day
+        assert rows[day]["n_active_users"] == sum(
+            1 for k in iv if k[0] == day
+        )
+
+
+def test_ab_test_accounts_all_users_and_z_formula(spark, sf_dir):
+    import math
+
+    [r] = REGISTRY["agg_ab_test_z"].fn(spark, sf_dir).collect()
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert r["na"] + r["nb"] == n_users
+    assert 0 < r["na"] < n_users  # the hash split actually splits
+    pa, pb = r["ca"] / r["na"], r["cb"] / r["nb"]
+    pool = (r["ca"] + r["cb"]) / (r["na"] + r["nb"])
+    z = (pa - pb) / math.sqrt(pool * (1 - pool) * (1 / r["na"] + 1 / r["nb"]))
+    assert abs(z - r["z_score"]) < 1e-5
+    assert r["significant"] == (abs(z) > 1.959964)
+
+
+def test_decimal_exact_matches_python_decimal(spark, sf_dir):
+    """Ledger-grade check: recompute with Python's decimal module
+    (exact by construction) from the raw rows."""
+    from decimal import Decimal
+
+    rows = REGISTRY["agg_decimal_exact"].fn(spark, sf_dir).collect()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    acc: dict = {}
+    q2 = Decimal("0.01")
+    for r in li:
+        d = Decimal(repr(r["l_extendedprice"])).quantize(q2) * Decimal(
+            repr(r["l_quantity"])
+        ).quantize(q2)
+        acc[r["l_returnflag"]] = acc.get(r["l_returnflag"], Decimal(0)) + d
+    for r in rows:
+        assert Decimal(r["exact_revenue"]) == acc[r["flag"]].quantize(
+            Decimal("0.0001")
+        ), r["flag"]
+
+
+def test_bfs_hops_matches_python(spark, sf_dir):
+    """Independent BFS over the same thresholded graph built via a
+    separate Spark aggregation, run in pure Python."""
+    from collections import deque
+
+    rows = {
+        r["nation"]: r["hops"]
+        for r in REGISTRY["graph_bfs_hops"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    ed = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy("c_nationkey", "s_nationkey")
+        .count()
+        .collect()
+    )
+    n_e, tot = len(ed), sum(r["count"] for r in ed)
+    adj: dict = {}
+    for r in ed:
+        if 2 * r["count"] * n_e >= 3 * tot:
+            a, b = r["c_nationkey"], r["s_nationkey"]
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    hops = {0: 0}
+    q = deque([0])
+    while q:
+        u = q.popleft()
+        if hops[u] >= 3:
+            continue
+        for v in adj.get(u, ()):
+            if v not in hops:
+                hops[v] = hops[u] + 1
+                q.append(v)
+    for nk, name in nation.items():
+        assert rows[name] == hops.get(nk, -1), name
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """Exact join counts computed independently must equal
+    n_true_match (bloom can't drop a real match), and bloom passes
+    bound them from above."""
+    rows = REGISTRY["join_bloom_prefilter"].fn(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        assert r["n_true_match"] == exact.get(r["flag"], 0)
+        assert r["n_bloom_pass"] >= r["n_true_match"]
