@@ -661,3 +661,94 @@ def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("addr").cast("bigint").alias("max_addr"),
         F.min("dotted").alias("min_dotted"),
     )
+
+
+# --- user-agent parsing ---------------------------------------------
+# Deterministic UA synthesis: five real-world template shapes
+# including the classic pitfalls (Chrome UAs contain "Safari", bot
+# UAs contain a URL), versions varying with event_id.
+_UA_BUILD = """
+  CASE event_id % 5
+    WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/'
+                || CAST(80 + event_id % 30 AS STRING) || '.0.0.0 Safari/537.36'
+    WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) Version/'
+                || CAST(14 + event_id % 4 AS STRING) || '.0 Safari/605.1.15'
+    WHEN 2 THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Firefox/'
+                || CAST(100 + event_id % 20 AS STRING) || '.0'
+    WHEN 3 THEN 'Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X)'
+                || ' AppleWebKit/605.1.15 Mobile/15E148 Safari/604.1'
+    ELSE 'Googlebot/2.1 (+http://www.google.com/bot.html)'
+  END
+"""
+
+_UA_ORACLE = f"""
+WITH ua AS (SELECT event_id, {_UA_BUILD} AS s FROM events),
+p AS (
+  SELECT event_id, s,
+         CASE
+           WHEN LOWER(s) LIKE '%bot%' THEN 'bot'
+           WHEN s LIKE '%Chrome/%' THEN 'chrome'
+           WHEN s LIKE '%Firefox/%' THEN 'firefox'
+           WHEN s LIKE '%Safari%' THEN 'safari'
+           ELSE 'other'
+         END AS browser,
+         CASE
+           WHEN s LIKE '%iPhone%' THEN 'ios'
+           WHEN s LIKE '%Mac OS X%' THEN 'macos'
+           WHEN s LIKE '%Windows%' THEN 'windows'
+           WHEN s LIKE '%Linux%' THEN 'linux'
+           ELSE 'other'
+         END AS os,
+         LOWER(s) LIKE '%bot%' AS is_bot,
+         TRY_CAST(regexp_extract(s, '(Chrome|Firefox|Version)/([0-9]+)', 2)
+                  AS BIGINT) AS major
+  FROM ua
+)
+SELECT browser, os, is_bot,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(major) AS BIGINT) AS min_major,
+       CAST(MAX(major) AS BIGINT) AS max_major
+FROM p GROUP BY browser, os, is_bot
+"""
+
+
+@register("fn_useragent_parse", oracle=_UA_ORACLE, category="function")
+def fn_useragent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-agent parsing: browser family (with the Chrome-before-
+    Safari precedence rule — every Chrome UA contains 'Safari'), OS
+    family (iPhone before Mac OS X — iOS UAs claim 'like Mac OS X'),
+    bot detection, and major-version extraction.  Synthesis and both
+    parsers are deterministic; DuckDB re-parses with its own regex/
+    LIKE engine, so precedence-rule or regex-semantics drift fails
+    the hash.
+
+    Narrow codegen'd string ops + one map-side-combined aggregate
+    over a handful of (browser, os) groups — classification is free
+    inside the scan stage at any scale.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_id")
+    ua = e.withColumn("s", F.expr(_UA_BUILD))
+    sl = F.lower(F.col("s"))
+    p = ua.select(
+        F.when(sl.contains("bot"), "bot")
+        .when(F.col("s").contains("Chrome/"), "chrome")
+        .when(F.col("s").contains("Firefox/"), "firefox")
+        .when(F.col("s").contains("Safari"), "safari")
+        .otherwise("other")
+        .alias("browser"),
+        F.when(F.col("s").contains("iPhone"), "ios")
+        .when(F.col("s").contains("Mac OS X"), "macos")
+        .when(F.col("s").contains("Windows"), "windows")
+        .when(F.col("s").contains("Linux"), "linux")
+        .otherwise("other")
+        .alias("os"),
+        sl.contains("bot").alias("is_bot"),
+        F.regexp_extract("s", r"(Chrome|Firefox|Version)/([0-9]+)", 2)
+        .try_cast("bigint")
+        .alias("major"),
+    )
+    return p.groupBy("browser", "os", "is_bot").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("major").cast("bigint").alias("min_major"),
+        F.max("major").cast("bigint").alias("max_major"),
+    )

@@ -1232,3 +1232,97 @@ def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_fraction"),
         F.md5(kept_sorted).alias("kept_md5"),
     )
+
+
+
+# Build the keeper oracle from the CC oracle's CTE chain plus the
+# quality formula (llm/textstats._QUALITY_ORACLE's score, inlined):
+# argmax(quality, doc_id DESC as tiebreak) per component.
+def _keeper_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({_MINHASH_ORACLE}) p),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (
+  SELECT doc_a AS doc_id FROM pairs
+  UNION SELECT doc_b AS doc_id FROM pairs
+),
+reach AS (
+  SELECT doc_id, doc_id AS label FROM nodes
+  UNION
+  SELECT e.src AS doc_id, r.label
+  FROM edges e JOIN reach r ON r.doc_id = e.dst
+),
+comp AS (SELECT doc_id, MIN(label) AS component_id FROM reach GROUP BY doc_id),
+q AS (
+  SELECT doc_id,
+         ROUND(0.5 * (CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks))
+               + 0.3 * (CAST(LEN(list_filter(toks,
+                         x -> x IN ('the', 'a', 'of', 'and', 'to')))
+                         AS DOUBLE) / LEN(toks))
+               + 0.2 * LEAST(LEN(toks) / 100.0, 1.0), 6) AS quality
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+ranked AS (
+  SELECT c.component_id, c.doc_id, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY c.component_id
+                            ORDER BY q.quality DESC, c.doc_id) AS rn
+  FROM comp c JOIN q ON q.doc_id = c.doc_id
+)
+SELECT component_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keeper_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MAX(CASE WHEN rn = 1 THEN quality END) AS keeper_quality
+FROM ranked GROUP BY component_id
+"""
+
+
+@register("llm_dedup_cluster_keeper", oracle=_keeper_oracle(), category="llm")
+def llm_dedup_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper election: `llm_dedup_components` resolves
+    near-dup clusters, but min-doc_id keeper election throws away the
+    BEST copy — this op elects each cluster's highest-quality member
+    (llm_quality_score's blend; doc_id breaks ties) — the keeper
+    policy a curation pipeline actually wants.
+
+    Plan: cluster labels come from the convergence-driven min-label
+    loop (checkpointed candidate pairs, per-round edge join + min
+    agg); quality is one narrow pass over the member docs (a semi-
+    joined subset — clusters are tiny relative to the corpus);
+    election is a rank window partitioned by component.  At 100 TB
+    only the label frame and member quality rows flow — the corpus
+    never re-shuffles for the election.
+    """
+    from snapshot_s3_util_spark.llm.textstats import llm_quality_score
+
+    pairs = llm_dedup_near_minhash(spark, sf_dir).localCheckpoint(eager=True)
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = (
+        pairs.selectExpr("doc_a AS doc_id")
+        .union(pairs.selectExpr("doc_b AS doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    labels = min_label_components(edges, labels)
+    q = llm_quality_score(spark, sf_dir).select(
+        "doc_id", F.col("quality_score").alias("quality")
+    )
+    member_q = labels.join(q, "doc_id")
+    w = Window.partitionBy("label").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    ranked = member_q.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy(F.col("label").alias("component_id")).agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("keeper_doc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max(F.when(F.col("rn") == 1, F.col("quality"))).alias(
+            "keeper_quality"
+        ),
+    )

@@ -790,3 +790,89 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(rev).cast("decimal(38,4)").cast("string").alias("exact_revenue"),
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
     )
+
+
+_KM_CENSOR_DAY = "2024-01-29"  # active on/after this day = right-censored
+
+_KM_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         date_diff('day', MIN(CAST(date_trunc('day', ts) AS DATE)),
+                   MAX(CAST(date_trunc('day', ts) AS DATE))) AS dur,
+         MAX(CAST(date_trunc('day', ts) AS DATE)) >= DATE '{_KM_CENSOR_DAY}'
+           AS censored
+  FROM events GROUP BY user_id
+),
+lvl AS (
+  SELECT dur,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS n_churn
+  FROM u GROUP BY dur
+),
+r AS (
+  SELECT dur, n_churn,
+         SUM(n_total) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING)
+           AS n_at_risk
+  FROM lvl
+)
+SELECT dur AS t_days,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       n_churn AS n_churned,
+       ROUND(PRODUCT(1.0 - CAST(n_churn AS DOUBLE) / n_at_risk)
+             OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING), 6) AS survival
+FROM r
+"""
+
+
+@register("agg_survival_km", oracle=_KM_ORACLE, category="aggregate")
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve over user lifetimes (days between
+    first and last activity), RIGHT-CENSORING users still active near
+    the window edge (last activity on/after {_KM_CENSOR_DAY}) — the
+    survival estimator that plain churn-rate aggregates get wrong by
+    counting censored users as churned.  S(t) = Π_(u<=t) (1 - d_u/n_u)
+    with n_at_risk from a descending suffix cumsum.
+
+    Plan: one user aggregate (corpus-size, map-side combined), then
+    every window runs on the |duration-levels| frame (≤ window days) —
+    the KM arithmetic is catalog-sized at any scale.  Spark computes
+    the cumulative product as exp(Σ ln) (no PRODUCT aggregate),
+    DuckDB uses windowed PRODUCT; both consume identical doubles in
+    identical order, and the 6-digit round absorbs the ulp-level
+    libm/ordering difference.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.to_date(F.date_trunc("day", "ts"))),
+            F.min(F.to_date(F.date_trunc("day", "ts"))),
+        ).alias("dur"),
+        (
+            F.max(F.to_date(F.date_trunc("day", "ts")))
+            >= F.lit(_KM_CENSOR_DAY).cast("date")
+        ).alias("censored"),
+    )
+    lvl = u.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("censored"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_churn"),
+    )
+    w_desc = (
+        Window.partitionBy()
+        .orderBy(F.col("dur").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = lvl.withColumn("n_at_risk", F.sum("n_total").over(w_desc))
+    w_asc = (
+        Window.partitionBy()
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    frac = 1.0 - F.col("n_churn").cast("double") / F.col("n_at_risk")
+    return r.select(
+        F.col("dur").alias("t_days"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("n_churn").alias("n_churned"),
+        F.round(F.exp(F.sum(F.log(frac)).over(w_asc)), 6).alias("survival"),
+    )

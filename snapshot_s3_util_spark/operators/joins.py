@@ -1092,3 +1092,62 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("urgent_revenue"),
     )
+
+
+@register(
+    "join_partition_pruned_dim",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+             AS n_days,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM {EVENTS_REL} e
+    WHERE dayofweek(CAST(date_trunc('day', ts) AS DATE)) IN (0, 6)
+    GROUP BY event_type
+    """,
+    category="join",
+)
+def join_partition_pruned_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Partition Pruning end-to-end: a day-partitioned fact
+    landing zone joined to an INDEPENDENT calendar dimension filtered
+    on an attribute (weekend flag) the fact table cannot derive
+    statically — the star-schema pattern where Spark builds the dim's
+    day list at runtime and prunes fact partitions with it
+    (`dynamicpruning#` subquery in PartitionFilters, plan-asserted in
+    tests).
+
+    At 100 TB this is THE star-join mechanic: without DPP the fact
+    scan reads every partition and discards 5/7 of the data post-join;
+    with it the scan never lists weekday directories.  The dim is
+    generated from `sequence()` (a calendar is catalog data); the join
+    broadcasts.  DuckDB's dayofweek is 0-Sunday while Spark's is
+    1-Sunday — the oracle uses (0, 6) to mean the same Sat/Sun.
+    """
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="s3u_spark_dppdim_")
+    try:
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "day", F.to_date(F.date_trunc("day", "ts"))
+        )
+        ev.write.mode("overwrite").partitionBy("day").parquet(out)
+        landed = spark.read.parquet(out)
+        dim = spark.sql(
+            "SELECT explode(sequence(DATE'2024-01-01', DATE'2024-01-30'))"
+            " AS day"
+        ).withColumn("is_weekend", F.dayofweek("day").isin(1, 7))
+        weekend = dim.filter(F.col("is_weekend")).select("day")
+        return (
+            landed.join(F.broadcast(weekend), "day")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct("day").cast("bigint").alias("n_days"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

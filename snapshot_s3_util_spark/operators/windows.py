@@ -433,3 +433,70 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > _ZS_THRESH).alias("is_anomaly"),
         )
     )
+
+
+_RMED_N = 10  # trailing window width (readings)
+
+_RMED_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value
+  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+        FROM events) e
+),
+w AS (
+  SELECT user_id, event_id, us, value,
+         MEDIAN(value) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS BETWEEN {_RMED_N - 1} PRECEDING
+                             AND CURRENT ROW) AS med,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+  FROM s
+)
+SELECT user_id, event_id,
+       ROUND(med, 6) AS rolling_median,
+       ROUND(ABS(value - med), 6) AS abs_dev
+FROM w WHERE rn > {_RMED_N - 1}
+"""
+
+
+@register("win_rolling_median", oracle=_RMED_ORACLE, category="window")
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN over the trailing {_RMED_N} readings per user —
+    the robust centre line `win_anomaly_zscore`'s mean/stddev can't
+    give (one outlier drags a mean; the median shrugs).  Rows before
+    a full window are suppressed, so every output row summarizes
+    exactly {_RMED_N} readings.
+
+    Plan: ONE user_id exchange; Spark disallows `median()` over a
+    window FRAME, so the frame's {_RMED_N} values collect into a
+    bounded array and the midpoint computes array-locally
+    (sort + (el[k-1]+el[k])/2 — the same even-count interpolation
+    DuckDB's windowed MEDIAN applies, on the identical elements).
+    At 100 TB this is the same partitioned-sort shape as every
+    per-key window here — no self-join row explosion (the naive
+    rolling-median rewrite), and the per-row state is bounded by the
+    frame width.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-(_RMED_N - 1), Window.currentRow)
+    )
+    wrn = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    mid_lo = (_RMED_N - 2) // 2  # 0-indexed lower middle for even N
+    med = F.expr(
+        "aggregate(slice(array_sort(vals), {lo} + 1, 2), 0D,"
+        " (a, v) -> a + v) / 2".format(lo=mid_lo)
+    )
+    out = (
+        e.withColumn("vals", F.collect_list("value").over(w))
+        .withColumn("med", med)
+        .withColumn("rn", F.row_number().over(wrn))
+        .filter(F.col("rn") > _RMED_N - 1)
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("med", 6).alias("rolling_median"),
+        F.round(F.abs(F.col("value") - F.col("med")), 6).alias("abs_dev"),
+    )
