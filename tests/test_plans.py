@@ -890,3 +890,62 @@ def test_bloom_prefilter_broadcast_semis_no_fact_shuffle(spark, sf_dir):
     assert shuffle_count(df) == 1, physical_plan(df)
     assert has_node(df, "BroadcastHashJoin")
     assert not has_node(df, "SortMergeJoin"), physical_plan(df)
+
+
+# ---------------------------------------------------- round-5 batch 19
+
+
+def test_dpp_fires_on_partitioned_star_join(spark, sf_dir):
+    """Environment guard for join_partition_pruned_dim (which
+    executes eagerly and checkpoints): rebuild its inner star join
+    and assert the fact scan carries a dynamicpruning subquery."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as SF
+
+    from snapshot_s3_util_spark.io import load_table
+
+    out = tempfile.mkdtemp(prefix="s3u_dpp_guard_")
+    try:
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "day", SF.to_date(SF.date_trunc("day", "ts"))
+        )
+        ev.write.mode("overwrite").partitionBy("day").parquet(out)
+        landed = spark.read.parquet(out)
+        dim = spark.sql(
+            "SELECT explode(sequence(DATE'2024-01-01', DATE'2024-01-30')) AS day"
+        ).withColumn("is_weekend", SF.dayofweek("day").isin(1, 7))
+        j = (
+            landed.join(SF.broadcast(dim.filter("is_weekend").select("day")), "day")
+            .groupBy("event_type")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan, plan
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_useragent_parse_one_reduce(spark, sf_dir):
+    df = REGISTRY["fn_useragent_parse"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_survival_km_windows_over_aggregate(spark, sf_dir):
+    """KM windows must consume the |duration-levels| aggregate, not
+    raw events (root-first: Window above HashAggregate)."""
+    df = REGISTRY["agg_survival_km"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    win_pos = plan.find("Window")
+    agg_pos = plan.rfind("HashAggregate")
+    assert win_pos != -1 and agg_pos != -1 and win_pos < agg_pos, plan
+    assert not uses_python(df)
+
+
+def test_rolling_median_single_user_exchange(spark, sf_dir):
+    df = REGISTRY["win_rolling_median"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
+    assert not has_node(df, "Join"), physical_plan(df)
+    assert not uses_python(df)

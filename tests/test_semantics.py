@@ -2363,3 +2363,119 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
     for r in rows:
         assert r["n_true_match"] == exact.get(r["flag"], 0)
         assert r["n_bloom_pass"] >= r["n_true_match"]
+
+
+# ---------------------------------------------------- round-5 batch 19
+
+
+def test_partition_pruned_dim_weekend_totals(spark, sf_dir):
+    rows = REGISTRY["join_partition_pruned_dim"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.date_trunc("day", "ts"))
+    )
+    wk = ev.filter(F.dayofweek("day").isin(1, 7))
+    assert sum(r["n_rows"] for r in rows) == wk.count()
+    # January 2024 has 8 weekend days in the 01..30 window
+    assert all(r["n_days"] <= 8 for r in rows)
+
+
+def test_useragent_precedence_and_totals(spark, sf_dir):
+    rows = REGISTRY["fn_useragent_parse"].fn(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n"] for r in rows) == n_events
+    by_browser = {}
+    for r in rows:
+        by_browser.setdefault(r["browser"], []).append(r)
+    # Chrome template exists and did NOT fall into 'safari' (precedence)
+    assert "chrome" in by_browser and "safari" in by_browser
+    assert all(r["os"] == "windows" for r in by_browser["chrome"])
+    # Safari family = the mac Version/ template and the iPhone one
+    assert {r["os"] for r in by_browser["safari"]} == {"macos", "ios"}
+    for r in by_browser.get("bot", []):
+        assert r["is_bot"] and r["min_major"] is None
+
+
+def test_survival_km_matches_python(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["agg_survival_km"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["t_days"],
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .collect()
+    )
+    import datetime
+
+    users: dict = {}
+    for r in ev:
+        lo, hi = users.get(r["user_id"], (r["d"], r["d"]))
+        users[r["user_id"]] = (min(lo, r["d"]), max(hi, r["d"]))
+    censor = datetime.date(2024, 1, 29)
+    lv: dict = {}
+    for lo, hi in users.values():
+        dur = (hi - lo).days
+        tot, ch = lv.get(dur, (0, 0))
+        lv[dur] = (tot + 1, ch + (0 if hi >= censor else 1))
+    s = 1.0
+    at_risk = sum(t for t, _ in lv.values())
+    got = {r["t_days"]: r for r in rows}
+    for dur in sorted(lv):
+        tot, ch = lv[dur]
+        s *= 1 - ch / at_risk
+        assert got[dur]["n_at_risk"] == at_risk
+        assert got[dur]["n_churned"] == ch
+        assert abs(got[dur]["survival"] - s) < 1e-5
+        at_risk -= tot
+    # survival is non-increasing
+    surv = [r["survival"] for r in rows]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+
+
+def test_rolling_median_matches_python(spark, sf_dir):
+    import statistics
+
+    out = REGISTRY["win_rolling_median"].fn(spark, sf_dir)
+    some_user = out.select("user_id").first()["user_id"]
+    got = {
+        r["event_id"]: r["rolling_median"]
+        for r in out.filter(F.col("user_id") == some_user).collect()
+    }
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") == some_user)
+        .select("event_id", F.unix_micros("ts").alias("us"), "value")
+        .collect(),
+        key=lambda r: (r["us"], r["event_id"]),
+    )
+    vals = [r["value"] for r in ev]
+    for i, r in enumerate(ev):
+        if i < 9:
+            assert r["event_id"] not in got
+            continue
+        ref = statistics.median(vals[i - 9 : i + 1])
+        assert abs(got[r["event_id"]] - ref) < 1e-5
+
+
+def test_cluster_keeper_is_best_member(spark, sf_dir):
+    comp = REGISTRY["llm_dedup_components"].fn(spark, sf_dir).collect()
+    quality = {
+        r["doc_id"]: r["quality_score"]
+        for r in REGISTRY["llm_quality_score"].fn(spark, sf_dir).collect()
+    }
+    keepers = {
+        r["component_id"]: r
+        for r in REGISTRY["llm_dedup_cluster_keeper"].fn(spark, sf_dir).collect()
+    }
+    members: dict = {}
+    for r in comp:
+        members.setdefault(r["component_id"], []).append(r["doc_id"])
+    assert set(keepers) == set(members)
+    for cid, docs in members.items():
+        k = keepers[cid]
+        assert k["n_members"] == len(docs)
+        best = min(
+            docs, key=lambda d: (-quality[d], d)
+        )  # max quality, doc_id tiebreak
+        assert k["keeper_doc"] == best
+        assert abs(k["keeper_quality"] - quality[best]) < 1e-9
