@@ -50,6 +50,8 @@ BENCH_QUERIES = (
     "llm_doc_chunking",       # extra headline: narrow chunking (round 5)
     "llm_line_dedup",         # extra headline: sub-document global dedup (round 5)
     "graph_pagerank",         # extra headline: iterative graph class (round 5)
+    "llm_url_dedup",          # extra headline: URL canonicalization dedup (round 5)
+    "join_bloom_prefilter",   # extra headline: bloom runtime-filter join (round 5)
 )
 
 

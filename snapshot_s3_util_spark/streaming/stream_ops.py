@@ -495,3 +495,73 @@ def stream_foreach_batch_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_TOPK_WIN = "6 hours"
+_TOPK_K = 3
+
+_STREAM_TOPK_ORACLE = f"""
+WITH counts AS (
+  SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) * 21600) AS TIMESTAMP)
+           AS window_start,
+         user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM {EVENTS_REL} e GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, user_id) AS rnk
+  FROM counts
+)
+SELECT window_start, CAST(user_id AS BIGINT) AS user_id, n_events,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_TOPK_K}
+"""
+
+
+@register("stream_tumbling_topk", oracle=_STREAM_TOPK_ORACLE, category="stream")
+def stream_tumbling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-{_TOPK_K}: per {_TOPK_WIN} tumbling window, the
+    most active users — the leaderboard/trending-now query.  The
+    STREAMING side maintains the windowed per-user counts (the state
+    Spark can checkpoint and restore); the rank-and-cut runs on the
+    serving read — streaming top-k via ranking inside the engine
+    would need complete-mode re-emission of every window anyway, so
+    the split mirrors how leaderboards actually serve.
+
+    Batch-equivalence: the bounded stream must converge to the batch
+    answer; the oracle computes the same windows/ranks from the raw
+    table.  At 100 TB-of-stream: watermark bounds the window state,
+    the count state is |windows|x|active users|, and the serving rank
+    touches only the window being read.
+    """
+    tmp = tempfile.mkdtemp(prefix="s3u_spark_stream_topk_")
+    try:
+        stream = _stage(spark, sf_dir, tmp)
+        counts = stream.groupBy(
+            F.window("ts", _TOPK_WIN).alias("w"), "user_id"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        tbl, _ = _run_to_table(
+            counts.select(
+                F.col("w.start").alias("window_start"), "user_id", "n_events"
+            ),
+            "complete",
+        )
+        from pyspark.sql import Window
+
+        rw = Window.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), F.col("user_id")
+        )
+        return (
+            tbl.withColumn("rnk", F.row_number().over(rw).cast("bigint"))
+            .filter(F.col("rnk") <= _TOPK_K)
+            .select(
+                "window_start",
+                F.col("user_id").cast("bigint").alias("user_id"),
+                "n_events",
+                "rnk",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
