@@ -551,3 +551,143 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_bytes long, width long, height long, "
         "bpp long, sum_r long, sum_g long, sum_b long",
     )
+
+
+# ------------------------------------------------ video-ish (REAL)
+#
+# A real INDEXED container (magic + frame count + offset table +
+# concatenated BMP frames) so frame sampling can SEEK: the reader
+# decodes only the sampled frames, never the skipped bytes — the
+# property that makes frame-sample cheap on real video containers.
+
+_VID_MAGIC = b"SV01"
+_VID_STRIDE = 2
+_VID_FRAME_SALT = 131
+
+
+def _vid_n_frames(doc_id: int) -> int:
+    return 3 + doc_id % 5
+
+
+def synth_video(doc_id: int) -> bytes:
+    """Write the container: 'SV01' + n_frames(u32le) + offset table
+    (u32le per frame, from file start) + BMP frames."""
+    import struct
+
+    n = _vid_n_frames(doc_id)
+    frames = [synth_bmp(doc_id + _VID_FRAME_SALT * f) for f in range(n)]
+    head_len = 4 + 4 + 4 * n
+    offs, pos = [], head_len
+    for fr in frames:
+        offs.append(pos)
+        pos += len(fr)
+    head = _VID_MAGIC + struct.pack("<I", n) + b"".join(
+        struct.pack("<I", o) for o in offs
+    )
+    return head + b"".join(frames)
+
+
+def sample_video(payload: bytes, stride: int = _VID_STRIDE) -> dict:
+    """REAL indexed read: validate magic, read the offset table, seek
+    to every stride-th frame and decode ONLY those."""
+    import struct
+
+    if payload[:4] != _VID_MAGIC:
+        raise ValueError("not an SV01 payload")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    offs = list(struct.unpack_from(f"<{n}I", payload, 8))
+    offs.append(len(payload))
+    sum_r = sum_g = sum_b = 0
+    n_sampled = 0
+    for f in range(0, n, stride):
+        feats = decode_bmp(payload[offs[f] : offs[f + 1]])
+        sum_r += feats["sum_r"]
+        sum_g += feats["sum_g"]
+        sum_b += feats["sum_b"]
+        n_sampled += 1
+    return {
+        "n_frames": n,
+        "n_sampled": n_sampled,
+        "n_bytes": len(payload),
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+    }
+
+
+@register(
+    "multimodal_video_index_sample",
+    oracle=f"""
+    WITH fr AS (
+      SELECT doc_id, 3 + doc_id % 5 AS n_frames, f.f AS f,
+             doc_id + {_VID_FRAME_SALT} * f.f AS fid
+      FROM documents, UNNEST(range(3 + doc_id % 5)) AS f(f)
+    ),
+    dims AS (
+      SELECT doc_id, n_frames, f, fid,
+             4 + fid % 13 AS w, 3 + fid % 7 AS h,
+             CAST(54 + (3 + fid % 7) * ((3 * (4 + fid % 13) + 3) // 4 * 4)
+                  AS BIGINT) AS fbytes
+      FROM fr
+    ),
+    sampled AS (
+      SELECT d.doc_id, d.n_frames, d.fid, xs.x AS x, ys.y AS y
+      FROM dims d, UNNEST(range(d.w)) AS xs(x), UNNEST(range(d.h)) AS ys(y)
+      WHERE d.f % {_VID_STRIDE} = 0
+    ),
+    tot AS (
+      SELECT doc_id,
+             CAST(8 + 4 * MAX(n_frames) + SUM(fbytes) AS BIGINT) AS n_bytes
+      FROM (SELECT DISTINCT doc_id, n_frames, f, fbytes FROM dims) GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(MAX(s.n_frames) AS BIGINT) AS n_frames,
+           CAST((MAX(s.n_frames) + {_VID_STRIDE} - 1) // {_VID_STRIDE} AS BIGINT)
+             AS n_sampled,
+           MAX(t.n_bytes) AS n_bytes,
+           CAST(SUM((x * y + fid) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((2 * x + fid) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((x + y + fid) % 256) AS BIGINT) AS sum_b
+    FROM sampled s JOIN tot t ON t.doc_id = s.doc_id
+    GROUP BY s.doc_id
+    """,
+    category="multimodal",
+)
+def multimodal_video_index_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through a REAL indexed container: per document,
+    a synthesized multi-frame file (magic + u32 frame count + u32
+    offset table + concatenated 24-bit BMP frames); the reader
+    validates the header, walks the OFFSET TABLE and decodes only
+    every {_VID_STRIDE}nd frame — skipped frames are never parsed,
+    the seek behavior real video sampling relies on.  The oracle
+    enumerates the sampled frames' pixel grids and the container
+    byte-length in closed form, so a wrong offset, stride phase, or
+    header size is a hash mismatch.
+
+    Two Arrow `mapInPandas` stages (writer -> index-seeking reader),
+    zero shuffles; per-doc cost is O(sampled pixels), not O(file).
+    A real demuxer (pyav/ffmpeg) drops into the reader stage
+    unchanged.
+    """
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["doc_id"].map(synth_video)}
+            )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(sample_video)
+            out = {"doc_id": pdf["doc_id"]}
+            for k in ("n_frames", "n_sampled", "n_bytes", "sum_r", "sum_g", "sum_b"):
+                out[k] = feats.map(lambda d, k=k: d[k]).astype("int64")
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    vids = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return vids.mapInPandas(
+        sample,
+        schema="doc_id long, n_frames long, n_sampled long, n_bytes long, "
+        "sum_r long, sum_g long, sum_b long",
+    )

@@ -2479,3 +2479,50 @@ def test_cluster_keeper_is_best_member(spark, sf_dir):
         )  # max quality, doc_id tiebreak
         assert k["keeper_doc"] == best
         assert abs(k["keeper_quality"] - quality[best]) < 1e-9
+
+
+def test_stream_topk_rank_contract(spark, sf_dir):
+    rows = REGISTRY["stream_tumbling_topk"].fn(spark, sf_dir).collect()
+    assert rows
+    by_win: dict = {}
+    for r in rows:
+        assert r["window_start"].timestamp() % 21600 == 0  # 6h aligned
+        by_win.setdefault(r["window_start"], []).append(r)
+    for _w, rs in by_win.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        counts = [r["n_events"] for r in rs]
+        assert counts == sorted(counts, reverse=True)
+
+
+def test_video_container_roundtrip_python(spark, sf_dir):
+    """Pure-Python: the container is a valid SV01 file, offsets are
+    monotone, and index-seek sampling matches the closed form."""
+    import struct
+
+    from snapshot_s3_util_spark.llm.multimodal import (
+        _bmp_dims,
+        _vid_n_frames,
+        sample_video,
+        synth_video,
+    )
+
+    for doc_id in (0, 3, 11, 42, 97):
+        payload = synth_video(doc_id)
+        assert payload[:4] == b"SV01"
+        (n,) = struct.unpack_from("<I", payload, 4)
+        assert n == _vid_n_frames(doc_id)
+        offs = list(struct.unpack_from(f"<{n}I", payload, 8))
+        assert offs == sorted(offs) and offs[0] == 8 + 4 * n
+        got = sample_video(payload)
+        exp_r = exp_g = exp_b = 0
+        for f in range(0, n, 2):
+            fid = doc_id + 131 * f
+            w, h = _bmp_dims(fid)
+            for x in range(w):
+                for y in range(h):
+                    exp_r += (x * y + fid) % 256
+                    exp_g += (2 * x + fid) % 256
+                    exp_b += (x + y + fid) % 256
+        assert (got["sum_r"], got["sum_g"], got["sum_b"]) == (exp_r, exp_g, exp_b)
+        assert got["n_bytes"] == len(payload)
