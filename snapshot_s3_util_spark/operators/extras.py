@@ -857,3 +857,109 @@ def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= _KMVI_TOL
         ).alias("within_tol"),
     )
+
+
+_MB_ORACLE = """
+WITH basket AS (
+  SELECT user_id, list_sort(LIST(DISTINCT event_type)) AS items
+  FROM events GROUP BY user_id
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM basket),
+singles AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+  FROM (SELECT UNNEST(items) AS item FROM basket) GROUP BY item
+),
+pairs AS (
+  SELECT items[a.i + 1] AS type_a, items[b.i + 1] AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM basket,
+       UNNEST(range(LEN(items))) AS a(i),
+       UNNEST(range(LEN(items))) AS b(i)
+  WHERE a.i < b.i
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       ROUND(CAST(p.n_ab AS DOUBLE) / n.n_users, 6) AS support,
+       ROUND(CAST(p.n_ab AS DOUBLE) / sa.n_item, 6) AS conf_a_to_b,
+       ROUND(CAST(p.n_ab AS DOUBLE) / sb.n_item, 6) AS conf_b_to_a,
+       ROUND(CAST(p.n_ab AS DOUBLE) * n.n_users / (sa.n_item * sb.n_item), 6)
+         AS lift
+FROM pairs p
+JOIN singles sa ON sa.item = p.type_a
+JOIN singles sb ON sb.item = p.type_b
+CROSS JOIN n
+"""
+
+
+@register("agg_market_basket", oracle=_MB_ORACLE, category="agg")
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over per-user event-type baskets: pair
+    support, both conditional confidences, and lift for every
+    co-occurring pair — the market-basket readout ("users who view
+    also purchase?") with exact integer counts under the ratios.
+
+    Plan: ONE user exchange builds the distinct-item basket
+    (`collect_set`, bounded by the item catalog); pair generation is
+    a doc-local combination explode over the sorted basket array —
+    never a corpus self-join on user_id, which is the naive rewrite
+    that shuffles the fact table twice and explodes on hot users.
+    Pair/single counts are map-side combined; the final ratio join
+    runs on |items|² rows.  At 100 TB with a LARGE item catalog the
+    basket array bound breaks and you shard pairs by prefix — the
+    same Σbucket² discipline as the LSH self-joins.
+    """
+    e = load_table(spark, sf_dir, "events")
+    basket = e.groupBy("user_id").agg(
+        F.expr("array_sort(collect_set(event_type))").alias("items")
+    ).localCheckpoint()
+    n_users_df = basket.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    singles = (
+        basket.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    )
+    pairs = (
+        basket.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) ->"
+                    " transform(slice(items, i + 2, size(items)),"
+                    " y -> struct(x AS type_a, y AS type_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    sa = singles.select(
+        F.col("item").alias("type_a"), F.col("n_item").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("item").alias("type_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users_df))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n_users"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_ab").cast("double") / F.col("n_a"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(F.col("n_ab").cast("double") / F.col("n_b"), 6).alias(
+                "conf_b_to_a"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_users")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

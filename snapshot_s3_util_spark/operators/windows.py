@@ -500,3 +500,74 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("med", 6).alias("rolling_median"),
         F.round(F.abs(F.col("value") - F.col("med")), 6).alias("abs_dev"),
     )
+
+
+_MAD_K = 1.4826      # normal-consistency constant
+_MAD_THRESH = 3.0
+
+_MAD_ORACLE = f"""
+WITH med AS (
+  SELECT user_id, MEDIAN(value) AS med
+  FROM (SELECT user_id, value FROM events) GROUP BY user_id
+),
+dev AS (
+  SELECT e.user_id, e.value, m.med, ABS(e.value - m.med) AS adev
+  FROM (SELECT user_id, value FROM events) e
+  JOIN med m ON m.user_id = e.user_id
+),
+mad AS (
+  SELECT user_id, MEDIAN(adev) AS mad FROM dev GROUP BY user_id
+)
+SELECT d.user_id,
+       ROUND(MAX(d.med), 6) AS med,
+       ROUND(MAX(a.mad), 6) AS mad,
+       CAST(COUNT(*) AS BIGINT) AS n_readings,
+       CAST(SUM(CASE WHEN a.mad > 0
+                     AND ABS(d.value - d.med)
+                         > {_MAD_THRESH} * {_MAD_K} * a.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM dev d JOIN mad a ON a.user_id = d.user_id
+GROUP BY d.user_id
+"""
+
+
+@register("win_anomaly_mad", oracle=_MAD_ORACLE, category="window")
+def win_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection via Median Absolute Deviation: per
+    user, flag readings with |x - median| > {_MAD_THRESH} x {_MAD_K}
+    x MAD — the robust twin of `win_anomaly_zscore` (a single wild
+    outlier inflates a stddev enough to hide itself; it barely moves
+    the MAD).
+
+    Plan: two median aggregates per user (median, then median of
+    absolute deviations — MAD is inherently two-pass) with the
+    deviation join broadcast-free on the shared user_id partitioning;
+    the anomaly count folds into the second pass.  Both engines use
+    the same even-count median interpolation on identical element
+    sets, and the verdict compares against the same product, so the
+    boundary decides identically.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    med = e.groupBy("user_id").agg(F.expr("median(value)").alias("med"))
+    dev = e.join(med, "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(F.expr("median(adev)").alias("mad"))
+    full = dev.join(mad, "user_id")
+    return full.groupBy("user_id").agg(
+        F.round(F.max("med"), 6).alias("med"),
+        F.round(F.max("mad"), 6).alias("mad"),
+        F.count(F.lit(1)).cast("bigint").alias("n_readings"),
+        F.sum(
+            F.when(
+                (F.col("mad") > 0)
+                & (
+                    F.abs(F.col("value") - F.col("med"))
+                    > _MAD_THRESH * _MAD_K * F.col("mad")
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_anomalies"),
+    )

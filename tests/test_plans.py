@@ -949,3 +949,22 @@ def test_rolling_median_single_user_exchange(spark, sf_dir):
     assert shuffle_count(df) == 1, physical_plan(df)
     assert not has_node(df, "Join"), physical_plan(df)
     assert not uses_python(df)
+
+
+def test_market_basket_no_user_self_join(spark, sf_dir):
+    """Pair generation must be the doc-local combination explode:
+    no corpus self-join, one user exchange."""
+    df = REGISTRY["agg_market_basket"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_node(df, "Generate"), plan  # the explode
+    assert not has_node(df, "SortMergeJoin"), plan
+    assert not uses_python(df)
+
+
+def test_mad_shares_user_partitioning(spark, sf_dir):
+    """MAD is two-pass by definition; both median passes and the
+    joins must ride the same user_id hash partitioning — no extra
+    exchanges beyond the first shuffle."""
+    df = REGISTRY["win_anomaly_mad"].fn(spark, sf_dir)
+    assert not uses_python(df)
+    assert has_node(df, "SortMergeJoin") or has_node(df, "ShuffledHashJoin") or has_node(df, "BroadcastHashJoin"), physical_plan(df)

@@ -2526,3 +2526,60 @@ def test_video_container_roundtrip_python(spark, sf_dir):
                     exp_b += (x + y + fid) % 256
         assert (got["sum_r"], got["sum_g"], got["sum_b"]) == (exp_r, exp_g, exp_b)
         assert got["n_bytes"] == len(payload)
+
+
+def test_market_basket_ratios_consistent(spark, sf_dir):
+    rows = REGISTRY["agg_market_basket"].fn(spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    )
+    baskets: dict = {}
+    for r in ev:
+        baskets.setdefault(r["user_id"], set()).add(r["event_type"])
+    n_users = len(baskets)
+    singles: dict = {}
+    for items in baskets.values():
+        for it in items:
+            singles[it] = singles.get(it, 0) + 1
+    for r in rows:
+        n_ab = sum(
+            1
+            for items in baskets.values()
+            if r["type_a"] in items and r["type_b"] in items
+        )
+        assert r["n_ab"] == n_ab, (r["type_a"], r["type_b"])
+        assert abs(r["support"] - n_ab / n_users) < 1e-6
+        assert abs(r["conf_a_to_b"] - n_ab / singles[r["type_a"]]) < 1e-6
+        exp_lift = n_ab * n_users / (singles[r["type_a"]] * singles[r["type_b"]])
+        assert abs(r["lift"] - exp_lift) < 1e-5
+        assert r["type_a"] < r["type_b"]  # each pair exactly once
+
+
+def test_mad_anomaly_matches_python(spark, sf_dir):
+    import statistics
+
+    rows = {
+        r["user_id"]: r
+        for r in REGISTRY["win_anomaly_mad"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events").select("user_id", "value").collect()
+    )
+    vals: dict = {}
+    for r in ev:
+        vals.setdefault(r["user_id"], []).append(r["value"])
+    for u, vs in vals.items():
+        med = statistics.median(vs)
+        mad = statistics.median([abs(v - med) for v in vs])
+        n_anom = (
+            sum(1 for v in vs if abs(v - med) > 3.0 * 1.4826 * mad)
+            if mad > 0
+            else 0
+        )
+        assert abs(rows[u]["med"] - med) < 1e-5
+        assert abs(rows[u]["mad"] - mad) < 1e-5
+        assert rows[u]["n_anomalies"] == n_anom
+        assert rows[u]["n_readings"] == len(vs)
