@@ -376,3 +376,143 @@ def test_stratified_cutoffs_partition_every_stratum_size(n):
     assert train == int(n * 0.8) and val >= 0 and test >= 0
     if n >= 10:
         assert train > 0 and val > 0 and test > 0
+
+
+@given(doc_id=st.integers(min_value=0, max_value=10_000_000))
+@settings(max_examples=50, deadline=None)
+def test_video_container_roundtrip_any_doc_id(doc_id):
+    """Pure-Python property: every synthesized container parses, the
+    offset table is exact, and index-seek sampling equals decoding
+    every stride-th frame independently."""
+    import struct
+
+    from snapshot_s3_util_spark.llm.multimodal import (
+        _vid_n_frames,
+        decode_bmp,
+        sample_video,
+        synth_bmp,
+        synth_video,
+    )
+
+    payload = synth_video(doc_id)
+    n = _vid_n_frames(doc_id)
+    offs = list(struct.unpack_from(f"<{n}I", payload, 8))
+    # each frame slice independently decodes to the same sums
+    exp = {"sum_r": 0, "sum_g": 0, "sum_b": 0}
+    for f in range(0, n, 2):
+        fr = synth_bmp(doc_id + 131 * f)
+        assert payload[offs[f] : offs[f] + len(fr)] == fr
+        d = decode_bmp(fr)
+        for k in exp:
+            exp[k] += d[k]
+    got = sample_video(payload)
+    assert {k: got[k] for k in exp} == exp
+
+
+@given(
+    weights=st.lists(
+        st.tuples(
+            st.floats(min_value=0.01, max_value=1000, allow_nan=False),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_weighted_median_python_model_invariants(weights):
+    """Model check of the cumulative-threshold rule used by
+    agg_weighted_median: the picked value has >= half the total
+    weight at-or-below it AND >= half at-or-above it (the defining
+    property of a weighted median)."""
+    acc: dict = {}
+    for price, w in weights:
+        acc[price] = acc.get(price, 0) + w
+    total = sum(acc.values())
+    cum = 0
+    med = None
+    for price in sorted(acc):
+        cum += acc[price]
+        if 2 * cum >= total:
+            med = price
+            break
+    at_or_below = sum(w for p, w in acc.items() if p <= med)
+    at_or_above = sum(w for p, w in acc.items() if p >= med)
+    assert 2 * at_or_below >= total
+    assert 2 * at_or_above >= total
+
+
+@given(
+    days=st.lists(
+        st.integers(min_value=0, max_value=60), min_size=1, max_size=60
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_streak_fold_equals_islands_model(days):
+    """The array-fold streak rule (win_streak_islands) must equal the
+    row_number-difference islands construction on any day set."""
+    ds = sorted(set(days))
+    # fold model
+    best = cur = 0
+    prev = None
+    for d in ds:
+        cur = cur + 1 if prev is not None and d - prev == 1 else 1
+        best = max(best, cur)
+        prev = d
+    # islands model: group by d - rank
+    groups: dict = {}
+    for rn, d in enumerate(ds):
+        groups.setdefault(d - rn, 0)
+        groups[d - rn] += 1
+    assert best == max(groups.values())
+
+
+@given(
+    ints=st.lists(
+        st.integers(min_value=-(10**6), max_value=10**6),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_mad_fence_is_translation_invariant(ints):
+    """MAD anomaly verdicts must not change when the whole series
+    shifts — the robustness property that motivates MAD over a fixed
+    threshold.  (Exactly-representable values: in raw floats a
+    1e-160-scale reading is absorbed by a 1e4 shift — real float
+    behavior, not a bug in the fence.)"""
+    vals = [float(i) for i in ints]
+    import statistics
+
+    def verdicts(vs):
+        med = statistics.median(vs)
+        mad = statistics.median([abs(v - med) for v in vs])
+        if mad == 0:
+            return [False] * len(vs)
+        return [abs(v - med) > 3.0 * 1.4826 * mad for v in vs]
+
+    shifted = [v + 12345.5 for v in vals]
+    assert verdicts(vals) == verdicts(shifted)
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200)
+)
+@settings(max_examples=30, deadline=None)
+def test_bloom_model_no_false_negatives(keys):
+    """Python model of join_bloom_prefilter's KM bloom: every inserted
+    key must probe positive (false negatives impossible)."""
+    import hashlib
+
+    M, K = 1 << 20, 2
+
+    def positions(k):
+        dg = hashlib.md5(str(k).encode()).hexdigest()
+        h1, h2 = int(dg[:8], 16), int(dg[8:16], 16)
+        return [(h1 + i * h2) % M for i in range(K)]
+
+    bits = set()
+    for k in keys:
+        bits.update(positions(k))
+    for k in keys:
+        assert all(p in bits for p in positions(k))
