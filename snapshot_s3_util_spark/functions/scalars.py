@@ -752,3 +752,45 @@ def fn_useragent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("major").cast("bigint").alias("min_major"),
         F.max("major").cast("bigint").alias("max_major"),
     )
+
+
+_B64_ORACLE = """
+SELECT doc_id,
+       to_base64(ENCODE(text)) AS b64,
+       LOWER(hex(ENCODE(SUBSTR(text, 1, 16)))) AS hex16,
+       MD5(CAST(from_base64(to_base64(ENCODE(text))) AS VARCHAR)) AS roundtrip_md5,
+       MD5(text) = MD5(CAST(from_base64(to_base64(ENCODE(text))) AS VARCHAR))
+         AS roundtrip_ok,
+       CAST(LENGTH(to_base64(ENCODE(text))) AS BIGINT) AS b64_len
+FROM documents
+"""
+
+
+@register("fn_binary_codec", oracle=_B64_ORACLE, category="function")
+def fn_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec suite: base64 and hex encode/decode round-trips
+    over document payload bytes — the ser/de layer a bytes-columned
+    pipeline leans on (HBase values, Parquet BINARY, wire formats).
+    Both engines implement RFC-4648 base64 and plain hex
+    independently (Spark's MIME 76-char chunking is normalized away);
+    any padding or alphabet disagreement fails the hash, and
+    `roundtrip_ok` must be TRUE row-for-row.
+
+    Narrow codegen'd projection, zero shuffles; at scale this is
+    free inside the scan stage.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.col("text").cast("binary")
+    # Spark's base64 is MIME-chunked (CRLF every 76 chars); canonical
+    # RFC-4648 output strips the line breaks (DuckDB emits none).
+    b64 = F.regexp_replace(F.base64(raw), r"[\r\n]", "")
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.lower(F.hex(F.substring("text", 1, 16).cast("binary"))).alias("hex16"),
+        F.md5(F.unbase64(b64).cast("string")).alias("roundtrip_md5"),
+        (F.md5("text") == F.md5(F.unbase64(b64).cast("string"))).alias(
+            "roundtrip_ok"
+        ),
+        F.length(b64).cast("bigint").alias("b64_len"),
+    )

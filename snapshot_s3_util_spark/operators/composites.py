@@ -975,3 +975,91 @@ def ts_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_concurrency",
         )
     )
+
+
+_CUSUM_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {EVENTS_REL} e GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST(SUM(n) AS BIGINT) AS tot,
+         CAST(COUNT(*) AS BIGINT) AS days
+  FROM daily GROUP BY event_type
+),
+c AS (
+  SELECT d.event_type, d.d, d.n, m.tot, m.days,
+         SUM(d.n * m.days - m.tot) OVER (
+           PARTITION BY d.event_type ORDER BY d.d
+           ROWS UNBOUNDED PRECEDING) AS scaled_cusum
+  FROM daily d JOIN m ON m.event_type = d.event_type
+),
+x AS (
+  SELECT event_type, d, scaled_cusum,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(scaled_cusum) DESC, d) AS rn
+  FROM c
+)
+SELECT event_type,
+       d AS changepoint_day,
+       CAST(scaled_cusum AS BIGINT) AS peak_scaled_cusum,
+       ROUND(CAST(scaled_cusum AS DOUBLE) / (SELECT MAX(days) FROM m), 6)
+         AS peak_cusum
+FROM x WHERE rn = 1
+"""
+
+
+@register("ts_cusum_changepoint", oracle=_CUSUM_ORACLE, category="timeseries")
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint estimation per event-type series: the day
+    where the cumulative sum of (daily count - series mean) peaks in
+    magnitude — the classic mean-shift locator.  The cumsum runs in
+    SCALED INTEGER space (n*days - total, i.e. deviation x days), so
+    the argmax is exact integer arithmetic on both engines; the
+    float division only renders the reported peak.
+
+    Plan: one corpus exchange (the daily rollup); mean and cusum run
+    on the |types| x |days| frame.  Deterministic tiebreak (earliest
+    peak day).  At 100 TB: same cascade discipline as
+    ts_rollup_cascade — detection cost is catalog-sized after one
+    rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    m = daily.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("days"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        daily.join(m, "event_type")
+        .withColumn(
+            "scaled_cusum",
+            F.sum(F.col("n") * F.col("days") - F.col("tot")).over(wc),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("scaled_cusum")).desc(), F.col("d")
+    )
+    max_days = m.agg(F.max("days").alias("md"))
+    return (
+        c.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .crossJoin(F.broadcast(max_days))
+        .select(
+            "event_type",
+            F.col("d").alias("changepoint_day"),
+            F.col("scaled_cusum").cast("bigint").alias("peak_scaled_cusum"),
+            F.round(
+                F.col("scaled_cusum").cast("double") / F.col("md"), 6
+            ).alias("peak_cusum"),
+        )
+    )

@@ -1157,3 +1157,115 @@ def join_partition_pruned_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+_SSJ_TAU = 0.6      # jaccard threshold
+_SSJ_MOD = 4        # deterministic 1-in-4 doc sample (keeps the
+                    # oracle's exact quadratic join tractable at sf0.1)
+
+_SSJ_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, list_sort(LIST_DISTINCT(string_split(text, ' '))) AS toks
+  FROM documents WHERE doc_id % {_SSJ_MOD} = 0
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         LEN(list_intersect(a.toks, b.toks)) AS inter,
+         LEN(a.toks) + LEN(b.toks)
+           - LEN(list_intersect(a.toks, b.toks)) AS uni
+  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS BIGINT) AS n_common,
+       ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+FROM pairs
+WHERE inter * 1.0 / uni >= {_SSJ_TAU}
+"""
+
+
+@register("join_set_similarity_prefix", oracle=_SSJ_ORACLE, category="join")
+def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join (all pairs with token-set Jaccard >=
+    {_SSJ_TAU}) via PREFIX FILTERING — the database-literature
+    algorithm (PPJoin lineage): order every doc's tokens by ascending
+    global frequency; two sets can only reach threshold t if they
+    share a token in their first |s| - ceil(t*|s|) + 1 rarest tokens,
+    so candidate generation joins ONLY on prefix tokens and exact
+    Jaccard verifies the survivors.  Complements the PROBABILISTIC
+    minhash path with a zero-false-negative exact one.
+
+    Plan: token ordering needs one document-frequency aggregate
+    (broadcast back as a rank map would explode; instead tokens sort
+    by (df, token) via a join + doc-local re-sort); candidates come
+    from the prefix-token equi self-join — work is Σ(prefix-bucket²),
+    bounded because prefixes hold each doc's RAREST tokens (hot
+    tokens never land in prefixes, the exact opposite of the naive
+    token join) — then one exact verify per candidate pair.  At
+    100 TB this is the standard exact-dedup join; the {_SSJ_MOD}:1
+    doc sample only keeps the ORACLE's quadratic check tractable.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _SSJ_MOD == 0)
+        .select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+        )
+    )
+    tok = d.select("doc_id", F.explode("toks").alias("t"))
+    df_counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    # order each doc's tokens rarest-first: join df, sort doc-locally
+    ordered = (
+        tok.join(df_counts, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df, t))), x -> x.t)"
+            ).alias("toks"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+    )
+    # prefix length = sz - ceil(tau * sz) + 1
+    pref = ordered.select(
+        "doc_id",
+        "toks",
+        "sz",
+        F.expr(
+            f"slice(toks, 1, size(toks) - CAST(ceil({_SSJ_TAU} * size(toks)) AS INT) + 1)"
+        ).alias("prefix"),
+    ).localCheckpoint()
+    pa = pref.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("sz").alias("sz_a"),
+        F.explode("prefix").alias("pt"),
+    )
+    pb = pref.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("sz").alias("sz_b"),
+        F.explode("prefix").alias("pt"),
+    )
+    cand = (
+        pa.join(pb, "pt")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # size filter: |b| >= tau * |a| is necessary for J >= tau
+        .filter(
+            (F.col("sz_b") >= _SSJ_TAU * F.col("sz_a"))
+            & (F.col("sz_a") >= _SSJ_TAU * F.col("sz_b"))
+        )
+        .select("doc_a", "doc_b", "toks_a", "toks_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    uni = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        cand.withColumn("n_common", inter.cast("bigint"))
+        .withColumn("uni", uni)
+        .filter(F.col("n_common") * 1.0 / F.col("uni") >= _SSJ_TAU)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(F.col("n_common") / F.col("uni"), 6).alias("jaccard"),
+        )
+    )
