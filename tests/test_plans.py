@@ -968,3 +968,29 @@ def test_mad_shares_user_partitioning(spark, sf_dir):
     df = REGISTRY["win_anomaly_mad"].fn(spark, sf_dir)
     assert not uses_python(df)
     assert has_node(df, "SortMergeJoin") or has_node(df, "ShuffledHashJoin") or has_node(df, "BroadcastHashJoin"), physical_plan(df)
+
+
+# ---------------------------------------------------- round-5 batch 22
+
+
+def test_set_similarity_no_cartesian(spark, sf_dir):
+    """Candidates must come from the prefix-token equi join, never a
+    nested-loop all-pairs."""
+    df = REGISTRY["join_set_similarity_prefix"].fn(spark, sf_dir)
+    assert not has_node(df, "CartesianProduct"), physical_plan(df)
+    assert not has_node(df, "BroadcastNestedLoopJoin"), physical_plan(df)
+
+
+def test_cusum_windows_over_daily_rollup(spark, sf_dir):
+    df = REGISTRY["ts_cusum_changepoint"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    win_pos = plan.find("Window")
+    agg_pos = plan.rfind("HashAggregate")
+    assert win_pos != -1 and agg_pos != -1 and win_pos < agg_pos, plan
+    assert not uses_python(df)
+
+
+def test_binary_codec_is_narrow(spark, sf_dir):
+    df = REGISTRY["fn_binary_codec"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0, physical_plan(df)
+    assert not uses_python(df)

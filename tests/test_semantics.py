@@ -2583,3 +2583,76 @@ def test_mad_anomaly_matches_python(spark, sf_dir):
         assert abs(rows[u]["mad"] - mad) < 1e-5
         assert rows[u]["n_anomalies"] == n_anom
         assert rows[u]["n_readings"] == len(vs)
+
+
+# ---------------------------------------------------- round-5 batch 22
+
+
+def test_set_similarity_exact_vs_bruteforce(spark, sf_dir):
+    """Prefix filtering must lose NOTHING: compare against a brute-
+    force quadratic Jaccard join computed in Python."""
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in REGISTRY["join_set_similarity_prefix"].fn(spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: set(r["text"].split(" "))
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .collect()
+    }
+    ids = sorted(docs)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(docs[a] & docs[b])
+            uni = len(docs[a] | docs[b])
+            if inter / uni >= 0.6:
+                expected[(a, b)] = inter / uni
+    assert set(got) == set(expected)
+    for k, j in expected.items():
+        assert abs(got[k] - j) < 1e-5
+
+
+def test_cusum_matches_python(spark, sf_dir):
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["ts_cusum_changepoint"].fn(spark, sf_dir).collect()
+    }
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .count()
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["d"], r["count"]))
+    for et, pts in series.items():
+        pts.sort()
+        tot = sum(n for _d, n in pts)
+        days = len(pts)
+        cum = 0
+        best = (None, -1, None)  # (day, |cusum|, cusum)
+        for d, n in pts:
+            cum += n * days - tot
+            if abs(cum) > best[1]:
+                best = (d, abs(cum), cum)
+        assert rows[et]["changepoint_day"] == best[0], et
+        assert rows[et]["peak_scaled_cusum"] == best[2], et
+
+
+def test_binary_codec_roundtrip_python(spark, sf_dir):
+    import base64
+
+    rows = REGISTRY["fn_binary_codec"].fn(spark, sf_dir).limit(20).collect()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").limit(500).collect()
+    }
+    assert rows
+    for r in rows:
+        assert r["roundtrip_ok"]
+        t = texts[r["doc_id"]]
+        assert r["b64"] == base64.b64encode(t.encode()).decode()
+        assert r["hex16"] == t[:16].encode().hex()
