@@ -1237,7 +1237,7 @@ def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Build the keeper oracle from the CC oracle's CTE chain plus the
 # quality formula (llm/textstats._QUALITY_ORACLE's score, inlined):
-# argmax(quality, doc_id DESC as tiebreak) per component.
+# argmax by quality, ascending doc_id breaking ties, per component.
 def _keeper_oracle() -> str:
     return f"""
 WITH RECURSIVE pairs AS (SELECT * FROM ({_MINHASH_ORACLE}) p),

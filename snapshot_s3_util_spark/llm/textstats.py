@@ -1052,7 +1052,6 @@ WITH t AS (
 m AS (
   SELECT doc_id, source,
          CAST(LEN(toks) AS BIGINT) AS n_toks,
-         CAST(LEN(list_filter(toks, x -> LENGTH(x) > 0)) AS BIGINT) AS n_words,
          list_sum(list_transform(toks, x -> LENGTH(x))) * 1.0 / LEN(toks)
            AS mean_wlen,
          CAST(LEN(list_filter(['the','a','of','and','to'],

@@ -801,7 +801,7 @@ WITH u AS (
                    MAX(CAST(date_trunc('day', ts) AS DATE))) AS dur,
          MAX(CAST(date_trunc('day', ts) AS DATE)) >= DATE '{_KM_CENSOR_DAY}'
            AS censored
-  FROM events GROUP BY user_id
+  FROM {{events_rel}} e GROUP BY user_id
 ),
 lvl AS (
   SELECT dur,
@@ -824,7 +824,11 @@ FROM r
 """
 
 
-@register("agg_survival_km", oracle=_KM_ORACLE, category="aggregate")
+@register(
+    "agg_survival_km",
+    oracle=_KM_ORACLE.format(events_rel=EVENTS_REL),
+    category="aggregate",
+)
 def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier retention curve over user lifetimes (days between
     first and last activity), RIGHT-CENSORING users still active near
@@ -870,9 +874,18 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     frac = 1.0 - F.col("n_churn").cast("double") / F.col("n_at_risk")
+    # log(0) is NULL in Spark and window sum SKIPS nulls — a level
+    # where everyone churns (frac = 0) must zero the curve, not
+    # vanish from the product.  Track the zero explicitly.
+    zero_seen = F.max(F.when(frac == 0.0, 1).otherwise(0)).over(w_asc)
+    log_prod = F.exp(
+        F.sum(F.when(frac > 0.0, F.log(frac)).otherwise(0.0)).over(w_asc)
+    )
     return r.select(
         F.col("dur").alias("t_days"),
         F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
         F.col("n_churn").alias("n_churned"),
-        F.round(F.exp(F.sum(F.log(frac)).over(w_asc)), 6).alias("survival"),
+        F.round(
+            F.when(zero_seen == 1, 0.0).otherwise(log_prod), 6
+        ).alias("survival"),
     )

@@ -997,7 +997,7 @@ c AS (
   FROM daily d JOIN m ON m.event_type = d.event_type
 ),
 x AS (
-  SELECT event_type, d, scaled_cusum,
+  SELECT event_type, d, scaled_cusum, days,
          ROW_NUMBER() OVER (PARTITION BY event_type
                             ORDER BY ABS(scaled_cusum) DESC, d) AS rn
   FROM c
@@ -1005,8 +1005,7 @@ x AS (
 SELECT event_type,
        d AS changepoint_day,
        CAST(scaled_cusum AS BIGINT) AS peak_scaled_cusum,
-       ROUND(CAST(scaled_cusum AS DOUBLE) / (SELECT MAX(days) FROM m), 6)
-         AS peak_cusum
+       ROUND(CAST(scaled_cusum AS DOUBLE) / days, 6) AS peak_cusum
 FROM x WHERE rn = 1
 """
 
@@ -1049,17 +1048,16 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.partitionBy("event_type").orderBy(
         F.abs(F.col("scaled_cusum")).desc(), F.col("d")
     )
-    max_days = m.agg(F.max("days").alias("md"))
     return (
         c.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") == 1)
-        .crossJoin(F.broadcast(max_days))
         .select(
             "event_type",
             F.col("d").alias("changepoint_day"),
             F.col("scaled_cusum").cast("bigint").alias("peak_scaled_cusum"),
+            # normalize by the SERIES' own day count: scaled = dev*days
             F.round(
-                F.col("scaled_cusum").cast("double") / F.col("md"), 6
+                F.col("scaled_cusum").cast("double") / F.col("days"), 6
             ).alias("peak_cusum"),
         )
     )

@@ -223,8 +223,12 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TRI_ORACLE = f"""
-WITH edges AS ({_EDGES_SQL}),
+
+# Canonical strong-trade undirected edge set — the relative-threshold
+# (w >= 1.5x mean) canonical (a < b) graph shared by the triangle and
+# BFS operators.  ONE definition per engine: the SQL CTE chain below
+# and the Spark builder `_strong_und_edges` must stay in lockstep.
+_STRONG_UND_CTES = f"""edges AS ({_EDGES_SQL}),
 stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_e, CAST(SUM(w) AS BIGINT) AS tot
   FROM edges WHERE src <> dst
@@ -233,7 +237,47 @@ und AS (
   SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
   FROM edges, stats
   WHERE src <> dst AND 2 * w * n_e >= 3 * tot
-),
+)"""
+
+
+def _strong_und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the thresholded canonical undirected edge frame (a, b),
+    localCheckpoint'ed: 4-way relational join -> weighted directed
+    edges -> relative threshold (2*w*n_e >= 3*tot, i.e. w >= 1.5x
+    mean) -> canonical a < b distinct pairs."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    return (
+        edges.withColumn("n_e", F.count(F.lit(1)).over(wall))
+        .withColumn("tot", F.sum("w").over(wall))
+        .filter(2 * F.col("w") * F.col("n_e") >= 3 * F.col("tot"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+_TRI_ORACLE = f"""
+WITH {_STRONG_UND_CTES},
 tri AS (
   SELECT e1.a AS x, e1.b AS y, e2.b AS z
   FROM und e1
@@ -269,37 +313,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle counts the same triangles with the naive a<b triple
     self-join — two different enumeration orders, identical set.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-
-    edges = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"),
-            F.col("s_nationkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-    )
-    from pyspark.sql import Window
-
-    wall = Window.partitionBy()
-    und = (
-        edges.withColumn("n_e", F.count(F.lit(1)).over(wall))
-        .withColumn("tot", F.sum("w").over(wall))
-        .filter(2 * F.col("w") * F.col("n_e") >= 3 * F.col("tot"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    und = _strong_und_edges(spark, sf_dir)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -367,19 +382,10 @@ _BFS_SRC = 0
 _BFS_ROUNDS = 3
 
 _UND_EDGES_SQL = f"""
-  WITH edges AS ({_EDGES_SQL}),
-  stats AS (
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_e, CAST(SUM(w) AS BIGINT) AS tot
-    FROM edges WHERE src <> dst
-  ),
-  cano AS (
-    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-    FROM edges, stats
-    WHERE src <> dst AND 2 * w * n_e >= 3 * tot
-  )
-  SELECT a AS u, b AS v FROM cano
+  WITH {_STRONG_UND_CTES}
+  SELECT a AS u, b AS v FROM und
   UNION ALL
-  SELECT b AS u, a AS v FROM cano
+  SELECT b AS u, a AS v FROM und
 """
 
 
@@ -424,36 +430,8 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence-detection (as in `llm_dedup_components`) would replace
     the fixed unroll in production, traded here for an exact oracle.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-
-    edges = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"),
-            F.col("s_nationkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-    )
-    from pyspark.sql import Window
-
-    wall = Window.partitionBy()
-    cano = (
-        edges.withColumn("n_e", F.count(F.lit(1)).over(wall))
-        .withColumn("tot", F.sum("w").over(wall))
-        .filter(2 * F.col("w") * F.col("n_e") >= 3 * F.col("tot"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-    )
+    cano = _strong_und_edges(spark, sf_dir)
     sym = (
         cano.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(cano.select(F.col("b").alias("u"), F.col("a").alias("v")))

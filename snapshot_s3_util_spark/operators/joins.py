@@ -1006,14 +1006,18 @@ bits AS (
   FROM urgent, range({_BJ_K}) r(i)
 ),
 probe AS (
+  -- collision-safe: EVERY derived position must be set (a key whose
+  -- K positions collide still probes the one shared bit, exactly as
+  -- the engine's chained per-position semi joins do)
   SELECT l.l_returnflag, l.l_orderkey,
          l.l_extendedprice * (1 - l.l_discount) AS rev
   FROM lineitem l
-  WHERE {_BJ_K} = (
-    SELECT COUNT(*) FROM bits b WHERE b.pos IN (
+  WHERE NOT EXISTS (
+    SELECT 1 FROM (
       SELECT ({_BJ_H1_DUCK.format(k='l.l_orderkey')}
-              + i * {_BJ_H2_DUCK.format(k='l.l_orderkey')}) % {_BJ_M}
-      FROM range({_BJ_K}) r(i))
+              + i * {_BJ_H2_DUCK.format(k='l.l_orderkey')}) % {_BJ_M} AS pos
+      FROM range({_BJ_K}) r(i)) pp
+    WHERE pp.pos NOT IN (SELECT pos FROM bits)
   )
 ),
 joined AS (

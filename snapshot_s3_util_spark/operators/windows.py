@@ -440,8 +440,7 @@ _RMED_N = 10  # trailing window width (readings)
 _RMED_ORACLE = f"""
 WITH s AS (
   SELECT user_id, event_id, epoch_us(ts) AS us, value
-  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
-        FROM events) e
+  FROM {EVENTS_REL} e
 ),
 w AS (
   SELECT user_id, event_id, us, value,

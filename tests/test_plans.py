@@ -963,11 +963,14 @@ def test_market_basket_no_user_self_join(spark, sf_dir):
 
 def test_mad_shares_user_partitioning(spark, sf_dir):
     """MAD is two-pass by definition; both median passes and the
-    joins must ride the same user_id hash partitioning — no extra
-    exchanges beyond the first shuffle."""
+    joins must ride the same user_id hash partitioning.  The plan is
+    allowed the initial user_id exchange once per scan branch (the
+    deviation join reads events twice) but nothing beyond — a
+    regression inserting re-shuffles between the passes must fail."""
     df = REGISTRY["win_anomaly_mad"].fn(spark, sf_dir)
     assert not uses_python(df)
     assert has_node(df, "SortMergeJoin") or has_node(df, "ShuffledHashJoin") or has_node(df, "BroadcastHashJoin"), physical_plan(df)
+    assert shuffle_count(df) <= 4, physical_plan(df)
 
 
 # ---------------------------------------------------- round-5 batch 22

@@ -2646,9 +2646,12 @@ def test_binary_codec_roundtrip_python(spark, sf_dir):
     import base64
 
     rows = REGISTRY["fn_binary_codec"].fn(spark, sf_dir).limit(20).collect()
+    ids = [r["doc_id"] for r in rows]
     texts = {
         r["doc_id"]: r["text"]
-        for r in load_table(spark, sf_dir, "documents").limit(500).collect()
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(ids))
+        .collect()
     }
     assert rows
     for r in rows:
