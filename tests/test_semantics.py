@@ -2659,3 +2659,52 @@ def test_binary_codec_roundtrip_python(spark, sf_dir):
         t = texts[r["doc_id"]]
         assert r["b64"] == base64.b64encode(t.encode()).decode()
         assert r["hex16"] == t[:16].encode().hex()
+
+
+def test_survival_km_zero_level_zeroes_curve(spark, tmp_path):
+    """Regression for the log(0) hole: a duration level where EVERY
+    at-risk user churns must drive survival to exactly 0 from that
+    level on (Spark's log(0) is NULL and window sums skip NULLs, so
+    a naive exp-sum-log silently drops the zero factor)."""
+    import datetime
+
+    import pandas as pd
+
+    # 3 users all active exactly days 0..2 then gone, window ends
+    # 2024-01-30 => censor day 2024-01-29 never reached => all churn
+    # at dur=2 with n_at_risk=3 => frac=0 at the only level.
+    rows = []
+    eid = 0
+    for u in range(3):
+        for d in range(3):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": datetime.datetime(2024, 1, 1 + d, 12, 0, 0),
+                    "user_id": u,
+                    "event_type": "view",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    pdf = pd.DataFrame(rows)
+    sf_dir = str(tmp_path)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"),
+        "ts",
+        tbl.column("ts").cast(pa.timestamp("us")),
+    )
+    pq.write_table(tbl, f"{sf_dir}/events.parquet")
+
+    out = {
+        r["t_days"]: r
+        for r in REGISTRY["agg_survival_km"].fn(spark, sf_dir).collect()
+    }
+    assert out[2]["n_at_risk"] == 3
+    assert out[2]["n_churned"] == 3
+    assert out[2]["survival"] == 0.0
