@@ -376,3 +376,100 @@ def scan_incremental_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+_DQ_ORACLE = """
+WITH pk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS viol
+  FROM orders
+),
+fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS viol
+  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+),
+nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS viol
+  FROM orders
+),
+dom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS viol
+  FROM orders
+),
+rng AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS viol
+  FROM orders
+)
+SELECT 'pk_unique' AS rule, n AS n_checked, viol AS n_violations,
+       viol = 0 AS passed FROM pk
+UNION ALL SELECT 'fk_customer', n, viol, viol = 0 FROM fk
+UNION ALL SELECT 'notnull_orderdate', n, viol, viol = 0 FROM nn
+UNION ALL SELECT 'domain_orderstatus', n, viol, viol = 0 FROM dom
+UNION ALL SELECT 'range_totalprice', n, viol, viol = 0 FROM rng
+"""
+
+
+@register("scan_dq_expectations", oracle=_DQ_ORACLE, category="scan")
+def scan_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation battery over the orders feed — the
+    ingest gate a lakehouse runs before publishing a batch: primary-
+    key uniqueness, referential integrity to customer, not-null,
+    domain membership, and range rules, each reporting checked and
+    violation counts plus a pass verdict.
+
+    Plan: the four single-table rules fold into ONE aggregate pass
+    over orders (shared scan, map-side combined); the FK rule is a
+    broadcast-dim LEFT JOIN null-count.  At 100 TB a DQ gate must be
+    O(one scan), never one pass per rule — rules are columns of the
+    same aggregate, not separate queries.  The row-per-rule report
+    unpivots from that single row.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    joined = o.join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left"
+    )
+    one = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("v_pk"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_fk"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_nn"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("v_dom"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_rng"),
+    )
+    rules = [
+        ("pk_unique", "v_pk"),
+        ("fk_customer", "v_fk"),
+        ("notnull_orderdate", "v_nn"),
+        ("domain_orderstatus", "v_dom"),
+        ("range_totalprice", "v_rng"),
+    ]
+    stack = ", ".join(f"'{name}', {col}" for name, col in rules)
+    return one.selectExpr(
+        f"stack({len(rules)}, {stack}) AS (rule, n_violations)", "n AS n_checked"
+    ).select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -997,3 +997,15 @@ def test_binary_codec_is_narrow(spark, sf_dir):
     df = REGISTRY["fn_binary_codec"].fn(spark, sf_dir)
     assert shuffle_count(df) == 0, physical_plan(df)
     assert not uses_python(df)
+
+
+def test_dq_expectations_single_scan_per_table(spark, sf_dir):
+    """All five rules must fold into one orders scan + one broadcast
+    customer scan — never a pass per rule."""
+    import re
+
+    df = REGISTRY["scan_dq_expectations"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    assert has_node(df, "BroadcastHashJoin"), plan
+    assert not uses_python(df)

@@ -2708,3 +2708,63 @@ def test_survival_km_zero_level_zeroes_curve(spark, tmp_path):
     assert out[2]["n_at_risk"] == 3
     assert out[2]["n_churned"] == 3
     assert out[2]["survival"] == 0.0
+
+
+def test_dq_expectations_clean_and_dirty(spark, sf_dir, tmp_path):
+    """On driver data every rule passes; on a planted-violation
+    fixture each rule counts exactly its violations."""
+    rows = {
+        r["rule"]: r
+        for r in REGISTRY["scan_dq_expectations"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "pk_unique",
+        "fk_customer",
+        "notnull_orderdate",
+        "domain_orderstatus",
+        "range_totalprice",
+    }
+    for r in rows.values():
+        assert r["passed"] and r["n_violations"] == 0
+
+    # dirty fixture: dup pk, orphan fk, null date, bad status, neg price
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = datetime.datetime(2024, 1, 5)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 1, 2, 3, 4, 5], pa.int64()),
+            "o_custkey": pa.array([10, 10, 99, 10, 10, 10], pa.int64()),
+            "o_orderstatus": pa.array(["F", "O", "P", "X", "F", "O"]),
+            "o_totalprice": pa.array([5.0, 6.0, 7.0, 8.0, -1.0, 9.0]),
+            "o_orderdate": pa.array(
+                [ts, ts, ts, None, ts, ts], pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * 6),
+        }
+    )
+    customer = pa.table(
+        {
+            "c_custkey": pa.array([10], pa.int64()),
+            "c_name": pa.array(["c10"]),
+            "c_nationkey": pa.array([0], pa.int32()),
+            "c_mktsegment": pa.array(["BUILDING"]),
+            "c_acctbal": pa.array([1.0]),
+        }
+    )
+    pq.write_table(orders, f"{tmp_path}/orders.parquet")
+    pq.write_table(customer, f"{tmp_path}/customer.parquet")
+    dirty = {
+        r["rule"]: r["n_violations"]
+        for r in REGISTRY["scan_dq_expectations"].fn(spark, str(tmp_path)).collect()
+    }
+    assert dirty == {
+        "pk_unique": 1,
+        "fk_customer": 1,
+        "notnull_orderdate": 1,
+        "domain_orderstatus": 1,
+        "range_totalprice": 1,
+    }
