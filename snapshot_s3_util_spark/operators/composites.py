@@ -1061,3 +1061,123 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("peak_cusum"),
         )
     )
+
+
+_ATTR_WINDOW_H = 72  # attribution lookback (hours)
+
+_ATTR_ORACLE = f"""
+WITH touches AS (
+  SELECT user_id, ts, event_id
+  FROM {EVENTS_REL} e WHERE event_type IN ('view', 'click')
+),
+purchases AS (
+  SELECT user_id, ts, event_id, value FROM {EVENTS_REL} e
+  WHERE event_type = 'purchase'
+),
+attrib AS (
+  SELECT p.user_id, p.event_id, p.value,
+         (SELECT MAX(t.event_id)
+          FROM touches t
+          WHERE t.user_id = p.user_id
+            AND t.ts <= p.ts
+            AND t.ts > p.ts - INTERVAL {_ATTR_WINDOW_H} HOURS
+            AND t.ts = (SELECT MAX(t2.ts) FROM touches t2
+                        WHERE t2.user_id = p.user_id
+                          AND t2.ts <= p.ts
+                          AND t2.ts > p.ts - INTERVAL {_ATTR_WINDOW_H} HOURS)
+         ) AS touch_event
+  FROM purchases p
+)
+SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN touch_event IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_attributed,
+       ROUND(SUM(CASE WHEN touch_event IS NOT NULL THEN value ELSE 0 END), 4)
+         AS attributed_revenue,
+       MD5(string_agg(LPAD(CAST(event_id AS STRING), 10, '0') || ':'
+                      || COALESCE(CAST(touch_event AS STRING), 'organic'),
+                      ',' ORDER BY event_id)) AS assign_md5
+FROM attrib GROUP BY 1
+"""
+
+
+@register("win_attribution_touch", oracle=_ATTR_ORACLE, category="window")
+def win_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH marketing attribution: every purchase credits the
+    most recent view/click by the same user within a {_ATTR_WINDOW_H}h
+    lookback (ties at the same microsecond resolve to the highest
+    event_id); purchases with no touch in window are 'organic'.  The
+    per-bucket assign_md5 fingerprints every single attribution.
+
+    Plan: the same union-window as-of shape as `join_scd2_pit` — ONE
+    pushed-IN scan, one user_id window carrying the running latest
+    touch (ignorenulls struct of (µs, event_id)), then a window-
+    expiry filter (touch older than the lookback reverts to organic).
+    No correlated subquery, no interval join: at 100 TB attribution
+    is a partitioned sort, which is why the window form is the one
+    every clickstream warehouse ships.  The oracle uses correlated
+    subqueries — maximally different formulation, identical
+    assignment.
+    """
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("us"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+        "event_id",
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # running latest touch as an (us, event_id) struct: max() over the
+    # window picks latest-ts / highest-event_id ties correctly
+    touch = F.max(
+        F.when(
+            F.col("is_p") == 0, F.struct(F.col("us"), F.col("event_id"))
+        )
+    ).over(w)
+    assigned = (
+        tagged.withColumn("t", touch)
+        .filter(F.col("is_p") == 1)
+        .withColumn(
+            "touch_event",
+            F.when(
+                F.col("t").isNotNull()
+                & (
+                    F.col("t.us")
+                    > F.col("us") - F.lit(_ATTR_WINDOW_H * 3_600_000_000)
+                ),
+                F.col("t.event_id"),
+            ),
+        )
+    )
+    pair = F.concat(
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+        F.lit(":"),
+        F.coalesce(F.col("touch_event").cast("string"), F.lit("organic")),
+    )
+    return assigned.groupBy(
+        (F.col("user_id") % 10).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum(F.when(F.col("touch_event").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_attributed"),
+        F.round(
+            F.sum(
+                F.when(F.col("touch_event").isNotNull(), F.col("value")).otherwise(
+                    0.0
+                )
+            ),
+            4,
+        ).alias("attributed_revenue"),
+        F.md5(F.array_join(F.array_sort(F.collect_list(pair)), ",")).alias(
+            "assign_md5"
+        ),
+    )

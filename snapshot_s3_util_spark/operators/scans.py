@@ -473,3 +473,53 @@ def scan_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+_ANALYZE_ORACLE = """
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_custkey,
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS ndv_status,
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS nulls_priority,
+         CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+         CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey,
+         ROUND(MIN(o_totalprice), 2) AS min_price,
+         ROUND(MAX(o_totalprice), 2) AS max_price,
+         ROUND(AVG(LENGTH(o_orderpriority)), 6) AS avg_len_priority
+  FROM orders
+)
+SELECT * FROM s
+"""
+
+
+@register("scan_analyze_stats", oracle=_ANALYZE_ORACLE, category="scan")
+def scan_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style column statistics in ONE pass: row count,
+    exact NDVs, null counts, min/max, and average string length — the
+    stats a cost-based optimizer feeds on (Spark's own
+    `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` computes this
+    same profile; here it's an operator whose output an external
+    catalog can store, and the oracle pins the exact numbers).
+
+    Plan: one shared scan, one aggregate; the two exact
+    COUNT(DISTINCT)s expand the aggregate (Spark plans multi-distinct
+    via Expand) but still one data pass.  At 100 TB you'd swap exact
+    NDV for `approx_count_distinct` (agg_approx_distinct documents
+    that contract) — stats collection must never cost more than the
+    queries it accelerates.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("ndv_custkey"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("ndv_status"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nulls_priority"),
+        F.min("o_orderkey").cast("bigint").alias("min_orderkey"),
+        F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg(F.length("o_orderpriority")), 6).alias("avg_len_priority"),
+    )

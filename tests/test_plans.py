@@ -1009,3 +1009,23 @@ def test_dq_expectations_single_scan_per_table(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
     assert has_node(df, "BroadcastHashJoin"), plan
     assert not uses_python(df)
+
+
+def test_attribution_single_scan_no_join(spark, sf_dir):
+    """Union-window attribution: one pushed-IN scan, no interval
+    join, no correlated subquery artifacts."""
+    import re
+
+    df = REGISTRY["win_attribution_touch"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert not has_node(df, "Join"), plan
+
+
+def test_analyze_stats_one_scan(spark, sf_dir):
+    import re
+
+    df = REGISTRY["scan_analyze_stats"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert not uses_python(df)

@@ -2768,3 +2768,55 @@ def test_dq_expectations_clean_and_dirty(spark, sf_dir, tmp_path):
         "domain_orderstatus": 1,
         "range_totalprice": 1,
     }
+
+
+def test_attribution_matches_python(spark, sf_dir):
+    """Replay last-touch attribution in Python per user."""
+    rows = {
+        r["bucket"]: r
+        for r in REGISTRY["win_attribution_touch"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_type",
+            "event_id",
+            "value",
+        )
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    agg: dict = {}
+    lookback = 72 * 3_600_000_000
+    for u, rs in by_user.items():
+        touches = sorted(
+            [(r["us"], r["event_id"]) for r in rs if r["event_type"] != "purchase"]
+        )
+        b = u % 10
+        st = agg.setdefault(b, {"n": 0, "attr": 0, "rev": 0.0})
+        for r in rs:
+            if r["event_type"] != "purchase":
+                continue
+            st["n"] += 1
+            cands = [t for t in touches if t[0] <= r["us"] and t[0] > r["us"] - lookback]
+            if cands:
+                st["attr"] += 1
+                st["rev"] += r["value"]
+    for b, st in agg.items():
+        assert rows[b]["n_purchases"] == st["n"]
+        assert rows[b]["n_attributed"] == st["attr"]
+        assert abs(rows[b]["attributed_revenue"] - st["rev"]) < 1e-3
+
+
+def test_analyze_stats_cross_check(spark, sf_dir):
+    [r] = REGISTRY["scan_analyze_stats"].fn(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    assert r["n_rows"] == o.count()
+    assert r["ndv_custkey"] == o.select("o_custkey").distinct().count()
+    assert r["min_orderkey"] <= r["max_orderkey"]
+    assert r["nulls_priority"] == 0
