@@ -182,6 +182,39 @@ def _wav_params(doc_id: int) -> tuple[int, int, int]:
     return 200 + doc_id % 300, 10 + doc_id % 20, 1000 + (doc_id % 10) * 500
 
 
+def _payload_stage(fn, src_col: str = "doc_id"):
+    """mapInPandas stage factory: map `src_col` through `fn` into a
+    (doc_id, payload) frame.  Shared by every real-codec writer and
+    transform stage — `fn` must be a module-level (picklable)
+    function; the closure captures only `fn` and the column name."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf[src_col].map(fn)}
+            )
+
+    return stage
+
+
+def _feature_stage(fn, keys, with_len: bool = False):
+    """mapInPandas stage factory: decode each payload with `fn` (a
+    dict-returning parser) and emit int64 feature columns `keys`;
+    `with_len` prepends the raw payload byte length as n_bytes."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(fn)
+            out = {"doc_id": pdf["doc_id"]}
+            if with_len:
+                out["n_bytes"] = pdf["payload"].map(len).astype("int64")
+            for k in keys:
+                out[k] = feats.map(lambda d, k=k: d[k]).astype("int64")
+            yield pd.DataFrame(out)
+
+    return stage
+
+
 def synth_wav(doc_id: int) -> bytes:
     """Write a real PCM16 mono WAV: an alternating ±A square wave."""
     import array
@@ -257,21 +290,14 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc cost is O(n_samples) in vectorized Python.
     """
 
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": pdf["doc_id"].map(synth_wav),
-                }
-            )
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = pdf["payload"].map(decode_wav)
-            out = {"doc_id": pdf["doc_id"]}
-            out["n_bytes"] = pdf["payload"].map(len).astype("int64")
-            for k in (
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    wavs = d.mapInPandas(
+        _payload_stage(synth_wav), schema="doc_id long, payload binary"
+    )
+    return wavs.mapInPandas(
+        _feature_stage(
+            decode_wav,
+            (
                 "n_channels",
                 "samp_width",
                 "frame_rate",
@@ -279,14 +305,9 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "peak",
                 "trough",
                 "sum_abs",
-            ):
-                out[k] = feats.map(lambda d, k=k: d[k]).astype("int64")
-            yield pd.DataFrame(out)
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-    wavs = d.mapInPandas(synth, schema="doc_id long, payload binary")
-    return wavs.mapInPandas(
-        decode,
+            ),
+            with_len=True,
+        ),
         schema="doc_id long, n_bytes long, n_channels long, samp_width long, "
         "frame_rate long, n_samples long, peak long, trough long, "
         "sum_abs long",
@@ -337,6 +358,9 @@ def synth_bmp(doc_id: int) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, h * row_size, 2835, 2835, 0, 0
     )
     return bytes(header + info + pix)
+
+
+_BMP_FEATURE_KEYS = ("n_bytes", "width", "height", "bpp", "sum_r", "sum_g", "sum_b")
 
 
 def decode_bmp(payload: bytes) -> dict:
@@ -408,35 +432,12 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     stdlib can honestly implement.
     """
 
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": pdf["doc_id"].map(synth_bmp),
-                }
-            )
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = pdf["payload"].map(decode_bmp)
-            out = {"doc_id": pdf["doc_id"]}
-            for k in (
-                "n_bytes",
-                "width",
-                "height",
-                "bpp",
-                "sum_r",
-                "sum_g",
-                "sum_b",
-            ):
-                out[k] = feats.map(lambda d, k=k: d[k]).astype("int64")
-            yield pd.DataFrame(out)
-
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    bmps = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    bmps = d.mapInPandas(
+        _payload_stage(synth_bmp), schema="doc_id long, payload binary"
+    )
     return bmps.mapInPandas(
-        decode,
+        _feature_stage(decode_bmp, _BMP_FEATURE_KEYS),
         schema="doc_id long, n_bytes long, width long, height long, "
         "bpp long, sum_r long, sum_g long, sum_b long",
     )
@@ -520,34 +521,16 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     over from `multimodal_image_decode`.
     """
 
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": pdf["doc_id"].map(synth_bmp)}
-            )
-
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": pdf["payload"].map(resize_bmp_half),
-                }
-            )
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = pdf["payload"].map(decode_bmp)
-            out = {"doc_id": pdf["doc_id"]}
-            for k in ("n_bytes", "width", "height", "bpp", "sum_r", "sum_g", "sum_b"):
-                out[k] = feats.map(lambda d, k=k: d[k]).astype("int64")
-            yield pd.DataFrame(out)
-
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    bmps = d.mapInPandas(synth, schema="doc_id long, payload binary")
-    small = bmps.mapInPandas(resize, schema="doc_id long, payload binary")
+    bmps = d.mapInPandas(
+        _payload_stage(synth_bmp), schema="doc_id long, payload binary"
+    )
+    small = bmps.mapInPandas(
+        _payload_stage(resize_bmp_half, src_col="payload"),
+        schema="doc_id long, payload binary",
+    )
     return small.mapInPandas(
-        decode,
+        _feature_stage(decode_bmp, _BMP_FEATURE_KEYS),
         schema="doc_id long, n_bytes long, width long, height long, "
         "bpp long, sum_r long, sum_g long, sum_b long",
     )
@@ -670,24 +653,15 @@ def multimodal_video_index_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     unchanged.
     """
 
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": pdf["doc_id"].map(synth_video)}
-            )
-
-    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = pdf["payload"].map(sample_video)
-            out = {"doc_id": pdf["doc_id"]}
-            for k in ("n_frames", "n_sampled", "n_bytes", "sum_r", "sum_g", "sum_b"):
-                out[k] = feats.map(lambda d, k=k: d[k]).astype("int64")
-            yield pd.DataFrame(out)
-
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    vids = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    vids = d.mapInPandas(
+        _payload_stage(synth_video), schema="doc_id long, payload binary"
+    )
     return vids.mapInPandas(
-        sample,
+        _feature_stage(
+            sample_video,
+            ("n_frames", "n_sampled", "n_bytes", "sum_r", "sum_g", "sum_b"),
+        ),
         schema="doc_id long, n_frames long, n_sampled long, n_bytes long, "
         "sum_r long, sum_g long, sum_b long",
     )

@@ -10,7 +10,7 @@ replays iterations 1..k-1.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snapshot_s3_util_spark.io import load_table
@@ -97,8 +97,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    from pyspark.sql import Window
-
     norm = edges.select(
         "src",
         "dst",
@@ -260,8 +258,6 @@ def _strong_und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
-    from pyspark.sql import Window
-
     wall = Window.partitionBy()
     return (
         edges.withColumn("n_e", F.count(F.lit(1)).over(wall))

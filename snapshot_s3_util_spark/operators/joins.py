@@ -1234,7 +1234,8 @@ def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks",
         "sz",
         F.expr(
-            f"slice(toks, 1, size(toks) - CAST(ceil({_SSJ_TAU} * size(toks)) AS INT) + 1)"
+            f"slice(toks, 1, CAST(sz AS INT)"
+            f" - CAST(ceil({_SSJ_TAU} * sz) AS INT) + 1)"
         ).alias("prefix"),
     ).localCheckpoint()
     pa = pref.select(
