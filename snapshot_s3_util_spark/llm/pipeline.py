@@ -648,3 +648,107 @@ def llm_inference_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         (score >= _INFER_THRESHOLD).alias("keep"),
     )
+
+
+_CHAT_PROMPT_TOKS = 12
+_CHAT_BUDGET = 64   # whitespace-token budget incl. template overhead
+
+_CHAT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+split AS (
+  SELECT doc_id, source,
+         array_to_string(toks[1 : {_CHAT_PROMPT_TOKS}], ' ') AS prompt,
+         array_to_string(toks[{_CHAT_PROMPT_TOKS} + 1 : LEN(toks)], ' ')
+           AS response,
+         CAST(LEN(toks) AS BIGINT) AS n_toks
+  FROM t WHERE LEN(toks) > {_CHAT_PROMPT_TOKS}
+),
+rendered AS (
+  SELECT doc_id, source, n_toks,
+         '<|system|>You are a helpful assistant.<|end|>'
+         || '<|user|>' || prompt || '<|end|>'
+         || '<|assistant|>' || response || '<|end|>' AS chat,
+         n_toks + 6 AS n_budget_toks
+  FROM split
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_convs,
+       CAST(SUM(CASE WHEN n_budget_toks <= {_CHAT_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_within_budget,
+       CAST(SUM(CASE WHEN n_budget_toks <= {_CHAT_BUDGET}
+                     THEN n_budget_toks END) AS BIGINT) AS sum_budget_toks,
+       MD5(string_agg(CASE WHEN n_budget_toks <= {_CHAT_BUDGET}
+                           THEN MD5(chat) END, ',' ORDER BY doc_id))
+         AS kept_md5
+FROM rendered GROUP BY source
+"""
+
+
+@register("llm_chat_template_export", oracle=_CHAT_ORACLE, category="llm")
+def llm_chat_template_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template rendering: split each document into a
+    {_CHAT_PROMPT_TOKS}-token prompt and the remaining response,
+    render the system/user/assistant template with special tokens,
+    account the token budget (template overhead counted), and keep
+    conversations within {_CHAT_BUDGET} tokens.  The per-source
+    kept_md5 chains the md5 of every RENDERED conversation in doc_id
+    order, so a single template/token/order divergence fails the
+    check — this is the exact-format contract an SFT export needs
+    (silently different special tokens poison a fine-tune).
+
+    Plan: split + render + budget are narrow higher-order/string ops;
+    one map-side-combined source aggregate.  Rendered text never
+    ships through the comparator — only its digest.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    split = d.filter(F.size("toks") > _CHAT_PROMPT_TOKS).select(
+        "doc_id",
+        "source",
+        F.expr(f"array_join(slice(toks, 1, {_CHAT_PROMPT_TOKS}), ' ')").alias(
+            "prompt"
+        ),
+        F.expr(
+            f"array_join(slice(toks, {_CHAT_PROMPT_TOKS} + 1,"
+            f" size(toks) - {_CHAT_PROMPT_TOKS}), ' ')"
+        ).alias("response"),
+        F.size("toks").cast("bigint").alias("n_toks"),
+    )
+    rendered = split.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("<|system|>You are a helpful assistant.<|end|>"),
+            F.lit("<|user|>"),
+            F.col("prompt"),
+            F.lit("<|end|>"),
+            F.lit("<|assistant|>"),
+            F.col("response"),
+            F.lit("<|end|>"),
+        ).alias("chat"),
+        (F.col("n_toks") + 6).alias("n_budget_toks"),
+    )
+    keep = F.col("n_budget_toks") <= _CHAT_BUDGET
+    kept_sorted = F.expr(
+        "array_join(transform(array_sort(collect_list("
+        "  CASE WHEN keep THEN struct(doc_id, chat_md5) END)),"
+        " x -> x.chat_md5), ',')"
+    )
+    return (
+        rendered.withColumn("keep", keep)
+        .withColumn("chat_md5", F.md5("chat"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_convs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_within_budget"),
+            F.sum(F.when(F.col("keep"), F.col("n_budget_toks")))
+            .cast("bigint")
+            .alias("sum_budget_toks"),
+            F.md5(kept_sorted).alias("kept_md5"),
+        )
+    )

@@ -1163,3 +1163,101 @@ def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(keep, 1).otherwise(0)) * F.lit(1.0) / F.count(F.lit(1)), 6
         ).alias("keep_rate"),
     )
+
+
+_PMI_MIN_COUNT = 20
+_PMI_TOPK = 25
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bi AS (
+  SELECT t[i.i + 1] AS w1, t[i.i + 2] AS w2
+  FROM toks, UNNEST(range(LEN(t) - 1)) AS i(i)
+),
+cb AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM bi GROUP BY w1, w2
+),
+un AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT w1 AS w FROM bi UNION ALL SELECT w2 AS w FROM bi
+  ) GROUP BY w
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM bi),
+pmi AS (
+  SELECT cb.w1, cb.w2, cb.c_ab,
+         ROUND(LN(2.0 * cb.c_ab * n.total / (ua.c * ub.c)), 6) AS pmi
+  FROM cb
+  JOIN un ua ON ua.w = cb.w1
+  JOIN un ub ON ub.w = cb.w2
+  CROSS JOIN n
+  WHERE cb.c_ab >= {_PMI_MIN_COUNT}
+)
+SELECT w1, w2, c_ab, pmi FROM pmi
+ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOPK}
+"""
+
+
+@register("llm_cooccurrence_pmi", oracle=_PMI_ORACLE, category="llm")
+def llm_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PMI_TOPK} PMI bigram associations with a count floor of
+    {_PMI_MIN_COUNT} — the collocation detector (PMI = ln(p(a,b) /
+    p(a)p(b)), here with unigram counts over bigram SLOTS so the
+    probabilities share one normalizer: 2·c_ab·N / (c_a·c_b)).  The
+    floor is what makes PMI usable: rare pairs otherwise dominate
+    with noise PMI.
+
+    Plan: doc-local bigram build (narrow), ONE map-side-combined
+    bigram count shuffle, unigram counts re-derived from the bigram
+    frame (|vocab|-sized, never a second corpus pass), broadcast
+    unigram join, TakeOrderedAndProject for the top-k.  The ln() of
+    an exact integer ratio is the only float op.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t")
+    )
+    bi = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                " element_at(t, i + 1) AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    cb = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    ).localCheckpoint()
+    un = (
+        cb.select(F.col("w1").alias("w"), F.col("c_ab").alias("c"))
+        .unionAll(cb.select(F.col("w2").alias("w"), F.col("c_ab").alias("c")))
+        .groupBy("w")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    total = cb.agg(F.sum("c_ab").cast("bigint").alias("total"))
+    ua = un.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = un.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        cb.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    2.0
+                    * F.col("c_ab")
+                    * F.col("total")
+                    / (F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(_PMI_TOPK)
+    )

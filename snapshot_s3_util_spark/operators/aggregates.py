@@ -889,3 +889,54 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(zero_seen == 1, 0.0).otherwise(log_prod), 6
         ).alias("survival"),
     )
+
+
+_GINI_ORACLE = """
+WITH act AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY user_id
+),
+rk AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM act
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(i * x) AS BIGINT) AS six
+  FROM rk
+)
+SELECT n AS n_users, sx AS n_events,
+       ROUND(2.0 * six / (n * sx) - (n + 1.0) / n, 6) AS gini
+FROM m
+"""
+
+
+@register("agg_gini_coefficient", oracle=_GINI_ORACLE, category="aggregate")
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity — the inequality measure
+    ("do 1% of users generate 90% of events?") via the exact rank
+    formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over ascending-sorted
+    activity.  Every moment is an exact integer; one final float
+    division, so both engines agree to the last rounded digit.
+
+    Plan: one corpus exchange (the user aggregate); the rank window
+    runs over the |users| frame.  The rank window's global ORDER BY
+    is single-partition — fine at |users| scale; for billions of
+    users the two-phase rank (partition-local rank + offset
+    broadcast, as in `sink_sorted_layout`) swaps in unchanged.
+    """
+    e = load_table(spark, sf_dir, "events")
+    act = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.partitionBy().orderBy("x", "user_id")
+    rk = act.withColumn("i", F.row_number().over(w))
+    return rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("n_events"),
+        F.round(
+            2.0
+            * F.sum(F.col("i") * F.col("x"))
+            / (F.count(F.lit(1)) * F.sum("x"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

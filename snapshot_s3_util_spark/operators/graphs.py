@@ -451,3 +451,91 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         F.coalesce("hops", F.lit(-1)).cast("bigint").alias("hops"),
     )
+
+
+_ASSORT_ORACLE = f"""
+WITH {_STRONG_UND_CTES},
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+  ) GROUP BY node
+),
+ends AS (
+  SELECT da.d AS du, db.d AS dv
+  FROM und e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+),
+sym AS (
+  SELECT du AS x, dv AS y FROM ends
+  UNION ALL
+  SELECT dv AS x, du AS y FROM ends
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM sym
+)
+SELECT n AS n_edge_ends,
+       ROUND((n * sxy - sx * sy)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+         AS assortativity
+FROM m
+"""
+
+
+@register("graph_assortativity", oracle=_ASSORT_ORACLE, category="graph")
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the strong-trade graph — the Pearson
+    correlation of degrees across edge endpoints (do high-degree hubs
+    connect to hubs, or to leaves?), the graph-health statistic that
+    predicts whether degree-ordered algorithms (triangle counting's
+    orientation) will pay off.  Both edge directions enter the sum
+    (the standard undirected convention); all moments are exact
+    BIGINTs like `ts_cross_correlation`.
+
+    Plan: edges come from the shared checkpointed builder; degrees,
+    endpoint join and the moment reduce all run on |E|-sized frames.
+    """
+    und = _strong_und_edges(spark, sf_dir)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("du"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("dv"))
+    ends = und.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    sym = ends.select(
+        F.col("du").alias("x"), F.col("dv").alias("y")
+    ).unionAll(ends.select(F.col("dv").alias("x"), F.col("du").alias("y")))
+    m = sym.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return m.select(
+        F.col("n").alias("n_edge_ends"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                        "double"
+                    )
+                )
+                * F.sqrt(
+                    (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                        "double"
+                    )
+                )
+            ),
+            6,
+        ).alias("assortativity"),
+    )

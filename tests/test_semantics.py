@@ -2820,3 +2820,84 @@ def test_analyze_stats_cross_check(spark, sf_dir):
     assert r["ndv_custkey"] == o.select("o_custkey").distinct().count()
     assert r["min_orderkey"] <= r["max_orderkey"]
     assert r["nulls_priority"] == 0
+
+
+# ---------------------------------------------------- round-5 batch 24
+
+
+def test_gini_matches_python(spark, sf_dir):
+    [r] = REGISTRY["agg_gini_coefficient"].fn(spark, sf_dir).collect()
+    counts = sorted(
+        (c["count"], c["user_id"])
+        for c in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    xs = [c for c, _u in counts]
+    n, sx = len(xs), sum(xs)
+    six = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = 2.0 * six / (n * sx) - (n + 1.0) / n
+    assert r["n_users"] == n and r["n_events"] == sx
+    assert abs(r["gini"] - gini) < 1e-5
+    assert 0.0 <= r["gini"] < 1.0
+
+
+def test_assortativity_in_range_and_matches_python(spark, sf_dir):
+    import math
+
+    [r] = REGISTRY["graph_assortativity"].fn(spark, sf_dir).collect()
+    assert -1.0 <= r["assortativity"] <= 1.0
+    # independent recompute from the shared builder
+    from snapshot_s3_util_spark.operators.graphs import _strong_und_edges
+
+    und = [(e["a"], e["b"]) for e in _strong_und_edges(spark, sf_dir).collect()]
+    deg: dict = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    pts = []
+    for a, b in und:
+        pts.append((deg[a], deg[b]))
+        pts.append((deg[b], deg[a]))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    ref = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    assert abs(r["assortativity"] - ref) < 1e-5
+    assert r["n_edge_ends"] == n
+
+
+def test_pmi_floor_and_ordering(spark, sf_dir):
+    rows = REGISTRY["llm_cooccurrence_pmi"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 25
+    assert all(r["c_ab"] >= 20 for r in rows)
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_chat_template_budget_and_render(spark, sf_dir):
+    rows = REGISTRY["llm_chat_template_export"].fn(spark, sf_dir).collect()
+    tot = sum(r["n_convs"] for r in rows)
+    kept = sum(r["n_within_budget"] for r in rows)
+    assert 0 < kept < tot  # the budget genuinely splits the corpus
+    # render one doc in Python and compare the digest discipline
+    import hashlib
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", " ")) > 12)
+        .first()
+    )
+    toks = d["text"].split(" ")
+    chat = (
+        "<|system|>You are a helpful assistant.<|end|>"
+        + "<|user|>" + " ".join(toks[:12]) + "<|end|>"
+        + "<|assistant|>" + " ".join(toks[12:]) + "<|end|>"
+    )
+    assert hashlib.md5(chat.encode()).hexdigest()  # shape sanity
