@@ -1181,3 +1181,136 @@ def win_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "assign_md5"
         ),
     )
+
+
+_SNAIVE_TEST_DAY = "2024-01-29"  # held-out day (last full day)
+
+_SNAIVE_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {EVENTS_REL} e GROUP BY 1, 2, 3
+),
+actual AS (
+  SELECT event_type, h, n FROM hourly WHERE d = DATE '{_SNAIVE_TEST_DAY}'
+),
+forecast AS (
+  SELECT event_type, h, n AS fc
+  FROM hourly WHERE d = DATE '{_SNAIVE_TEST_DAY}' - INTERVAL 7 DAY
+),
+joined AS (
+  SELECT a.event_type, a.h, a.n, COALESCE(f.fc, 0) AS fc
+  FROM actual a LEFT JOIN forecast f
+    ON f.event_type = a.event_type AND f.h = a.h
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(ABS(n - fc)) AS BIGINT) AS abs_err_total,
+       ROUND(SUM(ABS(n - fc)) * 1.0 / COUNT(*), 6) AS mae,
+       ROUND(SUM(ABS(n - fc)) * 1.0 / SUM(n), 6) AS wape
+FROM joined GROUP BY event_type
+"""
+
+
+@register("ts_forecast_snaive", oracle=_SNAIVE_ORACLE, category="timeseries")
+def ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast BACKTEST: predict each series' hourly
+    counts on the held-out day {_SNAIVE_TEST_DAY} as "same hour one
+    week earlier", score MAE and WAPE per series — the baseline every
+    fancier forecaster must beat, plus the held-out-evaluation
+    protocol itself (forecast rows join actuals; missing lag hours
+    forecast 0).  All errors are integer sums; the two ratios are the
+    only float ops.
+
+    Plan: one corpus exchange (the hourly rollup, map-side combined);
+    actual/forecast split and join run on the |types| x 24 frame.
+    Same cascade discipline as ts_rollup_cascade: backtesting is
+    catalog-sized after one rollup at any data scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
+        F.hour("ts").cast("bigint").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n")).localCheckpoint()
+    test_day = F.lit(_SNAIVE_TEST_DAY).cast("date")
+    actual = hourly.filter(F.col("d") == test_day).select("event_type", "h", "n")
+    forecast = hourly.filter(
+        F.col("d") == F.date_sub(test_day, 7)
+    ).select(
+        F.col("event_type").alias("f_type"),
+        F.col("h").alias("f_h"),
+        F.col("n").alias("fc"),
+    )
+    joined = actual.join(
+        F.broadcast(forecast),
+        (F.col("event_type") == F.col("f_type")) & (F.col("h") == F.col("f_h")),
+        "left",
+    ).select(
+        "event_type", "h", "n", F.coalesce("fc", F.lit(0)).alias("fc")
+    )
+    err = F.abs(F.col("n") - F.col("fc"))
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum(err).cast("bigint").alias("abs_err_total"),
+        F.round(F.sum(err) * 1.0 / F.count(F.lit(1)), 6).alias("mae"),
+        F.round(F.sum(err) * 1.0 / F.sum("n"), 6).alias("wape"),
+    )
+
+
+_MARKOV_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM {EVENTS_REL} e
+),
+trans AS (
+  SELECT event_type AS from_state, nxt AS to_state,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ordered WHERE nxt IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT from_state, CAST(SUM(n) AS BIGINT) AS row_total
+  FROM trans GROUP BY from_state
+)
+SELECT t.from_state, t.to_state, t.n,
+       ROUND(CAST(t.n AS DOUBLE) / x.row_total, 6) AS p
+FROM trans t JOIN tot x ON x.from_state = t.from_state
+"""
+
+
+@register("agg_markov_transitions", oracle=_MARKOV_ORACLE, category="aggregate")
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream (view→click→purchase…): transition counts and row-
+    normalized probabilities — the clickstream model behind
+    next-action prediction and funnel leakage analysis.  Deterministic
+    ordering (ts, event_id) fixes ties; probabilities are exact
+    integer ratios rounded once.
+
+    Plan: ONE user_id exchange for the lead window; transition counts
+    map-side combine to the |states|² frame, and row normalization
+    joins on that catalog-sized frame.  At 100 TB the window pass is
+    the only data-shaped cost — same shape as sessionization.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    trans = ordered.groupBy(
+        F.col("event_type").alias("from_state"),
+        F.col("nxt").alias("to_state"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wtot = Window.partitionBy("from_state")
+    return trans.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wtot), 6
+        ).alias("p"),
+    )

@@ -2901,3 +2901,67 @@ def test_chat_template_budget_and_render(spark, sf_dir):
         + "<|assistant|>" + " ".join(toks[12:]) + "<|end|>"
     )
     assert hashlib.md5(chat.encode()).hexdigest()  # shape sanity
+
+
+def test_snaive_backtest_scores_match_python(spark, sf_dir):
+    import datetime
+
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["ts_forecast_snaive"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date(F.date_trunc("day", "ts")).alias("d"),
+            F.hour("ts").alias("h"),
+        )
+        .collect()
+    )
+    counts: dict = {}
+    for r in ev:
+        counts[(r["event_type"], r["d"], r["h"])] = (
+            counts.get((r["event_type"], r["d"], r["h"]), 0) + 1
+        )
+    test = datetime.date(2024, 1, 29)
+    lag = test - datetime.timedelta(days=7)
+    agg: dict = {}
+    for (et, d, h), n in counts.items():
+        if d != test:
+            continue
+        fc = counts.get((et, lag, h), 0)
+        a = agg.setdefault(et, {"n": 0, "err": 0, "act": 0})
+        a["n"] += 1
+        a["err"] += abs(n - fc)
+        a["act"] += n
+    for et, a in agg.items():
+        assert rows[et]["n_hours"] == a["n"]
+        assert rows[et]["abs_err_total"] == a["err"]
+        assert abs(rows[et]["wape"] - a["err"] / a["act"]) < 1e-5
+
+
+def test_markov_rows_normalize_and_match_python(spark, sf_dir):
+    rows = REGISTRY["agg_markov_transitions"].fn(spark, sf_dir).collect()
+    by_from: dict = {}
+    for r in rows:
+        by_from.setdefault(r["from_state"], []).append(r)
+    for _f, rs in by_from.items():
+        assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-4
+    # independent recount
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_id", "event_type")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    trans: dict = {}
+    for _u, rs in by_user.items():
+        rs.sort(key=lambda r: (r["us"], r["event_id"]))
+        for a, b in zip(rs, rs[1:]):
+            k = (a["event_type"], b["event_type"])
+            trans[k] = trans.get(k, 0) + 1
+    got = {(r["from_state"], r["to_state"]): r["n"] for r in rows}
+    assert got == trans
