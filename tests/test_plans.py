@@ -1029,3 +1029,58 @@ def test_analyze_stats_one_scan(spark, sf_dir):
     plan = physical_plan(df)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert not uses_python(df)
+
+
+# ------------------------------------------------- round-5 batches 24-25
+
+
+def test_gini_rank_over_user_aggregate(spark, sf_dir):
+    """The global rank must consume the |users| aggregate, never raw
+    events (root-first: Window above HashAggregate)."""
+    df = REGISTRY["agg_gini_coefficient"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    win_pos = plan.find("Window")
+    agg_pos = plan.rfind("HashAggregate")
+    assert win_pos != -1 and agg_pos != -1 and win_pos < agg_pos, plan
+    assert not uses_python(df)
+
+
+def test_assortativity_broadcast_degree_joins(spark, sf_dir):
+    df = REGISTRY["graph_assortativity"].fn(spark, sf_dir)
+    assert has_node(df, "BroadcastHashJoin"), physical_plan(df)
+    assert not has_node(df, "CartesianProduct")
+
+
+def test_pmi_takeordered_no_second_corpus_pass(spark, sf_dir):
+    """Top-k via TakeOrderedAndProject; unigram counts must derive
+    from the checkpointed bigram frame (zero parquet scans in the
+    final plan)."""
+    import re
+
+    df = REGISTRY["llm_cooccurrence_pmi"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_node(df, "TakeOrderedAndProject"), plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+
+
+def test_chat_template_single_reduce(spark, sf_dir):
+    df = REGISTRY["llm_chat_template_export"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_snaive_backtest_post_rollup(spark, sf_dir):
+    """Actual and forecast are FILTERS of the checkpointed hourly
+    rollup — no parquet rescans downstream."""
+    import re
+
+    df = REGISTRY["ts_forecast_snaive"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert has_node(df, "BroadcastHashJoin"), plan
+
+
+def test_markov_one_window_one_count_exchange(spark, sf_dir):
+    df = REGISTRY["agg_markov_transitions"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 3, physical_plan(df)
+    assert not uses_python(df)
