@@ -794,3 +794,68 @@ def fn_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.length(b64).cast("bigint").alias("b64_len"),
     )
+
+
+# --- point-in-polygon -----------------------------------------------
+# Convex test polygon (a hexagon on a 0.001-grid so every cross
+# product is exactly representable); vertices counter-clockwise.
+_PIP_POLY = (
+    (0.0, -0.06),
+    (0.05, -0.03),
+    (0.05, 0.03),
+    (0.0, 0.06),
+    (-0.05, 0.03),
+    (-0.05, -0.03),
+)
+
+_PIP_EDGE_SQL = " AND ".join(
+    # CCW convex polygon: inside iff every cross product
+    # (v2-v1) x (p-v1) >= 0
+    f"(({x2} - {x1}) * (y - {y1}) - ({y2} - {y1}) * (x - {x1})) >= 0"
+    for (x1, y1), (x2, y2) in zip(_PIP_POLY, _PIP_POLY[1:] + _PIP_POLY[:1])
+)
+
+_PIP_ORACLE = f"""
+WITH p AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings
+)
+SELECT CAST(SUM(CASE WHEN {_PIP_EDGE_SQL} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inside,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(CASE WHEN {_PIP_EDGE_SQL} THEN vec_id END) AS BIGINT)
+         AS first_inside
+FROM p
+"""
+
+
+@register("fn_geo_point_in_polygon", oracle=_PIP_ORACLE, category="function")
+def fn_geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-convex-polygon containment via the half-plane
+    (cross-product sign) test: a point is inside a CCW convex polygon
+    iff it sits left-of-or-on every directed edge.  Polygon vertices
+    live on a coarse grid so every cross product is exactly
+    representable in doubles — both engines evaluate identical signs,
+    no epsilon needed.  The geo-filter primitive behind geofencing
+    and region assignment (the embeddings' first two dims stand in
+    for coordinates, as in `join_spatial_grid`).
+
+    Narrow codegen'd arithmetic + one single-row reduce; at 100 TB a
+    polygon JOIN grid-blocks by polygon bounding box first (the
+    `join_spatial_grid` pattern), then runs this residual test.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = emb.select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    inside = F.expr(_PIP_EDGE_SQL)
+    return p.agg(
+        F.sum(F.when(inside, 1).otherwise(0)).cast("bigint").alias("n_inside"),
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.min(F.when(inside, F.col("vec_id"))).cast("bigint").alias(
+            "first_inside"
+        ),
+    )

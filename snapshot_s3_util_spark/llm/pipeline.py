@@ -752,3 +752,174 @@ def llm_chat_template_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(kept_sorted).alias("kept_md5"),
         )
     )
+
+
+_DPO_GROUPS = 100  # prompt-group count (doc_id % _DPO_GROUPS)
+
+_DPO_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, doc_id % {_DPO_GROUPS} AS prompt_id,
+         ROUND(0.5 * (CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks))
+               + 0.3 * (CAST(LEN(list_filter(toks,
+                         x -> x IN ('the', 'a', 'of', 'and', 'to')))
+                         AS DOUBLE) / LEN(toks))
+               + 0.2 * LEAST(LEN(toks) / 100.0, 1.0), 6) AS quality
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+ranked AS (
+  SELECT prompt_id, doc_id, quality,
+         ROW_NUMBER() OVER (PARTITION BY prompt_id
+                            ORDER BY quality DESC, doc_id) AS rn_top,
+         ROW_NUMBER() OVER (PARTITION BY prompt_id
+                            ORDER BY quality ASC, doc_id DESC) AS rn_bot,
+         CAST(COUNT(*) OVER (PARTITION BY prompt_id) AS BIGINT) AS grp_n
+  FROM q
+)
+SELECT a.prompt_id,
+       CAST(a.doc_id AS BIGINT) AS chosen_doc,
+       CAST(b.doc_id AS BIGINT) AS rejected_doc,
+       ROUND(a.quality - b.quality, 6) AS margin
+FROM ranked a
+JOIN ranked b ON b.prompt_id = a.prompt_id AND b.rn_bot = 1
+WHERE a.rn_top = 1 AND a.grp_n >= 2 AND a.doc_id <> b.doc_id
+"""
+
+
+@register("llm_dpo_pairs", oracle=_DPO_ORACLE, category="llm")
+def llm_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (DPO/RLHF-style): within each
+    prompt group (doc_id % {_DPO_GROUPS} — stand-in for "responses to
+    the same prompt"), pair the HIGHEST-quality member (chosen)
+    against the LOWEST (rejected) with the quality margin; singleton
+    groups can't form a pair and are dropped.  Deterministic
+    tiebreaks on both ends (ties at equal quality pick lowest doc_id
+    as chosen, highest as rejected, and chosen<>rejected guards the
+    all-tied group).
+
+    Plan: quality is the shared narrow pass (`llm_quality_score`'s
+    blend); both extreme elections ride ONE prompt_id window exchange
+    (two rank orders over the same partitioning — Spark plans one
+    sort + two Window nodes, no second shuffle); the chosen/rejected
+    join is |groups|-sized.  At 100 TB this is the cheap end of RLHF
+    data prep: one keyed exchange over responses.
+    """
+    from snapshot_s3_util_spark.llm.textstats import llm_quality_score
+
+    q = llm_quality_score(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % _DPO_GROUPS).alias("prompt_id"),
+        F.col("quality_score").alias("quality"),
+    )
+    w_top = Window.partitionBy("prompt_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    w_bot = Window.partitionBy("prompt_id").orderBy(
+        F.col("quality").asc(), F.col("doc_id").desc()
+    )
+    w_n = Window.partitionBy("prompt_id")
+    ranked = q.select(
+        "prompt_id",
+        "doc_id",
+        "quality",
+        F.row_number().over(w_top).alias("rn_top"),
+        F.row_number().over(w_bot).alias("rn_bot"),
+        F.count(F.lit(1)).over(w_n).cast("bigint").alias("grp_n"),
+    )
+    a = ranked.filter((F.col("rn_top") == 1) & (F.col("grp_n") >= 2)).select(
+        "prompt_id",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("quality").alias("q_a"),
+    )
+    b = ranked.filter(F.col("rn_bot") == 1).select(
+        F.col("prompt_id").alias("p2"),
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("quality").alias("q_b"),
+    )
+    return (
+        a.join(b, a["prompt_id"] == b["p2"])
+        .filter(F.col("chosen_doc") != F.col("rejected_doc"))
+        .select(
+            "prompt_id",
+            F.col("chosen_doc").cast("bigint"),
+            F.col("rejected_doc").cast("bigint"),
+            F.round(F.col("q_a") - F.col("q_b"), 6).alias("margin"),
+        )
+    )
+
+
+_SPAN_RATE_MOD = 5   # corrupt every 5th token-position start
+_SPAN_LEN = 3        # span width
+
+_SPAN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+marked AS (
+  SELECT doc_id, LEN(toks) AS n,
+         list_transform(range(LEN(toks)),
+           i -> CASE WHEN (CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS STRING)
+                            || ':' || CAST(CAST(FLOOR(i / {_SPAN_LEN}) AS BIGINT)
+                            AS STRING)), 1, 8))
+                            AS BIGINT) % {_SPAN_RATE_MOD}) = 0
+                     THEN 1 ELSE 0 END) AS mask
+  FROM t
+),
+stats AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         CAST(list_sum(mask) AS BIGINT) AS n_masked
+  FROM marked
+)
+SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(n_masked) AS BIGINT) AS sum_masked,
+       ROUND(SUM(n_masked) * 1.0 / SUM(n_tokens), 6) AS mask_rate
+FROM stats GROUP BY 1
+"""
+
+
+@register("llm_span_corruption", oracle=_SPAN_ORACLE, category="llm")
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption planning: partition each document
+    into width-{_SPAN_LEN} spans and select ~1/{_SPAN_RATE_MOD} of
+    them for masking via a DETERMINISTIC hash of (doc_id, span_idx) —
+    the denoising-objective mask that must be re-run-stable so
+    checkpointed training jobs resume with identical targets (a
+    rand() mask silently changes the objective on every retry).
+    Per-bucket token/mask accounting verifies the selection exactly.
+
+    Plan: the mask is a doc-local higher-order transform (zero
+    shuffles); one map-side-combined bucket aggregate.  The actual
+    sentinel-token rendering (span -> <extra_id_k>) is a further
+    narrow map over the mask — accounting, the verifiable part, is
+    what the oracle pins.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    marked = d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"""aggregate(
+              transform(sequence(0, size(toks) - 1),
+                i -> CASE WHEN cast(conv(substring(md5(concat(
+                         CAST(doc_id AS STRING), ':',
+                         CAST(i div {_SPAN_LEN} AS STRING))), 1, 8), 16, 10)
+                         AS bigint) % {_SPAN_RATE_MOD} = 0
+                     THEN 1 ELSE 0 END),
+              0L, (a, v) -> a + v)"""
+        )
+        .cast("bigint")
+        .alias("n_masked"),
+    )
+    return marked.groupBy(
+        (F.col("doc_id") % 10).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.sum("n_masked").cast("bigint").alias("sum_masked"),
+        F.round(
+            F.sum("n_masked") * 1.0 / F.sum("n_tokens"), 6
+        ).alias("mask_rate"),
+    )

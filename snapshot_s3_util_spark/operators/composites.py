@@ -1314,3 +1314,90 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(wtot), 6
         ).alias("p"),
     )
+
+
+_ACF_LAGS = (1, 2, 3, 7)
+
+_ACF_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {EVENTS_REL} e GROUP BY 1
+),
+lagged AS (
+  SELECT l.lag, a.n AS x, b.n AS y
+  FROM (SELECT UNNEST([{', '.join(str(x) for x in _ACF_LAGS)}]) AS lag) l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)
+),
+m AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM lagged GROUP BY lag
+)
+SELECT lag, n,
+       ROUND((n * sxy - sx * sy)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
+FROM m
+"""
+
+
+@register("ts_autocorrelation", oracle=_ACF_ORACLE, category="timeseries")
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the total daily event series at lags
+    {_ACF_LAGS} — the seasonality detector that justifies (or
+    refutes) `ts_forecast_snaive`'s weekly lag: a strong lag-7 ACF
+    means same-day-last-week is a good predictor.  Exact BIGINT
+    moments like `ts_cross_correlation` (this is its self-join
+    sibling; kept separate because ACF is the single-series
+    diagnostic run FIRST, before any pairwise analysis).
+
+    Plan: one corpus exchange to |days| rows (checkpointed), lag
+    explode + broadcast self-join + one reduce on the catalog-sized
+    frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    lags = daily.withColumn(
+        "lag", F.explode(F.array(*[F.lit(x) for x in _ACF_LAGS]))
+    )
+    b = daily.select(F.col("d").alias("d2"), F.col("n").alias("y"))
+    lagged = lags.join(
+        F.broadcast(b), F.col("d2") == F.expr("date_add(d, lag)")
+    ).select("lag", F.col("n").alias("x"), "y")
+    m = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return m.select(
+        "lag",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                        "double"
+                    )
+                )
+                * F.sqrt(
+                    (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                        "double"
+                    )
+                )
+            ),
+            6,
+        ).alias("acf"),
+    )

@@ -523,3 +523,70 @@ def scan_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
         F.round(F.avg(F.length("o_orderpriority")), 6).alias("avg_len_priority"),
     )
+
+
+@register(
+    "scan_partition_skew_report",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM {EVENTS_REL} e GROUP BY event_type
+    ),
+    s AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_parts,
+                 CAST(MAX(n_rows) AS BIGINT) AS mx
+          FROM p)
+    SELECT p.event_type AS partition_value, p.n_rows, p.n_users,
+           ROUND(p.n_rows * 1.0 * s.n_parts / s.total, 6) AS skew_factor,
+           p.n_rows = s.mx AS is_largest
+    FROM p, s
+    """,
+    category="scan",
+)
+def scan_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout skew telemetry for a hive-partitioned landing
+    zone: rows and distinct keys per partition, each partition's skew
+    factor (size ÷ mean partition size), and the largest-partition
+    flag — the report that decides when a layout needs salting,
+    re-bucketing, or AQE skew handling BEFORE a job hits the straggler.
+    The physical layout is written (partitionBy event_type) and the
+    report computed from the READ-BACK copy, so the write path is
+    inside the check.
+
+    Plan: one read-back aggregate (map-side combined per partition —
+    at scale each report row summarizes one directory's files);
+    normalizers run on the |partitions| frame via one tiny broadcast.
+    """
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="s3u_spark_skew_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+        back = spark.read.parquet(out)
+        p = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        s = p.agg(
+            F.sum("n_rows").cast("bigint").alias("total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.max("n_rows").cast("bigint").alias("mx"),
+        )
+        return (
+            p.crossJoin(F.broadcast(s))
+            .select(
+                F.col("event_type").alias("partition_value"),
+                "n_rows",
+                "n_users",
+                F.round(
+                    F.col("n_rows") * 1.0 * F.col("n_parts") / F.col("total"), 6
+                ).alias("skew_factor"),
+                (F.col("n_rows") == F.col("mx")).alias("is_largest"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

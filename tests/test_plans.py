@@ -1084,3 +1084,42 @@ def test_markov_one_window_one_count_exchange(spark, sf_dir):
     df = REGISTRY["agg_markov_transitions"].fn(spark, sf_dir)
     assert shuffle_count(df) <= 3, physical_plan(df)
     assert not uses_python(df)
+
+
+# ---------------------------------------------------- round-5 batch 26
+
+
+def test_dpo_single_prompt_exchange(spark, sf_dir):
+    """Both rank orders must share one prompt_id hash exchange (two
+    Window nodes, but no second shuffle for the re-sort)."""
+    df = REGISTRY["llm_dpo_pairs"].fn(spark, sf_dir)
+    assert not uses_python(df)
+    plan = physical_plan(df)
+    import re
+
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    keys = {l.split("hashpartitioning(")[1].split(",")[0] for l in exchanges}
+    assert len(keys) <= 2, plan  # prompt_id (+ the tiny join side)
+
+
+def test_span_corruption_is_narrow(spark, sf_dir):
+    df = REGISTRY["llm_span_corruption"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_point_in_polygon_single_reduce(spark, sf_dir):
+    df = REGISTRY["fn_geo_point_in_polygon"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 1, physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_acf_post_checkpoint_broadcast(spark, sf_dir):
+    import re
+
+    df = REGISTRY["ts_autocorrelation"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert has_node(df, "BroadcastHashJoin"), plan

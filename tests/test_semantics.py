@@ -2965,3 +2965,79 @@ def test_markov_rows_normalize_and_match_python(spark, sf_dir):
             trans[k] = trans.get(k, 0) + 1
     got = {(r["from_state"], r["to_state"]): r["n"] for r in rows}
     assert got == trans
+
+
+# ---------------------------------------------------- round-5 batch 26
+
+
+def test_dpo_pairs_margins_nonnegative_and_extreme(spark, sf_dir):
+    rows = REGISTRY["llm_dpo_pairs"].fn(spark, sf_dir).collect()
+    quality = {
+        r["doc_id"]: r["quality_score"]
+        for r in REGISTRY["llm_quality_score"].fn(spark, sf_dir).collect()
+    }
+    groups: dict = {}
+    for d, q in quality.items():
+        groups.setdefault(d % 100, []).append((q, d))
+    for r in rows:
+        members = groups[r["prompt_id"]]
+        assert len(members) >= 2
+        assert r["margin"] >= 0
+        best = min(members, key=lambda t: (-t[0], t[1]))[1]
+        worst = min(members, key=lambda t: (t[0], -t[1]))[1]
+        assert r["chosen_doc"] == best and r["rejected_doc"] == worst
+
+
+def test_span_corruption_mask_rate_near_target(spark, sf_dir):
+    rows = REGISTRY["llm_span_corruption"].fn(spark, sf_dir).collect()
+    tot = sum(r["sum_tokens"] for r in rows)
+    masked = sum(r["sum_masked"] for r in rows)
+    # hash selects ~1/5 of spans
+    assert 0.1 < masked / tot < 0.3
+    # determinism: second run identical
+    again = REGISTRY["llm_span_corruption"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_point_in_polygon_matches_python(spark, sf_dir):
+    from snapshot_s3_util_spark.functions.scalars import _PIP_POLY
+
+    [r] = REGISTRY["fn_geo_point_in_polygon"].fn(spark, sf_dir).collect()
+    pts = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("embedding").getItem(0).cast("double").alias("x"),
+            F.col("embedding").getItem(1).cast("double").alias("y"),
+        )
+        .collect()
+    )
+
+    def inside(x, y):
+        edges = list(zip(_PIP_POLY, _PIP_POLY[1:] + _PIP_POLY[:1]))
+        return all(
+            (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1) >= 0
+            for (x1, y1), (x2, y2) in edges
+        )
+
+    n_in = sum(1 for p in pts if inside(p["x"], p["y"]))
+    assert r["n_inside"] == n_in
+    assert 0 < r["n_inside"] < r["n_points"]
+
+
+def test_partition_skew_factors_average_to_one(spark, sf_dir):
+    rows = REGISTRY["scan_partition_skew_report"].fn(spark, sf_dir).collect()
+    assert abs(sum(r["skew_factor"] for r in rows) / len(rows) - 1.0) < 1e-4
+    assert sum(1 for r in rows if r["is_largest"]) >= 1
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_rows"] for r in rows) == n_events
+
+
+def test_acf_lag7_detects_weekly_pattern_shape(spark, sf_dir):
+    rows = {
+        r["lag"]: r for r in REGISTRY["ts_autocorrelation"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2, 3, 7}
+    for r in rows.values():
+        assert -1.0 <= r["acf"] <= 1.0
+        assert r["n"] >= 20  # 30-day window minus lag
