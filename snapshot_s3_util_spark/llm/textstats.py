@@ -1261,3 +1261,102 @@ def llm_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(_PMI_TOPK)
     )
+
+
+_READABILITY_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+  SELECT doc_id,
+         UNNEST(toks) AS w,
+         UNNEST(generate_series(1, LEN(toks))) AS i
+  FROM t
+),
+pw AS (
+  SELECT doc_id, i,
+         w || CASE WHEN CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS STRING)
+                                              || ':' || CAST(i AS STRING)),
+                                        1, 8)) AS BIGINT) % 7 = 6
+                   THEN '.' ELSE '' END AS pw,
+         GREATEST(1, LENGTH(regexp_replace(
+             regexp_replace(w, '[aeiouy]+', 'V', 'g'), '[^V]', '', 'g')))
+           AS syl
+  FROM w
+),
+doc AS (
+  SELECT doc_id,
+         STRING_AGG(pw, ' ' ORDER BY i) AS ptext,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(syl) AS BIGINT) AS n_syllables
+  FROM pw GROUP BY doc_id
+),
+parsed AS (
+  SELECT doc_id, n_words, n_syllables,
+         CAST(GREATEST(1, LEN(list_filter(string_split(ptext, '.'),
+                                          s -> TRIM(s) <> ''))) AS BIGINT)
+           AS n_sentences
+  FROM doc
+)
+SELECT doc_id, n_sentences, n_words, n_syllables,
+       ROUND(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch
+FROM parsed
+"""
+
+
+@register("llm_readability", oracle=_READABILITY_ORACLE, category="llm")
+def llm_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring per document — the classic
+    readability screen a curation pipeline runs next to the Gopher
+    rule battery (206.835 − 1.015·words/sentence − 84.6·syllables/
+    word; syllables ≈ vowel-group runs, min 1 per word).
+
+    The corpus has no organic punctuation, so sentence boundaries are
+    SEEDED deterministically (a period after every word whose
+    md5(doc_id:position) bucket hits 6 of 7 — same synthesis
+    discipline as `llm_pii_redact`) and then genuinely RE-PARSED from
+    the punctuated text with a split/trim/filter pass that both
+    engines implement independently; word and vowel-group math runs
+    on the original tokens.  Everything up to the final Flesch
+    division is exact integers.
+
+    Plan: entirely narrow (zero shuffles) — per-doc higher-order
+    array ops inside whole-stage codegen; no explode, no window.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    d = d.withColumn(
+        "ptext",
+        F.expr(
+            "array_join(transform(toks, (w, i) -> concat(w,"
+            " CASE WHEN cast(conv(substring(md5(concat("
+            "cast(doc_id AS string), ':', cast(i + 1 AS string))), 1, 8),"
+            " 16, 10) AS bigint) % 7 = 6 THEN '.' ELSE '' END)), ' ')"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.greatest(
+            F.lit(1),
+            F.expr("size(filter(split(ptext, '[.]'), s -> trim(s) != ''))"),
+        )
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.expr("size(toks)").cast("bigint").alias("n_words"),
+        F.expr(
+            "aggregate(toks, 0L, (acc, w) -> acc + greatest(1,"
+            " length(regexp_replace(regexp_replace(w, '[aeiouy]+', 'V'),"
+            " '[^V]', ''))))"
+        )
+        .cast("bigint")
+        .alias("n_syllables"),
+    ).withColumn(
+        "flesch",
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - 84.6 * (F.col("n_syllables").cast("double") / F.col("n_words")),
+            4,
+        ),
+    )

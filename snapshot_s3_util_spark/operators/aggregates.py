@@ -940,3 +940,78 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+_BENFORD_ORACLE = """
+WITH dig AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             AS STRING), 1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+obs AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM dig GROUP BY digit
+),
+grid AS (
+  SELECT d.digit, COALESCE(o.n, 0) AS n,
+         CAST(SUM(COALESCE(o.n, 0)) OVER () AS BIGINT) AS total
+  FROM range(1, 10) d(digit) LEFT JOIN obs o ON o.digit = d.digit
+)
+SELECT digit,
+       CAST(n AS BIGINT) AS n_orders,
+       ROUND(CAST(n AS DOUBLE) / total, 6) AS observed_p,
+       ROUND(LOG10(1 + 1.0 / digit), 6) AS benford_p,
+       ROUND(POWER(n - total * LOG10(1 + 1.0 / digit), 2)
+             / (total * LOG10(1 + 1.0 / digit)), 4) AS chi2_part
+FROM grid
+"""
+
+
+@register("agg_benford", oracle=_BENFORD_ORACLE, category="aggregate")
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the
+    forensic-accounting / data-quality screen (fabricated or
+    unit-mangled monetary columns flunk the log-curve).  Per digit
+    1-9: observed count and share, the Benford expectation
+    log10(1+1/d), and the chi-square contribution.
+
+    The first significant digit is extracted from the EXACT integer
+    cents (round(price*100) as BIGINT, then first character of the
+    integer's decimal rendering) — never from float-to-string
+    formatting or log10-of-value bucketing, which both diverge
+    between engines at representation boundaries.
+
+    Plan: one map-side-combined 9-group aggregate over the scan; the
+    digit grid join and the total window run on the 9-row frame.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    dig = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    obs = dig.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    grid = spark.range(1, 10).select(F.col("id").alias("digit"))
+    g = (
+        grid.join(F.broadcast(obs), "digit", "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .withColumn(
+            "total", F.sum("n").over(Window.partitionBy()).cast("bigint")
+        )
+    )
+    bp = F.log10(1 + 1.0 / F.col("digit"))
+    return g.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+            "observed_p"
+        ),
+        F.round(bp, 6).alias("benford_p"),
+        F.round(
+            F.pow(F.col("n") - F.col("total") * bp, 2) / (F.col("total") * bp),
+            4,
+        ).alias("chi2_part"),
+    )

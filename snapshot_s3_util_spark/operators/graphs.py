@@ -539,3 +539,83 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+_LINKPRED_ORACLE = f"""
+WITH {_STRONG_UND_CTES},
+adj AS (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL
+  SELECT b AS node, a AS nbr FROM und
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node
+),
+cand AS (
+  SELECT x.node AS u, y.node AS v, CAST(COUNT(*) AS BIGINT) AS common
+  FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+  GROUP BY x.node, y.node
+),
+nonedge AS (
+  SELECT c.u, c.v, c.common
+  FROM cand c LEFT JOIN und e ON e.a = c.u AND e.b = c.v
+  WHERE e.a IS NULL
+)
+SELECT ne.u, ne.v, ne.common AS common_neighbors,
+       ROUND(CAST(ne.common AS DOUBLE) / (du.d + dv.d - ne.common), 6)
+         AS jaccard
+FROM nonedge ne
+JOIN deg du ON du.node = ne.u
+JOIN deg dv ON dv.node = ne.v
+"""
+
+
+@register("graph_link_prediction", oracle=_LINKPRED_ORACLE, category="graph")
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the strong-trade graph:
+    for every NON-adjacent node pair that shares at least one
+    neighbor, emit the common-neighbor count and the neighborhood
+    Jaccard coefficient |N(u) ∩ N(v)| / |N(u) ∪ N(v)| — the classic
+    "which edge forms next" baseline (Liben-Nowell & Kleinberg).
+
+    Plan shape (the part that must survive 100 TB): candidate pairs
+    come from a WEDGE self-join on the shared-neighbor key — work is
+    Σ deg(n)², never |V|² — and existing edges are removed with a
+    broadcast-able anti-join against the checkpointed edge frame.
+    Degrees join back via broadcast; every frame after the wedge
+    reduce is |candidates|-sized.
+    """
+    und = _strong_und_edges(spark, sf_dir)
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    x = adj.select(F.col("node").alias("u"), F.col("nbr").alias("n"))
+    y = adj.select(F.col("node").alias("v"), F.col("nbr").alias("n"))
+    cand = (
+        x.join(y, "n")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    nonedge = cand.join(
+        F.broadcast(und),
+        (cand["u"] == und["a"]) & (cand["v"] == und["b"]),
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    return (
+        nonedge.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            F.col("common").alias("common_neighbors"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

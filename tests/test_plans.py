@@ -1123,3 +1123,27 @@ def test_acf_post_checkpoint_broadcast(spark, sf_dir):
     plan = physical_plan(df)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
     assert has_node(df, "BroadcastHashJoin"), plan
+
+
+def test_benford_single_scan_nine_row_window(spark, sf_dir):
+    df = REGISTRY["agg_benford"].fn(spark, sf_dir)
+    import re
+
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert not uses_python(df)
+    assert shuffle_count(df) <= 3, plan
+
+
+def test_link_prediction_broadcasts_no_cartesian(spark, sf_dir):
+    df = REGISTRY["graph_link_prediction"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_node(df, "BroadcastHashJoin"), plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert not uses_python(df)
+
+
+def test_readability_is_fully_narrow(spark, sf_dir):
+    df = REGISTRY["llm_readability"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0, physical_plan(df)
+    assert not uses_python(df)

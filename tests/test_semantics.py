@@ -3041,3 +3041,79 @@ def test_acf_lag7_detects_weekly_pattern_shape(spark, sf_dir):
     for r in rows.values():
         assert -1.0 <= r["acf"] <= 1.0
         assert r["n"] >= 20  # 30-day window minus lag
+
+
+def test_benford_digits_partition_orders(spark, sf_dir):
+    import math
+
+    rows = REGISTRY["agg_benford"].fn(spark, sf_dir).collect()
+    assert [r["digit"] for r in sorted(rows, key=lambda r: r["digit"])] == list(
+        range(1, 10)
+    )
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    assert abs(sum(r["observed_p"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r["benford_p"] - math.log10(1 + 1 / r["digit"])) < 1e-6
+        assert r["chi2_part"] >= 0.0
+
+
+def test_link_prediction_matches_python(spark, sf_dir):
+    from collections import defaultdict
+
+    from snapshot_s3_util_spark.operators.graphs import _strong_und_edges
+
+    edges = {(r["a"], r["b"]) for r in _strong_und_edges(spark, sf_dir).collect()}
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    expected = {}
+    for u in sorted(nbrs):
+        for v in sorted(nbrs):
+            if u < v and (u, v) not in edges:
+                common = nbrs[u] & nbrs[v]
+                if common:
+                    expected[(u, v)] = (
+                        len(common),
+                        round(len(common) / len(nbrs[u] | nbrs[v]), 6),
+                    )
+    rows = REGISTRY["graph_link_prediction"].fn(spark, sf_dir).collect()
+    got = {
+        (r["u"], r["v"]): (r["common_neighbors"], round(r["jaccard"], 6))
+        for r in rows
+    }
+    assert got == expected
+
+
+def test_readability_matches_python_reference(spark, sf_dir):
+    import hashlib
+    import re
+
+    rows = REGISTRY["llm_readability"].fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 5)
+        .collect()
+    }
+    by_id = {r["doc_id"]: r for r in rows if r["doc_id"] in docs}
+    assert set(by_id) == set(docs)
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        ptoks = []
+        for i, w in enumerate(toks, start=1):
+            h = int(hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:8], 16)
+            ptoks.append(w + ("." if h % 7 == 6 else ""))
+        ptext = " ".join(ptoks)
+        n_sent = max(1, len([s for s in ptext.split(".") if s.strip()]))
+        n_words = len(toks)
+        n_syl = sum(
+            max(1, len(re.findall(r"[aeiouy]+", w))) for w in toks
+        )
+        r = by_id[doc_id]
+        assert r["n_sentences"] == n_sent
+        assert r["n_words"] == n_words
+        assert r["n_syllables"] == n_syl
+        flesch = 206.835 - 1.015 * (n_words / n_sent) - 84.6 * (n_syl / n_words)
+        assert abs(r["flesch"] - round(flesch, 4)) < 1e-9
