@@ -859,3 +859,74 @@ def fn_geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_inside"
         ),
     )
+
+
+_TZ_ORACLE = f"""
+WITH s AS (
+  SELECT event_id,
+         ts + (event_id % 180) * INTERVAL 1 DAY AS u
+  FROM {EVENTS_REL} e
+),
+z AS (
+  SELECT event_id, u,
+         timezone('America/New_York', timezone('UTC', u)) AS ny,
+         timezone('Asia/Tokyo', timezone('UTC', u)) AS tokyo,
+         timezone('Asia/Kolkata', timezone('UTC', u)) AS kolkata
+  FROM s
+)
+SELECT event_id,
+       u AS utc_ts,
+       ny AS ny_local,
+       tokyo AS tokyo_local,
+       kolkata AS kolkata_local,
+       CAST((epoch_us(ny) - epoch_us(u)) / 60000000 AS BIGINT)
+         AS ny_offset_min,
+       CAST((epoch_us(ny) - epoch_us(u)) / 60000000 AS BIGINT) = -240
+         AS ny_is_dst,
+       CAST((epoch_us(kolkata) - epoch_us(u)) / 60000000 AS BIGINT)
+         AS kolkata_offset_min
+FROM z
+"""
+
+
+@register("fn_timezone", oracle=_TZ_ORACLE, category="function")
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IANA timezone conversion suite: UTC instants rendered as
+    New York / Tokyo / Kolkata wall-clock time, with the realized
+    UTC-offset (minutes) and a DST verdict — exercising a DST zone, a
+    fixed-offset zone, and a half-hour-offset zone against DuckDB's
+    independent tz database.  Event timestamps (one January) are
+    deterministically spread over 180 days so both sides of the March
+    DST transition genuinely occur.
+
+    Offsets are computed from integer-µs epoch differences of the
+    naive local rendering — never from zone-rule lookup tables — so
+    the two engines must agree on the actual conversion, not on
+    metadata.  (Oracle side uses the session-independent
+    `timezone(zone, timezone('UTC', ts))` double-hop; relying on the
+    connection's TimeZone setting would make the check
+    environment-dependent.)  Narrow, zero shuffles, codegen.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_id",
+        F.expr("timestampadd(DAY, int(event_id % 180), ts)").alias("u"),
+    )
+    def off(c):
+        return ((F.unix_micros(c) - F.unix_micros(F.col("u"))) / 60000000).cast(
+            "bigint"
+        )
+
+    ny = F.from_utc_timestamp("u", "America/New_York")
+    return s.select(
+        "event_id",
+        F.col("u").alias("utc_ts"),
+        ny.alias("ny_local"),
+        F.from_utc_timestamp("u", "Asia/Tokyo").alias("tokyo_local"),
+        F.from_utc_timestamp("u", "Asia/Kolkata").alias("kolkata_local"),
+        off(ny).alias("ny_offset_min"),
+        (off(ny) == -240).alias("ny_is_dst"),
+        off(F.from_utc_timestamp("u", "Asia/Kolkata")).alias(
+            "kolkata_offset_min"
+        ),
+    )

@@ -1401,3 +1401,74 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acf"),
     )
+
+
+_INTERVAL_MERGE_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + 7200000000 AS e
+  FROM {EVENTS_REL} e
+),
+runs AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_e
+  FROM iv
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_merged_intervals,
+       CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(prev_max_e, s))))
+            AS BIGINT) AS covered_us
+FROM runs
+GROUP BY user_id
+"""
+
+
+@register(
+    "ts_interval_merge", oracle=_INTERVAL_MERGE_ORACLE, category="composite"
+)
+def ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval coalescing per user (each event opens a 2 h
+    activity interval; report how many DISJOINT intervals remain after
+    merging overlaps, and the exact covered time) — the classic
+    interval-union primitive behind uptime, on-call coverage, and
+    billing-meter dedup.
+
+    No island re-grouping pass: the running `max(end)` window gives
+    each row its overlap-clipped contribution
+    `greatest(0, e − greatest(s, prev_max_e))` directly, so covered
+    time and interval count fall out of ONE user-partitioned window
+    followed by a same-key aggregate (the exchange is reused — the
+    aggregate's required distribution is already satisfied).  All
+    arithmetic in integer µs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(7200000000)).alias("e"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runs = iv.withColumn("prev_max_e", F.max("e").over(w))
+    new_iv = F.when(
+        F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
+        1,
+    ).otherwise(0)
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("e")
+        - F.greatest(F.col("s"), F.coalesce(F.col("prev_max_e"), F.col("s"))),
+    )
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(new_iv).cast("bigint").alias("n_merged_intervals"),
+        F.sum(contrib).cast("bigint").alias("covered_us"),
+    )

@@ -619,3 +619,98 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_LPA_ROUNDS = 2
+
+
+def _lpa_oracle() -> str:
+    ctes = [
+        f"WITH {_STRONG_UND_CTES}",
+        """adj AS (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL
+  SELECT b AS node, a AS nbr FROM und
+)""",
+        "l0 AS (SELECT DISTINCT node, node AS label FROM adj)",
+    ]
+    for k in range(1, _LPA_ROUNDS + 1):
+        ctes.append(
+            f"""l{k} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM (
+      SELECT a.node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+      FROM adj a JOIN l{k - 1} l ON l.node = a.nbr
+      GROUP BY a.node, l.label
+    )
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        ",\n".join(ctes)
+        + f"""
+SELECT na.n_name AS nation,
+       CAST(l.label AS BIGINT) AS community,
+       CAST(COUNT(*) OVER (PARTITION BY l.label) AS BIGINT)
+         AS community_size
+FROM l{_LPA_ROUNDS} l JOIN nation na ON na.n_nationkey = l.node
+"""
+    )
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle(), category="graph")
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    strong-trade graph: every node starts in its own community, then
+    for a fixed 2 rounds adopts the MODE of its neighbors' labels
+    (ties: highest count, then smallest label — fully deterministic,
+    unlike classic randomized LPA).  The oracle unrolls the identical
+    rounds as chained CTEs, so the check is exact, not rows-only
+    (`graph_pagerank` discipline).
+
+    Plan: the edge frame is built once and checkpointed; each round is
+    one |E|-sized join against the BROADCAST current label frame
+    (|V| rows) plus a map-side-combined (node, label) count and a
+    per-node argmax window — per-round shuffle is bounded by
+    |distinct (node, label)| ≤ |E|, and lineage stays flat because
+    rounds are unrolled, not iterated driver-side.
+    """
+    und = _strong_und_edges(spark, sf_dir)
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    labels = adj.select("node").distinct().withColumn("label", F.col("node"))
+    for _ in range(_LPA_ROUNDS):
+        nb = labels.select(
+            F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
+        )
+        counts = (
+            adj.join(F.broadcast(nb), "nbr")
+            .groupBy("node", "nbr_label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("nbr_label").asc()
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("nbr_label").alias("label"))
+        )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    sized = labels.withColumn(
+        "community_size",
+        F.count(F.lit(1)).over(Window.partitionBy("label")).cast("bigint"),
+    )
+    return sized.join(
+        F.broadcast(nation), sized["node"] == nation["n_nationkey"]
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.col("label").cast("bigint").alias("community"),
+        "community_size",
+    )

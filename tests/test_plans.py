@@ -1147,3 +1147,23 @@ def test_readability_is_fully_narrow(spark, sf_dir):
     df = REGISTRY["llm_readability"].fn(spark, sf_dir)
     assert shuffle_count(df) == 0, physical_plan(df)
     assert not uses_python(df)
+
+
+def test_interval_merge_single_user_exchange(spark, sf_dir):
+    df = REGISTRY["ts_interval_merge"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_label_propagation_broadcast_rounds(spark, sf_dir):
+    df = REGISTRY["graph_label_propagation"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_node(df, "BroadcastHashJoin"), plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert not uses_python(df)
+
+
+def test_timezone_is_fully_narrow(spark, sf_dir):
+    df = REGISTRY["fn_timezone"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0, physical_plan(df)
+    assert not uses_python(df)

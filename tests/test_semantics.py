@@ -3117,3 +3117,91 @@ def test_readability_matches_python_reference(spark, sf_dir):
         assert r["n_syllables"] == n_syl
         flesch = 206.835 - 1.015 * (n_words / n_sent) - 84.6 * (n_syl / n_words)
         assert abs(r["flesch"] - round(flesch, 4)) < 1e-9
+
+
+def test_label_propagation_matches_python(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from snapshot_s3_util_spark.operators.graphs import (
+        _LPA_ROUNDS,
+        _strong_und_edges,
+    )
+
+    edges = {(r["a"], r["b"]) for r in _strong_und_edges(spark, sf_dir).collect()}
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    labels = {n: n for n in nbrs}
+    for _ in range(_LPA_ROUNDS):
+        labels = {
+            n: min(
+                (lab for lab in cnt if cnt[lab] == max(cnt.values())),
+            )
+            for n, cnt in (
+                (n, Counter(labels[m] for m in ms)) for n, ms in nbrs.items()
+            )
+        }
+    sizes = Counter(labels.values())
+    names = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    expected = {
+        (names[n], lab, sizes[lab]) for n, lab in labels.items()
+    }
+    rows = REGISTRY["graph_label_propagation"].fn(spark, sf_dir).collect()
+    got = {(r["nation"], r["community"], r["community_size"]) for r in rows}
+    assert got == expected
+
+
+def test_interval_merge_matches_python(spark, sf_dir):
+    rows = {
+        r["user_id"]: r
+        for r in REGISTRY["ts_interval_merge"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 5)
+        .select("user_id", F.unix_micros("ts").alias("s"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r["user_id"]].append((r["s"], r["s"] + 7_200_000_000))
+    for uid, ivs in per_user.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        r = rows[uid]
+        assert r["n_events"] == len(ivs)
+        assert r["n_merged_intervals"] == len(merged)
+        assert r["covered_us"] == sum(e - s for s, e in merged)
+
+
+def test_timezone_offsets_and_dst_transition(spark, sf_dir):
+    df = REGISTRY["fn_timezone"].fn(spark, sf_dir)
+    agg = df.agg(
+        F.countDistinct("ny_offset_min").alias("n_ny"),
+        F.collect_set("ny_offset_min").alias("ny_offs"),
+        F.collect_set("kolkata_offset_min").alias("kol_offs"),
+        F.sum(
+            (
+                (
+                    F.unix_micros("ny_local")
+                    - F.unix_micros("utc_ts")
+                    - F.col("ny_offset_min") * 60000000
+                )
+                != 0
+            ).cast("int")
+        ).alias("bad_ny"),
+    ).collect()[0]
+    assert sorted(agg["ny_offs"]) == [-300, -240]  # EST and EDT both occur
+    assert agg["kol_offs"] == [330]  # half-hour zone, no DST
+    assert agg["bad_ny"] == 0
