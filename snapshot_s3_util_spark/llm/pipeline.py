@@ -923,3 +923,121 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_masked") * 1.0 / F.sum("n_tokens"), 6
         ).alias("mask_rate"),
     )
+
+
+# ------------------------------------------------ WebDataset tar shards
+
+_WDS_SHARDS = 4
+
+_WDS_ORACLE = f"""
+WITH assigned AS (
+  SELECT doc_id, text,
+         CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT)
+           % {_WDS_SHARDS} AS shard,
+         LENGTH(text) AS sz
+  FROM documents
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(sz) AS BIGINT) AS member_bytes,
+       CAST(CEIL((SUM(512 + CAST(CEIL(sz / 512.0) AS BIGINT) * 512) + 1024)
+                 / 10240.0) AS BIGINT) * 10240 AS tar_len,
+       MD5(STRING_AGG(LPAD(CAST(doc_id AS STRING), 8, '0') || '.txt:'
+                      || MD5(text), '' ORDER BY doc_id)) AS members_fp
+FROM assigned
+GROUP BY shard
+"""
+
+
+@register("llm_webdataset_export", oracle=_WDS_ORACLE, category="sink")
+def llm_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style training-shard export: documents hash-assigned
+    to tar shards, each shard built as a REAL ustar archive (stdlib
+    `tarfile`, one `<doc_id>.txt` member per document, deterministic
+    headers: mtime 0, uid/gid 0, empty uname/gname) and then PARSED
+    BACK by an independent reader stage that re-extracts every member.
+
+    The oracle predicts the archive in closed form — member count,
+    payload bytes, the members fingerprint (name:md5 chained in
+    doc_id order), and the EXACT tar byte length from the ustar
+    framing arithmetic (512 B header + 512-padded payload per member,
+    1024 B end-of-archive, record-padded to 10240) — so a single
+    drifted header byte or lost member fails the hash.
+
+    Scale shape: shard assignment is the same content-stable md5 as
+    `llm_split_assign` (re-run stable, no repartition lottery); each
+    shard builds independently inside one `applyInPandas` group —
+    |shards| tasks, no driver involvement; the reader is an
+    Arrow-batched `mapInPandas` over shard blobs, the same plumbing
+    as the multimodal codec quartet.
+    """
+    import hashlib
+    import io
+    import tarfile
+    from typing import Iterator
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10)"
+            f" AS bigint) % {_WDS_SHARDS}"
+        ).alias("shard"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        buf = io.BytesIO()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = text.encode("utf-8")
+                info = tarfile.TarInfo(name=f"{doc_id:08d}.txt")
+                info.size = len(payload)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                info.mode = 0o644
+                tf.addfile(info, io.BytesIO(payload))
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "tar": [buf.getvalue()]}
+        )
+
+    shards = d.groupBy("shard").applyInPandas(build, "shard long, tar binary")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for shard, blob in zip(pdf["shard"], pdf["tar"]):
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                    parts = []
+                    total = 0
+                    n = 0
+                    for m in sorted(tf.getmembers(), key=lambda m: m.name):
+                        data = tf.extractfile(m).read()
+                        total += len(data)
+                        n += 1
+                        parts.append(
+                            f"{m.name}:{hashlib.md5(data).hexdigest()}"
+                        )
+                    fp = hashlib.md5("".join(parts).encode()).hexdigest()
+                rows.append((int(shard), n, total, len(blob), fp))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "shard",
+                    "n_members",
+                    "member_bytes",
+                    "tar_len",
+                    "members_fp",
+                ],
+            )
+
+    return shards.mapInPandas(
+        parse,
+        "shard long, n_members long, member_bytes long, tar_len long,"
+        " members_fp string",
+    )

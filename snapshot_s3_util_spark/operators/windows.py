@@ -570,3 +570,108 @@ def win_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_anomalies"),
     )
+
+
+_DRAWDOWN_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS us,
+         CAST(ROUND(value * 10000) AS BIGINT) - 200000 AS step
+  FROM {EVENTS_REL} e
+),
+eqs AS (
+  SELECT user_id, event_id, us,
+         SUM(step) OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS eq
+  FROM s
+),
+dd AS (
+  SELECT user_id, event_id, us, eq,
+         MAX(eq) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - eq AS d
+  FROM eqs
+),
+agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MAX(d) AS BIGINT) AS max_dd_i
+  FROM dd GROUP BY user_id
+),
+fin AS (
+  SELECT user_id, CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT) - 200000)
+                       AS BIGINT) AS final_i
+  FROM {EVENTS_REL} e GROUP BY user_id
+),
+sel AS (
+  SELECT user_id, us AS dd_us FROM (
+    SELECT d.user_id, d.us,
+           ROW_NUMBER() OVER (PARTITION BY d.user_id
+                              ORDER BY d.us, d.event_id) AS rn
+    FROM dd d JOIN agg a USING (user_id)
+    WHERE d.d = a.max_dd_i
+  ) WHERE rn = 1
+)
+SELECT a.user_id, a.n_events,
+       ROUND(f.final_i / 10000.0, 4) AS final_pnl,
+       ROUND(a.max_dd_i / 10000.0, 4) AS max_drawdown,
+       CAST(s.dd_us AS BIGINT) AS dd_ts_us
+FROM agg a JOIN fin f USING (user_id) JOIN sel s USING (user_id)
+"""
+
+
+@register("win_drawdown", oracle=_DRAWDOWN_ORACLE, category="window")
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the signed running P&L curve
+    (each event contributes value−20): running peak minus running
+    equity, the risk statistic every trading / capacity / error-budget
+    dashboard wants next to the mean.
+
+    All curve arithmetic runs in exact integer 1e-4 units (`value` has
+    ≤4 decimals), so cumulative sums, the running peak, and the argmax
+    tie-break (earliest µs, then event_id) are bit-identical across
+    engines — no float accumulation-order hazard.  The drawdown
+    INSTANT comes from a single `max(struct(dd, -us, -event_id))`
+    aggregate, not a second windowed pass.
+
+    Plan: ONE user_id exchange serves the cumsum window, the running
+    peak, and the final per-user aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (F.round(F.col("value") * 10000).cast("bigint") - 200000).alias(
+            "step"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = (
+        s.withColumn("eq", F.sum("step").over(w))
+        .withColumn("peak", F.max(F.col("eq")).over(w))
+        .withColumn("d", F.col("peak") - F.col("eq"))
+    )
+    m = runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("step").cast("bigint").alias("final_i"),
+        F.max("d").cast("bigint").alias("max_dd_i"),
+        F.max(
+            F.struct(
+                F.col("d").alias("d"),
+                (-F.col("us")).alias("nus"),
+                (-F.col("event_id")).alias("nid"),
+            )
+        ).alias("arg"),
+    )
+    return m.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("final_i") / 10000.0, 4).alias("final_pnl"),
+        F.round(F.col("max_dd_i") / 10000.0, 4).alias("max_drawdown"),
+        (-F.col("arg.nus")).cast("bigint").alias("dd_ts_us"),
+    )

@@ -565,3 +565,153 @@ def stream_tumbling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_CDC_ORACLE = """
+WITH final AS (
+  SELECT o_orderkey AS k, 'N' AS status, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 'U', o_totalprice + 10
+  FROM orders
+  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders
+  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0
+)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(price), 4) AS sum_price,
+       MD5(STRING_AGG(LPAD(CAST(k AS STRING), 10, '0'), '' ORDER BY k))
+         AS keys_fp
+FROM final GROUP BY status
+"""
+
+
+@register("stream_cdc_upsert", oracle=_CDC_ORACLE, category="streaming")
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: a change feed (insert / update / delete
+    rows derived deterministically from `orders`) streams through a
+    file source in multiple micro-batches, and `foreachBatch` MERGEs
+    each batch into a versioned copy-on-write parquet table — the
+    Debezium→lakehouse upsert pipeline, with the merge join identical
+    to the batch `sink_merge_upsert`.
+
+    Batch-equivalence contract: each key carries EXACTLY ONE change
+    op, so the final table state is independent of how the feed was
+    sliced into micro-batches (`maxFilesPerTrigger=1` forces ≥4
+    genuine sequential merges); the oracle predicts the end state in
+    closed form from `orders`.  Exactly-once in production comes from
+    checkpoint + idempotent version write; here every merge is a full
+    new version, read back for the final report.
+
+    Scale: each micro-batch merge is ONE key-partitioned full-outer
+    join of |state| × |batch|; at real scale the rewrite narrows to
+    touched partitions (`sink_partition_overwrite` discipline) and
+    state versions live behind a manifest (`hb_time_travel_read`).
+    """
+    tmp = tempfile.mkdtemp(prefix="s3u_stream_cdc_")
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        base = o.filter(F.col("k") % 3 != 0)
+        state_dir = lambda v: f"{tmp}/state_v{v}"
+        base.write.mode("overwrite").parquet(state_dir(0))
+
+        cdc = (
+            o.filter(F.col("k") % 3 == 0)
+            .select(
+                "k",
+                F.lit("I").alias("op"),
+                F.lit("N").alias("new_status"),
+                F.col("price").alias("new_price"),
+            )
+            .unionAll(
+                o.filter(
+                    (F.col("k") % 3 != 0) & (F.col("k") % 7 == 0)
+                ).select(
+                    "k",
+                    F.lit("D").alias("op"),
+                    F.lit(None).cast("string").alias("new_status"),
+                    F.lit(None).cast("double").alias("new_price"),
+                )
+            )
+            .unionAll(
+                o.filter(
+                    (F.col("k") % 3 != 0)
+                    & (F.col("k") % 7 != 0)
+                    & (F.col("k") % 5 == 0)
+                ).select(
+                    "k",
+                    F.lit("U").alias("op"),
+                    F.lit("U").alias("new_status"),
+                    (F.col("price") + 10).alias("new_price"),
+                )
+            )
+        )
+        src = f"{tmp}/cdc_src"
+        cdc.repartition(4, "k").write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(cdc.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        version = [0]
+
+        def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            sp = batch_df.sparkSession
+            cur = sp.read.parquet(state_dir(version[0]))
+            ch = batch_df
+            merged = (
+                cur.join(ch, "k", "full_outer")
+                .filter(~F.col("op").eqNullSafe("D"))
+                .select(
+                    "k",
+                    F.when(
+                        F.col("op").isin("I", "U"), F.col("new_status")
+                    )
+                    .otherwise(F.col("status"))
+                    .alias("status"),
+                    F.when(
+                        F.col("op").isin("I", "U"), F.col("new_price")
+                    )
+                    .otherwise(F.col("price"))
+                    .alias("price"),
+                )
+            )
+            merged.write.mode("overwrite").parquet(state_dir(version[0] + 1))
+            version[0] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        final = spark.read.parquet(state_dir(version[0]))
+        return (
+            final.groupBy("status")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.round(F.sum("price"), 4).alias("sum_price"),
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.expr(
+                            "transform(array_sort(collect_list(k)),"
+                            " x -> lpad(cast(x AS string), 10, '0'))"
+                        ),
+                    )
+                ).alias("keys_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1167,3 +1167,16 @@ def test_timezone_is_fully_narrow(spark, sf_dir):
     df = REGISTRY["fn_timezone"].fn(spark, sf_dir)
     assert shuffle_count(df) == 0, physical_plan(df)
     assert not uses_python(df)
+
+
+def test_drawdown_single_user_exchange(spark, sf_dir):
+    df = REGISTRY["win_drawdown"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_webdataset_arrow_stages(spark, sf_dir):
+    df = REGISTRY["llm_webdataset_export"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "MapInPandas" in plan, plan

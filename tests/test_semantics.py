@@ -3205,3 +3205,93 @@ def test_timezone_offsets_and_dst_transition(spark, sf_dir):
     assert sorted(agg["ny_offs"]) == [-300, -240]  # EST and EDT both occur
     assert agg["kol_offs"] == [330]  # half-hour zone, no DST
     assert agg["bad_ny"] == 0
+
+
+def test_webdataset_members_and_framing(spark, sf_dir):
+    rows = REGISTRY["llm_webdataset_export"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("sz")
+    )
+    n_docs = docs.count()
+    total_bytes = docs.agg(F.sum("sz")).collect()[0][0]
+    assert len(rows) == 4
+    assert sum(r["n_members"] for r in rows) == n_docs
+    assert sum(r["member_bytes"] for r in rows) == total_bytes
+    for r in rows:
+        assert r["tar_len"] % 10240 == 0
+        # framing overhead: >= 512 B header per member + 1 KiB EOA
+        assert r["tar_len"] >= r["member_bytes"] + 512 * r["n_members"] + 1024
+
+
+def test_drawdown_matches_python(spark, sf_dir):
+    rows = {
+        r["user_id"]: r
+        for r in REGISTRY["win_drawdown"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 4)
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"), "value")
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r["user_id"]].append(
+            (r["us"], r["event_id"], round(r["value"] * 10000) - 200000)
+        )
+    for uid, evs in per_user.items():
+        evs.sort()
+        eq = peak = 0
+        max_dd = 0
+        dd_us = evs[0][0]
+        for us, _eid, step in evs:
+            eq += step
+            peak = max(peak, eq)
+            if peak - eq > max_dd:
+                max_dd = peak - eq
+                dd_us = us
+        r = rows[uid]
+        assert r["n_events"] == len(evs)
+        assert abs(r["final_pnl"] - round(eq / 10000.0, 4)) < 1e-9
+        assert abs(r["max_drawdown"] - round(max_dd / 10000.0, 4)) < 1e-9
+        assert r["dd_ts_us"] == dd_us
+
+
+def test_cdc_upsert_equals_batch_merge(spark, sf_dir):
+    """The streamed micro-batch merge sequence must land on the same
+    table state as a single batch merge of the whole change feed."""
+    rows = {
+        r["status"]: r
+        for r in REGISTRY["stream_cdc_upsert"].fn(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    ins = o.filter(F.col("k") % 3 == 0).select(
+        "k", F.lit("N").alias("status"), "price"
+    )
+    upd = o.filter(
+        (F.col("k") % 3 != 0) & (F.col("k") % 7 != 0) & (F.col("k") % 5 == 0)
+    ).select("k", F.lit("U").alias("status"), (F.col("price") + 10).alias("price"))
+    keep = o.filter(
+        (F.col("k") % 3 != 0) & (F.col("k") % 7 != 0) & (F.col("k") % 5 != 0)
+    )
+    expect = {
+        r["status"]: r
+        for r in ins.unionAll(upd)
+        .unionAll(keep)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("price"), 4).alias("sum_price"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(expect)
+    for st, e in expect.items():
+        assert rows[st]["n_rows"] == e["n_rows"]
+        assert abs(rows[st]["sum_price"] - e["sum_price"]) < 1e-6
