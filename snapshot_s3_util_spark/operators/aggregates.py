@@ -1015,3 +1015,206 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chi2_part"),
     )
+
+
+_KS_ORACLE = f"""
+WITH g AS (
+  SELECT CAST(ROUND(value * 10000) AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nb
+  FROM {{EVENTS}} e
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+ecdf AS (
+  SELECT v,
+         SUM(na) OVER (ORDER BY v) AS ca,
+         SUM(nb) OVER (ORDER BY v) AS cb,
+         SUM(na) OVER () AS ta,
+         SUM(nb) OVER () AS tb
+  FROM g
+),
+scored AS (
+  SELECT v, ta, tb, ABS(ca * tb - cb * ta) AS dscaled FROM ecdf
+)
+SELECT CAST(MAX(ta) AS BIGINT) AS n_a,
+       CAST(MAX(tb) AS BIGINT) AS n_b,
+       CAST(MAX(dscaled) AS BIGINT) AS d_scaled,
+       ROUND(CAST(MAX(dscaled) AS DOUBLE) / (MAX(ta) * MAX(tb)), 6) AS d_stat,
+       ROUND(CAST(MIN(CASE WHEN dscaled = m THEN v END) AS DOUBLE) / 10000,
+             4) AS d_at_value
+FROM (SELECT *, MAX(dscaled) OVER () AS m FROM scored)
+"""
+
+
+@register(
+    "agg_ks_test",
+    oracle=_KS_ORACLE.replace("{EVENTS}", "(SELECT event_type, value FROM events)"),
+    category="aggregate",
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the `click` and
+    `purchase` value distributions — the drift / A-B distribution test
+    that doesn't assume a parametric family.  D = max |ECDF_a −
+    ECDF_b| is computed EXACTLY in integers: per-value counts, one
+    cumulative pass, then `|ca·n_b − cb·n_a|` — the single float
+    division happens once at the end (the `agg_gini_coefficient`
+    discipline), and the argmax value ties break to the smallest.
+
+    Plan: the corpus collapses to |distinct values| rows in ONE
+    map-side-combined aggregate before any window runs; the ECDF
+    window is partition-less but over the bounded value-domain frame
+    (the `agg_weighted_median` aggregate-before-window rule), never
+    the raw corpus.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = ev.groupBy(
+        F.round(F.col("value") * 10000).cast("bigint").alias("v")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    e = (
+        g.withColumn("ca", F.sum("na").over(wc))
+        .withColumn("cb", F.sum("nb").over(wc))
+        .withColumn("ta", F.sum("na").over(wall))
+        .withColumn("tb", F.sum("nb").over(wall))
+        .withColumn(
+            "dscaled", F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta"))
+        )
+        .withColumn("m", F.max("dscaled").over(wall))
+    )
+    return e.agg(
+        F.max("ta").cast("bigint").alias("n_a"),
+        F.max("tb").cast("bigint").alias("n_b"),
+        F.max("dscaled").cast("bigint").alias("d_scaled"),
+        F.round(
+            F.max("dscaled").cast("double") / (F.max("ta") * F.max("tb")), 6
+        ).alias("d_stat"),
+        F.round(
+            F.min(F.when(F.col("dscaled") == F.col("m"), F.col("v"))).cast(
+                "double"
+            )
+            / 10000,
+            4,
+        ).alias("d_at_value"),
+    )
+
+
+_WELCH_ORACLE = """
+WITH m AS (
+  SELECT event_type AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)
+                  * CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS s2
+  FROM events WHERE event_type IN ('view', 'error')
+  GROUP BY event_type
+),
+w AS (
+  SELECT a.n AS na, a.s1 AS sa1, a.s2 AS sa2,
+         b.n AS nb, b.s1 AS sb1, b.s2 AS sb2
+  FROM m a, m b WHERE a.grp = 'view' AND b.grp = 'error'
+),
+c AS (
+  SELECT na, nb,
+         sa1 / (10000.0 * na) AS mean_a,
+         sb1 / (10000.0 * nb) AS mean_b,
+         (sa2 / 1e8 - (sa1 / 1e4) * (sa1 / 1e4) / na) / (na - 1) AS var_a,
+         (sb2 / 1e8 - (sb1 / 1e4) * (sb1 / 1e4) / nb) / (nb - 1) AS var_b
+  FROM w
+)
+SELECT na AS n_view, nb AS n_error,
+       ROUND(mean_a, 6) AS mean_view,
+       ROUND(mean_b, 6) AS mean_error,
+       ROUND((mean_a - mean_b) / SQRT(var_a / na + var_b / nb), 4) AS t_stat,
+       ROUND(POWER(var_a / na + var_b / nb, 2)
+             / (POWER(var_a / na, 2) / (na - 1)
+                + POWER(var_b / nb, 2) / (nb - 1)), 2) AS welch_df,
+       ABS((mean_a - mean_b) / SQRT(var_a / na + var_b / nb)) > 1.96
+         AS significant_95
+FROM c
+"""
+
+
+@register("agg_ttest_welch", oracle=_WELCH_ORACLE, category="aggregate")
+def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between the `view`
+    and `error` value distributions, with the Welch–Satterthwaite
+    degrees of freedom — the default mean-comparison test when group
+    variances differ (`agg_ab_test_z` is its proportion sibling).
+
+    Every moment (n, Σx, Σx²) accumulates as an EXACT scaled BIGINT in
+    one shared-scan aggregate; means, variances, t and df are derived
+    from those integers with identical float expressions on both
+    engines, then rounded (variances derive as s2/1e8 − mean²·n⁻¹ in
+    double — the n·Σx² integer form overflows int64 past ~20k rows;
+    beyond ~1e18 in Σx² itself the moments move to DECIMAL(38,0),
+    the `agg_decimal_exact` discipline).
+
+    Plan: ONE conditional-sum aggregate over a single pruned scan —
+    both groups' moments come back in the same reduce row, no pivot
+    join, no second scan.
+    """
+    x = F.round(F.col("value") * 10000).cast("bigint")
+    is_a = F.col("event_type") == "view"
+    m = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "error"))
+        .agg(
+            F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("na"),
+            F.sum(F.when(is_a, x)).cast("bigint").alias("sa1"),
+            F.sum(F.when(is_a, x * x)).cast("bigint").alias("sa2"),
+            F.sum(F.when(~is_a, 1).otherwise(0)).cast("bigint").alias("nb"),
+            F.sum(F.when(~is_a, x)).cast("bigint").alias("sb1"),
+            F.sum(F.when(~is_a, x * x)).cast("bigint").alias("sb2"),
+        )
+    )
+    c = m.select(
+        "na",
+        "nb",
+        (F.col("sa1") / (10000.0 * F.col("na"))).alias("mean_a"),
+        (F.col("sb1") / (10000.0 * F.col("nb"))).alias("mean_b"),
+        (
+            (
+                F.col("sa2") / 1e8
+                - (F.col("sa1") / 1e4) * (F.col("sa1") / 1e4) / F.col("na")
+            )
+            / (F.col("na") - 1)
+        ).alias("var_a"),
+        (
+            (
+                F.col("sb2") / 1e8
+                - (F.col("sb1") / 1e4) * (F.col("sb1") / 1e4) / F.col("nb")
+            )
+            / (F.col("nb") - 1)
+        ).alias("var_b"),
+    )
+    se2 = F.col("var_a") / F.col("na") + F.col("var_b") / F.col("nb")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)
+    return c.select(
+        F.col("na").alias("n_view"),
+        F.col("nb").alias("n_error"),
+        F.round(F.col("mean_a"), 6).alias("mean_view"),
+        F.round(F.col("mean_b"), 6).alias("mean_error"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("var_a") / F.col("na"), 2) / (F.col("na") - 1)
+                + F.pow(F.col("var_b") / F.col("nb"), 2) / (F.col("nb") - 1)
+            ),
+            2,
+        ).alias("welch_df"),
+        (F.abs(t) > 1.96).alias("significant_95"),
+    )

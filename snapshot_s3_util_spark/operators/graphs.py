@@ -714,3 +714,93 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("community"),
         "community_size",
     )
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    # Each round references the previous edge CTE three times (twice in
+    # the degree union, once in the filter join); DuckDB inlines
+    # non-materialized CTEs, so WITHOUT the MATERIALIZED hints the
+    # 4-way-join edge builder would be re-evaluated O(3^rounds) times —
+    # at sf0.1 that spilled >80 GB before failing.  Materializing each
+    # round keeps the oracle linear in rounds.
+    ctes = [
+        f"WITH {_STRONG_UND_CTES}",
+        "e0 AS MATERIALIZED (SELECT a, b FROM und)",
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"""deg{p} AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS node FROM e{p} UNION ALL SELECT b AS node FROM e{p}
+  ) GROUP BY node
+),
+keep{r} AS MATERIALIZED (SELECT node FROM deg{p} WHERE d >= {_KCORE_K}),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{p} e
+  JOIN keep{r} ka ON ka.node = e.a
+  JOIN keep{r} kb ON kb.node = e.b
+)"""
+        )
+    last = _KCORE_ROUNDS
+    return (
+        ",\n".join(ctes)
+        + f""",
+fdeg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS node FROM e{last} UNION ALL SELECT b AS node FROM e{last}
+  ) GROUP BY node
+)
+SELECT na.n_name AS nation, f.d AS core_degree
+FROM fdeg f JOIN nation na ON na.n_nationkey = f.node
+WHERE f.d >= {_KCORE_K}
+"""
+    )
+
+
+@register("graph_kcore", oracle=_kcore_oracle(), category="graph")
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=2, 3 unrolled peeling rounds) of the
+    strong-trade graph: repeatedly strip nodes of degree < k until
+    (approximately) only the dense core survives — the community-core
+    / influence-zone primitive, and the standard preprocessing cut
+    before expensive clique-ish analytics.
+
+    The oracle unrolls the IDENTICAL peel rounds as chained CTEs
+    (`graph_pagerank` discipline) so the check is exact.  Fixed-round
+    unrolling, like BFS/LPA here, keeps lineage flat; a
+    run-to-convergence variant uses the `llm_dedup_components`
+    checkpoint-per-round loop unchanged.
+
+    Plan: each round is two broadcast semi joins of the (tiny,
+    shrinking) keep-list against the edge frame plus one
+    map-side-combined degree count — never a corpus-sized shuffle;
+    the edge frame comes from the shared checkpointed builder.
+    """
+    edges = _strong_und_edges(spark, sf_dir)
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
+        edges = edges.join(
+            F.broadcast(keep.withColumnRenamed("node", "a")), "a", "semi"
+        ).join(F.broadcast(keep.withColumnRenamed("node", "b")), "b", "semi")
+    fdeg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .filter(F.col("d") >= _KCORE_K)
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return fdeg.join(
+        F.broadcast(nation), fdeg["node"] == nation["n_nationkey"]
+    ).select(F.col("n_name").alias("nation"), F.col("d").alias("core_degree"))

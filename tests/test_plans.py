@@ -1180,3 +1180,29 @@ def test_webdataset_arrow_stages(spark, sf_dir):
     plan = physical_plan(df)
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_ks_test_aggregates_before_ecdf_window(spark, sf_dir):
+    import re
+
+    df = REGISTRY["agg_ks_test"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert not uses_python(df)
+
+
+def test_welch_single_scan_two_groups(spark, sf_dir):
+    import re
+
+    df = REGISTRY["agg_ttest_welch"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert not uses_python(df)
+
+
+def test_kcore_broadcast_peeling(spark, sf_dir):
+    df = REGISTRY["graph_kcore"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_node(df, "BroadcastHashJoin"), plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert not uses_python(df)

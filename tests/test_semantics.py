@@ -3295,3 +3295,90 @@ def test_cdc_upsert_equals_batch_merge(spark, sf_dir):
     for st, e in expect.items():
         assert rows[st]["n_rows"] == e["n_rows"]
         assert abs(rows[st]["sum_price"] - e["sum_price"]) < 1e-6
+
+
+def test_ks_test_matches_python(spark, sf_dir):
+    [r] = REGISTRY["agg_ks_test"].fn(spark, sf_dir).collect()
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "value")
+        .collect()
+    )
+    a = sorted(round(x["value"] * 10000) for x in rows if x["event_type"] == "click")
+    b = sorted(
+        round(x["value"] * 10000) for x in rows if x["event_type"] == "purchase"
+    )
+    grid = sorted(set(a) | set(b))
+    import bisect
+
+    best = 0
+    for v in grid:
+        ca = bisect.bisect_right(a, v)
+        cb = bisect.bisect_right(b, v)
+        best = max(best, abs(ca * len(b) - cb * len(a)))
+    assert r["n_a"] == len(a) and r["n_b"] == len(b)
+    assert r["d_scaled"] == best
+    assert abs(r["d_stat"] - round(best / (len(a) * len(b)), 6)) < 1e-9
+    assert 0.0 <= r["d_stat"] <= 1.0
+
+
+def test_welch_matches_python(spark, sf_dir):
+    [r] = REGISTRY["agg_ttest_welch"].fn(spark, sf_dir).collect()
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "error"))
+        .select("event_type", "value")
+        .collect()
+    )
+    a = [round(x["value"] * 10000) for x in rows if x["event_type"] == "view"]
+    b = [round(x["value"] * 10000) for x in rows if x["event_type"] == "error"]
+
+    def moments(xs):
+        n, s1, s2 = len(xs), sum(xs), sum(x * x for x in xs)
+        mean = s1 / (10000.0 * n)
+        var = (s2 / 1e8 - (s1 / 1e4) * (s1 / 1e4) / n) / (n - 1)
+        return n, mean, var
+
+    na, ma, va = moments(a)
+    nb, mb, vb = moments(b)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / se2**0.5
+    df = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert r["n_view"] == na and r["n_error"] == nb
+    assert abs(r["t_stat"] - round(t, 4)) < 1e-9
+    assert abs(r["welch_df"] - round(df, 2)) < 1e-9
+    assert r["significant_95"] == (abs(t) > 1.96)
+
+
+def test_kcore_matches_python_peel(spark, sf_dir):
+    from collections import Counter
+
+    from snapshot_s3_util_spark.operators.graphs import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        _strong_und_edges,
+    )
+
+    edges = {(r["a"], r["b"]) for r in _strong_und_edges(spark, sf_dir).collect()}
+    for _ in range(_KCORE_ROUNDS):
+        deg = Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {n for n, d in deg.items() if d >= _KCORE_K}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    names = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    expected = {
+        (names[n], d) for n, d in deg.items() if d >= _KCORE_K
+    }
+    rows = REGISTRY["graph_kcore"].fn(spark, sf_dir).collect()
+    assert {(r["nation"], r["core_degree"]) for r in rows} == expected
+    assert all(r["core_degree"] >= _KCORE_K for r in rows)
