@@ -590,3 +590,89 @@ def scan_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+_CORRUPT_ORACLE = """
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_recovered,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       MD5(STRING_AGG(LPAD(CAST(o_orderkey AS STRING), 10, '0'), ''
+                      ORDER BY o_orderkey)) AS keys_fp
+FROM orders
+WHERE o_orderkey % 4 <> 3
+GROUP BY o_orderstatus
+"""
+
+
+@register("scan_ignore_corrupt", oracle=_CORRUPT_ORACLE, category="scan")
+def scan_ignore_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file-tolerant landing-zone scan: a 4-bucket parquet
+    layout is written, one bucket's data file is then OVERWRITTEN WITH
+    GARBAGE BYTES (a torn upload / bad disk emulation), and the read
+    back runs with `ignoreCorruptFiles` so the job completes on the
+    surviving buckets instead of dying — the batch-recovery posture
+    every large ingest needs (the default fail-fast read DOES die; a
+    guard below asserts that, so the option is load-bearing).
+
+    The oracle predicts the recovered rows in closed form (buckets
+    0-2, i.e. keys with k%4≠3), with per-status counts, key sums and
+    order-insensitive key fingerprints — so silently dropping MORE
+    than the corrupt bucket, or resurrecting part of it, both fail.
+
+    Plan: bucket routing is one narrow column + repartition on the
+    bucket key (each output file = one bucket); the read-back is a
+    normal pruned parquet scan over the surviving files.
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="s3u_spark_corrupt_")
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_orderkey") % 4).alias("b"),
+        )
+        o.repartition(4, "b").write.mode("overwrite").partitionBy("b").parquet(
+            root
+        )
+        victims = glob.glob(f"{root}/b=3/*.parquet")
+        assert victims, "bucket 3 produced no file"
+        for v in victims:
+            with open(v, "wb") as fh:
+                fh.write(b"\x00CORRUPT" * 128)  # not a parquet footer
+
+        try:
+            spark.read.parquet(root).count()
+            raise AssertionError(
+                "fail-fast read survived a corrupt file; "
+                "ignoreCorruptFiles would not be load-bearing"
+            )
+        except Exception as exc:  # noqa: BLE001 — Spark wraps the IO error
+            if isinstance(exc, AssertionError):
+                raise
+
+        # NO b!=3 filter here: partition pruning would skip the corrupt
+        # file at planning time and the option would never be exercised —
+        # the scan must HIT the garbage file and recover past it.
+        back = spark.read.option("ignoreCorruptFiles", "true").parquet(root)
+        return (
+            back.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_recovered"),
+                F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.expr(
+                            "transform(array_sort(collect_list(o_orderkey)),"
+                            " x -> lpad(cast(x AS string), 10, '0'))"
+                        ),
+                    )
+                ).alias("keys_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -715,3 +715,134 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SSLOJ_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts FROM {EVENTS_REL} e
+  WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts FROM {EVENTS_REL} e
+  WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT v.user_id, v.view_id, p.purchase_id
+  FROM v LEFT JOIN p
+    ON p.user_id = v.user_id
+   AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+)
+SELECT user_id,
+       CAST(COUNT(DISTINCT view_id) AS BIGINT) AS n_views,
+       CAST(COUNT(DISTINCT CASE WHEN purchase_id IS NOT NULL
+                                THEN view_id END) AS BIGINT)
+         AS n_converted_views,
+       CAST(SUM(CASE WHEN purchase_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pairs
+FROM j GROUP BY user_id
+"""
+
+
+@register(
+    "stream_left_outer_watermark", oracle=_SSLOJ_ORACLE, category="streaming"
+)
+def stream_left_outer_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-driven NULL
+    emission: view→purchase attribution where UNCONVERTED views must
+    still come out (with NULL purchase) — but a streaming outer row
+    can only be emitted once the watermark PROVES no match can still
+    arrive.  That's the semantic difference from `stream_stream_join`:
+    correctness depends on state eviction, not just matching.
+
+    The trap this op encodes: rows younger than the watermark delay at
+    end-of-input would sit in state forever and their outer results
+    would silently never emit (a real production gotcha with bounded
+    backfills).  A far-future SENTINEL row on each side advances the
+    final watermark past every real event so the emitted set converges
+    to the batch left-join answer — which the oracle computes.
+
+    State is bounded: the time-range condition + 2 h watermark lets
+    each side drop buffered rows as the opposite watermark passes.
+    """
+    tmp = tempfile.mkdtemp(prefix="s3u_stream_loj_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        flush_ts = F.timestamp_micros(
+            F.lit(
+                ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+                + 7 * 24 * 3600 * 1_000_000
+            )
+        )
+        sentinel = (
+            ev.limit(1)
+            .select(
+                F.lit(-1).cast("long").alias("event_id"),
+                flush_ts.alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("view").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast(ev.schema["props"].dataType).alias("props"),
+            )
+        )
+        sentinel_p = sentinel.withColumn("event_type", F.lit("purchase"))
+        src_dir = f"{tmp}/src"
+        staged = ev.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).unionAll(sentinel).unionAll(sentinel_p)
+        staged.write.mode("overwrite").parquet(src_dir)
+
+        views = (
+            spark.readStream.schema(staged.schema)
+            .parquet(src_dir)
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "2 hours")
+        )
+        purchases = (
+            spark.readStream.schema(staged.schema)
+            .parquet(src_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        joined = views.join(
+            purchases,
+            F.expr(
+                "v_user = p_user AND p_ts >= v_ts "
+                "AND p_ts <= v_ts + interval 1 hour"
+            ),
+            "left_outer",
+        ).select(
+            F.col("v_user").alias("user_id"), "view_id", "purchase_id"
+        )
+        table, _ = _run_to_table(joined, "append")
+        return (
+            table.filter(F.col("user_id") >= 0)  # drop the sentinels
+            .groupBy("user_id")
+            .agg(
+                F.countDistinct("view_id").cast("bigint").alias("n_views"),
+                F.countDistinct(
+                    F.when(
+                        F.col("purchase_id").isNotNull(), F.col("view_id")
+                    )
+                )
+                .cast("bigint")
+                .alias("n_converted_views"),
+                F.sum(
+                    F.when(F.col("purchase_id").isNotNull(), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_pairs"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

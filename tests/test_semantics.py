@@ -3382,3 +3382,32 @@ def test_kcore_matches_python_peel(spark, sf_dir):
     rows = REGISTRY["graph_kcore"].fn(spark, sf_dir).collect()
     assert {(r["nation"], r["core_degree"]) for r in rows} == expected
     assert all(r["core_degree"] >= _KCORE_K for r in rows)
+
+
+def test_ignore_corrupt_recovers_exact_survivor_set(spark, sf_dir):
+    rows = REGISTRY["scan_ignore_corrupt"].fn(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    surv = o.filter(F.col("o_orderkey") % 4 != 3)
+    assert sum(r["n_recovered"] for r in rows) == surv.count()
+    assert (
+        sum(r["key_sum"] for r in rows)
+        == surv.agg(F.sum("o_orderkey")).collect()[0][0]
+    )
+    # nothing from the corrupt bucket leaks through
+    assert sum(r["n_recovered"] for r in rows) < o.count()
+
+
+def test_left_outer_watermark_emits_unmatched_views(spark, sf_dir):
+    rows = REGISTRY["stream_left_outer_watermark"].fn(spark, sf_dir).collect()
+    total_views = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .count()
+    )
+    # every view (matched or not) must be represented — the outer rows
+    # for unconverted views are exactly what the watermark flush earns
+    assert sum(r["n_views"] for r in rows) == total_views
+    assert any(r["n_views"] > r["n_converted_views"] for r in rows)
+    for r in rows:
+        assert r["n_converted_views"] <= r["n_views"]
+        assert r["n_pairs"] >= r["n_converted_views"]
