@@ -930,3 +930,60 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kolkata_offset_min"
         ),
     )
+
+
+_BIZDAY_ORACLE = """
+WITH d AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0,
+         isodow(CAST(o_orderdate AS DATE)) - 1 AS wd
+  FROM orders
+),
+n AS (
+  SELECT o_orderkey, d0, wd,
+         d0 + CASE WHEN wd = 5 THEN 2 WHEN wd = 6 THEN 1 ELSE 0 END
+           AS next_bd,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM UNNEST(generate_series(0, 29)) t(k)
+          WHERE isodow(d0 + CAST(k AS INTEGER)) - 1 < 5) AS bd_30
+  FROM d
+)
+SELECT o_orderkey, d0 AS order_date,
+       CAST(wd AS BIGINT) AS weekday,
+       wd >= 5 AS is_weekend,
+       next_bd AS next_business_day,
+       bd_30 AS business_days_30
+FROM n
+"""
+
+
+@register("fn_business_days", oracle=_BIZDAY_ORACLE, category="function")
+def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day calendar arithmetic per order: weekday index
+    (Monday=0 — Spark `weekday()` and DuckDB `isodow()-1` agree on
+    this convention; raw `dayofweek` does NOT and is avoided), weekend
+    flag, next-business-day roll-forward, and the business-day count
+    in the next 30 calendar days (SLA / settlement-date math).
+
+    The 30-day count enumerates days with a higher-order filter over
+    `sequence(0, 29)` — 30 integer ops per row inside codegen, the
+    same answer as closed-form week arithmetic without its edge-case
+    table.  Entirely narrow, zero shuffles.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("d0")
+    )
+    wd = F.weekday("d0")
+    return o.select(
+        "o_orderkey",
+        F.col("d0").alias("order_date"),
+        wd.cast("bigint").alias("weekday"),
+        (wd >= 5).alias("is_weekend"),
+        F.when(wd == 5, F.date_add("d0", 2))
+        .when(wd == 6, F.date_add("d0", 1))
+        .otherwise(F.col("d0"))
+        .alias("next_business_day"),
+        F.expr(
+            "cast(size(filter(sequence(0, 29),"
+            " k -> weekday(date_add(d0, k)) < 5)) AS bigint)"
+        ).alias("business_days_30"),
+    )

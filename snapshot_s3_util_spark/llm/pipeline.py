@@ -1041,3 +1041,68 @@ def llm_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard long, n_members long, member_bytes long, tar_len long,"
         " members_fp string",
     )
+
+
+# ------------------------------------------------ epoch reshuffle
+
+_SHUFFLE_EPOCHS = 3
+_SHUFFLE_SHARDS = 4
+
+_SHUFFLE_ORACLE = f"""
+WITH e AS (SELECT UNNEST(generate_series(0, {_SHUFFLE_EPOCHS - 1})) AS epoch),
+a AS (
+  SELECT e.epoch,
+         d.doc_id % {_SHUFFLE_SHARDS} AS shard,
+         d.doc_id,
+         MD5(CAST(e.epoch AS STRING) || ':' || CAST(d.doc_id AS STRING)) AS h
+  FROM documents d, e
+)
+SELECT epoch, shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ARRAY_TO_STRING((LIST(doc_id ORDER BY h, doc_id))[1:3], ',')
+         AS first3,
+       MD5(STRING_AGG(CAST(doc_id AS STRING), ',' ORDER BY h, doc_id))
+         AS perm_fp
+FROM a GROUP BY epoch, shard
+"""
+
+
+@register("llm_shuffle_epochs", oracle=_SHUFFLE_ORACLE, category="llm")
+def llm_shuffle_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-data reshuffle: each epoch
+    re-orders every shard's documents by md5(epoch:doc_id) — a fresh,
+    content-stable permutation per epoch.  This is the data-loader
+    order a 100 TB training run needs: re-runs and resumed jobs see
+    the SAME epoch-k order (a `rand()` shuffle reshuffles on every
+    retry and silently changes the curriculum), yet consecutive
+    epochs are decorrelated.  Per (epoch, shard): count, the first 3
+    documents, and the full-permutation fingerprint.
+
+    Plan: the |epochs| multiplier is a broadcast nested-loop over a
+    3-row frame applied BEFORE the single (epoch, shard) exchange;
+    ordering happens inside the aggregate (sorted struct transform),
+    not as a global sort.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(_SHUFFLE_EPOCHS).select(F.col("id").alias("epoch"))
+    a = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        (F.col("doc_id") % _SHUFFLE_SHARDS).alias("shard"),
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("epoch").cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    ordered = F.expr(
+        "transform(array_sort(collect_list(struct(h, doc_id))),"
+        " s -> cast(s.doc_id AS string))"
+    )
+    return a.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.array_join(F.slice(ordered, 1, 3), ",").alias("first3"),
+        F.md5(F.array_join(ordered, ",")).alias("perm_fp"),
+    )

@@ -1218,3 +1218,79 @@ def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("welch_df"),
         (F.abs(t) > 1.96).alias("significant_95"),
     )
+
+
+_CHI2_ORACLE = """
+WITH obs AS (
+  SELECT event_type,
+         CASE WHEN value >= 20 THEN 'high' ELSE 'low' END AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, bucket, n,
+         SUM(n) OVER (PARTITION BY event_type) AS row_tot,
+         SUM(n) OVER (PARTITION BY bucket) AS col_tot,
+         SUM(n) OVER () AS tot
+  FROM obs
+),
+c AS (
+  SELECT event_type, bucket, n,
+         CAST(row_tot AS DOUBLE) * col_tot / tot AS expected
+  FROM t
+)
+SELECT event_type, bucket, n AS observed,
+       ROUND(expected, 4) AS expected,
+       ROUND(POWER(n - expected, 2) / expected, 6) AS chi2_part,
+       ROUND(SUM(POWER(n - expected, 2) / expected) OVER (), 4) AS chi2_total,
+       SUM(POWER(n - expected, 2) / expected) OVER () > 9.488
+         AS reject_independence_95
+FROM c
+"""
+
+
+@register("agg_chi2_independence", oracle=_CHI2_ORACLE, category="aggregate")
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence on the event_type × value-bucket
+    contingency table — the categorical-association screen ("does
+    event type influence whether values run high?") that rounds out
+    the z / t / KS battery with df = (r−1)(c−1) = 4 and the 9.488
+    critical value at 95%.
+
+    Observed counts are exact integers from ONE map-side-combined
+    aggregate; marginals, expectations, per-cell contributions and the
+    global statistic all derive on the 10-row contingency frame via
+    windows — the corpus is scanned once and never re-touched.
+    """
+    obs = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.when(F.col("value") >= 20, "high").otherwise("low").alias(
+                "bucket"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    t = (
+        obs.withColumn(
+            "row_tot", F.sum("n").over(Window.partitionBy("event_type"))
+        )
+        .withColumn("col_tot", F.sum("n").over(Window.partitionBy("bucket")))
+        .withColumn("tot", F.sum("n").over(Window.partitionBy()))
+    )
+    c = t.withColumn(
+        "expected",
+        F.col("row_tot").cast("double") * F.col("col_tot") / F.col("tot"),
+    )
+    part = F.pow(F.col("n") - F.col("expected"), 2) / F.col("expected")
+    total = F.sum(part).over(Window.partitionBy())
+    return c.select(
+        "event_type",
+        "bucket",
+        F.col("n").alias("observed"),
+        F.round(F.col("expected"), 4).alias("expected"),
+        F.round(part, 6).alias("chi2_part"),
+        F.round(total, 4).alias("chi2_total"),
+        (total > 9.488).alias("reject_independence_95"),
+    )

@@ -1472,3 +1472,82 @@ def ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(new_iv).cast("bigint").alias("n_merged_intervals"),
         F.sum(contrib).cast("bigint").alias("covered_us"),
     )
+
+
+_BACKTEST_ORACLE = f"""
+WITH base AS (
+  SELECT event_type,
+         DATE_DIFF('day',
+                   (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                   CAST(ts AS DATE)) AS day
+  FROM {EVENTS_REL} e
+),
+folds AS (SELECT UNNEST(generate_series(1, 4)) AS fold),
+tagged AS (
+  SELECT f.fold, b.event_type,
+         CASE WHEN b.day < 10 + 4 * f.fold THEN 'train'
+              WHEN b.day < 14 + 4 * f.fold THEN 'test' END AS part
+  FROM base b, folds f
+)
+SELECT fold, event_type,
+       CAST(10 + 4 * fold AS BIGINT) AS train_days,
+       CAST(SUM(CASE WHEN part = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train,
+       CAST(SUM(CASE WHEN part = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_test
+FROM tagged
+WHERE part IS NOT NULL
+GROUP BY fold, event_type
+"""
+
+
+@register("ts_backtest_folds", oracle=_BACKTEST_ORACLE, category="composite")
+def ts_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) backtest folds — the
+    cross-validation protocol for forecasters: fold k trains on days
+    [0, 10+4k) and tests on the NEXT 4 days, so later folds see more
+    history and test sets never leak into training
+    (`ts_forecast_snaive` evaluates ONE such split; this op plans the
+    whole schedule).  Per (fold, event_type): train/test row counts
+    and the train horizon.
+
+    Plan: the day index is one narrow map (min-date via a scalar
+    subquery broadcast); the 4-row fold frame cross-joins in as a
+    BroadcastNestedLoop over a frame of four rows — the multiplier is
+    |folds|, applied BEFORE the map-side-combined aggregate, so the
+    shuffle carries |folds|×|types| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    min_day = ev.agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    base = ev.crossJoin(F.broadcast(min_day)).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.col("d0")).alias("day"),
+    )
+    folds = spark.range(1, 5).select(F.col("id").alias("fold"))
+    tagged = base.crossJoin(F.broadcast(folds)).withColumn(
+        "part",
+        F.when(F.col("day") < 10 + 4 * F.col("fold"), "train").when(
+            F.col("day") < 14 + 4 * F.col("fold"), "test"
+        ),
+    )
+    return (
+        tagged.filter(F.col("part").isNotNull())
+        .groupBy("fold", "event_type")
+        .agg(
+            F.sum(F.when(F.col("part") == "train", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.when(F.col("part") == "test", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_test"),
+        )
+        .select(
+            "fold",
+            "event_type",
+            (10 + 4 * F.col("fold")).cast("bigint").alias("train_days"),
+            "n_train",
+            "n_test",
+        )
+    )

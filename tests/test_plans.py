@@ -1206,3 +1206,25 @@ def test_kcore_broadcast_peeling(spark, sf_dir):
     assert has_node(df, "BroadcastHashJoin"), plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert not uses_python(df)
+
+
+def test_chi2_single_scan_contingency_windows(spark, sf_dir):
+    import re
+
+    df = REGISTRY["agg_chi2_independence"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert not uses_python(df)
+
+
+def test_business_days_is_fully_narrow(spark, sf_dir):
+    df = REGISTRY["fn_business_days"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0, physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_shuffle_epochs_broadcast_multiplier_single_exchange(spark, sf_dir):
+    df = REGISTRY["llm_shuffle_epochs"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert shuffle_count(df) <= 1, plan
+    assert not uses_python(df)

@@ -3411,3 +3411,67 @@ def test_left_outer_watermark_emits_unmatched_views(spark, sf_dir):
     for r in rows:
         assert r["n_converted_views"] <= r["n_views"]
         assert r["n_pairs"] >= r["n_converted_views"]
+
+
+def test_chi2_parts_sum_to_total_and_marginals(spark, sf_dir):
+    rows = REGISTRY["agg_chi2_independence"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10  # 5 event types x 2 buckets
+    total = rows[0]["chi2_total"]
+    assert all(abs(r["chi2_total"] - total) < 1e-9 for r in rows)
+    assert abs(sum(r["chi2_part"] for r in rows) - total) < 1e-2
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["observed"] for r in rows) == n_events
+    assert abs(sum(r["expected"] for r in rows) - n_events) < 1e-2
+    assert all(r["reject_independence_95"] == (total > 9.488) for r in rows)
+
+
+def test_backtest_folds_expand_and_never_leak(spark, sf_dir):
+    rows = REGISTRY["ts_backtest_folds"].fn(spark, sf_dir).collect()
+    by_fold = {}
+    for r in rows:
+        by_fold.setdefault(r["fold"], [0, 0, r["train_days"]])
+        by_fold[r["fold"]][0] += r["n_train"]
+        by_fold[r["fold"]][1] += r["n_test"]
+    assert sorted(by_fold) == [1, 2, 3, 4]
+    horizons = [by_fold[k][2] for k in sorted(by_fold)]
+    assert horizons == [14, 18, 22, 26]  # expanding window
+    trains = [by_fold[k][0] for k in sorted(by_fold)]
+    assert trains == sorted(trains)  # more history per later fold
+    # fold k's train set is exactly fold k-1's train+test days
+    for k in [2, 3, 4]:
+        assert by_fold[k][0] == by_fold[k - 1][0] + by_fold[k - 1][1]
+
+
+def test_business_days_known_values(spark, sf_dir):
+    import datetime
+
+    rows = REGISTRY["fn_business_days"].fn(spark, sf_dir).collect()
+    for r in rows[:200]:
+        d = r["order_date"]
+        assert r["weekday"] == d.weekday()
+        assert r["is_weekend"] == (d.weekday() >= 5)
+        nb = r["next_business_day"]
+        assert nb >= d and nb.weekday() < 5
+        assert (nb - d).days <= 2
+        expect = sum(
+            1
+            for k in range(30)
+            if (d + datetime.timedelta(days=k)).weekday() < 5
+        )
+        assert r["business_days_30"] == expect
+
+
+def test_shuffle_epochs_distinct_stable_permutations(spark, sf_dir):
+    rows = REGISTRY["llm_shuffle_epochs"].fn(spark, sf_dir).collect()
+    by_es = {(r["epoch"], r["shard"]): r for r in rows}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    epochs = {e for e, _ in by_es}
+    assert epochs == {0, 1, 2}
+    for e in epochs:
+        assert sum(r["n_docs"] for (ep, _), r in by_es.items() if ep == e) == n_docs
+    # same shard, different epochs -> different order, same membership size
+    for s in {s for _, s in by_es}:
+        perms = {by_es[(e, s)]["perm_fp"] for e in epochs}
+        assert len(perms) == 3  # decorrelated across epochs
+        sizes = {by_es[(e, s)]["n_docs"] for e in epochs}
+        assert len(sizes) == 1  # membership is epoch-invariant
