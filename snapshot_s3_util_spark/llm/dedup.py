@@ -1326,3 +1326,141 @@ def llm_dedup_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keeper_quality"
         ),
     )
+
+
+# ------------------------------------------------ winnowing (MOSS)
+
+_WIN_K = 4   # tokens per k-gram
+_WIN_W = 4   # winnowing window (grams per window)
+_WIN_MIN_SHARED = 3
+
+_WINNOW_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         UNNEST(generate_series(1, LEN(toks) - {_WIN_K} + 1)) AS pos,
+         toks
+  FROM t WHERE LEN(toks) >= {_WIN_K}
+),
+h AS (
+  SELECT doc_id, pos,
+         SUBSTR(MD5(ARRAY_TO_STRING(toks[pos:pos + {_WIN_K} - 1], ' ')),
+                1, 12) || ':' || LPAD(CAST(pos AS STRING), 6, '0') AS key,
+         CAST(LEN(toks) - {_WIN_K} + 1 AS BIGINT) AS n_grams
+  FROM g
+),
+sel AS (
+  SELECT doc_id,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                        AND {_WIN_W - 1} FOLLOWING) AS winmin,
+         pos, n_grams
+  FROM h
+),
+fp AS (
+  SELECT DISTINCT doc_id, SUBSTR(winmin, 1, 12) AS f
+  FROM sel WHERE pos <= n_grams - {_WIN_W} + 1
+),
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM fp GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       ROUND(CAST(p.n_shared AS DOUBLE) / (sa.nf + sb.nf - p.n_shared), 4)
+         AS fp_jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+
+@register("llm_dedup_winnowing", oracle=_WINNOW_ORACLE, category="llm")
+def llm_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint near-dup detection (the MOSS algorithm,
+    Schleimer et al. 2003): token {_WIN_K}-grams are hashed, every
+    sliding window of {_WIN_W} gram hashes contributes its MINIMUM
+    (leftmost on ties — deterministic), and the distinct selected
+    hashes are the document's fingerprints.  Winnowing GUARANTEES any
+    shared run of ≥ w+k−1 tokens yields at least one shared
+    fingerprint — a positional-locality guarantee minhash (global
+    random sample) and simhash (global projection) don't give.
+    Candidate pairs share ≥ {_WIN_MIN_SHARED} fingerprints, scored by
+    fingerprint-set Jaccard.
+
+    Plan: gram hashing is a narrow explode (the minhash shingle
+    shape); window minima ride ONE doc_id exchange; pairing is a
+    fingerprint-bucket equi self-join (Σbucket², never |docs|²) with
+    the same df-cap escape hatch as `llm_dedup_near_minhash` if a
+    fingerprint goes hot.
+    """
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= _WIN_K)
+        .select(
+            "doc_id",
+            "toks",
+            (F.size("toks") - _WIN_K + 1).cast("bigint").alias("n_grams"),
+        )
+    )
+    g = t.select(
+        "doc_id",
+        "n_grams",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, int(n_grams)),"
+                f" p -> concat(substring(md5(array_join("
+                f"slice(toks, p, {_WIN_K}), ' ')), 1, 12),"
+                f" ':', lpad(cast(p AS string), 6, '0')))"
+            )
+        ).alias("pos0", "key"),
+    ).select(
+        "doc_id", "n_grams", (F.col("pos0") + 1).alias("pos"), "key"
+    )
+    wsel = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _WIN_W - 1)
+    )
+    fp = (
+        g.withColumn("winmin", F.min("key").over(wsel))
+        .filter(F.col("pos") <= F.col("n_grams") - _WIN_W + 1)
+        .select("doc_id", F.substring("winmin", 1, 12).alias("f"))
+        .distinct()
+    )
+    sizes = fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nf")
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), "f")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "f")
+    pairs = (
+        a.join(b, "f")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("nfa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nfb"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("nfa") + F.col("nfb") - F.col("n_shared")),
+                4,
+            ).alias("fp_jaccard"),
+        )
+    )

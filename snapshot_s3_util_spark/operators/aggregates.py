@@ -1294,3 +1294,118 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(total, 4).alias("chi2_total"),
         (total > 9.488).alias("reject_independence_95"),
     )
+
+
+_MWU_ORACLE = """
+WITH s AS (
+  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+         CAST(ROUND(value * 10000) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('click', 'signup')
+),
+r AS (
+  SELECT is_a, v,
+         2 * RANK() OVER (ORDER BY v)
+           + COUNT(*) OVER (PARTITION BY v) - 1 AS rank2
+  FROM s
+),
+ties AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_corr
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM s GROUP BY v)
+),
+m AS (
+  SELECT CAST(SUM(CASE WHEN is_a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN is_a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN is_a = 1 THEN rank2 ELSE 0 END) AS BIGINT)
+           AS r2a
+  FROM r
+)
+SELECT na AS n_click, nb AS n_signup,
+       CAST(r2a - na * (na + 1) AS BIGINT) AS u2_stat,
+       ROUND((r2a - na * (na + 1)) / 2.0 - na * nb / 2.0, 4) AS u_centered,
+       ROUND(((r2a - na * (na + 1)) / 2.0 - na * nb / 2.0)
+             / SQRT((CAST(na AS DOUBLE) * nb / 12)
+                    * ((na + nb + 1)
+                       - CAST(tie_corr AS DOUBLE)
+                         / ((na + nb) * (na + nb - 1)))), 4) AS z_stat,
+       ABS(((r2a - na * (na + 1)) / 2.0 - na * nb / 2.0)
+           / SQRT((CAST(na AS DOUBLE) * nb / 12)
+                  * ((na + nb + 1)
+                     - CAST(tie_corr AS DOUBLE)
+                       / ((na + nb) * (na + nb - 1))))) > 1.96
+         AS significant_95
+FROM m, ties
+"""
+
+
+@register("agg_mannwhitney_u", oracle=_MWU_ORACLE, category="aggregate")
+def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test between the `click` and `signup`
+    value samples — the nonparametric location test (medians, not
+    means; no normality assumption), with the tie-corrected normal
+    approximation.  Completes the battery: z (proportions), Welch
+    (means), KS (whole distribution), U (location under ranks).
+
+    Rank arithmetic stays EXACT: doubled midranks `2·rank + ties − 1`
+    are integers, the doubled rank-sum and the tie correction
+    Σ(t³ − t) are BIGINTs, and the single float division happens at
+    the end.  The rank window is partition-less but runs over the
+    corpus collapsed per distinct value? No — ranks need per-ROW
+    attribution, so the window runs over the filtered two-group frame
+    with a value ORDER BY; at 100 TB the midranks come from the
+    value-histogram cumulative form (`agg_ks_test`'s ECDF shape)
+    instead — same integers, |distinct values| window.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "signup")
+    )
+    s = ev.select(
+        (F.col("event_type") == "click").cast("int").alias("is_a"),
+        F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+    )
+    r = s.select(
+        "is_a",
+        (
+            2 * F.rank().over(Window.orderBy("v"))
+            + F.count(F.lit(1)).over(Window.partitionBy("v"))
+            - 1
+        ).alias("rank2"),
+    )
+    ties = (
+        s.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("bigint")
+            .alias("tie_corr")
+        )
+    )
+    m = r.agg(
+        F.sum(F.when(F.col("is_a") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("is_a") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+        F.sum(F.when(F.col("is_a") == 1, F.col("rank2")).otherwise(0))
+        .cast("bigint")
+        .alias("r2a"),
+    )
+    c = m.crossJoin(F.broadcast(ties))
+    u = (F.col("r2a") - F.col("na") * (F.col("na") + 1)) / 2.0
+    mu = F.col("na") * F.col("nb") / 2.0
+    n = F.col("na") + F.col("nb")
+    sigma = F.sqrt(
+        (F.col("na").cast("double") * F.col("nb") / 12)
+        * ((n + 1) - F.col("tie_corr").cast("double") / (n * (n - 1)))
+    )
+    z = (u - mu) / sigma
+    return c.select(
+        F.col("na").alias("n_click"),
+        F.col("nb").alias("n_signup"),
+        (F.col("r2a") - F.col("na") * (F.col("na") + 1))
+        .cast("bigint")
+        .alias("u2_stat"),
+        F.round(u - mu, 4).alias("u_centered"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )

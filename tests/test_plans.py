@@ -1228,3 +1228,15 @@ def test_shuffle_epochs_broadcast_multiplier_single_exchange(spark, sf_dir):
     plan = physical_plan(df)
     assert shuffle_count(df) <= 1, plan
     assert not uses_python(df)
+
+
+def test_mannwhitney_no_python_single_final_row(spark, sf_dir):
+    df = REGISTRY["agg_mannwhitney_u"].fn(spark, sf_dir)
+    assert not uses_python(df)
+
+
+def test_winnowing_bucket_join_no_cartesian(spark, sf_dir):
+    df = REGISTRY["llm_dedup_winnowing"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert not uses_python(df)

@@ -3475,3 +3475,77 @@ def test_shuffle_epochs_distinct_stable_permutations(spark, sf_dir):
         assert len(perms) == 3  # decorrelated across epochs
         sizes = {by_es[(e, s)]["n_docs"] for e in epochs}
         assert len(sizes) == 1  # membership is epoch-invariant
+
+
+def test_mannwhitney_matches_python(spark, sf_dir):
+    [r] = REGISTRY["agg_mannwhitney_u"].fn(spark, sf_dir).collect()
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "signup"))
+        .select("event_type", "value")
+        .collect()
+    )
+    a = [round(x["value"] * 10000) for x in rows if x["event_type"] == "click"]
+    b = [round(x["value"] * 10000) for x in rows if x["event_type"] == "signup"]
+    allv = sorted(a + b)
+    import bisect
+    from collections import Counter
+
+    cnt = Counter(allv)
+    # doubled midrank of value v: 2*competition_rank + ties - 1
+    r2a = sum(
+        2 * (bisect.bisect_left(allv, v) + 1) + cnt[v] - 1 for v in a
+    )
+    na, nb = len(a), len(b)
+    u = (r2a - na * (na + 1)) / 2.0
+    mu = na * nb / 2.0
+    n = na + nb
+    tie = sum(t**3 - t for t in cnt.values())
+    sigma = ((na * nb / 12) * ((n + 1) - tie / (n * (n - 1)))) ** 0.5
+    z = (u - mu) / sigma
+    assert r["n_click"] == na and r["n_signup"] == nb
+    assert r["u2_stat"] == r2a - na * (na + 1)
+    assert abs(r["z_stat"] - round(z, 4)) < 1e-9
+    assert r["significant_95"] == (abs(z) > 1.96)
+
+
+def test_winnowing_guarantee_on_planted_duplicates(spark, sf_dir):
+    """Any two docs sharing a long verbatim run MUST share fingerprints
+    (the winnowing coverage guarantee); spot-check against a brute
+    Python winnow of the highest-scoring pair."""
+    from snapshot_s3_util_spark.llm.dedup import _WIN_K, _WIN_MIN_SHARED, _WIN_W
+
+    rows = REGISTRY["llm_dedup_winnowing"].fn(spark, sf_dir).collect()
+    assert rows, "no candidate pairs found — planted near-dups missed"
+    best = max(rows, key=lambda r: (r["fp_jaccard"], -r["doc_a"]))
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(best["doc_a"], best["doc_b"]))
+        .collect()
+    }
+    import hashlib
+
+    def winnow(text):
+        toks = text.split(" ")
+        keys = [
+            (
+                hashlib.md5(" ".join(toks[p : p + _WIN_K]).encode())
+                .hexdigest()[:12],
+                p,
+            )
+            for p in range(len(toks) - _WIN_K + 1)
+        ]
+        fps = set()
+        for j in range(len(keys) - _WIN_W + 1):
+            fps.add(min(keys[j : j + _WIN_W])[0])
+        return fps
+
+    fa = winnow(docs[best["doc_a"]])
+    fb = winnow(docs[best["doc_b"]])
+    shared = len(fa & fb)
+    assert shared == best["n_shared"]
+    assert shared >= _WIN_MIN_SHARED
+    assert abs(
+        best["fp_jaccard"] - round(shared / len(fa | fb), 4)
+    ) < 1e-9
