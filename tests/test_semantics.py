@@ -3549,3 +3549,36 @@ def test_winnowing_guarantee_on_planted_duplicates(spark, sf_dir):
     assert abs(
         best["fp_jaccard"] - round(shared / len(fa | fb), 4)
     ) < 1e-9
+
+
+def test_soundex_matches_python_reference(spark, sf_dir):
+    import re
+
+    rows = REGISTRY["fn_soundex"].fn(spark, sf_dir).collect()
+    assert all(re.fullmatch(r"[A-Z][0-9]{3}", r["sdx"]) for r in rows)
+
+    _MAP = dict(
+        zip("ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230127022455012623017202")
+    )
+
+    def soundex(s):
+        out, prev = s[0], _MAP[s[0]]
+        for ch in s[1:]:
+            c = _MAP[ch]
+            if c == "7":
+                continue
+            if c == "0":
+                prev = "0"
+                continue
+            if c != prev:
+                out += c
+            prev = c
+        return (out + "000")[:4]
+
+    for r in rows[:200]:
+        assert r["sdx"] == soundex(r["cleaned"]), r["cleaned"]
+    from collections import Counter
+
+    blocks = Counter(r["sdx"] for r in rows)
+    for r in rows[:200]:
+        assert r["block_size"] == blocks[r["sdx"]]
