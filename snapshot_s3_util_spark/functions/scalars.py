@@ -1055,3 +1055,65 @@ def fn_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "block_size",
         F.count(F.lit(1)).over(Window.partitionBy("sdx")).cast("bigint"),
     )
+
+
+_UUID_ORACLE = """
+WITH h AS (
+  SELECT o_orderkey,
+         MD5('s3u:order:' || CAST(o_orderkey AS STRING)) AS hx
+  FROM orders
+)
+SELECT o_orderkey,
+       SUBSTR(hx, 1, 8) || '-' || SUBSTR(hx, 9, 4) || '-'
+       || '3' || SUBSTR(hx, 14, 3) || '-'
+       || CASE CAST(('0x' || SUBSTR(hx, 17, 1)) AS BIGINT) % 4
+            WHEN 0 THEN '8' WHEN 1 THEN '9' WHEN 2 THEN 'a' ELSE 'b' END
+       || SUBSTR(hx, 18, 3) || '-' || SUBSTR(hx, 21, 12) AS uuid_v3,
+       '3' AS version_nibble,
+       SUBSTR(hx, 1, 8) AS hash_prefix
+FROM h
+"""
+
+
+@register("fn_uuid_deterministic", oracle=_UUID_ORACLE, category="function")
+def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic namespace UUIDs (RFC 4122 version 3 shape): the
+    md5 of a namespace-qualified key formatted as 8-4-4-4-12 with the
+    version nibble forced to 3 and the variant nibble folded into
+    10xx — the content-stable surrogate key every warehouse needs
+    where `uuid()` (random, re-run unstable) silently breaks joins
+    between reloads.
+
+    Pure string/bit arithmetic inside codegen; the variant nibble is
+    derived with integer mod on the hex digit (identical on both
+    engines), never bitwise ops on strings.  Zero shuffles.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.md5(
+            F.concat(F.lit("s3u:order:"), F.col("o_orderkey").cast("string"))
+        ).alias("hx"),
+    )
+    variant = (
+        F.expr("cast(conv(substring(hx, 17, 1), 16, 10) AS bigint) % 4")
+    )
+    return o.select(
+        "o_orderkey",
+        F.concat(
+            F.substring("hx", 1, 8),
+            F.lit("-"),
+            F.substring("hx", 9, 4),
+            F.lit("-3"),
+            F.substring("hx", 14, 3),
+            F.lit("-"),
+            F.when(variant == 0, "8")
+            .when(variant == 1, "9")
+            .when(variant == 2, "a")
+            .otherwise("b"),
+            F.substring("hx", 18, 3),
+            F.lit("-"),
+            F.substring("hx", 21, 12),
+        ).alias("uuid_v3"),
+        F.lit("3").alias("version_nibble"),
+        F.substring("hx", 1, 8).alias("hash_prefix"),
+    )

@@ -1360,3 +1360,90 @@ def llm_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ),
     )
+
+
+# ------------------------------------------------ log template mining
+
+_LOG_TPL_ORACLE = f"""
+WITH lines AS (
+  SELECT CASE WHEN event_type = 'error'
+              THEN 'ERROR user=' || CAST(user_id AS STRING)
+                   || ' code=' || CAST(event_id % 7 AS STRING)
+                   || ' retry=' || CAST(event_id % 3 AS STRING)
+              ELSE event_type || ' user=' || CAST(user_id AS STRING)
+                   || ' took=' || CAST(CAST(ROUND(value * 1000) AS BIGINT)
+                                       AS STRING) || 'ms'
+         END AS line,
+         user_id
+  FROM {{EVENTS}} e
+),
+masked AS (
+  SELECT line, user_id,
+         regexp_replace(line, '[0-9]+', '<N>', 'g') AS template
+  FROM lines
+)
+SELECT MD5(template) AS template_id,
+       template,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       MIN(line) AS example
+FROM masked
+GROUP BY template
+"""
+
+
+@register(
+    "llm_log_templates",
+    oracle=_LOG_TPL_ORACLE.replace(
+        "{EVENTS}",
+        "(SELECT event_id, user_id, event_type, value FROM events)",
+    ),
+    category="llm",
+)
+def llm_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log template mining (Drain-lite): render deterministic log
+    lines from the event stream, mask every numeric run to `<N>`, and
+    group by the resulting template — the observability primitive that
+    turns billions of raw lines into a handful of patterns (and the
+    cheap first pass before embedding-based log clustering).  Per
+    template: id, volume, distinct users, and a deterministic example
+    line (min election, no `first()` nondeterminism).
+
+    Plan: render+mask are narrow codegen regex; ONE map-side-combined
+    aggregate on the template key (the count-distinct adds its
+    standard Expand, over template-bucketed rows).  Templates are a
+    tiny domain, so the reduce output is constant-size at any corpus
+    scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    line = F.when(
+        F.col("event_type") == "error",
+        F.concat(
+            F.lit("ERROR user="),
+            F.col("user_id").cast("string"),
+            F.lit(" code="),
+            (F.col("event_id") % 7).cast("string"),
+            F.lit(" retry="),
+            (F.col("event_id") % 3).cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.col("event_type"),
+            F.lit(" user="),
+            F.col("user_id").cast("string"),
+            F.lit(" took="),
+            F.round(F.col("value") * 1000).cast("bigint").cast("string"),
+            F.lit("ms"),
+        )
+    )
+    m = ev.select(
+        line.alias("line"),
+        "user_id",
+        F.regexp_replace(line, "[0-9]+", "<N>").alias("template"),
+    )
+    return m.groupBy("template").agg(
+        F.md5("template").alias("template_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.min("line").alias("example"),
+    ).select("template_id", "template", "n_lines", "n_users", "example")

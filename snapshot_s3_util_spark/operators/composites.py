@@ -1551,3 +1551,62 @@ def ts_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_test",
         )
     )
+
+
+_PEAK_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {EVENTS_REL} e
+  GROUP BY 1, 2
+),
+nb AS (
+  SELECT event_type, day, n,
+         LAG(n) OVER w AS prev_n,
+         LEAD(n) OVER w AS next_n
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day, n,
+       CAST(n - GREATEST(prev_n, next_n) AS BIGINT) AS prominence
+FROM nb
+WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+  AND n > prev_n AND n > next_n
+"""
+
+
+@register("ts_peak_detect", oracle=_PEAK_ORACLE, category="composite")
+def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum peak detection on daily per-type volume: a day is
+    a peak when it strictly exceeds BOTH neighbors; prominence is the
+    margin over the taller neighbor — the spike-triage view
+    (`win_anomaly_zscore` flags points against a trailing baseline;
+    this finds the turning points themselves, the shape-preserving
+    counterpart of `ts_downsample_lttb`'s bucket argmax).
+
+    Integer day counts in, integer prominence out — no float anywhere.
+    Plan: the corpus collapses to the |types|×|days| frame in one
+    map-side-combined aggregate BEFORE the neighbor window runs
+    (aggregate-before-window rule); series edges are excluded, not
+    zero-padded, on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    nb = daily.withColumn("prev_n", F.lag("n").over(w)).withColumn(
+        "next_n", F.lead("n").over(w)
+    )
+    return nb.filter(
+        F.col("prev_n").isNotNull()
+        & F.col("next_n").isNotNull()
+        & (F.col("n") > F.col("prev_n"))
+        & (F.col("n") > F.col("next_n"))
+    ).select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("n") - F.greatest("prev_n", "next_n"))
+        .cast("bigint")
+        .alias("prominence"),
+    )

@@ -675,3 +675,64 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("max_dd_i") / 10000.0, 4).alias("max_drawdown"),
         (-F.col("arg.nus")).cast("bigint").alias("dd_ts_us"),
     )
+
+
+_VELOCITY_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(ROUND(value * 10000) AS BIGINT) AS x
+  FROM {EVENTS_REL} e
+),
+d AS (
+  SELECT user_id, event_id, us, x,
+         x - LAG(x) OVER w AS dx,
+         us - LAG(us) OVER w AS dt_us,
+         x - 2 * LAG(x) OVER w + LAG(x, 2) OVER w AS d2x
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT user_id, event_id, dx, dt_us, d2x,
+       ROUND(dx * 360.0 / dt_us, 6) AS rate_per_hour
+FROM d WHERE dt_us IS NOT NULL
+"""
+
+
+@register("win_velocity_accel", oracle=_VELOCITY_ORACLE, category="window")
+def win_velocity_accel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete first and second differences over each user's
+    irregular time series: Δvalue, Δt, the per-hour rate, and the
+    second difference (acceleration sign) — the change-velocity
+    telemetry behind burn-rate alerts and trend-break triage, on RAW
+    irregular timestamps (no resample-first requirement like
+    `ts_resample_interpolate`).
+
+    Δx and the second difference stay exact 1e-4-scaled BIGINTs; the
+    single rate division (dx·3600e6 / dt / 1e4 = dx·360/dt) happens
+    on identical integer operands.  One user exchange serves all
+    three lag windows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 10000).cast("bigint").alias("x"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    d = (
+        s.withColumn("dx", F.col("x") - F.lag("x").over(w))
+        .withColumn("dt_us", F.col("us") - F.lag("us").over(w))
+        .withColumn(
+            "d2x",
+            F.col("x") - 2 * F.lag("x").over(w) + F.lag("x", 2).over(w),
+        )
+    )
+    return d.filter(F.col("dt_us").isNotNull()).select(
+        "user_id",
+        "event_id",
+        "dx",
+        "dt_us",
+        "d2x",
+        F.round(F.col("dx") * 360.0 / F.col("dt_us"), 6).alias(
+            "rate_per_hour"
+        ),
+    )

@@ -1240,3 +1240,30 @@ def test_winnowing_bucket_join_no_cartesian(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert not uses_python(df)
+
+
+def test_velocity_single_user_exchange(spark, sf_dir):
+    df = REGISTRY["win_velocity_accel"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_uuid_is_fully_narrow(spark, sf_dir):
+    df = REGISTRY["fn_uuid_deterministic"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0, physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_peak_detect_aggregates_before_window(spark, sf_dir):
+    import re
+
+    df = REGISTRY["ts_peak_detect"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # tree prints root-first, so the Window node must appear ABOVE the
+    # aggregate in the header — i.e. the window consumes the daily
+    # rollup, never the raw corpus
+    header = plan.split("(1) Scan")[0]
+    assert header.index("Window") < header.index("HashAggregate"), plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert shuffle_count(df) <= 2, plan
+    assert not uses_python(df)

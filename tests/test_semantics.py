@@ -3582,3 +3582,77 @@ def test_soundex_matches_python_reference(spark, sf_dir):
     blocks = Counter(r["sdx"] for r in rows)
     for r in rows[:200]:
         assert r["block_size"] == blocks[r["sdx"]]
+
+
+def test_velocity_matches_python(spark, sf_dir):
+    rows = REGISTRY["win_velocity_accel"].fn(spark, sf_dir).collect()
+    got = {r["event_id"]: r for r in rows if r["user_id"] == 0}
+    ev = sorted(
+        (
+            (r["us"], r["event_id"], round(r["value"] * 10000))
+            for r in load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id") == 0)
+            .select("event_id", F.unix_micros("ts").alias("us"), "value")
+            .collect()
+        )
+    )
+    for i in range(1, len(ev)):
+        us, eid, x = ev[i]
+        pus, _, px = ev[i - 1]
+        r = got[eid]
+        assert r["dx"] == x - px
+        assert r["dt_us"] == us - pus
+        if i >= 2:
+            assert r["d2x"] == x - 2 * px + ev[i - 2][2]
+        assert abs(
+            r["rate_per_hour"] - round((x - px) * 360.0 / (us - pus), 6)
+        ) < 1e-9
+
+
+def test_uuid_v3_shape_and_determinism(spark, sf_dir):
+    import re
+
+    rows = REGISTRY["fn_uuid_deterministic"].fn(spark, sf_dir).collect()
+    pat = re.compile(
+        r"[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}"
+    )
+    assert all(pat.fullmatch(r["uuid_v3"]) for r in rows)
+    assert len({r["uuid_v3"] for r in rows}) == len(rows)  # injective here
+    import hashlib
+
+    r0 = rows[0]
+    hx = hashlib.md5(f"s3u:order:{r0['o_orderkey']}".encode()).hexdigest()
+    assert r0["uuid_v3"].replace("-", "")[:13] == (hx[:12] + "3")
+
+
+def test_log_templates_cover_all_lines(spark, sf_dir):
+    rows = REGISTRY["llm_log_templates"].fn(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_lines"] for r in rows) == n_events
+    assert len(rows) == 5  # one template per event type shape
+    for r in rows:
+        assert "<N>" in r["template"]
+        import re
+
+        # the example must re-mask to its own template
+        assert re.sub(r"[0-9]+", "<N>", r["example"]) == r["template"]
+
+
+def test_peaks_are_strict_local_maxima(spark, sf_dir):
+    rows = REGISTRY["ts_peak_detect"].fn(spark, sf_dir).collect()
+    daily = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        daily[(r["event_type"], r["day"])] = r["n"]
+    assert rows
+    for r in rows:
+        days = sorted(d for (t, d) in daily if t == r["event_type"])
+        i = days.index(r["day"])
+        prev_n = daily[(r["event_type"], days[i - 1])]
+        next_n = daily[(r["event_type"], days[i + 1])]
+        assert r["n"] > prev_n and r["n"] > next_n
+        assert r["prominence"] == r["n"] - max(prev_n, next_n)
