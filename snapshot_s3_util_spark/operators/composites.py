@@ -1610,3 +1610,139 @@ def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("prominence"),
     )
+
+
+_TWA_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(ROUND(value * 10000) AS BIGINT) AS x,
+         event_id
+  FROM {EVENTS_REL} e
+),
+seg AS (
+  SELECT user_id, us, x,
+         LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS next_us
+  FROM s
+)
+SELECT user_id,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
+       CAST(SUM(CASE WHEN next_us IS NOT NULL
+                     THEN x * (next_us - us) ELSE 0 END) AS BIGINT)
+         AS integral,
+       ROUND(CAST(SUM(CASE WHEN next_us IS NOT NULL
+                           THEN x * (next_us - us) ELSE 0 END) AS DOUBLE)
+             / (MAX(us) - MIN(us)) / 10000, 6) AS twa
+FROM seg
+GROUP BY user_id
+HAVING MAX(us) > MIN(us)
+"""
+
+
+@register(
+    "win_time_weighted_avg", oracle=_TWA_ORACLE, category="composite"
+)
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user over the step function the
+    readings define (each value holds until the next sample) — the
+    metering/billing semantics (GB-hours, average concurrency,
+    position-weighted exposure) where the PLAIN average is simply
+    wrong for irregular sampling: a value held for 6 h must weigh 360×
+    one held for a minute.
+
+    The step integral Σ xᵢ·(tᵢ₊₁−tᵢ) accumulates as an exact BIGINT in
+    1e-4·µs units (bounded by 4e5·(30 days in µs)·|rows per user| —
+    DECIMAL(38,0) is the >1e18 escape hatch); the single division by
+    the observation span happens at the end.
+
+    Plan: ONE user exchange serves the lead window and the same-key
+    aggregate (required distribution already satisfied).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 10000).cast("bigint").alias("x"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seg = s.withColumn("next_us", F.lead("us").over(w))
+    contrib = F.when(
+        F.col("next_us").isNotNull(),
+        F.col("x") * (F.col("next_us") - F.col("us")),
+    ).otherwise(0)
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            (F.max("us") - F.min("us")).cast("bigint").alias("span_us"),
+            F.sum(contrib).cast("bigint").alias("integral"),
+        )
+        .filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "span_us",
+            "integral",
+            F.round(
+                F.col("integral").cast("double") / F.col("span_us") / 10000,
+                6,
+            ).alias("twa"),
+        )
+    )
+
+
+_STICKY_ORACLE = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM {EVENTS_REL} e
+),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+),
+win AS (
+  SELECT DISTINCT u.user_id, u.day + CAST(o.off AS INTEGER) AS anchor
+  FROM ud u, (SELECT UNNEST(generate_series(0, 6)) AS off) o
+),
+wau AS (
+  SELECT anchor AS day, CAST(COUNT(*) AS BIGINT) AS wau
+  FROM win GROUP BY anchor
+)
+SELECT d.day, d.dau, w.wau,
+       ROUND(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+FROM dau d JOIN wau w ON w.day = d.day
+"""
+
+
+@register("agg_stickiness_dau_wau", oracle=_STICKY_ORACLE, category="composite")
+def agg_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio ("what share
+    of this week's users showed up today?") product analytics reports
+    daily.  WAU for day D counts distinct users active in [D−6, D],
+    computed by the SHIFT-AND-DISTINCT trick: each (user, day) row
+    projects itself onto the 7 anchor days it contributes to, then one
+    distinct — a bounded 7× multiplier instead of a 7-day
+    range-distinct window (COUNT(DISTINCT) OVER RANGE is unsupported
+    or quadratic in most engines, Spark included).
+
+    Plan: corpus → |users|×|days| distinct frame first (ONE exchange
+    does the heavy dedup); the 7× explode happens on that small frame;
+    anchors outside the observed range drop in the final join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    offs = spark.range(7).select(F.col("id").cast("int").alias("off"))
+    win = (
+        ud.crossJoin(F.broadcast(offs))
+        .select("user_id", F.date_add("day", F.col("off")).alias("anchor"))
+        .distinct()
+    )
+    wau = win.groupBy(F.col("anchor").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+            "stickiness"
+        ),
+    )

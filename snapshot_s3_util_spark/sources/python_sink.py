@@ -1,0 +1,142 @@
+"""Custom Python DataSource WRITE path (Spark 4 DataSource API).
+
+`sources/snapshot_source.py` covers the custom READER surface; this
+module covers the writer: a JSONL sink implemented as a
+`DataSourceWriter` — executor-side `write(iterator)` per partition,
+driver-side `commit(messages)` publishing a manifest only after every
+task reported success (the two-phase commit contract object stores
+need; a task that dies simply never contributes a commit message and
+the manifest stays unpublished).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.registry import register
+
+
+class JsonlCommit(WriterCommitMessage):
+    def __init__(self, file: str, n_rows: int):
+        self.file = file
+        self.n_rows = n_rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> JsonlCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        n = 0
+        with open(fname, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        return JsonlCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "files": sorted(os.path.basename(m.file) for m in messages),
+            "total_rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages) -> None:  # pragma: no cover — failure path
+        for m in messages:
+            try:
+                os.remove(m.file)
+            except OSError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "s3u_jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options)
+
+
+_PYSINK_ORACLE = """
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       MD5(STRING_AGG(LPAD(CAST(o_orderkey AS STRING), 10, '0'), ''
+                      ORDER BY o_orderkey)) AS keys_fp
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("sink_python_datasource", oracle=_PYSINK_ORACLE, category="sink")
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write through the custom Python `DataSourceWriter` above, then
+    READ THE JSONL BACK and fingerprint it — the write->read contract
+    of every sink op here.  Proves the full Spark 4 Python write
+    protocol end-to-end: per-partition executor `write()` producing
+    commit messages, driver `commit()` publishing a manifest, and the
+    manifest's total agreeing with what a reader actually finds.
+
+    Scale: each partition writes independently (no driver data path);
+    the manifest is the WAP-style publish point (`sink_manifest_wap`);
+    a Python writer trades JVM throughput for arbitrary-format reach —
+    the declared custom-surface cost, same as `source_hbase_snapshot`.
+    """
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="s3u_pysink_")
+    try:
+        spark.dataSource.register(JsonlSinkDataSource)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        (
+            o.repartition(4, "o_orderkey")
+            .write.format("s3u_jsonl_sink")
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+        with open(os.path.join(out, "_MANIFEST.json")) as fh:
+            manifest = json.load(fh)
+        back = spark.read.schema("o_orderkey LONG, o_orderstatus STRING").json(
+            f"{out}/part-*.jsonl"
+        )
+        assert manifest["total_rows"] == back.count(), (
+            "manifest/commit total disagrees with readable rows"
+        )
+        return (
+            back.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.expr(
+                            "transform(array_sort(collect_list(o_orderkey)),"
+                            " x -> lpad(cast(x AS string), 10, '0'))"
+                        ),
+                    )
+                ).alias("keys_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

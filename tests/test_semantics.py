@@ -3656,3 +3656,65 @@ def test_peaks_are_strict_local_maxima(spark, sf_dir):
         next_n = daily[(r["event_type"], days[i + 1])]
         assert r["n"] > prev_n and r["n"] > next_n
         assert r["prominence"] == r["n"] - max(prev_n, next_n)
+
+
+def test_twa_matches_python(spark, sf_dir):
+    rows = {
+        r["user_id"]: r
+        for r in REGISTRY["win_time_weighted_avg"].fn(spark, sf_dir).collect()
+    }
+    ev = sorted(
+        (
+            (r["us"], r["event_id"], round(r["value"] * 10000))
+            for r in load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id") == 1)
+            .select("event_id", F.unix_micros("ts").alias("us"), "value")
+            .collect()
+        )
+    )
+    integral = sum(
+        ev[i][2] * (ev[i + 1][0] - ev[i][0]) for i in range(len(ev) - 1)
+    )
+    span = ev[-1][0] - ev[0][0]
+    r = rows[1]
+    assert r["span_us"] == span
+    assert r["integral"] == integral
+    assert abs(r["twa"] - round(integral / span / 10000, 6)) < 1e-9
+    # TWA stays inside the sample range
+    lo = min(x for _, _, x in ev) / 10000
+    hi = max(x for _, _, x in ev) / 10000
+    assert lo <= r["twa"] <= hi
+
+
+def test_stickiness_bounds_and_windowing(spark, sf_dir):
+    rows = REGISTRY["agg_stickiness_dau_wau"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["dau"] <= r["wau"]
+        assert 0.0 < r["stickiness"] <= 1.0
+    # spot-check one mid-series day against a direct distinct count
+    mid = sorted(rows, key=lambda r: r["day"])[len(rows) // 2]
+    ud = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    dau = ud.filter(F.col("day") == mid["day"]).select("user_id").distinct()
+    wau = (
+        ud.filter(
+            (F.col("day") <= mid["day"])
+            & (F.col("day") >= F.date_sub(F.lit(mid["day"]), 6))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    assert mid["dau"] == dau.count()
+    assert mid["wau"] == wau.count()
+
+
+def test_python_sink_manifest_totals(spark, sf_dir):
+    rows = REGISTRY["sink_python_datasource"].fn(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    assert sum(r["n_rows"] for r in rows) == o.count()
+    assert (
+        sum(r["key_sum"] for r in rows)
+        == o.agg(F.sum("o_orderkey")).collect()[0][0]
+    )
