@@ -1117,3 +1117,45 @@ def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("3").alias("version_nibble"),
         F.substring("hx", 1, 8).alias("hash_prefix"),
     )
+
+
+_REXALL_ORACLE = """
+SELECT p_partkey,
+       COALESCE(ARRAY_TO_STRING(regexp_extract_all(p_name, '[a-z]*o[a-z]*'),
+                       ','), '') AS o_words,
+       CAST(LEN(regexp_extract_all(p_name, '[a-z]*o[a-z]*')) AS BIGINT)
+         AS n_o_words,
+       COALESCE(ARRAY_TO_STRING(regexp_extract_all(p_name, '([a-z]+)i', 1),
+                       ','), '') AS i_stems,
+       CASE WHEN LEN(regexp_extract_all(p_name, '\\b[a-z]{5}\\b')) > 0
+            THEN regexp_extract_all(p_name, '\\b[a-z]{5}\\b')[1]
+            ELSE '' END AS first_five_letter
+FROM part
+"""
+
+
+@register("fn_regex_extract_all", oracle=_REXALL_ORACLE, category="function")
+def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-match regex extraction (`regexp_extract_all`) — the log /
+    freetext mining surface beyond single-match `fn_string`: all
+    matches of a pattern, capture-group extraction across matches,
+    match counting, and a first-match-with-default.  Patterns stay in
+    the lookaround-free common subset both regex engines (Java util
+    vs RE2-family) interpret identically, per `llm_pii_redact`.
+
+    Narrow codegen, zero shuffles.
+    """
+    p = load_table(spark, sf_dir, "part")
+    o_words = F.expr("regexp_extract_all(p_name, '[a-z]*o[a-z]*', 0)")
+    five = F.expr("regexp_extract_all(p_name, '\\\\b[a-z]{5}\\\\b', 0)")
+    return p.select(
+        "p_partkey",
+        F.array_join(o_words, ",").alias("o_words"),
+        F.size(o_words).cast("bigint").alias("n_o_words"),
+        F.array_join(
+            F.expr("regexp_extract_all(p_name, '([a-z]+)i', 1)"), ","
+        ).alias("i_stems"),
+        F.when(F.size(five) > 0, F.element_at(five, 1))
+        .otherwise("")
+        .alias("first_five_letter"),
+    )

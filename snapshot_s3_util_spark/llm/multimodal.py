@@ -665,3 +665,63 @@ def multimodal_video_index_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         schema="doc_id long, n_frames long, n_sampled long, n_bytes long, "
         "sum_r long, sum_g long, sum_b long",
     )
+
+
+def analyze_wav(payload: bytes) -> dict:
+    """REAL signal analysis: parse samples with stdlib `wave`, then
+    compute energy and zero-crossing statistics from the raw PCM."""
+    import array
+    import io
+    import wave
+
+    w = wave.open(io.BytesIO(payload), "rb")
+    n = w.getnframes()
+    samples = array.array("h")
+    samples.frombytes(w.readframes(n))
+    energy = sum(int(s) * int(s) for s in samples)
+    zc = sum(
+        1
+        for i in range(1, n)
+        if (samples[i] >= 0) != (samples[i - 1] >= 0)
+    )
+    return {"n_samples": n, "energy": energy, "zero_crossings": zc}
+
+
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(200 + doc_id % 300 AS BIGINT) AS n_samples,
+           CAST((200 + doc_id % 300)
+                * (1000 + (doc_id % 10) * 500)
+                * (1000 + (doc_id % 10) * 500) AS BIGINT) AS energy,
+           CAST((200 + doc_id % 300 - 1) // (10 + doc_id % 20) AS BIGINT)
+             AS zero_crossings
+    FROM documents
+    """,
+    category="multimodal",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSP feature extraction through the real WAV codec: total energy
+    (Σx², the loudness/VAD input) and zero-crossing count (the
+    classic pitch/voicedness proxy) computed from the ACTUAL decoded
+    PCM sample arrays — the feature stage a speech-data curation
+    pipeline runs after `multimodal_audio_decode`'s header checks.
+
+    The square-wave synthesis makes both features closed-form —
+    energy = n·amp² exactly, crossings = ⌊(n−1)/period⌋ — so the
+    oracle verifies the signal MATH, not just container plumbing: an
+    off-by-one in the sample loop or a sign-handling slip shifts the
+    crossing count and fails the hash.
+
+    Same two Arrow `mapInPandas` stages as the codec quartet; energy
+    stays in exact int64 (max ≈ 500·5500² ≈ 1.5e10 per doc).
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    wavs = d.mapInPandas(
+        _payload_stage(synth_wav), "doc_id long, payload binary"
+    )
+    return wavs.mapInPandas(
+        _feature_stage(analyze_wav, ["n_samples", "energy", "zero_crossings"]),
+        "doc_id long, n_samples long, energy long, zero_crossings long",
+    )

@@ -1746,3 +1746,102 @@ def agg_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+_STL_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM {EVENTS_REL} e GROUP BY 1, 2
+),
+tr AS (
+  SELECT event_type, day, n,
+         SUM(n) OVER w AS s7,
+         COUNT(*) OVER w AS c7,
+         isodow(day) - 1 AS wd
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+full7 AS (
+  SELECT event_type, day, n, wd,
+         7 * n - s7 AS d7
+  FROM tr WHERE c7 = 7
+),
+seas AS (
+  SELECT event_type, wd,
+         CAST(SUM(d7) AS BIGINT) AS sum_d7,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM full7 GROUP BY event_type, wd
+),
+j AS (
+  SELECT f.event_type, f.day, f.n,
+         ROUND((7.0 * f.n - f.d7) / 7, 4) AS trend,
+         ROUND(CAST(s.sum_d7 AS DOUBLE) / s.cnt / 7, 4) AS seasonal
+  FROM full7 f JOIN seas s
+    ON s.event_type = f.event_type AND s.wd = f.wd
+)
+SELECT event_type, day, n, trend, seasonal,
+       ROUND(n - trend - seasonal, 4) AS remainder
+FROM j
+"""
+
+
+@register("ts_stl_decompose", oracle=_STL_ORACLE, category="composite")
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical trend/seasonal/remainder decomposition of the daily
+    per-type volume (STL-lite: centered 7-day moving-average trend,
+    mean-detrended weekday seasonal, additive remainder) — the
+    decomposition behind `ts_seasonality_profile`'s load curves and
+    `ts_forecast_snaive`'s weekly lag, now as explicit components.
+
+    Exactness discipline: the trend numerator Σ7 and the detrended
+    value 7n−Σ7 are INTEGERS; trend and seasonal round once from
+    integer ratios, and the remainder is computed from the
+    ALREADY-ROUNDED components (the float-sums pitfall rule), so both
+    engines subtract identical operands.  Edge days without a full
+    7-day window are excluded, not padded.
+
+    Plan: corpus → |types|×|days| aggregate first; the trend window,
+    weekday aggregate and the seasonal join all run on that tiny
+    frame (broadcast).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = (
+        daily.withColumn("s7", F.sum("n").over(w))
+        .withColumn("c7", F.count(F.lit(1)).over(w))
+        .withColumn("wd", F.weekday("day"))
+    )
+    full7 = tr.filter(F.col("c7") == 7).withColumn(
+        "d7", 7 * F.col("n") - F.col("s7")
+    )
+    seas = full7.groupBy("event_type", "wd").agg(
+        F.sum("d7").cast("bigint").alias("sum_d7"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    j = full7.join(F.broadcast(seas), ["event_type", "wd"]).select(
+        "event_type",
+        "day",
+        "n",
+        F.round((7.0 * F.col("n") - F.col("d7")) / 7, 4).alias("trend"),
+        F.round(
+            F.col("sum_d7").cast("double") / F.col("cnt") / 7, 4
+        ).alias("seasonal"),
+    )
+    return j.select(
+        "event_type",
+        "day",
+        "n",
+        "trend",
+        "seasonal",
+        F.round(
+            F.col("n") - F.col("trend") - F.col("seasonal"), 4
+        ).alias("remainder"),
+    )

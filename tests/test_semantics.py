@@ -3718,3 +3718,63 @@ def test_python_sink_manifest_totals(spark, sf_dir):
         sum(r["key_sum"] for r in rows)
         == o.agg(F.sum("o_orderkey")).collect()[0][0]
     )
+
+
+def test_audio_features_match_python_dsp(spark, sf_dir):
+    from snapshot_s3_util_spark.llm.multimodal import analyze_wav, synth_wav
+
+    rows = REGISTRY["multimodal_audio_features"].fn(spark, sf_dir).collect()
+    for r in rows[:20]:
+        ref = analyze_wav(synth_wav(r["doc_id"]))
+        assert r["n_samples"] == ref["n_samples"]
+        assert r["energy"] == ref["energy"]
+        assert r["zero_crossings"] == ref["zero_crossings"]
+    # energy is always n * amp^2 for a square wave
+    for r in rows[:20]:
+        amp = 1000 + (r["doc_id"] % 10) * 500
+        assert r["energy"] == r["n_samples"] * amp * amp
+
+
+def test_stl_components_reassemble(spark, sf_dir):
+    rows = REGISTRY["ts_stl_decompose"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # additive identity holds exactly on the rounded components
+        assert abs(
+            (r["trend"] + r["seasonal"] + r["remainder"]) - r["n"]
+        ) < 1e-6
+    # seasonal effects per (type, weekday) must be constant
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for r in rows:
+        seen[(r["event_type"], r["day"].weekday())].add(r["seasonal"])
+    assert all(len(v) == 1 for v in seen.values())
+    # each type's seasonal effects sum to ~0 over a full week
+    per_type = defaultdict(list)
+    for (t, _), v in seen.items():
+        per_type[t].append(next(iter(v)))
+    mean_n = sum(r["n"] for r in rows) / len(rows)
+    for t, vals in per_type.items():
+        if len(vals) == 7:
+            # mean-detrended: near-zero sum relative to series scale
+            # (uneven weekday counts keep it from being exactly zero)
+            assert abs(sum(vals)) < 0.05 * mean_n
+
+
+def test_regex_extract_all_matches_python(spark, sf_dir):
+    import re
+
+    rows = REGISTRY["fn_regex_extract_all"].fn(spark, sf_dir).collect()
+    parts = {
+        r["p_partkey"]: r["p_name"]
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    for r in rows[:200]:
+        name = parts[r["p_partkey"]]
+        o_words = re.findall(r"[a-z]*o[a-z]*", name)
+        o_words = [w for w in o_words if w]  # engines skip empty matches
+        assert r["o_words"] == ",".join(w for w in o_words)
+        assert r["i_stems"] == ",".join(re.findall(r"([a-z]+)i", name))
+        five = re.findall(r"\b[a-z]{5}\b", name)
+        assert r["first_five_letter"] == (five[0] if five else "")
