@@ -444,3 +444,108 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bound"
         ),
     )
+
+
+# ------------------------------------------------ contrastive triplets
+
+_TRIP_STRIDE = 10  # anchors = every 10th vector
+
+
+_TRIP_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+a AS (
+  SELECT vec_id AS anchor_id, label AS a_label, e AS ae
+  FROM v WHERE vec_id % {_TRIP_STRIDE} = 0
+),
+scored AS (
+  SELECT a.anchor_id, a.a_label, v.vec_id, v.label,
+         LIST_DOT_PRODUCT(v.e, a.ae)
+           / (SQRT(LIST_DOT_PRODUCT(v.e, v.e))
+              * SQRT(LIST_DOT_PRODUCT(a.ae, a.ae))) AS raw
+  FROM v CROSS JOIN a
+  WHERE v.vec_id <> a.anchor_id
+),
+pos AS (
+  SELECT anchor_id, vec_id AS positive_id, ROUND(raw, 6) AS pos_sim
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY raw DESC, vec_id) AS rn
+        FROM scored WHERE label = a_label)
+  WHERE rn = 1
+),
+neg AS (
+  SELECT anchor_id, vec_id AS negative_id, ROUND(raw, 6) AS neg_sim
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY raw DESC, vec_id) AS rn
+        FROM scored WHERE label <> a_label)
+  WHERE rn = 1
+)
+SELECT p.anchor_id, p.positive_id, p.pos_sim,
+       n.negative_id, n.neg_sim,
+       ROUND(p.pos_sim - n.neg_sim, 6) AS margin
+FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+"""
+
+
+@register("llm_contrastive_triplets", oracle=_TRIP_ORACLE, category="llm")
+def llm_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-triplet mining for embedding training: for every
+    anchor (each {_TRIP_STRIDE}th vector), the positive is its most
+    similar SAME-label neighbor and the negative its most similar
+    DIFFERENT-label neighbor — the semi-hard negative formulation
+    whose margin (pos − neg) is exactly what a triplet/InfoNCE loss
+    consumes.  Negative margins mark anchors whose nearest neighbor
+    crosses the label boundary — the pairs that actually teach.
+
+    Plan: anchors broadcast against the corpus (one narrow scoring
+    pass, |anchors|×|corpus| work — the brute path; at index scale the
+    candidate set comes from `llm_sim_ann_lsh` buckets instead); both
+    argmax elections ride ONE anchor-partitioned window exchange
+    (WindowGroupLimit), then a broadcast self-join stitches the
+    triplet.
+    """
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(_E).alias("e")
+    )
+    a = v.filter(F.col("vec_id") % _TRIP_STRIDE == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("e").alias("ae"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(a))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .withColumn("raw", _cos("e", "ae"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("raw").desc(), F.col("vec_id")
+    )
+    pos = (
+        scored.filter(F.col("label") == F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("positive_id"),
+            F.round("raw", 6).alias("pos_sim"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("label") != F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.round("raw", 6).alias("neg_sim"),
+        )
+    )
+    return pos.join(F.broadcast(neg), "anchor_id").select(
+        "anchor_id",
+        "positive_id",
+        "pos_sim",
+        "negative_id",
+        "neg_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+    )

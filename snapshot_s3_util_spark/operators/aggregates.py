@@ -1409,3 +1409,207 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant_95"),
     )
+
+
+_BOOT_B = 200
+_BOOT_LO = 6    # 1-based index into the 200 sorted resample sums: 2.5%
+_BOOT_HI = 195  # 97.5%
+
+_BOOT_ORACLE = f"""
+WITH act AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+),
+packed AS (
+  SELECT LIST(cnt ORDER BY user_id) AS arr,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cnt) AS BIGINT) AS total
+  FROM act
+),
+boot AS (
+  SELECT n, total,
+         LIST_SORT(list_transform(generate_series(1, {_BOOT_B}), b ->
+           list_aggregate(
+             list_transform(generate_series(1, CAST(n AS INTEGER)), i ->
+               arr[CAST(CAST(('0x' || SUBSTR(MD5(CAST(b AS STRING) || ':'
+                              || CAST(i AS STRING)), 1, 8)) AS BIGINT)
+                        % n AS INTEGER) + 1]),
+             'sum'))) AS sums
+  FROM packed
+)
+SELECT n AS n_users,
+       CAST({_BOOT_B} AS BIGINT) AS n_boot,
+       ROUND(CAST(total AS DOUBLE) / n, 6) AS observed_mean,
+       ROUND(CAST(sums[{_BOOT_LO}] AS DOUBLE) / n, 6) AS ci_lo,
+       ROUND(CAST(sums[{_BOOT_HI}] AS DOUBLE) / n, 6) AS ci_hi
+FROM boot
+"""
+
+
+@register("agg_bootstrap_ci", oracle=_BOOT_ORACLE, category="aggregate")
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% confidence interval for mean per-user activity —
+    the distribution-free CI when no parametric form applies, with the
+    resampling LOTTERY made DETERMINISTIC: resample b draws its i-th
+    element via md5(b:i) mod n, so re-runs (and both engines) draw
+    IDENTICAL resamples — `rand()`-seeded bootstraps are
+    partitioning-dependent and unreproducible across engines.
+    {_BOOT_B} resamples; the CI takes sorted resample sums at
+    positions {_BOOT_LO}/{_BOOT_HI} (2.5th/97.5th percentile,
+    explicit-index convention).
+
+    Every resample sum is an exact BIGINT; divisions round once.
+
+    Plan: the corpus collapses to the per-user aggregate (one
+    exchange); the bootstrap runs entirely in ONE row's array
+    expressions — |users|·B integer ops inside codegen, no explode,
+    no second shuffle.  At a billion users the resample unit becomes
+    per-shard subtotals (the m-out-of-n / bag-of-little-bootstraps
+    formulation) with this exact op applied to the shard frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    packed = act.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(user_id, cnt))),"
+            " s -> s.cnt)"
+        ).alias("arr"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("total"),
+    )
+    boot = packed.withColumn(
+        "sums",
+        F.expr(
+            f"array_sort(transform(sequence(1, {_BOOT_B}), b -> "
+            f"aggregate(sequence(1, int(n)), 0L, (acc, i) -> acc + "
+            f"element_at(arr, int(cast(conv(substring(md5(concat("
+            f"cast(b AS string), ':', cast(i AS string))), 1, 8), 16, 10)"
+            f" AS bigint) % n) + 1))))"
+        ),
+    )
+    return boot.select(
+        F.col("n").alias("n_users"),
+        F.lit(_BOOT_B).cast("bigint").alias("n_boot"),
+        F.round(F.col("total").cast("double") / F.col("n"), 6).alias(
+            "observed_mean"
+        ),
+        F.round(
+            F.element_at("sums", _BOOT_LO).cast("double") / F.col("n"), 6
+        ).alias("ci_lo"),
+        F.round(
+            F.element_at("sums", _BOOT_HI).cast("double") / F.col("n"), 6
+        ).alias("ci_hi"),
+    )
+
+
+_PERM_B = 200
+_PERM_NA = 75  # group-A size: users 0..74 vs the rest
+
+_PERM_ORACLE = f"""
+WITH act AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+),
+packed AS (
+  SELECT LIST(cnt ORDER BY user_id) AS arr,
+         LIST(user_id ORDER BY user_id) AS uids,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN user_id < {_PERM_NA} THEN cnt ELSE 0 END)
+              AS BIGINT) AS obs_a,
+         CAST(SUM(cnt) AS BIGINT) AS total
+  FROM act
+),
+perms AS (
+  SELECT n, obs_a, total,
+         list_transform(generate_series(1, {_PERM_B}), b ->
+           list_aggregate(
+             list_transform(
+               LIST_SORT(list_transform(generate_series(1, CAST(n AS INTEGER)),
+                 i -> {{'h': MD5(CAST(b AS STRING) || ':'
+                                || CAST(i AS STRING)), 'i': i}}))[1:{_PERM_NA}],
+               s -> arr[s.i]),
+             'sum')) AS perm_sums
+  FROM packed
+)
+SELECT n AS n_users,
+       CAST({_PERM_B} AS BIGINT) AS n_perms,
+       ROUND(obs_a / CAST({_PERM_NA} AS DOUBLE)
+             - (total - obs_a) / CAST(n - {_PERM_NA} AS DOUBLE), 6)
+         AS observed_diff,
+       CAST(LEN(list_filter(perm_sums, s ->
+              ABS(s / CAST({_PERM_NA} AS DOUBLE)
+                  - (total - s) / CAST(n - {_PERM_NA} AS DOUBLE))
+              >= ABS(obs_a / CAST({_PERM_NA} AS DOUBLE)
+                     - (total - obs_a) / CAST(n - {_PERM_NA} AS DOUBLE))))
+            AS BIGINT) AS n_extreme,
+       ROUND(CAST(LEN(list_filter(perm_sums, s ->
+              ABS(s / CAST({_PERM_NA} AS DOUBLE)
+                  - (total - s) / CAST(n - {_PERM_NA} AS DOUBLE))
+              >= ABS(obs_a / CAST({_PERM_NA} AS DOUBLE)
+                     - (total - obs_a) / CAST(n - {_PERM_NA} AS DOUBLE))))
+            AS DOUBLE) / {_PERM_B}, 6) AS p_value
+FROM perms
+"""
+
+
+@register("agg_permutation_test", oracle=_PERM_ORACLE, category="aggregate")
+def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the difference in mean activity between
+    the first {_PERM_NA} users and the rest — the exact-null
+    resampling test that needs NO distributional assumption at all
+    (the bootstrap estimates uncertainty; this tests the null
+    directly).  Each of {_PERM_B} permutations re-splits users by
+    ranking md5(b:i) and taking the {_PERM_NA} smallest — an EXACT
+    fixed-size relabeling, deterministic across engines and re-runs.
+
+    Permutation sums stay exact BIGINTs; the two-sided p-value counts
+    permutations whose |mean diff| meets or beats the observed one.
+
+    Plan: identical shape to `agg_bootstrap_ci` — one per-user
+    exchange, then the whole permutation engine runs in a single
+    row's array expressions inside codegen.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    packed = act.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(user_id, cnt))),"
+            " s -> s.cnt)"
+        ).alias("arr"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("user_id") < _PERM_NA, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("obs_a"),
+        F.sum("cnt").cast("bigint").alias("total"),
+    )
+    perms = packed.withColumn(
+        "perm_sums",
+        F.expr(
+            f"transform(sequence(1, {_PERM_B}), b -> "
+            f"aggregate(slice(array_sort(transform(sequence(1, int(n)),"
+            f" i -> struct(md5(concat(cast(b AS string), ':',"
+            f" cast(i AS string))) AS h, i AS i))), 1, {_PERM_NA}),"
+            f" 0L, (acc, s) -> acc + element_at(arr, s.i)))"
+        ),
+    )
+    na = F.lit(_PERM_NA).cast("double")
+    nb = (F.col("n") - _PERM_NA).cast("double")
+    obs_diff = F.col("obs_a") / na - (F.col("total") - F.col("obs_a")) / nb
+    n_extreme = F.expr(
+        f"size(filter(perm_sums, s -> "
+        f"abs(s / cast({_PERM_NA} AS double)"
+        f" - (total - s) / cast(n - {_PERM_NA} AS double)) >= "
+        f"abs(obs_a / cast({_PERM_NA} AS double)"
+        f" - (total - obs_a) / cast(n - {_PERM_NA} AS double))))"
+    ).cast("bigint")
+    return perms.select(
+        F.col("n").alias("n_users"),
+        F.lit(_PERM_B).cast("bigint").alias("n_perms"),
+        F.round(obs_diff, 6).alias("observed_diff"),
+        n_extreme.alias("n_extreme"),
+        F.round(n_extreme.cast("double") / _PERM_B, 6).alias("p_value"),
+    )

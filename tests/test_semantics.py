@@ -3775,3 +3775,82 @@ def test_regex_extract_all_matches_python(spark, sf_dir):
         assert r["i_stems"] == ",".join(re.findall(r"([a-z]+)i", name))
         five = re.findall(r"\b[a-z]{5}\b", name)
         assert r["first_five_letter"] == (five[0] if five else "")
+
+
+def test_triplets_margin_and_label_contract(spark, sf_dir):
+    rows = REGISTRY["llm_contrastive_triplets"].fn(spark, sf_dir).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    assert rows
+    for r in rows:
+        assert labels[r["positive_id"]] == labels[r["anchor_id"]]
+        assert labels[r["negative_id"]] != labels[r["anchor_id"]]
+        assert r["positive_id"] != r["anchor_id"]
+        assert abs(r["margin"] - round(r["pos_sim"] - r["neg_sim"], 6)) < 1e-9
+    # on near-uniform synthetic embeddings some margins must be small/negative
+    assert min(r["margin"] for r in rows) < max(r["margin"] for r in rows)
+
+
+def test_bootstrap_ci_brackets_observed_mean(spark, sf_dir):
+    [r] = REGISTRY["agg_bootstrap_ci"].fn(spark, sf_dir).collect()
+    assert r["ci_lo"] <= r["observed_mean"] <= r["ci_hi"]
+    assert r["ci_lo"] < r["ci_hi"]
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert abs(r["observed_mean"] - round(n_events / r["n_users"], 6)) < 1e-9
+
+    import hashlib
+
+    act = {
+        x["user_id"]: x["cnt"]
+        for x in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    arr = [act[u] for u in sorted(act)]
+    n = len(arr)
+    sums = sorted(
+        sum(
+            arr[
+                int(hashlib.md5(f"{b}:{i}".encode()).hexdigest()[:8], 16) % n
+            ]
+            for i in range(1, n + 1)
+        )
+        for b in range(1, 201)
+    )
+    assert abs(r["ci_lo"] - round(sums[5] / n, 6)) < 1e-9
+    assert abs(r["ci_hi"] - round(sums[194] / n, 6)) < 1e-9
+
+
+def test_permutation_test_matches_python(spark, sf_dir):
+    [r] = REGISTRY["agg_permutation_test"].fn(spark, sf_dir).collect()
+    import hashlib
+
+    act = {
+        x["user_id"]: x["cnt"]
+        for x in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    arr = [act[u] for u in sorted(act)]
+    n = len(arr)
+    na = 75
+    obs_a = sum(act[u] for u in act if u < na)
+    total = sum(arr)
+    obs_diff = obs_a / na - (total - obs_a) / (n - na)
+    n_ex = 0
+    for b in range(1, 201):
+        order = sorted(
+            range(1, n + 1),
+            key=lambda i: hashlib.md5(f"{b}:{i}".encode()).hexdigest(),
+        )
+        s = sum(arr[i - 1] for i in order[:na])
+        d = s / na - (total - s) / (n - na)
+        if abs(d) >= abs(obs_diff):
+            n_ex += 1
+    assert r["n_extreme"] == n_ex
+    assert abs(r["p_value"] - round(n_ex / 200, 6)) < 1e-9
+    assert 0.0 <= r["p_value"] <= 1.0
