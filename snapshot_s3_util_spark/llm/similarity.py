@@ -549,3 +549,96 @@ def llm_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_sim",
         F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
     )
+
+
+# ------------------------------------------------ matryoshka eval
+
+_MAT_DIMS = 16     # truncated prefix dims vs the full 64
+_MAT_PROBES = 20
+_MAT_K = 5
+
+
+_MAT_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         CAST(embedding[1:{_MAT_DIMS}] AS DOUBLE[]) AS et
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id AS probe_id, e AS pe, et AS pet
+  FROM v WHERE vec_id < {_MAT_PROBES}
+),
+scored AS (
+  SELECT p.probe_id, v.vec_id,
+         LIST_DOT_PRODUCT(v.e, p.pe)
+           / (SQRT(LIST_DOT_PRODUCT(v.e, v.e))
+              * SQRT(LIST_DOT_PRODUCT(p.pe, p.pe))) AS rawf,
+         LIST_DOT_PRODUCT(v.et, p.pet)
+           / (SQRT(LIST_DOT_PRODUCT(v.et, v.et))
+              * SQRT(LIST_DOT_PRODUCT(p.pet, p.pet))) AS rawt
+  FROM v CROSS JOIN p
+  WHERE v.vec_id <> p.probe_id
+),
+tops AS (
+  SELECT probe_id,
+         (LIST(vec_id ORDER BY rawf DESC, vec_id))[1:{_MAT_K}] AS t5f,
+         (LIST(vec_id ORDER BY rawt DESC, vec_id))[1:{_MAT_K}] AS t5t
+  FROM scored GROUP BY probe_id
+)
+SELECT probe_id,
+       CAST(LEN(list_intersect(t5f, t5t)) AS BIGINT) AS overlap_at_{_MAT_K},
+       CAST(t5f[1] AS BIGINT) AS top1_full,
+       CAST(t5t[1] AS BIGINT) AS top1_trunc,
+       t5f[1] = t5t[1] AS top1_match
+FROM tops
+"""
+
+
+@register("llm_sim_matryoshka_eval", oracle=_MAT_ORACLE, category="llm")
+def llm_sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval audit: for {_MAT_PROBES} probe
+    vectors, compare top-{_MAT_K} cosine retrieval under the FULL
+    64-dim embedding vs its first {_MAT_DIMS} dims — overlap@k and
+    top-1 agreement, the measurement that decides whether serving the
+    cheap prefix (4× less memory and bandwidth) costs recall (the MRL
+    deployment question; on isotropic synthetic embeddings the prefix
+    ranking diverges hard, which is exactly what the audit shows).
+
+    Plan: probes broadcast, one narrow dual-scoring pass, then BOTH
+    top-k elections happen inside one per-probe aggregate (sorted
+    struct collect, sliced) — no window, one exchange of
+    |probes|×|corpus| scored rows collapsing to |probes|.
+    """
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_E).alias("e"),
+        F.expr(f"transform(slice(embedding, 1, {_MAT_DIMS}),"
+               " x -> cast(x AS double))").alias("et"),
+    )
+    p = v.filter(F.col("vec_id") < _MAT_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("et").alias("pet"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("rawf", _cos("e", "pe"))
+        .withColumn("rawt", _cos("et", "pet"))
+    )
+    top = "transform(slice(array_sort(collect_list(struct(-{r} AS nr, vec_id))), 1, {k}), s -> s.vec_id)"
+    tops = scored.groupBy("probe_id").agg(
+        F.expr(top.format(r="rawf", k=_MAT_K)).alias("t5f"),
+        F.expr(top.format(r="rawt", k=_MAT_K)).alias("t5t"),
+    )
+    return tops.select(
+        "probe_id",
+        F.expr("size(array_intersect(t5f, t5t))")
+        .cast("bigint")
+        .alias(f"overlap_at_{_MAT_K}"),
+        F.element_at("t5f", 1).cast("bigint").alias("top1_full"),
+        F.element_at("t5t", 1).cast("bigint").alias("top1_trunc"),
+        (F.element_at("t5f", 1) == F.element_at("t5t", 1)).alias(
+            "top1_match"
+        ),
+    )

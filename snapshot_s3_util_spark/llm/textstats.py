@@ -1447,3 +1447,99 @@ def llm_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.min("line").alias("example"),
     ).select("template_id", "template", "n_lines", "n_users", "example")
+
+
+# ------------------------------------------------ vocab coverage curve
+
+_VOCAB_SIZES = (10, 25, 40)
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+  SELECT UNNEST(string_split(text, ' ')) AS t FROM documents
+),
+census AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t
+),
+ranked AS (
+  SELECT t, c,
+         ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rnk,
+         SUM(c) OVER (ORDER BY c DESC, t
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER () AS total,
+         COUNT(*) OVER () AS n_types
+  FROM census
+),
+sizes AS (SELECT UNNEST([{", ".join(str(v) for v in _VOCAB_SIZES)}]) AS vocab_size)
+SELECT s.vocab_size,
+       CAST(MAX(r.n_types) AS BIGINT) AS n_types,
+       CAST(MAX(CASE WHEN r.rnk = LEAST(s.vocab_size, r.n_types)
+                     THEN r.cum END) AS BIGINT) AS covered_tokens,
+       CAST(MAX(r.total) AS BIGINT) AS total_tokens,
+       ROUND(CAST(MAX(CASE WHEN r.rnk = LEAST(s.vocab_size, r.n_types)
+                          THEN r.cum END)
+                  AS DOUBLE) / MAX(r.total), 6) AS coverage
+FROM ranked r, sizes s
+WHERE r.rnk <= s.vocab_size
+GROUP BY s.vocab_size
+"""
+
+
+@register("llm_vocab_coverage", oracle=_VOCAB_ORACLE, category="llm")
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size coverage curve: what fraction of all corpus
+    token OCCURRENCES does a top-V frequency vocabulary cover, for
+    V ∈ {_VOCAB_SIZES} — the tokenizer-budget decision input (where
+    the curve flattens is where a bigger vocab stops paying, and
+    1−coverage is the OOV/byte-fallback rate a budget V implies).
+
+    Plan: token census is ONE map-side-combined explode+count (the
+    `llm_ngram_topk` shape); ranking and cumulative coverage run on
+    the |vocabulary| frame (word-soup corpus: tiny; real corpora:
+    |types| ≪ |tokens|, and the rank window's single-partition stage
+    works on the census, never the corpus).
+    """
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("t")
+    )
+    census = tok.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wr = Window.orderBy(F.col("c").desc(), F.col("t"))
+    wall = Window.partitionBy()
+    ranked = (
+        census.withColumn("rnk", F.row_number().over(wr))
+        .withColumn(
+            "cum",
+            F.sum("c").over(wr.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("total", F.sum("c").over(wall))
+        .withColumn("n_types", F.count(F.lit(1)).over(wall))
+    )
+    sizes = spark.createDataFrame(
+        [(v,) for v in _VOCAB_SIZES], "vocab_size long"
+    )
+    j = ranked.join(
+        F.broadcast(sizes), F.col("rnk") <= F.col("vocab_size")
+    )
+    return j.groupBy("vocab_size").agg(
+        F.max("n_types").cast("bigint").alias("n_types"),
+        F.max(
+            F.when(
+                F.col("rnk") == F.least("vocab_size", "n_types"),
+                F.col("cum"),
+            )
+        )
+        .cast("bigint")
+        .alias("covered_tokens"),
+        F.max("total").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rnk") == F.least("vocab_size", "n_types"),
+                    F.col("cum"),
+                )
+            ).cast("double")
+            / F.max("total"),
+            6,
+        ).alias("coverage"),
+    )

@@ -1845,3 +1845,92 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") - F.col("trend") - F.col("seasonal"), 4
         ).alias("remainder"),
     )
+
+
+_RL_CAP_US = 5 * 600_000_000   # 5-token bucket
+_RL_COST_US = 600_000_000      # 1 token per event; refills 1 µs-unit/µs
+
+_RATELIMIT_ORACLE = f"""
+WITH s AS (
+  SELECT user_id,
+         LIST(epoch_us(ts) ORDER BY ts, event_id) AS us,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {EVENTS_REL} e GROUP BY user_id
+),
+folded AS (
+  SELECT user_id, n,
+         list_reduce(
+           list_prepend(
+             {{'avail': CAST({_RL_CAP_US} AS BIGINT),
+               'acc': CAST(0 AS BIGINT)}},
+             list_transform(generate_series(1, CAST(n AS INTEGER)), i ->
+               {{'avail': CAST(CASE WHEN i = 1 THEN 0
+                                    ELSE us[i] - us[i - 1] END AS BIGINT),
+                 'acc': CAST(0 AS BIGINT)}})),
+           (a, x) -> CASE
+             WHEN LEAST({_RL_CAP_US}, a.avail + x.avail) >= {_RL_COST_US}
+             THEN {{'avail': LEAST({_RL_CAP_US}, a.avail + x.avail)
+                             - {_RL_COST_US},
+                    'acc': a.acc + 1}}
+             ELSE {{'avail': LEAST({_RL_CAP_US}, a.avail + x.avail),
+                    'acc': a.acc}} END) AS st
+  FROM s
+)
+SELECT user_id, n AS n_events,
+       CAST(st.acc AS BIGINT) AS n_accepted,
+       CAST(n - st.acc AS BIGINT) AS n_dropped,
+       CAST(st.avail AS BIGINT) AS final_avail_us
+FROM folded
+"""
+
+
+@register("ts_rate_limiter_sim", oracle=_RATELIMIT_ORACLE, category="composite")
+def ts_rate_limiter_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate-limiter replay per user (capacity 5 tokens,
+    1 token / 10 min continuous refill, 1 token per event): how much
+    of each user's real traffic would an API quota have admitted —
+    the capacity-planning what-if that needs SEQUENTIAL bucket state,
+    not windowed aggregates.
+
+    The bucket fold is inherently order-dependent, so it runs as a
+    per-user ARRAY FOLD (the `win_streak_islands` shape): collect the
+    sorted timestamp list, fold a {{avail, accepted}} struct across
+    inter-arrival gaps in exact integer µs — identical `list_reduce`
+    / `aggregate` lambdas on both engines, zero Window nodes.
+
+    Plan: ONE user exchange; per-user state is O(1), per-user work
+    O(events).  Unbounded per-user histories would chunk by day and
+    chain final states (the `llm_dedup_incremental` carry pattern).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(unix_micros(ts) AS us,"
+            " event_id))), x -> x.us)"
+        ).alias("us"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    folded = s.withColumn(
+        "st",
+        F.expr(
+            f"aggregate("
+            f"  transform(sequence(1, int(n)), i -> CASE WHEN i = 1 THEN 0L"
+            f"    ELSE element_at(us, i) - element_at(us, i - 1) END),"
+            f"  struct(cast({_RL_CAP_US} AS bigint) AS avail,"
+            f"         cast(0 AS bigint) AS acc),"
+            f"  (a, d) -> CASE"
+            f"    WHEN least(cast({_RL_CAP_US} AS bigint), a.avail + d)"
+            f"         >= {_RL_COST_US}"
+            f"    THEN struct(least(cast({_RL_CAP_US} AS bigint), a.avail + d)"
+            f"                - {_RL_COST_US} AS avail, a.acc + 1L AS acc)"
+            f"    ELSE struct(least(cast({_RL_CAP_US} AS bigint),"
+            f"                a.avail + d) AS avail, a.acc AS acc) END)"
+        ),
+    )
+    return folded.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("st.acc").cast("bigint").alias("n_accepted"),
+        (F.col("n") - F.col("st.acc")).cast("bigint").alias("n_dropped"),
+        F.col("st.avail").cast("bigint").alias("final_avail_us"),
+    )

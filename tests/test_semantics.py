@@ -3854,3 +3854,93 @@ def test_permutation_test_matches_python(spark, sf_dir):
     assert r["n_extreme"] == n_ex
     assert abs(r["p_value"] - round(n_ex / 200, 6)) < 1e-9
     assert 0.0 <= r["p_value"] <= 1.0
+
+
+def test_vocab_coverage_monotone_and_exact(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["llm_vocab_coverage"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["vocab_size"],
+    )
+    assert [r["vocab_size"] for r in rows] == [10, 25, 40]
+    covs = [r["coverage"] for r in rows]
+    assert covs == sorted(covs)  # more vocab, more coverage
+    assert all(0 < c <= 1 for c in covs)
+    from collections import Counter
+
+    cnt = Counter()
+    for d in load_table(spark, sf_dir, "documents").collect():
+        cnt.update(d["text"].split(" "))
+    total = sum(cnt.values())
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    for r in rows:
+        v = min(r["vocab_size"], len(cnt))  # clamped when types < V
+        covered = sum(c for _, c in ordered[:v])
+        assert r["covered_tokens"] == covered
+        assert r["total_tokens"] == total
+        assert r["n_types"] == len(cnt)
+
+
+def test_rate_limiter_matches_python(spark, sf_dir):
+    rows = {
+        r["user_id"]: r
+        for r in REGISTRY["ts_rate_limiter_sim"].fn(spark, sf_dir).collect()
+    }
+    CAP, COST = 5 * 600_000_000, 600_000_000
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+        .collect()
+    ):
+        per_user[r["user_id"]].append((r["us"], r["event_id"]))
+    for uid in list(per_user)[:10]:
+        evs = sorted(per_user[uid])
+        avail, acc = CAP, 0
+        prev = evs[0][0]
+        for us, _ in evs:
+            avail = min(CAP, avail + (us - prev))
+            prev = us
+            if avail >= COST:
+                avail -= COST
+                acc += 1
+        r = rows[uid]
+        assert r["n_accepted"] == acc
+        assert r["n_dropped"] == len(evs) - acc
+        assert r["final_avail_us"] == avail
+        assert 0 <= r["final_avail_us"] <= CAP
+
+
+def test_matryoshka_overlap_bounds_and_python_spotcheck(spark, sf_dir):
+    rows = REGISTRY["llm_sim_matryoshka_eval"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r["overlap_at_5"] <= 5
+        assert r["top1_match"] == (r["top1_full"] == r["top1_trunc"])
+    embs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def top5(probe, dims):
+        import math
+
+        pe = embs[probe][:dims]
+        pn = math.sqrt(sum(x * x for x in pe))
+        scored = []
+        for vid, e in embs.items():
+            if vid == probe:
+                continue
+            v = e[:dims]
+            vn = math.sqrt(sum(x * x for x in v))
+            cos = sum(a * b for a, b in zip(pe, v)) / (pn * vn)
+            scored.append((-cos, vid))
+        return [vid for _, vid in sorted(scored)[:5]]
+
+    r0 = next(r for r in rows if r["probe_id"] == 0)
+    full = top5(0, 64)
+    trunc = top5(0, 16)
+    assert r0["top1_full"] == full[0]
+    assert r0["top1_trunc"] == trunc[0]
+    assert r0["overlap_at_5"] == len(set(full) & set(trunc))
