@@ -1934,3 +1934,97 @@ def ts_rate_limiter_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.col("st.acc")).cast("bigint").alias("n_dropped"),
         F.col("st.avail").cast("bigint").alias("final_avail_us"),
     )
+
+
+_SAX_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM {EVENTS_REL} e GROUP BY 1, 2
+),
+sym AS (
+  SELECT event_type, day,
+         chr(CAST(96 + NTILE(4) OVER (PARTITION BY event_type
+                                      ORDER BY n, day) AS INTEGER)) AS s
+  FROM daily
+),
+words AS (
+  SELECT event_type,
+         STRING_AGG(s, '' ORDER BY day) AS sax_word,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM sym GROUP BY event_type
+),
+grams AS (
+  SELECT event_type, sax_word, n_days,
+         UNNEST(list_transform(generate_series(1, CAST(LENGTH(sax_word) AS INTEGER) - 2),
+                               i -> SUBSTR(sax_word, i, 3))) AS g
+  FROM words
+),
+motifs AS (
+  SELECT event_type, sax_word, n_days, g,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY COUNT(*) DESC, g) AS rn
+  FROM grams GROUP BY event_type, sax_word, n_days, g
+)
+SELECT event_type, sax_word, n_days,
+       g AS motif, c AS motif_count
+FROM motifs WHERE rn = 1
+"""
+
+
+@register("ts_sax_symbols", oracle=_SAX_ORACLE, category="composite")
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-style time-series symbolization: each per-type daily volume
+    becomes a quartile symbol a-d (RANK-based discretization — exact
+    integer ntile, not Gaussian float breakpoints, so no boundary
+    hazard), the 30-day series becomes a word, and the most frequent
+    3-symbol MOTIF is elected per series — the symbolic-representation
+    pipeline behind motif discovery and cheap series similarity
+    (shape matching on strings instead of floats).
+
+    Plan: corpus → |types|×|days| aggregate; ntile and word assembly
+    on that frame; 3-gram motif census is a doc-local transform +
+    one tiny count exchange (the `llm_ngram_topk` shape).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wq = Window.partitionBy("event_type").orderBy("n", "day")
+    sym = daily.withColumn("q", F.ntile(4).over(wq)).select(
+        "event_type", "day", F.expr("char(96 + q)").alias("s")
+    )
+    words = sym.groupBy("event_type").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(day, s))),"
+            " x -> x.s), '')"
+        ).alias("sax_word"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    grams = words.select(
+        "event_type",
+        "sax_word",
+        "n_days",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, int(length(sax_word)) - 2),"
+                " i -> substring(sax_word, i, 3))"
+            )
+        ).alias("g"),
+    )
+    wm = Window.partitionBy("event_type").orderBy(
+        F.col("c").desc(), F.col("g")
+    )
+    motifs = (
+        grams.groupBy("event_type", "sax_word", "n_days", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+    )
+    return motifs.select(
+        "event_type",
+        "sax_word",
+        "n_days",
+        F.col("g").alias("motif"),
+        F.col("c").alias("motif_count"),
+    )

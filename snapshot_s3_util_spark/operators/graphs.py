@@ -804,3 +804,112 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fdeg.join(
         F.broadcast(nation), fdeg["node"] == nation["n_nationkey"]
     ).select(F.col("n_name").alias("nation"), F.col("d").alias("core_degree"))
+
+
+_SSSP_SRC = 0
+_SSSP_ROUNDS = 3
+
+
+def _sssp_oracle() -> str:
+    # weighted directed trade edges with an integer cost; every round
+    # CTE is MATERIALIZED (graph_kcore lesson: DuckDB inlines CTEs and
+    # re-evaluates the 4-way edge builder exponentially otherwise)
+    ctes = [
+        f"WITH edges AS MATERIALIZED ({_EDGES_SQL}),",
+        f"""we AS MATERIALIZED (
+  SELECT src, dst, CAST(1 + 1000000 // w AS BIGINT) AS cost
+  FROM edges WHERE src <> dst
+),
+d0 AS MATERIALIZED (
+  SELECT CAST({_SSSP_SRC} AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+)""",
+    ]
+    for r in range(1, _SSSP_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{p}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.cost AS dist
+    FROM d{p} d JOIN we e ON e.src = d.node
+  ) GROUP BY node
+)"""
+        )
+    return (
+        "\n".join(ctes[:1])
+        + "\n"
+        + ",\n".join(ctes[1:])
+        + f"""
+SELECT na.n_name AS nation, CAST(d.dist AS BIGINT) AS dist
+FROM d{_SSSP_ROUNDS} d JOIN nation na ON na.n_nationkey = d.node
+"""
+    )
+
+
+@register("graph_sssp_weighted", oracle=_sssp_oracle(), category="graph")
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford, 3 unrolled
+    relaxation rounds) over the DIRECTED customer→supplier trade
+    graph, edge cost = 1 + 1e6//volume — heavy trade lanes are cheap
+    hops, so the distance is a trade-remoteness metric
+    (`graph_bfs_hops` is the unweighted sibling; 3 rounds bound the
+    path length exactly like its frontier unroll).
+
+    Costs are EXACT integers (floor-div of constants by the BIGINT
+    volume), so min-distance ties are impossible to get wrong across
+    engines; the oracle unrolls identical MATERIALIZED round CTEs.
+
+    Plan: the weighted edge list is built once from the 4-way join
+    and checkpointed; each round is one broadcast-able |frontier|⋈|E|
+    join plus a map-side-combined MIN — per-round shuffle is bounded
+    by |V| after the combine.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    we = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .select(
+            "src",
+            "dst",
+            (1 + F.floor(F.lit(1000000) / F.col("w"))).cast("bigint").alias(
+                "cost"
+            ),
+        )
+        .localCheckpoint()
+    )
+    dist = (
+        we.sparkSession.range(1)
+        .select(
+            F.lit(_SSSP_SRC).cast("bigint").alias("node"),
+            F.lit(0).cast("bigint").alias("dist"),
+        )
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = (
+            F.broadcast(dist)
+            .join(we, dist["node"] == we["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("cost")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+        )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return dist.join(
+        F.broadcast(nation), dist["node"] == nation["n_nationkey"]
+    ).select(F.col("n_name").alias("nation"), "dist")

@@ -3944,3 +3944,61 @@ def test_matryoshka_overlap_bounds_and_python_spotcheck(spark, sf_dir):
     assert r0["top1_full"] == full[0]
     assert r0["top1_trunc"] == trunc[0]
     assert r0["overlap_at_5"] == len(set(full) & set(trunc))
+
+
+def test_sssp_matches_python_bellman_ford(spark, sf_dir):
+    from collections import defaultdict
+
+    rows = {
+        r["nation"]: r["dist"]
+        for r in REGISTRY["graph_sssp_weighted"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = defaultdict(int)
+    for r in (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy("c_nationkey", "s_nationkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    ):
+        edges[(r["c_nationkey"], r["s_nationkey"])] = 1 + 1_000_000 // r["w"]
+    dist = {0: 0}
+    for _ in range(3):
+        nxt = dict(dist)
+        for (u, v), cost in edges.items():
+            if u in dist and dist[u] + cost < nxt.get(v, float("inf")):
+                nxt[v] = dist[u] + cost
+        dist = nxt
+    names = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    expected = {names[n]: d for n, d in dist.items()}
+    assert rows == expected
+
+
+def test_sax_words_and_motif(spark, sf_dir):
+    rows = REGISTRY["ts_sax_symbols"].fn(spark, sf_dir).collect()
+    from collections import Counter
+
+    for r in rows:
+        w = r["sax_word"]
+        assert len(w) == r["n_days"]
+        assert set(w) <= set("abcd")
+        # ntile(4) balance: quartile sizes differ by at most 1
+        c = Counter(w)
+        assert max(c.values()) - min(c.values()) <= 1
+        grams = [w[i : i + 3] for i in range(len(w) - 2)]
+        gc = Counter(grams)
+        # lexicographically-smallest gram wins count ties
+        top = sorted(
+            (g for g in gc if gc[g] == max(gc.values())),
+        )[0]
+        assert r["motif"] == top
+        assert r["motif_count"] == gc[top]
