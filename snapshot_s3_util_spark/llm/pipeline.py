@@ -934,7 +934,7 @@ WITH assigned AS (
   SELECT doc_id, text,
          CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT)
            % {_WDS_SHARDS} AS shard,
-         LENGTH(text) AS sz
+         OCTET_LENGTH(ENCODE(text)) AS sz
   FROM documents
 )
 SELECT shard,

@@ -1505,7 +1505,7 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PERM_B = 200
-_PERM_NA = 75  # group-A size: users 0..74 vs the rest
+_PERM_NA = 75  # group-A target size, clamped to n//2 at small scales
 
 _PERM_ORACLE = f"""
 WITH act AS (
@@ -1514,41 +1514,47 @@ WITH act AS (
 ),
 packed AS (
   SELECT LIST(cnt ORDER BY user_id) AS arr,
-         LIST(user_id ORDER BY user_id) AS uids,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CASE WHEN user_id < {_PERM_NA} THEN cnt ELSE 0 END)
-              AS BIGINT) AS obs_a,
          CAST(SUM(cnt) AS BIGINT) AS total
   FROM act
 ),
+sized AS (
+  SELECT arr, n, total,
+         CAST(LEAST({_PERM_NA}, n // 2) AS INTEGER) AS na,
+         CAST(list_aggregate(arr[1:CAST(LEAST({_PERM_NA}, n // 2)
+                                        AS INTEGER)], 'sum') AS BIGINT)
+           AS obs_a
+  FROM packed
+),
 perms AS (
-  SELECT n, obs_a, total,
+  SELECT n, na, obs_a, total,
          list_transform(generate_series(1, {_PERM_B}), b ->
            list_aggregate(
              list_transform(
                LIST_SORT(list_transform(generate_series(1, CAST(n AS INTEGER)),
                  i -> {{'h': MD5(CAST(b AS STRING) || ':'
-                                || CAST(i AS STRING)), 'i': i}}))[1:{_PERM_NA}],
+                                || CAST(i AS STRING)), 'i': i}}))[1:na],
                s -> arr[s.i]),
              'sum')) AS perm_sums
-  FROM packed
+  FROM sized
 )
 SELECT n AS n_users,
+       CAST(na AS BIGINT) AS n_group_a,
        CAST({_PERM_B} AS BIGINT) AS n_perms,
-       ROUND(obs_a / CAST({_PERM_NA} AS DOUBLE)
-             - (total - obs_a) / CAST(n - {_PERM_NA} AS DOUBLE), 6)
+       ROUND(obs_a / CAST(na AS DOUBLE)
+             - (total - obs_a) / CAST(n - na AS DOUBLE), 6)
          AS observed_diff,
        CAST(LEN(list_filter(perm_sums, s ->
-              ABS(s / CAST({_PERM_NA} AS DOUBLE)
-                  - (total - s) / CAST(n - {_PERM_NA} AS DOUBLE))
-              >= ABS(obs_a / CAST({_PERM_NA} AS DOUBLE)
-                     - (total - obs_a) / CAST(n - {_PERM_NA} AS DOUBLE))))
+              ABS(s / CAST(na AS DOUBLE)
+                  - (total - s) / CAST(n - na AS DOUBLE))
+              >= ABS(obs_a / CAST(na AS DOUBLE)
+                     - (total - obs_a) / CAST(n - na AS DOUBLE))))
             AS BIGINT) AS n_extreme,
        ROUND(CAST(LEN(list_filter(perm_sums, s ->
-              ABS(s / CAST({_PERM_NA} AS DOUBLE)
-                  - (total - s) / CAST(n - {_PERM_NA} AS DOUBLE))
-              >= ABS(obs_a / CAST({_PERM_NA} AS DOUBLE)
-                     - (total - obs_a) / CAST(n - {_PERM_NA} AS DOUBLE))))
+              ABS(s / CAST(na AS DOUBLE)
+                  - (total - s) / CAST(n - na AS DOUBLE))
+              >= ABS(obs_a / CAST(na AS DOUBLE)
+                     - (total - obs_a) / CAST(n - na AS DOUBLE))))
             AS DOUBLE) / {_PERM_B}, 6) AS p_value
 FROM perms
 """
@@ -1557,12 +1563,15 @@ FROM perms
 @register("agg_permutation_test", oracle=_PERM_ORACLE, category="aggregate")
 def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Permutation test for the difference in mean activity between
-    the first {_PERM_NA} users and the rest — the exact-null
+    the first n_group_a users (by id) and the rest — the exact-null
     resampling test that needs NO distributional assumption at all
     (the bootstrap estimates uncertainty; this tests the null
     directly).  Each of {_PERM_B} permutations re-splits users by
-    ranking md5(b:i) and taking the {_PERM_NA} smallest — an EXACT
+    ranking md5(b:i) and taking the n_group_a smallest — an EXACT
     fixed-size relabeling, deterministic across engines and re-runs.
+    The group size clamps to min({_PERM_NA}, n//2) so small scale
+    factors keep two non-empty groups (review-found: sf0.001 has 15
+    users, where a fixed 75 degenerated the statistic).
 
     Permutation sums stay exact BIGINTs; the two-sided p-value counts
     permutations whose |mean diff| meets or beats the observed one.
@@ -1581,33 +1590,40 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " s -> s.cnt)"
         ).alias("arr"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.when(F.col("user_id") < _PERM_NA, F.col("cnt")).otherwise(0))
-        .cast("bigint")
-        .alias("obs_a"),
         F.sum("cnt").cast("bigint").alias("total"),
     )
-    perms = packed.withColumn(
+    sized = packed.withColumn(
+        "na",
+        F.least(F.lit(_PERM_NA), (F.col("n") / 2).cast("int")).cast("int"),
+    ).withColumn(
+        "obs_a",
+        F.expr("aggregate(slice(arr, 1, na), 0L, (a, x) -> a + x)").cast(
+            "bigint"
+        ),
+    )
+    perms = sized.withColumn(
         "perm_sums",
         F.expr(
             f"transform(sequence(1, {_PERM_B}), b -> "
             f"aggregate(slice(array_sort(transform(sequence(1, int(n)),"
             f" i -> struct(md5(concat(cast(b AS string), ':',"
-            f" cast(i AS string))) AS h, i AS i))), 1, {_PERM_NA}),"
+            f" cast(i AS string))) AS h, i AS i))), 1, na),"
             f" 0L, (acc, s) -> acc + element_at(arr, s.i)))"
         ),
     )
-    na = F.lit(_PERM_NA).cast("double")
-    nb = (F.col("n") - _PERM_NA).cast("double")
-    obs_diff = F.col("obs_a") / na - (F.col("total") - F.col("obs_a")) / nb
+    nad = F.col("na").cast("double")
+    nbd = (F.col("n") - F.col("na")).cast("double")
+    obs_diff = F.col("obs_a") / nad - (F.col("total") - F.col("obs_a")) / nbd
     n_extreme = F.expr(
-        f"size(filter(perm_sums, s -> "
-        f"abs(s / cast({_PERM_NA} AS double)"
-        f" - (total - s) / cast(n - {_PERM_NA} AS double)) >= "
-        f"abs(obs_a / cast({_PERM_NA} AS double)"
-        f" - (total - obs_a) / cast(n - {_PERM_NA} AS double))))"
+        "size(filter(perm_sums, s -> "
+        "abs(s / cast(na AS double)"
+        " - (total - s) / cast(n - na AS double)) >= "
+        "abs(obs_a / cast(na AS double)"
+        " - (total - obs_a) / cast(n - na AS double))))"
     ).cast("bigint")
     return perms.select(
         F.col("n").alias("n_users"),
+        F.col("na").cast("bigint").alias("n_group_a"),
         F.lit(_PERM_B).cast("bigint").alias("n_perms"),
         F.round(obs_diff, 6).alias("observed_diff"),
         n_extreme.alias("n_extreme"),

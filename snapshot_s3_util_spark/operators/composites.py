@@ -1957,7 +1957,7 @@ grams AS (
   SELECT event_type, sax_word, n_days,
          UNNEST(list_transform(generate_series(1, CAST(LENGTH(sax_word) AS INTEGER) - 2),
                                i -> SUBSTR(sax_word, i, 3))) AS g
-  FROM words
+  FROM words WHERE LENGTH(sax_word) >= 3
 ),
 motifs AS (
   SELECT event_type, sax_word, n_days, g,
@@ -2001,7 +2001,9 @@ def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sax_word"),
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
     )
-    grams = words.select(
+    # length guard: Spark sequence(1, n) DESCENDS when n < 1, so a 1-2
+    # day series would emit garbage grams the oracle never generates
+    grams = words.filter(F.length("sax_word") >= 3).select(
         "event_type",
         "sax_word",
         "n_days",

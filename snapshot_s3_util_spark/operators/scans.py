@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 from snapshot_s3_util_spark.io import load_table
 from snapshot_s3_util_spark.params import KEYRANGE_HI, KEYRANGE_LO
 from snapshot_s3_util_spark.registry import register
-from snapshot_s3_util_spark.sql_helpers import EVENTS_REL
+from snapshot_s3_util_spark.sql_helpers import (
+    EVENTS_REL,
+    KEYS_FP_SQL,
+    keys_fp_col,
+)
 
 
 @register("scan_full", oracle="SELECT * FROM nation", category="scan")
@@ -592,12 +596,11 @@ def scan_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
-_CORRUPT_ORACLE = """
+_CORRUPT_ORACLE = f"""
 SELECT o_orderstatus AS status,
        CAST(COUNT(*) AS BIGINT) AS n_recovered,
        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
-       MD5(STRING_AGG(LPAD(CAST(o_orderkey AS STRING), 10, '0'), ''
-                      ORDER BY o_orderkey)) AS keys_fp
+       {KEYS_FP_SQL.format(col="o_orderkey")} AS keys_fp
 FROM orders
 WHERE o_orderkey % 4 <> 3
 GROUP BY o_orderstatus
@@ -662,15 +665,7 @@ def scan_ignore_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_recovered"),
                 F.sum("o_orderkey").cast("bigint").alias("key_sum"),
-                F.md5(
-                    F.concat_ws(
-                        "",
-                        F.expr(
-                            "transform(array_sort(collect_list(o_orderkey)),"
-                            " x -> lpad(cast(x AS string), 10, '0'))"
-                        ),
-                    )
-                ).alias("keys_fp"),
+                keys_fp_col("o_orderkey").alias("keys_fp"),
             )
             .localCheckpoint(eager=True)
         )

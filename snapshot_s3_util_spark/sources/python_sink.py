@@ -24,6 +24,7 @@ from pyspark.sql.datasource import (
 
 from snapshot_s3_util_spark.io import load_table
 from snapshot_s3_util_spark.registry import register
+from snapshot_s3_util_spark.sql_helpers import KEYS_FP_SQL, keys_fp_col
 
 
 class JsonlCommit(WriterCommitMessage):
@@ -73,12 +74,11 @@ class JsonlSinkDataSource(DataSource):
         return JsonlSinkWriter(self.options)
 
 
-_PYSINK_ORACLE = """
+_PYSINK_ORACLE = f"""
 SELECT o_orderstatus AS status,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
-       MD5(STRING_AGG(LPAD(CAST(o_orderkey AS STRING), 10, '0'), ''
-                      ORDER BY o_orderkey)) AS keys_fp
+       {KEYS_FP_SQL.format(col="o_orderkey")} AS keys_fp
 FROM orders GROUP BY o_orderstatus
 """
 
@@ -126,15 +126,7 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_rows"),
                 F.sum("o_orderkey").cast("bigint").alias("key_sum"),
-                F.md5(
-                    F.concat_ws(
-                        "",
-                        F.expr(
-                            "transform(array_sort(collect_list(o_orderkey)),"
-                            " x -> lpad(cast(x AS string), 10, '0'))"
-                        ),
-                    )
-                ).alias("keys_fp"),
+                keys_fp_col("o_orderkey").alias("keys_fp"),
             )
             .localCheckpoint(eager=True)
         )

@@ -12,3 +12,29 @@ EVENTS_REL = (
     "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, "
     "event_type, value, props FROM events)"
 )
+
+
+# Shared order-insensitive BIGINT-key fingerprint (scan_ignore_corrupt,
+# sink_python_datasource, stream_cdc_upsert): md5 over the sorted keys,
+# each zero-padded to 10 digits.  NOTE the pad width bounds the key
+# domain at 1e10-1 — widen BOTH sides together if keys outgrow it
+# (DuckDB LPAD truncates overlong inputs; Spark's does too).
+KEYS_FP_SQL = (
+    "MD5(STRING_AGG(LPAD(CAST({col} AS STRING), 10, '0'), ''"
+    " ORDER BY {col}))"
+)
+
+
+def keys_fp_col(col: str):
+    """Spark twin of :data:`KEYS_FP_SQL` (an aggregate expression)."""
+    from pyspark.sql import functions as F
+
+    return F.md5(
+        F.concat_ws(
+            "",
+            F.expr(
+                f"transform(array_sort(collect_list({col})),"
+                f" x -> lpad(cast(x AS string), 10, '0'))"
+            ),
+        )
+    )

@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 
 from snapshot_s3_util_spark.io import load_table
 from snapshot_s3_util_spark.registry import register
-from snapshot_s3_util_spark.sql_helpers import EVENTS_REL
+from snapshot_s3_util_spark.sql_helpers import (
+    EVENTS_REL,
+    KEYS_FP_SQL,
+    keys_fp_col,
+)
 
 _counter = itertools.count()
 
@@ -567,7 +571,7 @@ def stream_tumbling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-_CDC_ORACLE = """
+_CDC_ORACLE = f"""
 WITH final AS (
   SELECT o_orderkey AS k, 'N' AS status, o_totalprice AS price
   FROM orders WHERE o_orderkey % 3 = 0
@@ -582,9 +586,9 @@ WITH final AS (
 )
 SELECT status,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       ROUND(SUM(price), 4) AS sum_price,
-       MD5(STRING_AGG(LPAD(CAST(k AS STRING), 10, '0'), '' ORDER BY k))
-         AS keys_fp
+       ROUND(SUM(CAST(ROUND(price * 100) AS BIGINT)) / 100.0, 2)
+         AS sum_price,
+       {KEYS_FP_SQL.format(col="k")} AS keys_fp
 FROM final GROUP BY status
 """
 
@@ -700,16 +704,15 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             final.groupBy("status")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                F.round(F.sum("price"), 4).alias("sum_price"),
-                F.md5(
-                    F.concat_ws(
-                        "",
-                        F.expr(
-                            "transform(array_sort(collect_list(k)),"
-                            " x -> lpad(cast(x AS string), 10, '0'))"
-                        ),
-                    )
-                ).alias("keys_fp"),
+                # integer-cents sum: double SUM order-divergence was
+                # measured at ~3e-5 by sf0.1 (review finding) and grows
+                # with scale; cents are exact at any size
+                F.round(
+                    F.sum(F.round(F.col("price") * 100).cast("bigint"))
+                    / 100.0,
+                    2,
+                ).alias("sum_price"),
+                keys_fp_col("k").alias("keys_fp"),
             )
             .localCheckpoint(eager=True)
         )

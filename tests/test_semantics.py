@@ -3837,8 +3837,8 @@ def test_permutation_test_matches_python(spark, sf_dir):
     }
     arr = [act[u] for u in sorted(act)]
     n = len(arr)
-    na = 75
-    obs_a = sum(act[u] for u in act if u < na)
+    na = min(75, n // 2)  # clamped group size (sf0.001 has 15 users)
+    obs_a = sum(arr[:na])
     total = sum(arr)
     obs_diff = obs_a / na - (total - obs_a) / (n - na)
     n_ex = 0
@@ -3851,9 +3851,11 @@ def test_permutation_test_matches_python(spark, sf_dir):
         d = s / na - (total - s) / (n - na)
         if abs(d) >= abs(obs_diff):
             n_ex += 1
+    assert r["n_group_a"] == na
     assert r["n_extreme"] == n_ex
     assert abs(r["p_value"] - round(n_ex / 200, 6)) < 1e-9
     assert 0.0 <= r["p_value"] <= 1.0
+    assert abs(r["observed_diff"] - round(obs_diff, 6)) < 1e-9
 
 
 def test_vocab_coverage_monotone_and_exact(spark, sf_dir):
