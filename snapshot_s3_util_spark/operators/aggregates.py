@@ -1629,3 +1629,107 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_extreme.alias("n_extreme"),
         F.round(n_extreme.cast("double") / _PERM_B, 6).alias("p_value"),
     )
+
+
+_CUPED_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE)
+                            < DATE '2024-01-16' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE)
+                            >= DATE '2024-01-16' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM {{EVENTS}} e GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM per_user
+)
+SELECT n AS n_users,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (n * sxx - sx * sx), 6) AS theta,
+       ROUND((syy - CAST(sy AS DOUBLE) * sy / n) / (n - 1), 4) AS var_y,
+       ROUND(((syy - CAST(sy AS DOUBLE) * sy / n)
+              - POWER(CAST(n * sxy - sx * sy AS DOUBLE) / n, 2)
+                / (sxx - CAST(sx AS DOUBLE) * sx / n)) / (n - 1), 4)
+         AS var_adj,
+       ROUND(100 * POWER(CAST(n * sxy - sx * sy AS DOUBLE), 2)
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 2)
+         AS reduction_pct
+FROM m
+"""
+
+
+@register(
+    "agg_cuped",
+    oracle=_CUPED_ORACLE.replace(
+        "{EVENTS}", "(SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)"
+    ),
+    category="aggregate",
+)
+def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for experimentation: adjust each
+    user's experiment-period metric (events in the back half of the
+    month) by their PRE-period covariate (front half) — θ = cov(X,Y)/
+    var(X), adjusted variance var(Y) − cov²/var(X) — and report the
+    variance-reduction percentage (= 100·corr², the sensitivity gain
+    an A/B platform banks before bucketing).  Pairs with
+    `agg_ab_test_z`: same infrastructure, smaller confidence
+    intervals.
+
+    Every moment (n, Σx, Σy, Σxy, Σxx, Σyy) is an exact BIGINT from
+    ONE per-user aggregate + one reduce; θ and the variances derive
+    with identical float expressions on both engines and round once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("date")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.to_date("ts") < cutoff, 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.to_date("ts") >= cutoff, 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = (n * sxy - sx * sy).cast("double")  # n² · cov
+    return m.select(
+        n.alias("n_users"),
+        F.round(cov_n / (n * sxx - sx * sx), 6).alias("theta"),
+        F.round((syy - sy.cast("double") * sy / n) / (n - 1), 4).alias(
+            "var_y"
+        ),
+        F.round(
+            (
+                (syy - sy.cast("double") * sy / n)
+                - F.pow(cov_n / n, 2)
+                / (sxx - sx.cast("double") * sx / n)
+            )
+            / (n - 1),
+            4,
+        ).alias("var_adj"),
+        F.round(
+            100
+            * F.pow(cov_n, 2)
+            / (
+                (n.cast("double") * sxx - sx.cast("double") * sx)
+                * (n.cast("double") * syy - sy.cast("double") * sy)
+            ),
+            2,
+        ).alias("reduction_pct"),
+    )

