@@ -1106,3 +1106,93 @@ def llm_shuffle_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(ordered, 1, 3), ",").alias("first3"),
         F.md5(F.array_join(ordered, ",")).alias("perm_fp"),
     )
+
+
+# ------------------------------------------------ curriculum phases
+
+_CURR_WARMUP_PCT = 20   # easiest 20% first
+_CURR_ANNEAL_PCT = 15   # hardest-quality 15% last
+
+_CURR_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, source,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(LEN(LIST_DISTINCT(string_split(text, ' '))) AS BIGINT)
+           AS n_distinct
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, n_tokens,
+         -- difficulty: longer and lexically denser reads harder
+         n_tokens * 1000 + n_distinct AS difficulty,
+         ROW_NUMBER() OVER (ORDER BY n_tokens * 1000 + n_distinct, doc_id)
+           AS rnk,
+         COUNT(*) OVER () AS n
+  FROM m
+),
+phased AS (
+  SELECT doc_id, source, n_tokens,
+         CASE WHEN rnk * 100 <= n * {_CURR_WARMUP_PCT} THEN 'warmup'
+              WHEN rnk * 100 > n * (100 - {_CURR_ANNEAL_PCT}) THEN 'anneal'
+              ELSE 'main' END AS phase
+  FROM scored
+)
+SELECT phase, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM phased GROUP BY phase, source
+"""
+
+
+@register("llm_curriculum_phases", oracle=_CURR_ORACLE, category="llm")
+def llm_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phase assignment: rank documents by a deterministic
+    difficulty key (length-dominant, lexical-diversity tiebreak) and
+    cut the corpus into warmup ({_CURR_WARMUP_PCT}% easiest) → main →
+    anneal (final {_CURR_ANNEAL_PCT}%) — the phase plan a curriculum/
+    annealing training run feeds its sampler (easy-first warmup,
+    quality-heavy anneal; cf. the staged-data recipes behind modern
+    pretraining runs).  Per (phase, source): docs, token budget, and
+    the first document.
+
+    The percentile cuts use integer cross-multiplication
+    (rnk·100 ≤ n·pct — no float percentile boundary), so phase
+    membership is exact on both engines.
+
+    Plan: difficulty is narrow; the rank is ONE window over the
+    (doc-count)-sized frame; at 100 TB the exact rank swaps for the
+    two-phase distributed rank (`sink_sorted_layout`) unchanged.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    m = d.select(
+        "doc_id",
+        "source",
+        F.expr("size(toks)").cast("bigint").alias("n_tokens"),
+        F.expr("size(array_distinct(toks))").cast("bigint").alias(
+            "n_distinct"
+        ),
+    )
+    diff = F.col("n_tokens") * 1000 + F.col("n_distinct")
+    w = Window.orderBy(diff, "doc_id")
+    scored = m.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    phased = scored.withColumn(
+        "phase",
+        F.when(
+            F.col("rnk") * 100 <= F.col("n") * _CURR_WARMUP_PCT, "warmup"
+        )
+        .when(
+            F.col("rnk") * 100 > F.col("n") * (100 - _CURR_ANNEAL_PCT),
+            "anneal",
+        )
+        .otherwise("main"),
+    )
+    return phased.groupBy("phase", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )

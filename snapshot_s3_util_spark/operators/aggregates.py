@@ -1733,3 +1733,122 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("reduction_pct"),
     )
+
+
+# SPRT: H0 p=0.30 vs H1 p=0.40 conversion, alpha=beta=0.05 boundaries
+_SPRT_P0, _SPRT_P1 = 0.30, 0.40
+_SPRT_A = 2.944439  # ln((1-beta)/alpha)  = ln(19)
+_SPRT_B = -2.944439  # ln(beta/(1-alpha)) = ln(1/19)
+
+_SPRT_ORACLE = f"""
+WITH conv AS (
+  SELECT user_id,
+         CASE WHEN CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) > 13
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+walk AS (
+  SELECT user_id, converted,
+         ROW_NUMBER() OVER (ORDER BY user_id) AS step,
+         SUM(CASE WHEN converted = 1
+                  THEN LN({_SPRT_P1} / {_SPRT_P0})
+                  ELSE LN((1 - {_SPRT_P1}) / (1 - {_SPRT_P0})) END)
+           OVER (ORDER BY user_id ROWS UNBOUNDED PRECEDING) AS llr
+  FROM conv
+),
+crossed AS (
+  SELECT step, llr,
+         CASE WHEN llr >= {_SPRT_A} THEN 'accept_h1'
+              WHEN llr <= {_SPRT_B} THEN 'accept_h0' END AS verdict
+  FROM walk
+),
+first_cross AS (
+  SELECT step AS decision_step, verdict
+  FROM crossed WHERE verdict IS NOT NULL
+  ORDER BY step LIMIT 1
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM conv) AS n_users,
+       (SELECT CAST(SUM(converted) AS BIGINT) FROM conv) AS n_converted,
+       COALESCE((SELECT CAST(decision_step AS BIGINT) FROM first_cross),
+                -1) AS decision_step,
+       COALESCE((SELECT verdict FROM first_cross), 'continue') AS verdict,
+       (SELECT ROUND(llr, 6) FROM walk
+        ORDER BY step DESC LIMIT 1) AS final_llr
+"""
+
+
+@register("agg_sprt_sequential", oracle=_SPRT_ORACLE, category="aggregate")
+def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test replay: users arrive
+    in id order, each contributing a conversion outcome (>13 purchase
+    events), and the cumulative log-likelihood ratio walks between the
+    ln(19) decision boundaries (H0 p={_SPRT_P0} vs H1 p={_SPRT_P1},
+    α=β=0.05) — the sequential A/B machinery that stops experiments
+    the moment evidence suffices instead of at a fixed n
+    (`agg_ab_test_z` is the fixed-horizon sibling).
+
+    Determinism: the LLR increments are one of exactly TWO constants,
+    accumulated in the same user_id order by both engines — identical
+    float sequence, identical boundary crossings; the first-crossing
+    step and verdict are integer/categorical.
+
+    Plan: per-user conversion is one map-side-combined aggregate; the
+    walk runs on the |users| frame (partition-less window over the
+    post-aggregate rows, the `agg_gini_coefficient` caveat).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            > 13
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    import math
+
+    up = math.log(_SPRT_P1 / _SPRT_P0)
+    dn = math.log((1 - _SPRT_P1) / (1 - _SPRT_P0))
+    w = Window.orderBy("user_id")
+    walk = conv.withColumn("step", F.row_number().over(w)).withColumn(
+        "llr",
+        F.sum(
+            F.when(F.col("converted") == 1, F.lit(up)).otherwise(F.lit(dn))
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    crossed = walk.withColumn(
+        "verdict",
+        F.when(F.col("llr") >= _SPRT_A, "accept_h1").when(
+            F.col("llr") <= _SPRT_B, "accept_h0"
+        ),
+    )
+    agg = crossed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.min(
+            F.when(F.col("verdict").isNotNull(), F.col("step"))
+        ).alias("first_step"),
+        F.min(
+            F.when(
+                F.col("verdict").isNotNull(),
+                F.struct(F.col("step"), F.col("verdict")),
+            )
+        ).alias("first"),
+        F.max(F.struct(F.col("step"), F.round(F.col("llr"), 6).alias("l")))
+        .getField("l")
+        .alias("final_llr"),
+    )
+    return agg.select(
+        "n_users",
+        "n_converted",
+        F.coalesce(F.col("first_step"), F.lit(-1))
+        .cast("bigint")
+        .alias("decision_step"),
+        F.coalesce(F.col("first.verdict"), F.lit("continue")).alias(
+            "verdict"
+        ),
+        "final_llr",
+    )

@@ -4051,3 +4051,56 @@ def test_compression_matrix_all_codecs_lossless(spark, sf_dir):
     assert len(fps) == 1  # identical logical content under every codec
     n = load_table(spark, sf_dir, "orders").count()
     assert all(r["n_rows"] == n for r in rows)
+
+
+def test_sprt_walk_matches_python(spark, sf_dir):
+    import math
+
+    [r] = REGISTRY["agg_sprt_sequential"].fn(spark, sf_dir).collect()
+    conv = {
+        x["user_id"]: int(x["c"] > 13)
+        for x in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("c")
+        )
+        .collect()
+    }
+    up = math.log(0.40 / 0.30)
+    dn = math.log(0.60 / 0.70)
+    llr, decision, verdict = 0.0, -1, "continue"
+    for step, uid in enumerate(sorted(conv), start=1):
+        llr += up if conv[uid] else dn
+        if decision == -1:
+            if llr >= 2.944439:
+                decision, verdict = step, "accept_h1"
+            elif llr <= -2.944439:
+                decision, verdict = step, "accept_h0"
+    assert r["n_users"] == len(conv)
+    assert r["n_converted"] == sum(conv.values())
+    assert r["decision_step"] == decision
+    assert r["verdict"] == verdict
+    assert abs(r["final_llr"] - round(llr, 6)) < 1e-6
+
+
+def test_curriculum_phases_partition_and_order(spark, sf_dir):
+    rows = REGISTRY["llm_curriculum_phases"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    by_phase = {}
+    for r in rows:
+        by_phase.setdefault(r["phase"], 0)
+        by_phase[r["phase"]] += r["n_docs"]
+    assert set(by_phase) == {"warmup", "main", "anneal"}
+    # integer cross-multiplied cuts: sizes within 1 of the target pcts
+    assert abs(by_phase["warmup"] - 0.20 * n_docs) <= 1
+    assert abs(by_phase["anneal"] - 0.15 * n_docs) <= 1
+    # warmup docs are genuinely shorter on average than anneal docs
+    tok = {p: 0 for p in by_phase}
+    for r in rows:
+        tok[r["phase"]] += r["n_tokens"]
+    assert (
+        tok["warmup"] / by_phase["warmup"] < tok["anneal"] / by_phase["anneal"]
+    )
