@@ -1852,3 +1852,92 @@ def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "final_llr",
     )
+
+
+_TRIM_PCT = 5  # trim/winsorize 5% from each tail
+
+_ROBUST_ORACLE = f"""
+WITH s AS (
+  SELECT event_type, CAST(ROUND(value * 10000) AS BIGINT) AS v
+  FROM events
+),
+r AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rnk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM s
+),
+b AS (
+  SELECT event_type, v, rnk, n,
+         CAST(FLOOR(n * {_TRIM_PCT} / 100.0) AS BIGINT) AS k
+  FROM r
+),
+w AS (
+  SELECT event_type, n, k,
+         CASE WHEN rnk > k AND rnk <= n - k THEN v END AS tv,
+         GREATEST(LEAST(v,
+            MAX(CASE WHEN rnk = n - k THEN v END) OVER (PARTITION BY event_type)),
+            MAX(CASE WHEN rnk = k + 1 THEN v END) OVER (PARTITION BY event_type))
+           AS wv
+  FROM b
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(k) AS BIGINT) AS k_trimmed_each_side,
+       ROUND(AVG(tv) / 10000, 6) AS trimmed_mean,
+       ROUND(AVG(wv) / 10000.0, 6) AS winsorized_mean
+FROM w GROUP BY event_type
+"""
+
+
+@register("agg_robust_means", oracle=_ROBUST_ORACLE, category="aggregate")
+def agg_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed and winsorized means per event type ({_TRIM_PCT}% each
+    tail): the robust location estimates that survive the fat tails
+    and sensor glitches a plain mean drinks in — trimming DROPS the
+    tails, winsorizing CLAMPS them to the cut values (keeps n, bounds
+    influence).  `win_anomaly_mad`'s robust-dispersion sibling on the
+    location side.
+
+    Rank-based cuts on exact 1e-4-scaled integers: k = ⌊n·pct/100⌋,
+    trim keeps ranks (k, n−k], winsorize clamps to the values at
+    ranks k+1 and n−k — no float percentile interpolation to disagree
+    on.  AVG over BIGINTs divides once at the end.
+
+    Plan: ONE event_type exchange serves the rank window, both cut
+    lookups (window max of two flagged ranks), and the final
+    aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+    )
+    wp = Window.partitionBy("event_type")
+    r = (
+        s.withColumn("rnk", F.row_number().over(wp.orderBy("v")))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn(
+            "k",
+            F.floor(F.col("n") * _TRIM_PCT / 100.0).cast("bigint"),
+        )
+    )
+    lo_cut = F.max(
+        F.when(F.col("rnk") == F.col("k") + 1, F.col("v"))
+    ).over(wp)
+    hi_cut = F.max(
+        F.when(F.col("rnk") == F.col("n") - F.col("k"), F.col("v"))
+    ).over(wp)
+    w = r.withColumn(
+        "tv",
+        F.when(
+            (F.col("rnk") > F.col("k")) & (F.col("rnk") <= F.col("n") - F.col("k")),
+            F.col("v"),
+        ),
+    ).withColumn("wv", F.greatest(F.least(F.col("v"), hi_cut), lo_cut))
+    return w.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("k").cast("bigint").alias("k_trimmed_each_side"),
+        F.round(F.avg("tv") / 10000, 6).alias("trimmed_mean"),
+        F.round(F.avg("wv") / 10000.0, 6).alias("winsorized_mean"),
+    )

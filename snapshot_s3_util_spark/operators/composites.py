@@ -1858,28 +1858,28 @@ WITH s AS (
   FROM {EVENTS_REL} e GROUP BY user_id
 ),
 folded AS (
+  -- LIST accumulator [avail, accepted]: DuckDB list_reduce STRUCT
+  -- packing has sequential-assignment aliasing (a later field reads
+  -- the already-updated earlier field) — this op's original struct
+  -- fold was safe only by field order; the list form is functional
   SELECT user_id, n,
          list_reduce(
-           list_prepend(
-             {{'avail': CAST({_RL_CAP_US} AS BIGINT),
-               'acc': CAST(0 AS BIGINT)}},
+           list_prepend([CAST({_RL_CAP_US} AS BIGINT), CAST(0 AS BIGINT)],
              list_transform(generate_series(1, CAST(n AS INTEGER)), i ->
-               {{'avail': CAST(CASE WHEN i = 1 THEN 0
-                                    ELSE us[i] - us[i - 1] END AS BIGINT),
-                 'acc': CAST(0 AS BIGINT)}})),
+               [CAST(CASE WHEN i = 1 THEN 0
+                          ELSE us[i] - us[i - 1] END AS BIGINT),
+                CAST(0 AS BIGINT)])),
            (a, x) -> CASE
-             WHEN LEAST({_RL_CAP_US}, a.avail + x.avail) >= {_RL_COST_US}
-             THEN {{'avail': LEAST({_RL_CAP_US}, a.avail + x.avail)
-                             - {_RL_COST_US},
-                    'acc': a.acc + 1}}
-             ELSE {{'avail': LEAST({_RL_CAP_US}, a.avail + x.avail),
-                    'acc': a.acc}} END) AS st
+             WHEN LEAST({_RL_CAP_US}, a[1] + x[1]) >= {_RL_COST_US}
+             THEN [LEAST({_RL_CAP_US}, a[1] + x[1]) - {_RL_COST_US},
+                   a[2] + 1]
+             ELSE [LEAST({_RL_CAP_US}, a[1] + x[1]), a[2]] END) AS st
   FROM s
 )
 SELECT user_id, n AS n_events,
-       CAST(st.acc AS BIGINT) AS n_accepted,
-       CAST(n - st.acc AS BIGINT) AS n_dropped,
-       CAST(st.avail AS BIGINT) AS final_avail_us
+       CAST(st[2] AS BIGINT) AS n_accepted,
+       CAST(n - st[2] AS BIGINT) AS n_dropped,
+       CAST(st[1] AS BIGINT) AS final_avail_us
 FROM folded
 """
 
@@ -2029,4 +2029,101 @@ def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         F.col("g").alias("motif"),
         F.col("c").alias("motif_count"),
+    )
+
+
+_HOLT_ALPHA = 0.5  # level gain — 1/2 keeps the fold arithmetic simple
+_HOLT_BETA = 0.5   # trend gain
+
+_HOLT_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM {EVENTS_REL} e GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type,
+         LIST(CAST(n AS DOUBLE) ORDER BY day) AS xs,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY event_type
+),
+folded AS (
+  -- LIST accumulator [l, b, sse], NOT a struct: DuckDB list_reduce
+  -- struct-packing aliases later fields to already-updated earlier
+  -- fields (sequential-assignment semantics); list construction is
+  -- functional, matching Spark's aggregate()
+  SELECT event_type, n_days, xs,
+         list_reduce(
+           list_prepend([xs[1], xs[2] - xs[1], CAST(0 AS DOUBLE)],
+             list_transform(xs[3:], x -> [x, CAST(0 AS DOUBLE),
+                                          CAST(0 AS DOUBLE)])),
+           (a, e) -> [
+             {_HOLT_ALPHA} * e[1] + (1 - {_HOLT_ALPHA}) * (a[1] + a[2]),
+             {_HOLT_BETA} * ({_HOLT_ALPHA} * e[1]
+                 + (1 - {_HOLT_ALPHA}) * (a[1] + a[2]) - a[1])
+                 + (1 - {_HOLT_BETA}) * a[2],
+             a[3] + (e[1] - (a[1] + a[2])) * (e[1] - (a[1] + a[2]))
+           ]) AS st
+  FROM series WHERE n_days >= 3
+)
+SELECT event_type, n_days,
+       ROUND(st[1], 4) AS level,
+       ROUND(st[2], 4) AS trend,
+       ROUND(st[1] + st[2], 4) AS forecast_next,
+       ROUND(st[3], 4) AS sse
+FROM folded
+"""
+
+
+@register("ts_holt_linear", oracle=_HOLT_ORACLE, category="composite")
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double) exponential smoothing per daily series:
+    coupled level+trend state (α=β={_HOLT_ALPHA}), one-step-ahead
+    forecast, and the in-sample one-step SSE — the trend-aware upgrade
+    over `win_ewma` (level only) and the model `ts_forecast_snaive`'s
+    baseline exists to beat.
+
+    The recursion is inherently sequential, so it runs as the same
+    portable per-series ARRAY FOLD as `ts_rate_limiter_sim`:
+    identical `list_reduce`/`aggregate` float updates applied to the
+    identical ordered operand sequence on both engines ⇒ identical
+    IEEE results (order-dependence is harmless when the order is
+    pinned).  Init: level=x₁, trend=x₂−x₁, fold from x₃.
+
+    Plan: corpus → |types|×|days| aggregate, then |types| folds over
+    30-element arrays — O(1) state, no Window, one exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, n))),"
+            " s -> cast(s.n AS double))"
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    folded = series.filter(F.col("n_days") >= 3).withColumn(
+        "st",
+        F.expr(
+            f"aggregate(slice(xs, 3, size(xs) - 2),"
+            f" struct(element_at(xs, 1) AS l,"
+            f"        element_at(xs, 2) - element_at(xs, 1) AS b,"
+            f"        cast(0 AS double) AS sse),"
+            f" (acc, x) -> struct("
+            f"   {a} * x + (1 - {a}) * (acc.l + acc.b) AS l,"
+            f"   {b} * ({a} * x + (1 - {a}) * (acc.l + acc.b) - acc.l)"
+            f"     + (1 - {b}) * acc.b AS b,"
+            f"   acc.sse + (x - (acc.l + acc.b)) * (x - (acc.l + acc.b))"
+            f"     AS sse))"
+        ),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round("st.l", 4).alias("level"),
+        F.round("st.b", 4).alias("trend"),
+        F.round(F.col("st.l") + F.col("st.b"), 4).alias("forecast_next"),
+        F.round("st.sse", 4).alias("sse"),
     )

@@ -913,3 +913,140 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.join(
         F.broadcast(nation), dist["node"] == nation["n_nationkey"]
     ).select(F.col("n_name").alias("nation"), "dist")
+
+
+_HITS_ROUNDS = 3
+
+
+def _hits_oracle() -> str:
+    # auth/hub power iteration over the DIRECTED weighted trade graph,
+    # L1-normalized each round; every round CTE MATERIALIZED (the CTE
+    # inlining lesson), every update an identical float expression.
+    ctes = [
+        f"WITH edges AS MATERIALIZED ({_EDGES_SQL}),",
+        """we AS MATERIALIZED (
+  SELECT src, dst, CAST(w AS DOUBLE) AS w FROM edges WHERE src <> dst
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM we UNION ALL SELECT dst AS node FROM we
+  )
+),
+h0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) AS h FROM nodes)""",
+    ]
+    prev_h = "h0"
+    for r in range(1, _HITS_ROUNDS + 1):
+        ctes.append(
+            f"""a{r}raw AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(e.w * p.h) AS v
+  FROM we e JOIN {prev_h} p ON p.node = e.src
+  GROUP BY e.dst
+),
+a{r} AS MATERIALIZED (
+  SELECT node, v / (SELECT SUM(v) FROM a{r}raw) AS a FROM a{r}raw
+),
+h{r}raw AS MATERIALIZED (
+  SELECT e.src AS node, SUM(e.w * q.a) AS v
+  FROM we e JOIN a{r} q ON q.node = e.dst
+  GROUP BY e.src
+),
+h{r} AS MATERIALIZED (
+  SELECT node, v / (SELECT SUM(v) FROM h{r}raw) AS h FROM h{r}raw
+)"""
+        )
+        prev_h = f"h{r}"
+    last = _HITS_ROUNDS
+    return (
+        "\n".join(ctes[:1])
+        + "\n"
+        + ",\n".join(ctes[1:])
+        + f"""
+SELECT na.n_name AS nation,
+       ROUND(COALESCE(a.a, 0), 6) AS authority,
+       ROUND(COALESCE(h.h, 0), 6) AS hub
+FROM nation na
+LEFT JOIN a{last} a ON a.node = na.n_nationkey
+LEFT JOIN h{last} h ON h.node = na.n_nationkey
+WHERE ROUND(COALESCE(a.a, 0), 6) > 0 OR ROUND(COALESCE(h.h, 0), 6) > 0
+"""
+    )
+
+
+@register("graph_hits", oracle=_hits_oracle(), category="graph")
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities ({_HITS_ROUNDS} rounds, L1-normalized)
+    over the DIRECTED weighted trade graph: authorities are nations
+    whose SUPPLIERS absorb flow from strong buyers, hubs are nations
+    whose CUSTOMERS drive flow to strong suppliers — the two-sided
+    centrality PageRank's single score can't separate (an
+    import-heavy nation can be a top hub and a nobody authority).
+
+    Determinism: each round's updates are the same float expressions
+    over the same operands on both engines (map-side-combined sums,
+    L1 normalizer broadcast); rounded once at the end.
+
+    Plan: weighted edges built once and checkpointed; per half-round
+    one |E|⋈broadcast-score join + combine — the `graph_pagerank`
+    Pregel shape with two alternating score frames.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    we = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .localCheckpoint()
+    )
+    nodes = (
+        we.select(F.col("src").alias("node"))
+        .unionAll(we.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = nodes.select("node", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        araw = (
+            we.join(
+                F.broadcast(h.select(F.col("node").alias("src"), "h")), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("h")).alias("v"))
+        )
+        asum = araw.agg(F.sum("v").alias("s"))
+        a = araw.crossJoin(F.broadcast(asum)).select(
+            "node", (F.col("v") / F.col("s")).alias("a")
+        )
+        hraw = (
+            we.join(
+                F.broadcast(a.select(F.col("node").alias("dst"), "a")), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("a")).alias("v"))
+        )
+        hsum = hraw.agg(F.sum("v").alias("s"))
+        h = hraw.crossJoin(F.broadcast(hsum)).select(
+            "node", (F.col("v") / F.col("s")).alias("h")
+        )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    scores = (
+        nation.join(
+            a.withColumnRenamed("node", "n_nationkey"), "n_nationkey", "left"
+        )
+        .join(
+            h.withColumnRenamed("node", "n_nationkey"), "n_nationkey", "left"
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.round(F.coalesce(F.col("a"), F.lit(0.0)), 6).alias("authority"),
+            F.round(F.coalesce(F.col("h"), F.lit(0.0)), 6).alias("hub"),
+        )
+    )
+    return scores.filter((F.col("authority") > 0) | (F.col("hub") > 0))

@@ -4104,3 +4104,81 @@ def test_curriculum_phases_partition_and_order(spark, sf_dir):
     assert (
         tok["warmup"] / by_phase["warmup"] < tok["anneal"] / by_phase["anneal"]
     )
+
+
+def test_holt_matches_python(spark, sf_dir):
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["ts_holt_linear"].fn(spark, sf_dir).collect()
+    }
+    daily = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        daily.setdefault(r["event_type"], []).append((r["day"], r["n"]))
+    for et, series in daily.items():
+        xs = [float(n) for _, n in sorted(series)]
+        if len(xs) < 3:
+            assert et not in rows
+            continue
+        l, b, sse = xs[0], xs[1] - xs[0], 0.0
+        for x in xs[2:]:
+            pred = l + b
+            sse += (x - pred) ** 2
+            nl = 0.5 * x + 0.5 * pred
+            nb = 0.5 * (nl - l) + 0.5 * b
+            l, b = nl, nb
+        r = rows[et]
+        assert r["n_days"] == len(xs)
+        assert abs(r["level"] - round(l, 4)) < 1e-9
+        assert abs(r["trend"] - round(b, 4)) < 1e-9
+        assert abs(r["forecast_next"] - round(l + b, 4)) < 1e-9
+        assert abs(r["sse"] - round(sse, 4)) < 1e-6
+
+
+def test_robust_means_matches_python(spark, sf_dir):
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["agg_robust_means"].fn(spark, sf_dir).collect()
+    }
+    vals = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals.setdefault(r["event_type"], []).append(round(r["value"] * 10000))
+    for et, vs in vals.items():
+        vs.sort()
+        n = len(vs)
+        k = n * 5 // 100
+        trimmed = vs[k : n - k]
+        lo, hi = vs[k], vs[n - k - 1]
+        wins = [min(max(v, lo), hi) for v in vs]
+        r = rows[et]
+        assert r["n"] == n and r["k_trimmed_each_side"] == k
+        assert abs(
+            r["trimmed_mean"] - round(sum(trimmed) / len(trimmed) / 10000, 6)
+        ) < 1e-9
+        assert abs(
+            r["winsorized_mean"] - round(sum(wins) / n / 10000, 6)
+        ) < 1e-9
+        # robust means sit inside the clamp range
+        assert lo / 10000 <= r["trimmed_mean"] <= hi / 10000
+
+
+def test_hits_normalization_and_structure(spark, sf_dir):
+    rows = REGISTRY["graph_hits"].fn(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["authority"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-3
+    assert all(r["authority"] >= 0 and r["hub"] >= 0 for r in rows)
+    # the two scores are genuinely different rankings, not one copied
+    hub_order = [r["nation"] for r in sorted(rows, key=lambda r: -r["hub"])]
+    auth_order = [
+        r["nation"] for r in sorted(rows, key=lambda r: -r["authority"])
+    ]
+    assert hub_order != auth_order
