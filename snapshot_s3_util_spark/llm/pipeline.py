@@ -1196,3 +1196,143 @@ def llm_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+# ------------------------------------------------ linear probe (ridge)
+
+_PROBE_LAMBDA = 1.0  # ridge regularizer
+
+_PROBE_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id,
+         CAST(LEN(string_split(text, ' ')) AS DOUBLE) / 100 AS x1,
+         CAST(LEN(LIST_DISTINCT(string_split(text, ' '))) AS DOUBLE)
+           / LEN(string_split(text, ' ')) AS x2,
+         CASE WHEN LEN(string_split(text, ' ')) BETWEEN 20 AND 1000
+                   AND CAST(LEN(LIST_DISTINCT(string_split(text, ' ')))
+                            AS DOUBLE) / LEN(string_split(text, ' '))
+                       >= 0.2
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x1 * x1) + {_PROBE_LAMBDA} AS a11,
+         SUM(x1 * x2) AS a12,
+         SUM(x2 * x2) + {_PROBE_LAMBDA} AS a22,
+         SUM(x1 * y) AS b1,
+         SUM(x2 * y) AS b2,
+         SUM(y) AS n_pos
+  FROM feat
+),
+solved AS (
+  SELECT n, n_pos,
+         (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS w1,
+         (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) AS w2
+  FROM m
+),
+scored AS (
+  SELECT s.n, s.n_pos, s.w1, s.w2,
+         CAST(SUM(CASE WHEN (f.x1 * s.w1 + f.x2 * s.w2 >= 0.5) = (f.y = 1.0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM feat f, solved s
+  GROUP BY s.n, s.n_pos, s.w1, s.w2
+)
+SELECT n AS n_docs,
+       CAST(n_pos AS BIGINT) AS n_positive,
+       ROUND(w1, 6) AS w_length,
+       ROUND(w2, 6) AS w_distinct,
+       n_correct,
+       ROUND(CAST(n_correct AS DOUBLE) / n, 4) AS train_accuracy
+FROM scored
+"""
+
+
+@register("llm_train_linear_probe", oracle=_PROBE_ORACLE, category="llm")
+def llm_train_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a model inside the engine: closed-form ridge regression
+    (normal equations, 2×2 Cramer solve, λ={_PROBE_LAMBDA}) of the
+    quality label on (scaled length, distinct-ratio) features, then
+    score the training set — the linear-probe discipline (cheap
+    supervised readout over features) and the in-engine counterpart
+    of `llm_inference_batch`'s FROZEN classifier: that op applies
+    weights, this one derives them from data, distributed, no
+    gradient loop.
+
+    XᵀX and Xᵀy accumulate in ONE map-side-combined aggregate (double
+    sums of identical operands in identical order per engine —
+    deterministic); the solve is algebra on the 1-row moment frame;
+    scoring re-joins the broadcast weights for one more narrow pass.
+
+    Plan: 2 scans total (moments, scoring), no shuffle beyond two
+    single-row reduces.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    feat = d.select(
+        (F.expr("size(toks)").cast("double") / 100).alias("x1"),
+        (
+            F.expr("size(array_distinct(toks))").cast("double")
+            / F.expr("size(toks)")
+        ).alias("x2"),
+        F.when(
+            F.expr("size(toks)").between(20, 1000)
+            & (
+                F.expr("size(array_distinct(toks))").cast("double")
+                / F.expr("size(toks)")
+                >= 0.2
+            ),
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    m = feat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(F.col("x1") * F.col("x1")) + _PROBE_LAMBDA).alias("a11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("a12"),
+        (F.sum(F.col("x2") * F.col("x2")) + _PROBE_LAMBDA).alias("a22"),
+        F.sum(F.col("x1") * F.col("y")).alias("b1"),
+        F.sum(F.col("x2") * F.col("y")).alias("b2"),
+        F.sum("y").alias("n_pos"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    solved = m.select(
+        "n",
+        "n_pos",
+        ((F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / det).alias(
+            "w1"
+        ),
+        ((F.col("b2") * F.col("a11") - F.col("b1") * F.col("a12")) / det).alias(
+            "w2"
+        ),
+    )
+    scored = feat.crossJoin(F.broadcast(solved)).agg(
+        F.max("n").alias("n"),
+        F.max("n_pos").alias("n_pos"),
+        F.max("w1").alias("w1"),
+        F.max("w2").alias("w2"),
+        F.sum(
+            F.when(
+                (
+                    (F.col("x1") * F.col("w1") + F.col("x2") * F.col("w2"))
+                    >= 0.5
+                )
+                == (F.col("y") == 1.0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+    return scored.select(
+        F.col("n").alias("n_docs"),
+        F.col("n_pos").cast("bigint").alias("n_positive"),
+        F.round("w1", 6).alias("w_length"),
+        F.round("w2", 6).alias("w_distinct"),
+        "n_correct",
+        F.round(F.col("n_correct").cast("double") / F.col("n"), 4).alias(
+            "train_accuracy"
+        ),
+    )

@@ -2127,3 +2127,88 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("st.l") + F.col("st.b"), 4).alias("forecast_next"),
         F.round("st.sse", 4).alias("sse"),
     )
+
+
+_THEILSEN_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {EVENTS_REL} e GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(b.n - a.n AS DOUBLE) / (b.t - a.t) AS slope
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.t > a.t
+),
+ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rnk,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM pairs
+)
+SELECT event_type,
+       CAST(MAX(m) AS BIGINT) AS n_pairs,
+       ROUND(AVG(CASE WHEN rnk * 2 IN (m, m + 1, m + 2)
+                      THEN slope END), 6) AS theil_sen_slope
+FROM ranked GROUP BY event_type
+"""
+
+
+@register("ts_theil_sen_slope", oracle=_THEILSEN_ORACLE, category="composite")
+def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the MEDIAN of all pairwise day-to-day
+    slopes per series — up to ~29% of days can be corrupted outliers
+    before the estimate budges, where `agg_linreg`'s OLS slope chases
+    a single bad day.  The median is the mean of the middle one/two
+    ranked slopes (`rnk·2 ∈ {{m, m+1, m+2}}` covers both parities
+    without a float percentile).
+
+    Determinism: every slope is the same (Δn, Δt) integer pair
+    divided once — identical doubles both engines; ranking ties on
+    equal slopes don't matter because only slope VALUES at the middle
+    ranks enter the average.
+
+    Plan: the corpus collapses to the |types|×|days| frame FIRST; the
+    O(days²) pair join (≈435 pairs per series) runs on that tiny
+    frame — the quadratic stays inside the pre-aggregated domain,
+    never on raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "t"
+        ),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = daily.select(
+        "event_type", F.col("t").alias("ta"), F.col("n").alias("na")
+    )
+    b = daily.select(
+        "event_type", F.col("t").alias("tb"), F.col("n").alias("nb")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("tb") > F.col("ta")).select(
+        "event_type",
+        (
+            (F.col("nb") - F.col("na")).cast("double")
+            / (F.col("tb") - F.col("ta"))
+        ).alias("slope"),
+    )
+    wp = Window.partitionBy("event_type")
+    ranked = pairs.withColumn(
+        "rnk", F.row_number().over(wp.orderBy("slope"))
+    ).withColumn("m", F.count(F.lit(1)).over(wp))
+    mid = F.col("rnk") * 2
+    return ranked.groupBy("event_type").agg(
+        F.max("m").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.avg(
+                F.when(
+                    mid.isin(F.col("m"), F.col("m") + 1, F.col("m") + 2),
+                    F.col("slope"),
+                )
+            ),
+            6,
+        ).alias("theil_sen_slope"),
+    )

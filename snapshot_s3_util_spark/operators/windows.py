@@ -736,3 +736,58 @@ def win_velocity_accel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rate_per_hour"
         ),
     )
+
+
+_CUMDIST_ORACLE = f"""
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM {EVENTS_REL} e
+)
+SELECT event_id, user_id,
+       CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS distinct_types_so_far,
+       first_seen = 1 AS is_discovery
+FROM flagged
+"""
+
+
+@register(
+    "win_cumulative_distinct", oracle=_CUMDIST_ORACLE, category="window"
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user timeline (how many distinct
+    event types has this user touched so far?) — the discovery/
+    feature-adoption curve.  `COUNT(DISTINCT) OVER (ORDER BY …)` is
+    unsupported/quadratic in SQL engines; the scalable identity is
+    first-occurrence flagging (rank 1 within (user, type)) + a
+    running SUM of flags — two windows, exact, linear.
+
+    Plan: both windows ride ONE user-keyed exchange (the (user, type)
+    rank's partitioning is a superset; Spark plans the pair with a
+    single user_id shuffle followed by in-partition sorts).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    flagged = ev.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(w1) == 1, 1).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("first_seen").over(w2).cast("bigint").alias(
+            "distinct_types_so_far"
+        ),
+        (F.col("first_seen") == 1).alias("is_discovery"),
+    )

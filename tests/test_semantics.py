@@ -4182,3 +4182,83 @@ def test_hits_normalization_and_structure(spark, sf_dir):
         r["nation"] for r in sorted(rows, key=lambda r: -r["authority"])
     ]
     assert hub_order != auth_order
+
+
+def test_linear_probe_weights_and_accuracy(spark, sf_dir):
+    [r] = REGISTRY["llm_train_linear_probe"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    feats = []
+    for d in docs:
+        toks = d["text"].split(" ")
+        x1 = len(toks) / 100
+        x2 = len(set(toks)) / len(toks)
+        y = 1.0 if (20 <= len(toks) <= 1000 and x2 >= 0.2) else 0.0
+        feats.append((x1, x2, y))
+    n = len(feats)
+    a11 = sum(x1 * x1 for x1, _, _ in feats) + 1.0
+    a12 = sum(x1 * x2 for x1, x2, _ in feats)
+    a22 = sum(x2 * x2 for _, x2, _ in feats) + 1.0
+    b1 = sum(x1 * y for x1, _, y in feats)
+    b2 = sum(x2 * y for _, x2, y in feats)
+    det = a11 * a22 - a12 * a12
+    w1 = (b1 * a22 - b2 * a12) / det
+    w2 = (b2 * a11 - b1 * a12) / det
+    assert r["n_docs"] == n
+    assert abs(r["w_length"] - round(w1, 6)) < 1e-4
+    assert abs(r["w_distinct"] - round(w2, 6)) < 1e-4
+    n_correct = sum(
+        1 for x1, x2, y in feats if (x1 * w1 + x2 * w2 >= 0.5) == (y == 1.0)
+    )
+    assert r["n_correct"] == n_correct
+    # the probe must beat the majority-class baseline to be a probe
+    base = max(r["n_positive"], n - r["n_positive"]) / n
+    assert r["train_accuracy"] >= round(base, 4) - 0.05
+
+
+def test_theil_sen_matches_python(spark, sf_dir):
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["ts_theil_sen_slope"].fn(spark, sf_dir).collect()
+    }
+    daily = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        daily.setdefault(r["event_type"], []).append((r["day"], r["n"]))
+    import statistics
+
+    for et, series in daily.items():
+        pts = sorted((d.toordinal(), n) for d, n in series)
+        slopes = [
+            (n2 - n1) / (t2 - t1)
+            for i, (t1, n1) in enumerate(pts)
+            for (t2, n2) in pts[i + 1 :]
+        ]
+        r = rows[et]
+        assert r["n_pairs"] == len(slopes)
+        assert abs(
+            r["theil_sen_slope"] - round(statistics.median(slopes), 6)
+        ) < 1e-9
+
+
+def test_cumulative_distinct_monotone_and_final(spark, sf_dir):
+    rows = REGISTRY["win_cumulative_distinct"].fn(spark, sf_dir).collect()
+    per_user_max = {}
+    disc = 0
+    for r in rows:
+        per_user_max[r["user_id"]] = max(
+            per_user_max.get(r["user_id"], 0), r["distinct_types_so_far"]
+        )
+        disc += int(r["is_discovery"])
+    truth = {
+        r["user_id"]: r["d"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("d"))
+        .collect()
+    }
+    assert per_user_max == truth
+    assert disc == sum(truth.values())  # one discovery per (user, type)
