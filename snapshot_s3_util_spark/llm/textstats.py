@@ -1543,3 +1543,120 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("coverage"),
     )
+
+
+# ------------------------------------------------ bigram LM eval
+
+_LM_K = 0.5  # add-k smoothing
+
+_LM_ORACLE = f"""
+WITH split AS (
+  SELECT doc_id, text,
+         CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT)
+           % 100 < 90 AS is_train
+  FROM documents
+),
+grams AS (
+  SELECT s.is_train, t.w1, t.w2
+  FROM split s, LATERAL (
+    SELECT UNNEST(string_split(s.text, ' ')[1:-2]) AS w1,
+           UNNEST(string_split(s.text, ' ')[2:-1]) AS w2
+  ) t
+),
+vocab AS (
+  SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS v
+  FROM grams WHERE is_train
+),
+big AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM grams WHERE is_train GROUP BY w1, w2
+),
+ctx AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS cc FROM big GROUP BY w1
+),
+val AS (
+  SELECT g.w1, g.w2, COALESCE(b.c, 0) AS c, COALESCE(x.cc, 0) AS cc
+  FROM (SELECT w1, w2 FROM grams WHERE NOT is_train) g
+  LEFT JOIN big b ON b.w1 = g.w1 AND b.w2 = g.w2
+  LEFT JOIN ctx x ON x.w1 = g.w1
+)
+SELECT (SELECT v FROM vocab) AS vocab_size,
+       CAST(COUNT(*) AS BIGINT) AS n_val_bigrams,
+       ROUND(EXP(-SUM(LN((c + {_LM_K})
+                         / (cc + {_LM_K} * (SELECT v FROM vocab))))
+                 / COUNT(*)), 4) AS perplexity
+FROM val
+"""
+
+
+@register("llm_bigram_lm_eval", oracle=_LM_ORACLE, category="llm")
+def llm_bigram_lm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train an add-k bigram language model on the 90% hash-split and
+    evaluate PERPLEXITY on the held-out 10% — the classic data-quality
+    signal (`llm_unigram_logprob` scores docs under unigrams; this
+    TRAINS the conditional model and reports the corpus-level eval a
+    filtering threshold is tuned against).  p(w₂|w₁) = (c+k)/(ctx+k·V),
+    k={_LM_K}, V = train-side context vocabulary.
+
+    Float note: the log-prob SUM is the one order-sensitive float here;
+    addends are O(1) lns and the reduce error is ~1e-10 relative, so
+    ROUND(…,4) on the final exp is stable across engines (the
+    `agg_corr_matrix` precedent).
+
+    Plan: bigram census = doc-local zip explode + ONE combine-bounded
+    count shuffle; the val pass joins bigram and context counts (both
+    train-side aggregates) and reduces to a single row.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        (
+            F.expr(
+                "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8),"
+                " 16, 10) AS bigint) % 100"
+            )
+            < 90
+        ).alias("is_train"),
+    )
+    grams = d.select(
+        "is_train",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("g"),
+    ).select("is_train", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    train = grams.filter("is_train")
+    v = train.agg(F.countDistinct("w1").cast("bigint").alias("v"))
+    big = train.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ctx = big.groupBy("w1").agg(F.sum("c").cast("bigint").alias("cc"))
+    val = (
+        grams.filter(~F.col("is_train"))
+        .join(F.broadcast(big), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .select(
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            F.coalesce(F.col("cc"), F.lit(0)).alias("cc"),
+        )
+        .crossJoin(F.broadcast(v))
+    )
+    return val.agg(
+        F.max("v").alias("vocab_size"),
+        F.count(F.lit(1)).cast("bigint").alias("n_val_bigrams"),
+        F.round(
+            F.exp(
+                -F.sum(
+                    F.log(
+                        (F.col("c") + _LM_K)
+                        / (F.col("cc") + _LM_K * F.col("v"))
+                    )
+                )
+                / F.count(F.lit(1))
+            ),
+            4,
+        ).alias("perplexity"),
+    )

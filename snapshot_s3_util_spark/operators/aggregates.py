@@ -1941,3 +1941,69 @@ def agg_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("tv") / 10000, 6).alias("trimmed_mean"),
         F.round(F.avg("wv") / 10000.0, 6).alias("winsorized_mean"),
     )
+
+
+_JACK_ORACLE = """
+WITH act AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM act
+)
+SELECT n AS n_users,
+       ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_activity,
+       ROUND(SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                  / (CAST(n AS DOUBLE) * (n - 1))), 6) AS jackknife_se,
+       ROUND(CAST(s1 AS DOUBLE) / n
+             - 1.96 * SQRT((CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * s1 / n)
+                           / (CAST(n AS DOUBLE) * (n - 1))), 6) AS ci_lo,
+       ROUND(CAST(s1 AS DOUBLE) / n
+             + 1.96 * SQRT((CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * s1 / n)
+                           / (CAST(n AS DOUBLE) * (n - 1))), 6) AS ci_hi
+FROM m
+"""
+
+
+@register("agg_jackknife_se", oracle=_JACK_ORACLE, category="aggregate")
+def agg_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jackknife standard error of mean per-user activity — the
+    leave-one-out member of the resampling trio (`agg_bootstrap_ci`
+    resamples, `agg_permutation_test` relabels, this one deletes).
+    For the MEAN the jackknife collapses to the closed form
+    √((Σx² − (Σx)²/n) / (n(n−1))) — identical to the classical SE, so
+    the whole estimator is TWO exact integer moments and one float
+    expression (no B-loop at all; that closed-formability is why the
+    delete-1 jackknife is the cheap default for smooth statistics,
+    and why it CAN'T handle medians — where the bootstrap op earns
+    its B=200).
+
+    Plan: one per-user exchange + one single-row reduce.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    m = act.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mean = s1.cast("double") / n
+    se = F.sqrt(
+        (s2.cast("double") - s1.cast("double") * s1 / n)
+        / (n.cast("double") * (n - 1))
+    )
+    return m.select(
+        n.alias("n_users"),
+        F.round(mean, 6).alias("mean_activity"),
+        F.round(se, 6).alias("jackknife_se"),
+        F.round(mean - 1.96 * se, 6).alias("ci_lo"),
+        F.round(mean + 1.96 * se, 6).alias("ci_hi"),
+    )

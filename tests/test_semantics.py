@@ -4262,3 +4262,63 @@ def test_cumulative_distinct_monotone_and_final(spark, sf_dir):
     }
     assert per_user_max == truth
     assert disc == sum(truth.values())  # one discovery per (user, type)
+
+
+def test_bigram_lm_matches_python(spark, sf_dir):
+    import hashlib
+    import math
+
+    [r] = REGISTRY["llm_bigram_lm_eval"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    from collections import Counter
+
+    big, ctx, vocab = Counter(), Counter(), set()
+    val_grams = []
+    for d in docs:
+        toks = d["text"].split(" ")
+        is_train = (
+            int(hashlib.md5(str(d["doc_id"]).encode()).hexdigest()[:8], 16)
+            % 100
+            < 90
+        )
+        grams = list(zip(toks, toks[1:]))
+        if is_train:
+            for g in grams:
+                big[g] += 1
+                ctx[g[0]] += 1
+                vocab.add(g[0])
+        else:
+            val_grams.extend(grams)
+    k, v = 0.5, len(vocab)
+    ll = sum(
+        math.log((big[g] + k) / (ctx[g[0]] + k * v)) for g in val_grams
+    )
+    ppl = math.exp(-ll / len(val_grams))
+    assert r["vocab_size"] == v
+    assert r["n_val_bigrams"] == len(val_grams)
+    assert abs(r["perplexity"] - round(ppl, 4)) < 1e-3
+    # smoothed PPL can't beat vocabulary size bound trivially
+    assert 1.0 < r["perplexity"]
+
+
+def test_jackknife_closed_form(spark, sf_dir):
+    [r] = REGISTRY["agg_jackknife_se"].fn(spark, sf_dir).collect()
+    xs = [
+        x["c"]
+        for x in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    n = len(xs)
+    mean = sum(xs) / n
+    # literal delete-1 jackknife
+    loos = [(sum(xs) - x) / (n - 1) for x in xs]
+    mloo = sum(loos) / n
+    se = ((n - 1) / n * sum((l - mloo) ** 2 for l in loos)) ** 0.5
+    assert r["n_users"] == n
+    assert abs(r["mean_activity"] - round(mean, 6)) < 1e-9
+    assert abs(r["jackknife_se"] - round(se, 6)) < 1e-5
+    assert r["ci_lo"] < r["mean_activity"] < r["ci_hi"]
