@@ -1159,3 +1159,60 @@ def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("")
         .alias("first_five_letter"),
     )
+
+
+_ARR2_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       LIST_HAS_ANY(toks, ['spark', 'table', 'query']) AS mentions_engine,
+       CAST(COALESCE(LIST_POSITION(toks, 'data'), 0) AS BIGINT)
+         AS first_data_pos,
+       ARRAY_TO_STRING(FLATTEN([toks[1:2], toks[-2:]]), ',')
+         AS head_tail,
+       ARRAY_TO_STRING(list_transform(generate_series(1, 3),
+                       i -> toks[1]), ',') AS first_repeated,
+       CAST(LEN(list_filter(generate_series(1, CAST(LEN(toks) AS INTEGER)),
+                            i -> i % 2 = 1)) AS BIGINT) AS n_odd_positions
+FROM t
+"""
+
+
+@register("fn_array_advanced", oracle=_ARR2_ORACLE, category="function")
+def fn_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second array-function family beyond `fn_array`: membership
+    against a set (`arrays_overlap`), first-position lookup
+    (`array_position`), nested flatten of head/tail slices,
+    `array_repeat`, and a filtered index sequence — the
+    array-manipulation surface feature pipelines lean on.  Negative
+    slice indexing (`toks[-2:]`) maps to Spark's
+    `slice(toks, -2, 2)`.  Narrow, zero shuffles, codegen.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    return d.select(
+        "doc_id",
+        F.arrays_overlap(
+            "toks", F.array(F.lit("spark"), F.lit("table"), F.lit("query"))
+        ).alias("mentions_engine"),
+        F.array_position("toks", "data").cast("bigint").alias(
+            "first_data_pos"
+        ),
+        F.array_join(
+            F.flatten(
+                F.array(
+                    F.slice("toks", 1, 2), F.expr("slice(toks, -2, 2)")
+                )
+            ),
+            ",",
+        ).alias("head_tail"),
+        F.array_join(
+            F.array_repeat(F.element_at("toks", 1), 3), ","
+        ).alias("first_repeated"),
+        F.expr(
+            "cast(size(filter(sequence(1, size(toks)), i -> i % 2 = 1))"
+            " AS bigint)"
+        ).alias("n_odd_positions"),
+    )

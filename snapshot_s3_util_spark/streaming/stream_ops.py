@@ -849,3 +849,84 @@ def stream_left_outer_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_REPLAY_ORACLE = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_after_replay,
+       CAST(0 AS BIGINT) AS n_duplicates,
+       TRUE AS exactly_once
+FROM {EVENTS_REL} e GROUP BY event_type
+"""
+
+
+@register(
+    "stream_idempotent_replay", oracle=_REPLAY_ORACLE, category="streaming"
+)
+def stream_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once evidence by REPLAY: run a foreachBatch export,
+    stop, then START THE SAME QUERY AGAIN on the SAME checkpoint —
+    the restarted query must recognize every source file as committed
+    and process NOTHING, leaving the sink byte-identical (this is the
+    crash-recovery contract checkpoints exist for; a sink that
+    double-appends on restart fails loudly here as doubled counts).
+
+    The output reports per-type counts after pass 1 and after the
+    replay, their difference, and the exactly-once verdict; the
+    oracle is the batch census with zero duplicates by construction.
+
+    Plan note: the second start costs ONE empty micro-batch of
+    planning — offset log reconciliation, no data motion.
+    """
+    tmp = tempfile.mkdtemp(prefix="s3u_stream_replay_")
+    out = f"{tmp}/export"
+    ckpt = f"{tmp}/ckpt"
+    try:
+        src = _stage(spark, sf_dir, tmp)
+
+        def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out)
+
+        for _ in range(2):  # pass 1 writes; pass 2 must be a no-op
+            q = (
+                spark.readStream.schema(src.schema)
+                .parquet(f"{tmp}/src")
+                .writeStream.foreachBatch(write_batch)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            if _ == 0:
+                first = {
+                    r["event_type"]: r["n"]
+                    for r in spark.read.parquet(out)
+                    .groupBy("event_type")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+        after = spark.read.parquet(out).groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_after_replay")
+        )
+        firsts = spark.createDataFrame(
+            [(k, v) for k, v in first.items()],
+            "event_type string, n_rows long",
+        )
+        return (
+            firsts.join(after, "event_type")
+            .select(
+                "event_type",
+                "n_rows",
+                "n_after_replay",
+                (F.col("n_after_replay") - F.col("n_rows"))
+                .cast("bigint")
+                .alias("n_duplicates"),
+                (F.col("n_after_replay") == F.col("n_rows")).alias(
+                    "exactly_once"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -4322,3 +4322,30 @@ def test_jackknife_closed_form(spark, sf_dir):
     assert abs(r["mean_activity"] - round(mean, 6)) < 1e-9
     assert abs(r["jackknife_se"] - round(se, 6)) < 1e-5
     assert r["ci_lo"] < r["mean_activity"] < r["ci_hi"]
+
+
+def test_array_advanced_matches_python(spark, sf_dir):
+    rows = REGISTRY["fn_array_advanced"].fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for r in rows[:100]:
+        toks = docs[r["doc_id"]]
+        assert r["mentions_engine"] == bool(
+            set(toks) & {"spark", "table", "query"}
+        )
+        pos = toks.index("data") + 1 if "data" in toks else 0
+        assert r["first_data_pos"] == pos
+        assert r["head_tail"] == ",".join(toks[:2] + toks[-2:])
+        assert r["first_repeated"] == ",".join([toks[0]] * 3)
+        assert r["n_odd_positions"] == (len(toks) + 1) // 2
+
+
+def test_idempotent_replay_no_duplicates(spark, sf_dir):
+    rows = REGISTRY["stream_idempotent_replay"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r["exactly_once"] for r in rows)
+    assert all(r["n_duplicates"] == 0 for r in rows)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_rows"] for r in rows) == n_events
