@@ -642,3 +642,79 @@ def llm_sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top1_match"
         ),
     )
+
+
+# ------------------------------------------------ semdedup sweep
+
+_SWEEP_THRESHOLDS = (90, 95, 99)  # cosine percent thresholds
+
+
+_SWEEP_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         LIST_DOT_PRODUCT(a.e, b.e)
+           / (SQRT(LIST_DOT_PRODUCT(a.e, a.e))
+              * SQRT(LIST_DOT_PRODUCT(b.e, b.e))) AS raw
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+),
+th AS (SELECT UNNEST([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}])
+         AS threshold_pct)
+SELECT t.threshold_pct,
+       CAST(SUM(CASE WHEN ROUND(p.raw, 6) >= t.threshold_pct / 100.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs_total,
+       CAST(COUNT(DISTINCT CASE WHEN ROUND(p.raw, 6)
+                                     >= t.threshold_pct / 100.0
+                                THEN p.vb END) AS BIGINT)
+         AS n_docs_removable
+FROM pairs p, th t
+GROUP BY t.threshold_pct
+"""
+
+
+@register("llm_semdedup_sweep", oracle=_SWEEP_ORACLE, category="llm")
+def llm_semdedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup threshold sensitivity sweep: at cosine thresholds of
+    {_SWEEP_THRESHOLDS}%, how many embedding pairs count as semantic
+    duplicates and how many documents would a keep-the-smaller-id
+    policy remove — the tuning curve run BEFORE committing a
+    threshold to the dedup pass (too low deletes paraphrase
+    diversity, too high keeps near-copies).  Thresholding happens on
+    the ROUNDED cosine so the boundary decision is engine-identical.
+
+    Plan: the all-pairs scoring here is the exact baseline at |V|=2k
+    vectors (the brute-force tier, like `llm_sim_topk_brute`); at
+    index scale the same sweep runs over `llm_sim_ann_lsh` bucket
+    candidates — the sweep logic (broadcast thresholds, one
+    conditional aggregate) is unchanged.  `n_docs_removable` counts
+    distinct higher-id members of over-threshold pairs — exactly the
+    docs a min-id-keeper drops.
+    """
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_E).alias("e")
+    )
+    a = v.select(F.col("vec_id").alias("va"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vb"), F.col("e").alias("eb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn("c", F.round(_cos("ea", "eb"), 6))
+        .select("va", "vb", "c")
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "threshold_pct long"
+    )
+    j = pairs.crossJoin(F.broadcast(th))
+    hit = F.col("c") >= F.col("threshold_pct") / 100.0
+    return j.groupBy("threshold_pct").agg(
+        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias(
+            "n_dup_pairs"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs_total"),
+        F.countDistinct(F.when(hit, F.col("vb")))
+        .cast("bigint")
+        .alias("n_docs_removable"),
+    )

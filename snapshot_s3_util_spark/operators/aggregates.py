@@ -2007,3 +2007,81 @@ def agg_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean - 1.96 * se, 6).alias("ci_lo"),
         F.round(mean + 1.96 * se, 6).alias("ci_hi"),
     )
+
+
+_POWER_Z_HALF_ALPHA = 1.959964  # two-sided 5%
+_POWER_Z_BETA = 0.841621        # 80% power
+
+_POWER_ORACLE = f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)
+                  * CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS s2
+  FROM events
+),
+base AS (
+  SELECT n,
+         s1 / (10000.0 * n) AS mean,
+         (s2 / 1e8 - (s1 / 1e4) * (s1 / 1e4) / n) / (n - 1) AS var
+  FROM m
+),
+lifts AS (SELECT UNNEST([1, 2, 5]) AS lift_pct)
+SELECT l.lift_pct,
+       ROUND(b.mean, 6) AS baseline_mean,
+       ROUND(b.var, 4) AS variance,
+       ROUND(b.mean * l.lift_pct / 100.0, 6) AS min_detectable_diff,
+       CAST(CEIL(POWER({_POWER_Z_HALF_ALPHA} + {_POWER_Z_BETA}, 2)
+                 * 2 * b.var
+                 / POWER(b.mean * l.lift_pct / 100.0, 2)) AS BIGINT)
+         AS n_per_arm
+FROM base b, lifts l
+"""
+
+
+@register("agg_power_analysis", oracle=_POWER_ORACLE, category="aggregate")
+def agg_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size calculator: per target lift (1/2/5% of the
+    baseline mean), the users-per-arm needed to detect it at 80%
+    power / two-sided α=5% — n = (z_{{α/2}}+z_β)²·2σ²/δ², the sizing
+    arithmetic run before every experiment the z-test
+    (`agg_ab_test_z`) will eventually judge, and the "how long must
+    this run" answer CUPED's variance reduction directly shrinks.
+
+    Baseline mean and variance come from exact scaled-BIGINT moments
+    in one reduce (the `agg_ttest_welch` variance form); the z
+    constants are fixed literals so both engines evaluate the same
+    closed form; `CEIL` keeps the decision integer.
+
+    Plan: one scan, one single-row reduce, a 3-row broadcast of lift
+    targets.
+    """
+    x = F.round(F.col("value") * 10000).cast("bigint")
+    m = load_table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("s1"),
+        F.sum(x * x).cast("bigint").alias("s2"),
+    )
+    base = m.select(
+        "n",
+        (F.col("s1") / (10000.0 * F.col("n"))).alias("mean"),
+        (
+            (
+                F.col("s2") / 1e8
+                - (F.col("s1") / 1e4) * (F.col("s1") / 1e4) / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    lifts = spark.createDataFrame([(1,), (2,), (5,)], "lift_pct long")
+    delta = F.col("mean") * F.col("lift_pct") / 100.0
+    zsum = _POWER_Z_HALF_ALPHA + _POWER_Z_BETA
+    return base.crossJoin(F.broadcast(lifts)).select(
+        "lift_pct",
+        F.round("mean", 6).alias("baseline_mean"),
+        F.round("var", 4).alias("variance"),
+        F.round(delta, 6).alias("min_detectable_diff"),
+        F.ceil(F.lit(zsum) ** 2 * 2 * F.col("var") / delta ** 2)
+        .cast("bigint")
+        .alias("n_per_arm"),
+    )

@@ -4349,3 +4349,43 @@ def test_idempotent_replay_no_duplicates(spark, sf_dir):
     assert all(r["n_duplicates"] == 0 for r in rows)
     n_events = load_table(spark, sf_dir, "events").count()
     assert sum(r["n_rows"] for r in rows) == n_events
+
+
+def test_power_analysis_scaling_laws(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["agg_power_analysis"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["lift_pct"],
+    )
+    assert [r["lift_pct"] for r in rows] == [1, 2, 5]
+    # 4x smaller effect -> ~16x more samples (inverse-square law)
+    n1, n2, n5 = (r["n_per_arm"] for r in rows)
+    assert n1 > n2 > n5 > 0
+    assert abs(n1 / n2 - 4.0) < 0.1
+    assert abs(n1 / n5 - 25.0) < 1.0
+    # closed form spot check
+    r = rows[0]
+    expect = (
+        (1.959964 + 0.841621) ** 2
+        * 2
+        * r["variance"]
+        / r["min_detectable_diff"] ** 2
+    )
+    import math
+
+    assert r["n_per_arm"] == math.ceil(round(expect, 6))
+
+
+def test_semdedup_sweep_monotone(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["llm_semdedup_sweep"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["threshold_pct"],
+    )
+    assert [r["threshold_pct"] for r in rows] == [90, 95, 99]
+    dups = [r["n_dup_pairs"] for r in rows]
+    rem = [r["n_docs_removable"] for r in rows]
+    # stricter threshold -> fewer dup pairs and fewer removals
+    assert dups == sorted(dups, reverse=True)
+    assert rem == sorted(rem, reverse=True)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert all(r["n_pairs_total"] == n * (n - 1) // 2 for r in rows)
+    assert all(r["n_docs_removable"] <= r["n_dup_pairs"] for r in rows)
