@@ -1464,3 +1464,65 @@ def llm_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp_jaccard"),
         )
     )
+
+
+# ------------------------------------------------ prefix boilerplate
+
+_PREFIX_K = 8  # tokens of shared prefix that mark boilerplate
+
+
+_PREFIX_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, source,
+         MD5(ARRAY_TO_STRING(string_split(text, ' ')[1:{_PREFIX_K}], ' '))
+           AS prefix_h
+  FROM documents
+  WHERE LEN(string_split(text, ' ')) >= {_PREFIX_K}
+),
+g AS (
+  SELECT prefix_h,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(MIN(doc_id) AS BIGINT) AS exemplar_doc
+  FROM p GROUP BY prefix_h
+)
+SELECT prefix_h, n_docs, n_sources, exemplar_doc
+FROM g WHERE n_docs >= 2
+"""
+
+
+@register("llm_dedup_prefix_boilerplate", oracle=_PREFIX_ORACLE, category="llm")
+def llm_dedup_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix boilerplate detection: cluster documents whose
+    first {_PREFIX_K} tokens are identical — the cheap screen for
+    templated headers, scraped navigation chrome, and licence
+    preambles that survive exact dedup (bodies differ) and dilute
+    near-dup thresholds (prefix similarity but low global Jaccard).
+    Clusters spanning multiple sources are the tell for CRAWL
+    boilerplate rather than an author's habit.
+
+    Plan: one narrow prefix-hash map, ONE map-side-combined group
+    (the exact-dedup shape keyed on the prefix digest instead of the
+    whole text), ≥2 filter on the reduced frame.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= _PREFIX_K)
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.array_join(F.slice("toks", 1, _PREFIX_K), " ")
+            ).alias("prefix_h"),
+        )
+    )
+    return (
+        d.groupBy("prefix_h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("exemplar_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -671,3 +671,64 @@ def scan_ignore_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_CONTRACT = (
+    ("o_orderkey", "bigint", True),
+    ("o_custkey", "bigint", True),
+    ("o_orderstatus", "string", True),
+    ("o_totalprice", "double", True),
+    ("o_orderdate", "timestamp_ntz", True),  # raw file: no-tz (SURVEY 1.2)
+    ("o_orderpriority", "string", True),
+    ("o_shippriority", "int", False),   # expected but absent
+    ("o_comment", "string", False),     # expected but absent
+)
+
+_CONTRACT_ORACLE = f"""
+WITH contract AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"('{c}', '{t}', {int(p)})" for c, t, p in _CONTRACT)}
+  ) AS t(col, expected_type, should_exist)
+)
+SELECT col, expected_type,
+       CAST(should_exist AS BOOLEAN) AS present,
+       CASE WHEN should_exist = 1 THEN 'ok' ELSE 'missing_column' END
+         AS status
+FROM contract
+"""
+
+
+@register("scan_schema_contract", oracle=_CONTRACT_ORACLE, category="scan")
+def scan_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract enforcement at the scan: diff the ACTUAL parquet
+    schema of the orders landing zone against a declared column
+    contract (name + Spark type) and report per-column status —
+    the producer/consumer drift gate that belongs in front of every
+    ingest (`scan_schema_evolution` handles the legitimate-evolution
+    path; this op CATCHES the illegitimate kind).  The contract
+    deliberately includes two columns the table does not carry, so
+    the 'missing_column' arm is exercised, not just asserted.
+
+    The report derives from the REAL `spark.read.parquet(...).schema`
+    (planner metadata — zero data rows touched); type names are
+    compared on Spark's `simpleString` form.  The oracle states the
+    expected verdict table in closed form.
+    """
+    actual = {
+        f.name: f.dataType.simpleString()
+        for f in spark.read.parquet(f"{sf_dir}/orders.parquet").schema.fields
+    }
+    rows = []
+    for col, typ, _ in _CONTRACT:
+        present = col in actual
+        if not present:
+            status = "missing_column"
+        elif actual[col] != typ:
+            status = f"type_drift:{actual[col]}"
+        else:
+            status = "ok"
+        rows.append((col, typ, present, status))
+    return spark.createDataFrame(
+        rows, "col string, expected_type string, present boolean,"
+        " status string"
+    )

@@ -4389,3 +4389,40 @@ def test_semdedup_sweep_monotone(spark, sf_dir):
     n = load_table(spark, sf_dir, "embeddings").count()
     assert all(r["n_pairs_total"] == n * (n - 1) // 2 for r in rows)
     assert all(r["n_docs_removable"] <= r["n_dup_pairs"] for r in rows)
+
+
+def test_schema_contract_verdicts(spark, sf_dir):
+    rows = {
+        r["col"]: r
+        for r in REGISTRY["scan_schema_contract"].fn(spark, sf_dir).collect()
+    }
+    assert rows["o_orderkey"]["status"] == "ok"
+    assert rows["o_orderdate"]["status"] == "ok"  # ntz declared correctly
+    assert rows["o_shippriority"]["status"] == "missing_column"
+    assert rows["o_comment"]["status"] == "missing_column"
+    assert not rows["o_comment"]["present"]
+    assert all(
+        r["present"] == (r["status"] != "missing_column")
+        for r in rows.values()
+    )
+
+
+def test_prefix_boilerplate_matches_python(spark, sf_dir):
+    from collections import defaultdict
+
+    rows = REGISTRY["llm_dedup_prefix_boilerplate"].fn(spark, sf_dir).collect()
+    clusters = defaultdict(list)
+    for d in load_table(spark, sf_dir, "documents").collect():
+        toks = d["text"].split(" ")
+        if len(toks) >= 8:
+            clusters[" ".join(toks[:8])].append((d["doc_id"], d["source"]))
+    expected = {
+        (len(v), len({s for _, s in v}), min(i for i, _ in v))
+        for v in clusters.values()
+        if len(v) >= 2
+    }
+    got = {
+        (r["n_docs"], r["n_sources"], r["exemplar_doc"]) for r in rows
+    }
+    assert got == expected
+    assert rows, "planted near-duplicates should share prefixes"
