@@ -1203,7 +1203,13 @@ def fn_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.flatten(
                 F.array(
-                    F.slice("toks", 1, 2), F.expr("slice(toks, -2, 2)")
+                    F.slice("toks", 1, 2),
+                    # DuckDB toks[-2:] CLAMPS on short arrays; Spark
+                    # slice(-2, 2) returns [] — guard the <2 case
+                    F.expr(
+                        "CASE WHEN size(toks) >= 2"
+                        " THEN slice(toks, -2, 2) ELSE toks END"
+                    ),
                 )
             ),
             ",",

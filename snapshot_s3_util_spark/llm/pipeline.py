@@ -1232,8 +1232,12 @@ solved AS (
   FROM m
 ),
 scored AS (
+  -- score with the ROUNDED weights: raw w1/w2 differ between engines
+  -- in last ulps (partial-aggregate order), and an unrounded >= 0.5
+  -- threshold would make boundary docs classify differently
   SELECT s.n, s.n_pos, s.w1, s.w2,
-         CAST(SUM(CASE WHEN (f.x1 * s.w1 + f.x2 * s.w2 >= 0.5) = (f.y = 1.0)
+         CAST(SUM(CASE WHEN (f.x1 * ROUND(s.w1, 6) + f.x2 * ROUND(s.w2, 6)
+                             >= 0.5) = (f.y = 1.0)
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
   FROM feat f, solved s
   GROUP BY s.n, s.n_pos, s.w1, s.w2
@@ -1316,7 +1320,10 @@ def llm_train_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(
                 (
-                    (F.col("x1") * F.col("w1") + F.col("x2") * F.col("w2"))
+                    (
+                        F.col("x1") * F.round(F.col("w1"), 6)
+                        + F.col("x2") * F.round(F.col("w2"), 6)
+                    )
                     >= 0.5
                 )
                 == (F.col("y") == 1.0),

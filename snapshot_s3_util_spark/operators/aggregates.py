@@ -1829,9 +1829,6 @@ def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("converted").cast("bigint").alias("n_converted"),
         F.min(
-            F.when(F.col("verdict").isNotNull(), F.col("step"))
-        ).alias("first_step"),
-        F.min(
             F.when(
                 F.col("verdict").isNotNull(),
                 F.struct(F.col("step"), F.col("verdict")),
@@ -1844,7 +1841,7 @@ def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_users",
         "n_converted",
-        F.coalesce(F.col("first_step"), F.lit(-1))
+        F.coalesce(F.col("first.step"), F.lit(-1))
         .cast("bigint")
         .alias("decision_step"),
         F.coalesce(F.col("first.verdict"), F.lit("continue")).alias(

@@ -766,9 +766,12 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-occurrence flagging (rank 1 within (user, type)) + a
     running SUM of flags — two windows, exact, linear.
 
-    Plan: both windows ride ONE user-keyed exchange (the (user, type)
-    rank's partitioning is a superset; Spark plans the pair with a
-    single user_id shuffle followed by in-partition sorts).
+    Plan: TWO exchanges — hashpartitioning(user, type) for the rank,
+    then hashpartitioning(user) for the running sum (Spark does not
+    treat the finer partitioning as satisfying the coarser window's
+    requirement).  Both shuffles carry the corpus once; collapsing to
+    one would need the flag computed via a per-user sort on a single
+    exchange, which costs the same sort anyway.
     """
     ev = load_table(spark, sf_dir, "events")
     w1 = Window.partitionBy("user_id", "event_type").orderBy(

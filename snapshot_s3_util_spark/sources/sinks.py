@@ -1129,17 +1129,32 @@ def sink_compression_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint equals the source fingerprint INSIDE the op; physical
     sizes are environment/implementation detail and deliberately NOT
     part of the comparable contract (they'd differ across library
-    versions), but a size sanity check (every file nonempty, gzip ≠
-    uncompressed) runs in-op.
+    versions), but in-op size sanity checks run: every codec output
+    nonempty AND gzip strictly smaller than an uncompressed write (a
+    writer that silently ignored the compression option fails here).
 
-    Plan: three independent narrow writes + three pruned scans; no
+    Plan: four independent narrow writes + three pruned scans; no
     shuffle beyond the fingerprint aggregates.
     """
-    import os
-    import shutil
-    import tempfile
-
     root = tempfile.mkdtemp(prefix="s3u_codec_")
+
+    def row_format(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_orderkey",
+            F.concat(
+                F.lpad(F.col("o_orderkey").cast("string"), 10, "0"),
+                F.lit(":"),
+                F.col("o_orderstatus"),
+            ).alias("r"),
+        )
+
+    def dir_bytes(out: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(out, f))
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+
     try:
         o = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus"
@@ -1153,39 +1168,28 @@ def sink_compression_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        src_row = o.select(
-            "o_orderkey",
-            F.concat(
-                F.lpad(F.col("o_orderkey").cast("string"), 10, "0"),
-                F.lit(":"),
-                F.col("o_orderstatus"),
-            ).alias("r"),
-        )
-        [src] = src_row.agg(
+        [src] = row_format(o).agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             fp_expr.alias("fp"),
         ).collect()
+        o.write.mode("overwrite").option("compression", "none").parquet(
+            f"{root}/none"
+        )
+        raw_bytes = dir_bytes(f"{root}/none")
         rows = []
         for codec in _CODECS:
             out = f"{root}/{codec}"
             o.write.mode("overwrite").option("compression", codec).parquet(
                 out
             )
-            nbytes = sum(
-                os.path.getsize(os.path.join(out, f))
-                for f in os.listdir(out)
-                if f.endswith(".parquet")
-            )
+            nbytes = dir_bytes(out)
             assert nbytes > 0, f"{codec}: empty output"
-            back = spark.read.parquet(out).select(
-                "o_orderkey",
-                F.concat(
-                    F.lpad(F.col("o_orderkey").cast("string"), 10, "0"),
-                    F.lit(":"),
-                    F.col("o_orderstatus"),
-                ).alias("r"),
-            )
-            [got] = back.agg(
+            if codec == "gzip":
+                assert nbytes < raw_bytes, (
+                    "gzip output not smaller than uncompressed — "
+                    "compression option silently ignored?"
+                )
+            [got] = row_format(spark.read.parquet(out)).agg(
                 F.count(F.lit(1)).cast("bigint").alias("n"),
                 fp_expr.alias("fp"),
             ).collect()

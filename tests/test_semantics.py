@@ -4206,8 +4206,11 @@ def test_linear_probe_weights_and_accuracy(spark, sf_dir):
     assert r["n_docs"] == n
     assert abs(r["w_length"] - round(w1, 6)) < 1e-4
     assert abs(r["w_distinct"] - round(w2, 6)) < 1e-4
+    rw1, rw2 = round(w1, 6), round(w2, 6)
     n_correct = sum(
-        1 for x1, x2, y in feats if (x1 * w1 + x2 * w2 >= 0.5) == (y == 1.0)
+        1
+        for x1, x2, y in feats
+        if (x1 * rw1 + x2 * rw2 >= 0.5) == (y == 1.0)
     )
     assert r["n_correct"] == n_correct
     # the probe must beat the majority-class baseline to be a probe
