@@ -1222,3 +1222,67 @@ def fn_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS bigint)"
         ).alias("n_odd_positions"),
     )
+
+
+_CSV_CODEC_ORACLE = """
+WITH enc AS (
+  SELECT c_custkey,
+         CAST(c_custkey AS STRING) || ',"' || c_name || ', Esq.",'
+           || c_mktsegment AS line
+  FROM customer
+)
+, pos AS (
+  SELECT c_custkey, line,
+         POSITION('"' IN line) AS q1,
+         LENGTH(line) - POSITION('"' IN REVERSE(line)) + 1 AS q2
+  FROM enc
+)
+SELECT c_custkey, line,
+       SUBSTR(line, q1, q2 - q1 + 1) AS name_field,
+       SUBSTR(line, q1 + 1, q2 - q1 - 1) AS name_unquoted,
+       SUBSTR(line, q2 + 2) AS segment
+FROM pos
+"""
+
+
+@register("fn_csv_codec", oracle=_CSV_CODEC_ORACLE, category="function")
+def fn_csv_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV line round-trip as FUNCTIONS: render a quoted CSV line
+    (embedded comma inside the quoted name field), then parse it back
+    with `from_csv` — Spark's real CSV parser as a scalar function —
+    while the oracle re-parses the identical line with quote-position
+    arithmetic (two independent parser implementations, the `fn_url`
+    discipline; RE2 has no lookahead, so no regex-split tricks).  `source_csv_permissive` covers the
+    file-level ingest path; this is the in-row codec surface
+    (message queues and log fields carry embedded CSV far more often
+    than files do).
+
+    Narrow, zero shuffles; `from_csv` runs inside codegen (Jackson-
+    style parser, JVM-side).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    enc = c.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_custkey").cast("string"),
+            F.lit(',"'),
+            F.col("c_name"),
+            F.lit(', Esq.",'),
+            F.col("c_mktsegment"),
+        ).alias("line"),
+    )
+    parsed = enc.withColumn(
+        "p",
+        F.from_csv(
+            "line", "k STRING, name STRING, seg STRING"
+        ),
+    )
+    return parsed.select(
+        "c_custkey",
+        "line",
+        F.concat(F.lit('"'), F.col("p.name"), F.lit('"')).alias(
+            "name_field"
+        ),
+        F.col("p.name").alias("name_unquoted"),
+        F.col("p.seg").alias("segment"),
+    )

@@ -1660,3 +1660,91 @@ def llm_bigram_lm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("perplexity"),
     )
+
+
+# ------------------------------------------------ QA eval metrics
+
+_QA_ORACLE = """
+WITH qa AS (
+  SELECT doc_id,
+         string_split(text, ' ')[1:5] AS gold,
+         CASE WHEN doc_id % 3 = 0 THEN string_split(text, ' ')[1:5]
+              WHEN doc_id % 3 = 1 THEN string_split(text, ' ')[2:6]
+              ELSE string_split(text, ' ')[1:3] END AS pred
+  FROM documents
+  WHERE LEN(string_split(text, ' ')) >= 6
+),
+scored AS (
+  SELECT doc_id, gold, pred,
+         gold = pred AS exact_match,
+         CAST(list_aggregate(
+           list_transform(LIST_DISTINCT(gold || pred), t ->
+             LEAST(LEN(list_filter(gold, x -> x = t)),
+                   LEN(list_filter(pred, x -> x = t)))), 'sum')
+           AS BIGINT) AS overlap
+  FROM qa
+)
+SELECT doc_id, exact_match,
+       CAST(overlap AS BIGINT) AS n_overlap,
+       ROUND(CASE WHEN overlap = 0 THEN 0.0
+                  ELSE 2.0 * (CAST(overlap AS DOUBLE) / LEN(pred))
+                       * (CAST(overlap AS DOUBLE) / LEN(gold))
+                       / (CAST(overlap AS DOUBLE) / LEN(pred)
+                          + CAST(overlap AS DOUBLE) / LEN(gold)) END, 6)
+         AS token_f1
+FROM scored
+"""
+
+
+@register("llm_qa_em_f1", oracle=_QA_ORACLE, category="llm")
+def llm_qa_em_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQuAD-style QA eval metrics: exact match and token-level F1
+    between a gold answer span and a deterministic synthetic
+    prediction (per doc_id%3: identical / off-by-one-shifted /
+    truncated — exercising EM=1, partial-overlap F1, and
+    subset-precision cases) — the metric pair every extractive-QA
+    eval harness reduces to, computed in-engine so eval joins the
+    same pipeline as training exports.
+
+    Token F1 uses MULTISET overlap (Σ min(count_gold, count_pred)
+    per distinct token — duplicated tokens must not double-count),
+    built from doc-local higher-order array ops; the one float is
+    the final harmonic mean, rounded identically.
+
+    Plan: fully narrow, zero shuffles, codegen.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 6)
+        .select(
+            "doc_id",
+            F.slice("toks", 1, 5).alias("gold"),
+            F.when(F.col("doc_id") % 3 == 0, F.slice("toks", 1, 5))
+            .when(F.col("doc_id") % 3 == 1, F.slice("toks", 2, 5))
+            .otherwise(F.slice("toks", 1, 3))
+            .alias("pred"),
+        )
+    )
+    scored = d.withColumn(
+        "overlap",
+        F.expr(
+            "cast(aggregate(array_distinct(concat(gold, pred)), 0L,"
+            " (acc, t) -> acc + least("
+            " size(filter(gold, x -> x = t)),"
+            " size(filter(pred, x -> x = t)))) AS bigint)"
+        ),
+    )
+    p = F.col("overlap").cast("double") / F.size("pred")
+    r = F.col("overlap").cast("double") / F.size("gold")
+    return scored.select(
+        "doc_id",
+        (F.col("gold") == F.col("pred")).alias("exact_match"),
+        F.col("overlap").alias("n_overlap"),
+        F.round(
+            F.when(F.col("overlap") == 0, 0.0).otherwise(
+                2.0 * p * r / (p + r)
+            ),
+            6,
+        ).alias("token_f1"),
+    )

@@ -2212,3 +2212,135 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("theil_sen_slope"),
     )
+
+
+_SEAS_ANOM_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM {EVENTS_REL} e GROUP BY 1, 2
+),
+tr AS (
+  SELECT event_type, day, n,
+         SUM(n) OVER w AS s7, COUNT(*) OVER w AS c7,
+         isodow(day) - 1 AS wd
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+full7 AS (
+  SELECT event_type, day, n, wd, 7 * n - s7 AS d7
+  FROM tr WHERE c7 = 7
+),
+seas AS (
+  SELECT event_type, wd, CAST(SUM(d7) AS BIGINT) AS sum_d7,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM full7 GROUP BY event_type, wd
+),
+resid AS (
+  SELECT f.event_type, f.day,
+         CAST(ROUND((f.n - ROUND((7.0 * f.n - f.d7) / 7, 4)
+                     - ROUND(CAST(s.sum_d7 AS DOUBLE) / s.cnt / 7, 4))
+                    * 10000) AS BIGINT) AS r
+  FROM full7 f JOIN seas s ON s.event_type = f.event_type AND s.wd = f.wd
+),
+med AS (
+  SELECT event_type,
+         CAST(MEDIAN(r) AS DOUBLE) AS med_r
+  FROM resid GROUP BY event_type
+),
+mad AS (
+  SELECT r.event_type,
+         CAST(MEDIAN(ABS(r.r - m.med_r)) AS DOUBLE) AS mad_r
+  FROM resid r JOIN med m ON m.event_type = r.event_type
+  GROUP BY r.event_type
+)
+SELECT r.event_type, r.day,
+       ROUND(r.r / 10000.0, 4) AS residual,
+       ROUND(m.med_r / 10000.0, 4) AS median_residual,
+       ROUND(a.mad_r / 10000.0, 4) AS mad_residual,
+       ABS(r.r - m.med_r) > 2 * 1.4826 * a.mad_r AS is_anomaly
+FROM resid r
+JOIN med m ON m.event_type = r.event_type
+JOIN mad a ON a.event_type = r.event_type
+"""
+
+
+@register(
+    "ts_anomaly_seasonal", oracle=_SEAS_ANOM_ORACLE, category="composite"
+)
+def ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: flag days whose STL-lite
+    RESIDUAL (after removing the 7-day trend and weekday seasonal —
+    the `ts_stl_decompose` components, recomputed inline) falls
+    outside a 2×1.4826·MAD fence of the residual distribution — the
+    hybrid that catches a quiet Saturday spike `win_anomaly_zscore`'s
+    raw trailing window would normalize away, and ignores the weekly
+    rhythm it would false-alarm on.
+
+    Residuals are scaled to exact 1e-4 integers BEFORE the medians,
+    so median / MAD / fence compare identical integers on both
+    engines (odd/even median midpoints land on exact .5 halves of
+    ints — cross-engine safe).
+
+    Every scored day is emitted with its verdict (an anomaly-only
+    projection would be vacuously green on calm data — the flag keeps
+    the whole residual pipeline inside the comparison).
+
+    Plan: everything after the daily rollup runs on |types|×|days|
+    frames; two median passes over ≤30-row groups.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    tr = (
+        daily.withColumn("s7", F.sum("n").over(w))
+        .withColumn("c7", F.count(F.lit(1)).over(w))
+        .withColumn("wd", F.weekday("day"))
+    )
+    full7 = tr.filter(F.col("c7") == 7).withColumn(
+        "d7", 7 * F.col("n") - F.col("s7")
+    )
+    seas = full7.groupBy("event_type", "wd").agg(
+        F.sum("d7").cast("bigint").alias("sum_d7"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    resid = full7.join(F.broadcast(seas), ["event_type", "wd"]).select(
+        "event_type",
+        "day",
+        F.round(
+            (
+                F.col("n")
+                - F.round((7.0 * F.col("n") - F.col("d7")) / 7, 4)
+                - F.round(
+                    F.col("sum_d7").cast("double") / F.col("cnt") / 7, 4
+                )
+            )
+            * 10000
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    med = resid.groupBy("event_type").agg(
+        F.expr("percentile(r, 0.5D)").alias("med_r")
+    )
+    mad = (
+        resid.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(abs(r - med_r), 0.5D)").alias("mad_r"),
+            F.max("med_r").alias("med_r"),
+        )
+    )
+    return resid.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "day",
+        F.round(F.col("r") / 10000.0, 4).alias("residual"),
+        F.round(F.col("med_r") / 10000.0, 4).alias("median_residual"),
+        F.round(F.col("mad_r") / 10000.0, 4).alias("mad_residual"),
+        (
+            F.abs(F.col("r") - F.col("med_r"))
+            > 2 * 1.4826 * F.col("mad_r")
+        ).alias("is_anomaly"),
+    )

@@ -4429,3 +4429,66 @@ def test_prefix_boilerplate_matches_python(spark, sf_dir):
     }
     assert got == expected
     assert rows, "planted near-duplicates should share prefixes"
+
+
+def test_seasonal_anomaly_residual_identity(spark, sf_dir):
+    arows = {
+        (r["event_type"], r["day"]): r
+        for r in REGISTRY["ts_anomaly_seasonal"].fn(spark, sf_dir).collect()
+    }
+    srows = {
+        (r["event_type"], r["day"]): r
+        for r in REGISTRY["ts_stl_decompose"].fn(spark, sf_dir).collect()
+    }
+    assert set(arows) == set(srows)
+    for k, a in arows.items():
+        # the anomaly residual IS the STL remainder
+        assert abs(a["residual"] - srows[k]["remainder"]) < 1e-6
+        fence = 2 * 1.4826 * a["mad_residual"]
+        assert a["is_anomaly"] == (
+            abs(a["residual"] - a["median_residual"]) > fence + 1e-12
+        ) or abs(abs(a["residual"] - a["median_residual"]) - fence) < 1e-6
+
+
+def test_qa_em_f1_cases(spark, sf_dir):
+    rows = {r["doc_id"]: r for r in REGISTRY["llm_qa_em_f1"].fn(spark, sf_dir).collect()}
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    from collections import Counter
+
+    for doc_id, r in list(rows.items())[:150]:
+        toks = docs[doc_id]
+        gold = toks[:5]
+        if doc_id % 3 == 0:
+            pred = toks[:5]
+        elif doc_id % 3 == 1:
+            pred = toks[1:6]
+        else:
+            pred = toks[:3]
+        assert r["exact_match"] == (gold == pred)
+        cg, cp = Counter(gold), Counter(pred)
+        overlap = sum(min(cg[t], cp[t]) for t in set(cg) | set(cp))
+        assert r["n_overlap"] == overlap
+        if overlap:
+            p = overlap / len(pred)
+            rr = overlap / len(gold)
+            assert abs(r["token_f1"] - round(2 * p * rr / (p + rr), 6)) < 1e-9
+        else:
+            assert r["token_f1"] == 0.0
+        if doc_id % 3 == 0:
+            assert r["exact_match"] and r["token_f1"] == 1.0
+
+
+def test_csv_codec_roundtrip_fields(spark, sf_dir):
+    rows = REGISTRY["fn_csv_codec"].fn(spark, sf_dir).collect()
+    custs = {
+        r["c_custkey"]: (r["c_name"], r["c_mktsegment"])
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    for r in rows[:150]:
+        name, seg = custs[r["c_custkey"]]
+        assert r["name_unquoted"] == f"{name}, Esq."
+        assert r["segment"] == seg
+        assert "," in r["name_unquoted"]  # the embedded comma survived
