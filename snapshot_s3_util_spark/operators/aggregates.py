@@ -2082,3 +2082,83 @@ def agg_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_per_arm"),
     )
+
+
+_LORENZ_ORACLE = """
+WITH act AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT x,
+         ROW_NUMBER() OVER (ORDER BY x, user_id) AS rnk,
+         COUNT(*) OVER () AS n,
+         SUM(x) OVER () AS tot,
+         SUM(x) OVER (ORDER BY x, user_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM act
+),
+deciles AS (
+  SELECT CAST(CEIL(rnk * 10.0 / n) AS BIGINT) AS decile,
+         CAST(MAX(cum) AS BIGINT) AS cum_events,
+         CAST(MAX(rnk) AS BIGINT) AS cum_users,
+         CAST(MAX(tot) AS BIGINT) AS tot,
+         CAST(MAX(n) AS BIGINT) AS n
+  FROM r GROUP BY 1
+)
+SELECT decile,
+       ROUND(CAST(cum_users AS DOUBLE) / n, 4) AS pop_share,
+       ROUND(CAST(cum_events AS DOUBLE) / tot, 6) AS event_share
+FROM deciles
+"""
+
+
+@register("agg_lorenz_curve", oracle=_LORENZ_ORACLE, category="aggregate")
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve decile points for per-user activity: cumulative
+    share of events held by the bottom-k deciles of users (ascending
+    activity order) — the CURVE whose doubled area-to-diagonal gap is
+    `agg_gini_coefficient`'s number, kept as explicit points because
+    "the bottom half of users produce 9% of traffic" reads while a
+    0.62 does not.
+
+    Exact integer ranks and cumulative sums; decile assignment via
+    ceil(rank·10/n) on integer operands; divisions round once.
+
+    Plan: per-user aggregate, then rank/cumsum windows over the
+    |users| frame (partition-less but post-aggregate — the gini
+    caveat) and a 10-row reduce.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    wo = Window.orderBy("x", "user_id")
+    wall = Window.partitionBy()
+    r = (
+        act.withColumn("rnk", F.row_number().over(wo))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("tot", F.sum("x").over(wall))
+        .withColumn(
+            "cum",
+            F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    dec = r.groupBy(
+        F.ceil(F.col("rnk") * 10.0 / F.col("n")).cast("bigint").alias(
+            "decile"
+        )
+    ).agg(
+        F.max("cum").cast("bigint").alias("cum_events"),
+        F.max("rnk").cast("bigint").alias("cum_users"),
+        F.max("tot").cast("bigint").alias("tot"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    return dec.select(
+        "decile",
+        F.round(F.col("cum_users").cast("double") / F.col("n"), 4).alias(
+            "pop_share"
+        ),
+        F.round(
+            F.col("cum_events").cast("double") / F.col("tot"), 6
+        ).alias("event_share"),
+    )

@@ -1050,3 +1050,110 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scores.filter((F.col("authority") > 0) | (F.col("hub") > 0))
+
+
+_WALK_STEPS = 3
+
+
+def _walk_oracle() -> str:
+    ctes = [
+        f"WITH {_STRONG_UND_CTES}",
+        """adj AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL
+  SELECT b AS node, a AS nbr FROM und
+)""",
+        """w0 AS MATERIALIZED (
+  SELECT DISTINCT node AS start, node AS cur,
+         CAST(node AS STRING) AS path
+  FROM adj
+)""",
+    ]
+    for k in range(1, _WALK_STEPS + 1):
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT start, nbr AS cur, path || '->' || CAST(nbr AS STRING) AS path
+  FROM (
+    SELECT w.start, w.path, a.nbr,
+           ROW_NUMBER() OVER (
+             PARTITION BY w.start
+             ORDER BY MD5(CAST({k} AS STRING) || ':'
+                          || CAST(w.cur AS STRING) || ':'
+                          || CAST(a.nbr AS STRING)), a.nbr) AS rn
+    FROM w{k - 1} w JOIN adj a ON a.node = w.cur
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        ",\n".join(ctes)
+        + f"""
+SELECT na.n_name AS start_nation, w.path,
+       CAST(w.cur AS BIGINT) AS end_node
+FROM w{_WALK_STEPS} w JOIN nation na ON na.n_nationkey = w.start
+"""
+    )
+
+
+@register("graph_random_walk", oracle=_walk_oracle(), category="graph")
+def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic "random" walks ({_WALK_STEPS} steps from every
+    node of the strong-trade graph): each step hops to the neighbor
+    with the minimal md5(step:cur:neighbor) hash — the node2vec/
+    DeepWalk corpus-sampling primitive with the lottery replaced by a
+    content-stable hash, so walks are IDENTICAL across re-runs,
+    engines, and backfills (a seeded RNG walk changes with
+    partitioning; these never do).  Emits the full path string and
+    endpoint per start node.
+
+    The oracle unrolls the identical steps as MATERIALIZED CTEs
+    (`graph_kcore` discipline).
+
+    Plan: per step one frontier⋈adjacency join (frontier = |V| rows,
+    broadcast) + a per-start argmin window — the BFS/LPA Pregel shape
+    with a hash-argmin instead of min-label.
+    """
+    und = _strong_und_edges(spark, sf_dir)
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    walk = adj.select("node").distinct().select(
+        F.col("node").alias("start"),
+        F.col("node").alias("cur"),
+        F.col("node").cast("string").alias("path"),
+    )
+    for k in range(1, _WALK_STEPS + 1):
+        cand = F.broadcast(walk).join(
+            adj, walk["cur"] == adj["node"]
+        ).select(
+            "start",
+            "path",
+            "nbr",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(k)),
+                    F.col("cur").cast("string"),
+                    F.col("nbr").cast("string"),
+                )
+            ).alias("h"),
+        )
+        w = Window.partitionBy("start").orderBy("h", "nbr")
+        walk = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "start",
+                F.col("nbr").alias("cur"),
+                F.concat(
+                    F.col("path"), F.lit("->"), F.col("nbr").cast("string")
+                ).alias("path"),
+            )
+        )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return walk.join(
+        F.broadcast(nation), walk["start"] == nation["n_nationkey"]
+    ).select(
+        F.col("n_name").alias("start_nation"),
+        "path",
+        F.col("cur").cast("bigint").alias("end_node"),
+    )

@@ -4492,3 +4492,58 @@ def test_csv_codec_roundtrip_fields(spark, sf_dir):
         assert r["name_unquoted"] == f"{name}, Esq."
         assert r["segment"] == seg
         assert "," in r["name_unquoted"]  # the embedded comma survived
+
+
+def test_random_walk_valid_edges_and_determinism(spark, sf_dir):
+    import hashlib
+    from collections import defaultdict
+
+    from snapshot_s3_util_spark.operators.graphs import _strong_und_edges
+
+    rows = REGISTRY["graph_random_walk"].fn(spark, sf_dir).collect()
+    edges = {(r["a"], r["b"]) for r in _strong_und_edges(spark, sf_dir).collect()}
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    names = {
+        r["n_name"]: r["n_nationkey"]
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    assert len(rows) == len(nbrs)
+    for r in rows:
+        path = [int(x) for x in r["path"].split("->")]
+        assert path[0] == names[r["start_nation"]]
+        assert path[-1] == r["end_node"]
+        assert len(path) == 4  # start + 3 steps
+        for k, (u, v) in enumerate(zip(path, path[1:]), start=1):
+            assert v in nbrs[u]
+            # the chosen hop really is the hash-argmin
+            best = min(
+                nbrs[u],
+                key=lambda w: (
+                    hashlib.md5(f"{k}:{u}:{w}".encode()).hexdigest(),
+                    w,
+                ),
+            )
+            assert v == best
+
+
+def test_lorenz_curve_convex_and_anchored(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["agg_lorenz_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert rows[-1]["decile"] == 10
+    assert abs(rows[-1]["pop_share"] - 1.0) < 1e-9
+    assert abs(rows[-1]["event_share"] - 1.0) < 1e-9
+    shares = [r["event_share"] for r in rows]
+    assert shares == sorted(shares)
+    # Lorenz curve lies under the diagonal (ascending-order inequality)
+    for r in rows[:-1]:
+        assert r["event_share"] <= r["pop_share"] + 1e-9
+    # convexity: marginal share per decile is non-decreasing
+    margins = [b - a for a, b in zip([0.0] + shares, shares)]
+    assert all(
+        b >= a - 1e-6 for a, b in zip(margins, margins[1:])
+    )
