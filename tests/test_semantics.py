@@ -4542,8 +4542,14 @@ def test_lorenz_curve_convex_and_anchored(spark, sf_dir):
     # Lorenz curve lies under the diagonal (ascending-order inequality)
     for r in rows[:-1]:
         assert r["event_share"] <= r["pop_share"] + 1e-9
-    # convexity: marginal share per decile is non-decreasing
-    margins = [b - a for a, b in zip([0.0] + shares, shares)]
-    assert all(
-        b >= a - 1e-6 for a, b in zip(margins, margins[1:])
-    )
+    # convexity PER USER: ascending activity order means each decile's
+    # average per-user share is non-decreasing (per-decile margins
+    # alone are not comparable when decile sizes differ, e.g. 15 users)
+    pops = [r["pop_share"] for r in rows]
+    um = [
+        (s2 - s1) / (p2 - p1)
+        for (s1, s2), (p1, p2) in zip(
+            zip([0.0] + shares, shares), zip([0.0] + pops, pops)
+        )
+    ]
+    assert all(b >= a - 1e-4 for a, b in zip(um, um[1:]))
