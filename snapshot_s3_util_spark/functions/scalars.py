@@ -1286,3 +1286,75 @@ def fn_csv_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.name").alias("name_unquoted"),
         F.col("p.seg").alias("segment"),
     )
+
+
+_LUHN_ORACLE = """
+WITH acct AS (
+  SELECT o_orderkey,
+         LPAD(CAST(o_orderkey * 7919 % 100000000000 AS STRING), 11, '0')
+           AS body
+  FROM orders
+),
+digits AS (
+  SELECT o_orderkey, body,
+         CAST(list_aggregate(
+           list_transform(generate_series(1, 11), i ->
+             CASE WHEN i % 2 = 1
+                  THEN CASE WHEN 2 * CAST(SUBSTR(REVERSE(body), i, 1)
+                                         AS INTEGER) > 9
+                            THEN 2 * CAST(SUBSTR(REVERSE(body), i, 1)
+                                          AS INTEGER) - 9
+                            ELSE 2 * CAST(SUBSTR(REVERSE(body), i, 1)
+                                          AS INTEGER) END
+                  ELSE CAST(SUBSTR(REVERSE(body), i, 1) AS INTEGER) END),
+           'sum') AS BIGINT) AS s
+  FROM acct
+)
+SELECT o_orderkey, body,
+       CAST((10 - s % 10) % 10 AS BIGINT) AS check_digit,
+       body || CAST((10 - s % 10) % 10 AS STRING) AS account_number,
+       (s + (10 - s % 10) % 10) % 10 = 0 AS luhn_valid
+FROM digits
+"""
+
+
+@register("fn_luhn_checksum", oracle=_LUHN_ORACLE, category="function")
+def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn check-digit generation (ISO/IEC 7812 — card/IMEI/account
+    validation): for a deterministic 11-digit account body, double
+    every second digit from the RIGHT (subtract 9 past 9), sum, and
+    derive the check digit that makes the total ≡ 0 (mod 10); the
+    appended number must self-validate (`luhn_valid` is asserted TRUE
+    row-for-row by the oracle, proving generator and validator agree).
+
+    Pure integer digit transforms over a higher-order sequence —
+    both engines index the REVERSED body so odd positions are the
+    doubled ones regardless of length parity.  Narrow, zero shuffles.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.lpad(
+            ((F.col("o_orderkey") * 7919) % 100000000000).cast("string"),
+            11,
+            "0",
+        ).alias("body"),
+    )
+    dsum = F.expr(
+        "cast(aggregate(sequence(1, 11), 0L, (acc, i) -> acc +"
+        " CASE WHEN i % 2 = 1 THEN"
+        "   CASE WHEN 2 * int(substring(reverse(body), i, 1)) > 9"
+        "        THEN 2 * int(substring(reverse(body), i, 1)) - 9"
+        "        ELSE 2 * int(substring(reverse(body), i, 1)) END"
+        " ELSE int(substring(reverse(body), i, 1)) END) AS bigint)"
+    )
+    d = o.withColumn("s", dsum)
+    check = (10 - F.col("s") % 10) % 10
+    return d.select(
+        "o_orderkey",
+        "body",
+        check.cast("bigint").alias("check_digit"),
+        F.concat(F.col("body"), check.cast("string")).alias(
+            "account_number"
+        ),
+        ((F.col("s") + check) % 10 == 0).alias("luhn_valid"),
+    )

@@ -2344,3 +2344,82 @@ def ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 2 * 1.4826 * F.col("mad_r")
         ).alias("is_anomaly"),
     )
+
+
+_ROLLCORR_W = 14  # trailing days per correlation window
+
+_ROLLCORR_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM {EVENTS_REL} e GROUP BY 1
+),
+roll AS (
+  SELECT day,
+         COUNT(*) OVER w AS n,
+         SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+         SUM(x * y) OVER w AS sxy,
+         SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN {_ROLLCORR_W - 1} PRECEDING
+               AND CURRENT ROW)
+)
+SELECT day, CAST(n AS BIGINT) AS n_days,
+       ROUND((n * sxy - sx * sy)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+         AS rolling_corr
+FROM roll WHERE n = {_ROLLCORR_W}
+"""
+
+
+@register("win_rolling_corr", oracle=_ROLLCORR_ORACLE, category="window")
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {_ROLLCORR_W}-day Pearson correlation between the
+    click and purchase daily volumes — the co-movement monitor
+    (regime shifts show up as the correlation decaying before either
+    series alone looks wrong; `ts_cross_correlation` measures the
+    global lag structure once, this tracks the relationship through
+    time).
+
+    All five windowed moments are exact BIGINT sums over the trailing
+    frame; the correlation derives once per row from those integers
+    (n·Σxy−ΣxΣy form — cancellation-free at daily-count scale).
+    Partial leading windows are excluded, not emitted with fewer
+    days.
+
+    Plan: corpus → |days| frame first; the windows are partition-less
+    but run over ≤31 rows post-aggregate (the gini caveat).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(_ROLLCORR_W - 1), 0)
+    roll = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt((n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return roll.filter(n == _ROLLCORR_W).select(
+        "day",
+        n.cast("bigint").alias("n_days"),
+        F.round(num / den, 6).alias("rolling_corr"),
+    )

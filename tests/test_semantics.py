@@ -4553,3 +4553,67 @@ def test_lorenz_curve_convex_and_anchored(spark, sf_dir):
         )
     ]
     assert all(b >= a - 1e-4 for a, b in zip(um, um[1:]))
+
+
+def test_luhn_self_validates_and_matches_python(spark, sf_dir):
+    rows = REGISTRY["fn_luhn_checksum"].fn(spark, sf_dir).collect()
+    assert all(r["luhn_valid"] for r in rows)
+
+    def luhn_check_digit(body):
+        s = 0
+        for i, ch in enumerate(reversed(body)):
+            d = int(ch)
+            if i % 2 == 0:  # 0-based: positions doubled from the right
+                d *= 2
+                if d > 9:
+                    d -= 9
+            s += d
+        return (10 - s % 10) % 10
+
+    for r in rows[:200]:
+        assert len(r["body"]) == 11
+        assert r["check_digit"] == luhn_check_digit(r["body"])
+        assert r["account_number"] == r["body"] + str(r["check_digit"])
+        # classic validation property: full number sums to 0 mod 10
+        full = r["account_number"]
+        s = 0
+        for i, ch in enumerate(reversed(full)):
+            d = int(ch)
+            if i % 2 == 1:
+                d = d * 2 - 9 if d * 2 > 9 else d * 2
+            s += d
+        assert s % 10 == 0
+
+
+def test_rolling_corr_matches_python(spark, sf_dir):
+    rows = {
+        r["day"]: r for r in REGISTRY["win_rolling_corr"].fn(spark, sf_dir).collect()
+    }
+    daily = sorted(
+        (
+            (r["day"], r["x"], r["y"])
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.sum((F.col("event_type") == "click").cast("int")).alias("x"),
+                F.sum((F.col("event_type") == "purchase").cast("int")).alias(
+                    "y"
+                ),
+            )
+            .collect()
+        )
+    )
+    assert len(rows) == max(0, len(daily) - 13)
+    for i in range(13, len(daily)):
+        win = daily[i - 13 : i + 1]
+        xs = [x for _, x, _ in win]
+        ys = [y for _, _, y in win]
+        n = 14
+        num = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+        den = (
+            (n * sum(a * a for a in xs) - sum(xs) ** 2) ** 0.5
+            * (n * sum(b * b for b in ys) - sum(ys) ** 2) ** 0.5
+        )
+        r = rows[daily[i][0]]
+        assert abs(r["rolling_corr"] - round(num / den, 6)) < 1e-9
+        assert -1.0 <= r["rolling_corr"] <= 1.0
