@@ -1748,3 +1748,60 @@ def llm_qa_em_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("token_f1"),
     )
+
+
+# ------------------------------------------------ pre-tokenizer census
+
+_PRETOK_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+_PRETOK_ORACLE = f"""
+SELECT doc_id,
+       CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_whitespace_tokens,
+       CAST(LEN(regexp_extract_all(text, '{_PRETOK_PATTERN}'))
+            AS BIGINT) AS n_pretokens,
+       CAST(LEN(list_filter(regexp_extract_all(text, '{_PRETOK_PATTERN}'),
+                            t -> t ~ '^[0-9]+$')) AS BIGINT)
+         AS n_number_runs,
+       CAST(LIST_AGGREGATE(list_transform(
+              regexp_extract_all(text, '{_PRETOK_PATTERN}'),
+              t -> CAST(CEIL(LENGTH(t) / 4.0) AS BIGINT)), 'sum')
+            AS BIGINT) AS est_bpe_tokens
+FROM documents
+"""
+
+
+@register(
+    "llm_token_count_pretokenizer", oracle=_PRETOK_ORACLE, category="llm"
+)
+def llm_token_count_pretokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style PRE-TOKENIZER census per document: the regex pass
+    every BPE tokenizer runs first (letter runs | digit runs |
+    punctuation runs — the ASCII core of the GPT-2 pattern; unicode
+    property classes are deliberately avoided because Java and RE2
+    interpret them differently), counted next to the whitespace
+    baseline, plus digit-run counts and the ceil(len/4) BPE-token
+    estimate summed over pre-tokens rather than raw words — the
+    budget number context-window planning actually needs.
+
+    Narrow regex codegen, zero shuffles; patterns in the
+    lookaround-free common subset (`llm_pii_redact` discipline).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pret = F.expr(f"regexp_extract_all(text, '{_PRETOK_PATTERN}', 0)")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias(
+            "n_whitespace_tokens"
+        ),
+        F.size(pret).cast("bigint").alias("n_pretokens"),
+        F.size(
+            F.filter(pret, lambda t: t.rlike("^[0-9]+$"))
+        )
+        .cast("bigint")
+        .alias("n_number_runs"),
+        F.expr(
+            f"cast(aggregate(regexp_extract_all(text, '{_PRETOK_PATTERN}', 0),"
+            " 0L, (acc, t) -> acc + cast(ceil(length(t) / 4.0) AS bigint))"
+            " AS bigint)"
+        ).alias("est_bpe_tokens"),
+    )

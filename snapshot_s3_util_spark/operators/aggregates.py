@@ -2162,3 +2162,95 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_events").cast("double") / F.col("tot"), 6
         ).alias("event_share"),
     )
+
+
+_KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events) e
+  GROUP BY 1
+),
+pairs AS (
+  SELECT CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END AS c,
+         CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END AS d,
+         CASE WHEN b.x = a.x THEN 1 ELSE 0 END AS tx,
+         CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS ty
+  FROM daily a JOIN daily b ON b.day > a.day
+),
+m AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS nc, CAST(SUM(d) AS BIGINT) AS nd,
+         CAST(SUM(tx) AS BIGINT) AS ntx, CAST(SUM(ty) AS BIGINT) AS nty,
+         CAST(COUNT(*) AS BIGINT) AS np
+  FROM pairs
+)
+SELECT np AS n_pairs, nc AS n_concordant, nd AS n_discordant,
+       ROUND((nc - nd)
+             / (SQRT(CAST(np - ntx AS DOUBLE))
+                * SQRT(CAST(np - nty AS DOUBLE))), 6) AS kendall_tau_b
+FROM m
+"""
+
+
+@register("agg_kendall_tau", oracle=_KENDALL_ORACLE, category="aggregate")
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b rank correlation between the click and purchase
+    daily series: concordant minus discordant day pairs over the
+    tie-adjusted normalizer — the rank-based association measure
+    that, unlike Pearson (`agg_corr_matrix`, `win_rolling_corr`),
+    ignores magnitudes entirely and survives any monotone transform
+    of either series.
+
+    Concordance, discordance, and both tie counts are EXACT integers
+    from sign tests on integer differences; one float expression at
+    the end.  Plan: the O(days²) pair join runs on the pre-aggregated
+    |days| frame (the `ts_theil_sen_slope` rule), one single-row
+    reduce after.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    a = daily.select(
+        F.col("day").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    prod = (F.col("xb") - F.col("xa")) * (F.col("yb") - F.col("ya"))
+    m = (
+        a.crossJoin(b)
+        .filter(F.col("db") > F.col("da"))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).cast("bigint").alias("nc"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).cast("bigint").alias("nd"),
+            F.sum(F.when(F.col("xb") == F.col("xa"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ntx"),
+            F.sum(F.when(F.col("yb") == F.col("ya"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("nty"),
+            F.count(F.lit(1)).cast("bigint").alias("np"),
+        )
+    )
+    return m.select(
+        F.col("np").alias("n_pairs"),
+        F.col("nc").alias("n_concordant"),
+        F.col("nd").alias("n_discordant"),
+        F.round(
+            (F.col("nc") - F.col("nd"))
+            / (
+                F.sqrt((F.col("np") - F.col("ntx")).cast("double"))
+                * F.sqrt((F.col("np") - F.col("nty")).cast("double"))
+            ),
+            6,
+        ).alias("kendall_tau_b"),
+    )

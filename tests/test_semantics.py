@@ -4617,3 +4617,57 @@ def test_rolling_corr_matches_python(spark, sf_dir):
         r = rows[daily[i][0]]
         assert abs(r["rolling_corr"] - round(num / den, 6)) < 1e-9
         assert -1.0 <= r["rolling_corr"] <= 1.0
+
+
+def test_pretokenizer_counts_match_python(spark, sf_dir):
+    import math
+    import re
+
+    rows = REGISTRY["llm_token_count_pretokenizer"].fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 ]+")
+    for r in rows[:150]:
+        text = docs[r["doc_id"]]
+        pts = pat.findall(text)
+        assert r["n_whitespace_tokens"] == len(text.split(" "))
+        assert r["n_pretokens"] == len(pts)
+        assert r["n_number_runs"] == sum(1 for t in pts if t.isdigit())
+        assert r["est_bpe_tokens"] == sum(
+            math.ceil(len(t) / 4) for t in pts
+        )
+
+
+def test_kendall_matches_python(spark, sf_dir):
+    [r] = REGISTRY["agg_kendall_tau"].fn(spark, sf_dir).collect()
+    daily = sorted(
+        (
+            (x["day"], x["x"], x["y"])
+            for x in load_table(spark, sf_dir, "events")
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.sum((F.col("event_type") == "click").cast("int")).alias("x"),
+                F.sum((F.col("event_type") == "purchase").cast("int")).alias(
+                    "y"
+                ),
+            )
+            .collect()
+        )
+    )
+    nc = nd = ntx = nty = np = 0
+    for i in range(len(daily)):
+        for j in range(i + 1, len(daily)):
+            dx = daily[j][1] - daily[i][1]
+            dy = daily[j][2] - daily[i][2]
+            np += 1
+            nc += dx * dy > 0
+            nd += dx * dy < 0
+            ntx += dx == 0
+            nty += dy == 0
+    tau = (nc - nd) / (((np - ntx) ** 0.5) * ((np - nty) ** 0.5))
+    assert r["n_pairs"] == np
+    assert r["n_concordant"] == nc and r["n_discordant"] == nd
+    assert abs(r["kendall_tau_b"] - round(tau, 6)) < 1e-9
+    assert -1.0 <= r["kendall_tau_b"] <= 1.0
