@@ -1526,3 +1526,68 @@ def llm_dedup_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ------------------------------------------------ dedup overlap audit
+
+_AUDIT_ORACLE = f"""
+WITH exact_flag AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY MD5(LOWER(TRIM(text)))
+                            ORDER BY doc_id) > 1 AS by_exact
+  FROM documents
+),
+prefix_flag AS (
+  SELECT doc_id,
+         COUNT(*) OVER (
+           PARTITION BY MD5(ARRAY_TO_STRING(
+             string_split(text, ' ')[1:{_PREFIX_K}], ' '))) >= 2
+           AND LEN(string_split(text, ' ')) >= {_PREFIX_K} AS by_prefix
+  FROM documents
+)
+SELECT e.by_exact, p.by_prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM exact_flag e JOIN prefix_flag p ON p.doc_id = e.doc_id
+GROUP BY e.by_exact, p.by_prefix
+"""
+
+
+@register("llm_dedup_overlap_audit", oracle=_AUDIT_ORACLE, category="llm")
+def llm_dedup_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method overlap audit: cross-tabulate which documents the
+    EXACT pass flags (non-keeper of a full-text digest group) against
+    which the PREFIX-boilerplate pass implicates (member of a shared
+    {_PREFIX_K}-token-prefix cluster) — the 2×2 the curation team
+    reads before ordering stages: 'exact-only' is pure copy volume,
+    'prefix-only' is templated-header mass exact dedup MISSES, 'both'
+    is the redundancy either stage would catch.
+
+    Both flags recompute their stage's exact keying rule
+    (`llm_dedup_exact` / `llm_dedup_prefix_boilerplate`), so the
+    audit is consistent with the stages it audits by construction.
+
+    Plan: two digest windows (one exchange each, different keys) and
+    a 4-row reduce; no joins beyond the doc_id zip.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.split("text", " ").alias("toks"),
+    )
+    we = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy(
+        "doc_id"
+    )
+    wp = Window.partitionBy(
+        F.md5(F.array_join(F.slice("toks", 1, _PREFIX_K), " "))
+    )
+    flagged = d.select(
+        "doc_id",
+        (F.row_number().over(we) > 1).alias("by_exact"),
+        (
+            (F.count(F.lit(1)).over(wp) >= 2)
+            & (F.size("toks") >= _PREFIX_K)
+        ).alias("by_prefix"),
+    )
+    return flagged.groupBy("by_exact", "by_prefix").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )

@@ -2254,3 +2254,104 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kendall_tau_b"),
     )
+
+
+_SPEARMAN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events) e
+  GROUP BY 1
+),
+rk AS (
+  SELECT day,
+         2 * RANK() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x) - 1
+           AS rx2,
+         2 * RANK() OVER (ORDER BY y) + COUNT(*) OVER (PARTITION BY y) - 1
+           AS ry2
+  FROM daily
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx2) AS BIGINT) AS sx, CAST(SUM(ry2) AS BIGINT) AS sy,
+         CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy,
+         CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+         CAST(SUM(ry2 * ry2) AS BIGINT) AS syy
+  FROM rk
+)
+SELECT n AS n_days,
+       ROUND((n * sxy - sx * sy)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+         AS spearman_rho
+FROM m
+"""
+
+
+@register("agg_spearman_rho", oracle=_SPEARMAN_ORACLE, category="aggregate")
+def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the click and purchase daily
+    series — Pearson applied to MIDRANKS, completing the correlation
+    trio (Pearson `agg_corr_matrix` / Kendall `agg_kendall_tau` /
+    Spearman here): monotone-transform invariant like Kendall but
+    O(n log n) instead of O(n²) pairs at scale.
+
+    Doubled midranks `2·rank + ties − 1` keep every rank an exact
+    INTEGER (the `agg_mannwhitney_u` trick — halving would make .5
+    floats); the Pearson-on-ranks moments are exact BIGINTs and the
+    doubling cancels in the correlation, so no correction term.
+
+    Plan: corpus → |days| frame; two rank windows + one reduce on it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    rk = daily.select(
+        (
+            2 * F.rank().over(Window.orderBy("x"))
+            + F.count(F.lit(1)).over(Window.partitionBy("x"))
+            - 1
+        ).alias("rx2"),
+        (
+            2 * F.rank().over(Window.orderBy("y"))
+            + F.count(F.lit(1)).over(Window.partitionBy("y"))
+            - 1
+        ).alias("ry2"),
+    )
+    m = rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx2").cast("bigint").alias("sx"),
+        F.sum("ry2").cast("bigint").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy"),
+    )
+    n = F.col("n")
+    return m.select(
+        n.alias("n_days"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(
+                    (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                        "double"
+                    )
+                )
+                * F.sqrt(
+                    (n * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                        "double"
+                    )
+                )
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )

@@ -4671,3 +4671,57 @@ def test_kendall_matches_python(spark, sf_dir):
     assert r["n_concordant"] == nc and r["n_discordant"] == nd
     assert abs(r["kendall_tau_b"] - round(tau, 6)) < 1e-9
     assert -1.0 <= r["kendall_tau_b"] <= 1.0
+
+
+def test_spearman_matches_python(spark, sf_dir):
+    [r] = REGISTRY["agg_spearman_rho"].fn(spark, sf_dir).collect()
+    daily = [
+        (x["x"], x["y"])
+        for x in load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("int")).alias("x"),
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias("y"),
+        )
+        .collect()
+    ]
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            mid = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = mid
+            i = j + 1
+        return ranks
+
+    rx = midranks([x for x, _ in daily])
+    ry = midranks([y for _, y in daily])
+    n = len(daily)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (
+        sum((a - mx) ** 2 for a in rx) ** 0.5
+        * sum((b - my) ** 2 for b in ry) ** 0.5
+    )
+    assert r["n_days"] == n
+    assert abs(r["spearman_rho"] - round(num / den, 6)) < 1e-9
+
+
+def test_dedup_overlap_audit_partitions_corpus(spark, sf_dir):
+    rows = REGISTRY["llm_dedup_overlap_audit"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    cells = {(r["by_exact"], r["by_prefix"]): r["n_docs"] for r in rows}
+    # every exact duplicate shares its full text, hence its prefix too:
+    # exact-flagged docs (in clusters of >=2) must also be prefix-flagged
+    assert (True, False) not in cells
+    # prefix boilerplate catches MORE than exact dedup does
+    n_prefix = sum(v for (e, p), v in cells.items() if p)
+    n_exact = sum(v for (e, p), v in cells.items() if e)
+    assert n_prefix > n_exact
