@@ -2355,3 +2355,78 @@ def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+_WILSON_Z = 1.959964
+
+_WILSON_ORACLE = f"""
+WITH conv AS (
+  SELECT user_id,
+         CASE WHEN CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) > 13
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS k
+  FROM conv
+)
+SELECT n AS n_users, k AS n_converted,
+       ROUND(CAST(k AS DOUBLE) / n, 6) AS p_hat,
+       ROUND((k + {_WILSON_Z} * {_WILSON_Z} / 2)
+             / (n + {_WILSON_Z} * {_WILSON_Z})
+             - {_WILSON_Z} / (n + {_WILSON_Z} * {_WILSON_Z})
+               * SQRT(CAST(k AS DOUBLE) * (n - k) / n
+                      + {_WILSON_Z} * {_WILSON_Z} / 4), 6) AS wilson_lo,
+       ROUND((k + {_WILSON_Z} * {_WILSON_Z} / 2)
+             / (n + {_WILSON_Z} * {_WILSON_Z})
+             + {_WILSON_Z} / (n + {_WILSON_Z} * {_WILSON_Z})
+               * SQRT(CAST(k AS DOUBLE) * (n - k) / n
+                      + {_WILSON_Z} * {_WILSON_Z} / 4), 6) AS wilson_hi
+FROM m
+"""
+
+
+@register("agg_wilson_ci", oracle=_WILSON_ORACLE, category="aggregate")
+def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval for the user conversion rate (>13
+    purchase events, the `agg_sprt_sequential` outcome): the
+    proportion CI that stays inside [0,1] and behaves at small k
+    where the Wald interval (p̂ ± z√(p̂q̂/n)) collapses or overshoots —
+    the right default for conversion dashboards.
+
+    Closed form over two exact integers (n, k) and a fixed z; both
+    engines evaluate the identical expression and round once.  Plan:
+    one per-user aggregate + a single-row reduce.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            > 13
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    m = conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("k"),
+    )
+    z = _WILSON_Z
+    n, k = F.col("n"), F.col("k")
+    center = (k + z * z / 2) / (n + z * z)
+    half = (
+        z
+        / (n + z * z)
+        * F.sqrt(k.cast("double") * (n - k) / n + z * z / 4)
+    )
+    return m.select(
+        n.alias("n_users"),
+        k.alias("n_converted"),
+        F.round(k.cast("double") / n, 6).alias("p_hat"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    )

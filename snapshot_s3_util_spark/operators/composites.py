@@ -2423,3 +2423,82 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_days"),
         F.round(num / den, 6).alias("rolling_corr"),
     )
+
+
+_TTC_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts FROM {EVENTS_REL} e
+  WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts FROM {EVENTS_REL} e WHERE event_type = 'purchase'
+),
+conv AS (
+  SELECT v.user_id, v.view_id,
+         MIN(epoch_us(p.ts) - epoch_us(v.ts)) AS lag_us
+  FROM v JOIN p
+    ON p.user_id = v.user_id
+   AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+  GROUP BY v.user_id, v.view_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted_views,
+       CAST(MIN(lag_us) AS BIGINT) AS min_lag_us,
+       CAST(FLOOR(CAST(MEDIAN(lag_us) AS DOUBLE)) AS BIGINT)
+         AS p50_lag_us,
+       CAST(FLOOR(QUANTILE_CONT(lag_us, 0.9)) AS BIGINT) AS p90_lag_us,
+       CAST(MAX(lag_us) AS BIGINT) AS max_lag_us
+FROM conv
+"""
+
+
+@register("ts_time_to_convert", oracle=_TTC_ORACLE, category="composite")
+def ts_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert latency distribution: for every view that
+    converts (first purchase by the same user within 1 h), the exact
+    µs lag to that FIRST purchase, reduced to min/p50/p90/max — the
+    latency histogram behind attribution-window tuning
+    (`win_attribution_touch` assigns credit; this measures how long
+    credit takes) and the batch twin of `stream_stream_join`'s pairs.
+
+    Lags are exact integer µs; p50/p90 use continuous interpolation
+    on both engines (Spark `percentile` ≡ DuckDB `QUANTILE_CONT`,
+    FLOORED to integer µs after interpolation — a bare CAST would
+    round on DuckDB but truncate on Spark at fractional midpoints).
+
+    Plan: the time-range join is the bucketed interval shape; the
+    per-view MIN is map-side combined; the final reduce is one row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    conv = (
+        v.join(
+            p,
+            (F.col("pu") == F.col("vu"))
+            & (F.col("pts") >= F.col("vts"))
+            & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("vu", "view_id")
+        .agg(
+            F.min(
+                F.unix_micros("pts") - F.unix_micros("vts")
+            ).alias("lag_us")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted_views"),
+        F.min("lag_us").cast("bigint").alias("min_lag_us"),
+        F.floor(F.expr("percentile(lag_us, 0.5D)"))
+        .cast("bigint")
+        .alias("p50_lag_us"),
+        F.floor(F.expr("percentile(lag_us, 0.9D)"))
+        .cast("bigint")
+        .alias("p90_lag_us"),
+        F.max("lag_us").cast("bigint").alias("max_lag_us"),
+    )

@@ -4725,3 +4725,56 @@ def test_dedup_overlap_audit_partitions_corpus(spark, sf_dir):
     n_prefix = sum(v for (e, p), v in cells.items() if p)
     n_exact = sum(v for (e, p), v in cells.items() if e)
     assert n_prefix > n_exact
+
+
+def test_time_to_convert_matches_python(spark, sf_dir):
+    [r] = REGISTRY["ts_time_to_convert"].fn(spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    views, purch = defaultdict(list), defaultdict(list)
+    for x in ev:
+        (views if x["event_type"] == "view" else purch)[x["user_id"]].append(
+            x["us"]
+        )
+    lags = []
+    H = 3_600_000_000
+    for u, vs in views.items():
+        ps = sorted(purch.get(u, []))
+        import bisect
+
+        for vt in vs:
+            i = bisect.bisect_left(ps, vt)
+            if i < len(ps) and ps[i] <= vt + H:
+                lags.append(ps[i] - vt)
+    lags.sort()
+    assert r["n_converted_views"] == len(lags)
+    assert r["min_lag_us"] == lags[0]
+    assert r["max_lag_us"] == lags[-1]
+
+    def q_cont(sorted_xs, q):
+        pos = (len(sorted_xs) - 1) * q
+        lo = int(pos)
+        frac = pos - lo
+        if lo + 1 < len(sorted_xs):
+            return sorted_xs[lo] + frac * (sorted_xs[lo + 1] - sorted_xs[lo])
+        return float(sorted_xs[lo])
+
+    assert r["p50_lag_us"] == int(q_cont(lags, 0.5) // 1)
+    assert r["p90_lag_us"] == int(q_cont(lags, 0.9) // 1)
+
+
+def test_wilson_ci_properties(spark, sf_dir):
+    [r] = REGISTRY["agg_wilson_ci"].fn(spark, sf_dir).collect()
+    assert 0.0 <= r["wilson_lo"] <= r["p_hat"] <= r["wilson_hi"] <= 1.0
+    z = 1.959964
+    n, k = r["n_users"], r["n_converted"]
+    center = (k + z * z / 2) / (n + z * z)
+    half = z / (n + z * z) * ((k * (n - k) / n + z * z / 4) ** 0.5)
+    assert abs(r["wilson_lo"] - round(center - half, 6)) < 1e-9
+    assert abs(r["wilson_hi"] - round(center + half, 6)) < 1e-9
