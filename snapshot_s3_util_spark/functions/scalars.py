@@ -1358,3 +1358,69 @@ def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ((F.col("s") + check) % 10 == 0).alias("luhn_valid"),
     )
+
+
+_FMTBYTES_ORACLE = """
+WITH b AS (
+  SELECT o_orderkey,
+         CAST((o_orderkey + 1) * 977 * (1 + o_orderkey % 1000) AS BIGINT)
+           AS nbytes
+  FROM orders
+),
+u AS (
+  SELECT o_orderkey, nbytes,
+         CASE WHEN nbytes >= 1073741824 THEN 3
+              WHEN nbytes >= 1048576 THEN 2
+              WHEN nbytes >= 1024 THEN 1
+              ELSE 0 END AS mag
+  FROM b
+)
+SELECT o_orderkey, nbytes,
+       CASE mag WHEN 3 THEN 'GiB' WHEN 2 THEN 'MiB'
+                WHEN 1 THEN 'KiB' ELSE 'B' END AS unit,
+       ROUND(nbytes / POWER(1024, mag), 1) AS scaled,
+       CAST(ROUND(nbytes / POWER(1024, mag), 1) AS STRING)
+         || ' ' || CASE mag WHEN 3 THEN 'GiB' WHEN 2 THEN 'MiB'
+                            WHEN 1 THEN 'KiB' ELSE 'B' END AS human
+FROM u
+"""
+
+
+@register("fn_format_bytes", oracle=_FMTBYTES_ORACLE, category="function")
+def fn_format_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Humanized byte formatting (B/KiB/MiB/GiB, one decimal) over a
+    synthetic size column spanning four magnitudes — the display
+    arithmetic every storage dashboard and `du`-style report needs,
+    with the magnitude CASE ladder on exact integers and ONE float
+    division per row (both engines then render the rounded double
+    identically — the x.0/x.5 decimal forms are exact in binary).
+
+    Narrow, zero shuffles.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        ((F.col("o_orderkey") + 1) * 977 * (1 + F.col("o_orderkey") % 1000))
+        .cast("bigint")
+        .alias("nbytes"),
+    )
+    mag = (
+        F.when(F.col("nbytes") >= 1073741824, 3)
+        .when(F.col("nbytes") >= 1048576, 2)
+        .when(F.col("nbytes") >= 1024, 1)
+        .otherwise(0)
+    )
+    unit = (
+        F.when(F.col("mag") == 3, "GiB")
+        .when(F.col("mag") == 2, "MiB")
+        .when(F.col("mag") == 1, "KiB")
+        .otherwise("B")
+    )
+    u = o.withColumn("mag", mag)
+    scaled = F.round(F.col("nbytes") / F.pow(F.lit(1024.0), F.col("mag")), 1)
+    return u.select(
+        "o_orderkey",
+        "nbytes",
+        unit.alias("unit"),
+        scaled.alias("scaled"),
+        F.concat(scaled.cast("string"), F.lit(" "), unit).alias("human"),
+    )

@@ -1157,3 +1157,129 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path",
         F.col("cur").cast("bigint").alias("end_node"),
     )
+
+
+def _modularity_oracle() -> str:
+    # reuse the LPA label CTE chain, then score the partition
+    lpa = _lpa_oracle()
+    head, _tail = lpa.rsplit("SELECT na.n_name", 1)
+    # modularity references und and the final label CTE THREE times
+    # each; DuckDB inlines plain CTEs (the graph_kcore 80 GB lesson),
+    # so materialize every CTE in the reused LPA chain too
+    for name in ("edges", "und", "adj", "l0") + tuple(
+        f"l{k}" for k in range(1, _LPA_ROUNDS + 1)
+    ):
+        head = head.replace(f"{name} AS (", f"{name} AS MATERIALIZED (")
+    return (
+        head.rstrip()
+        + ",\n"
+        + f"""m AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und
+),
+internal AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_internal
+  FROM und e
+  JOIN l{_LPA_ROUNDS} la ON la.node = e.a
+  JOIN l{_LPA_ROUNDS} lb ON lb.node = e.b
+  WHERE la.label = lb.label
+),
+degsum AS MATERIALIZED (
+  SELECT l.label, CAST(SUM(d.deg) AS BIGINT) AS dsum
+  FROM l{_LPA_ROUNDS} l
+  JOIN (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+    ) GROUP BY node
+  ) d ON d.node = l.node
+  GROUP BY l.label
+)
+SELECT (SELECT n_edges FROM m) AS n_edges,
+       (SELECT n_internal FROM internal) AS n_internal_edges,
+       CAST((SELECT COUNT(*) FROM degsum) AS BIGINT) AS n_communities,
+       ROUND(CAST((SELECT n_internal FROM internal) AS DOUBLE)
+               / (SELECT n_edges FROM m)
+             - (SELECT SUM(CAST(dsum AS DOUBLE) * dsum) FROM degsum)
+               / (4.0 * (SELECT n_edges FROM m)
+                  * (SELECT n_edges FROM m)), 6) AS modularity
+WHERE (SELECT n_edges FROM m) > 0
+"""
+    )
+
+
+# patch: _lpa_oracle ends with the nation-name SELECT which we dropped;
+# the comma chaining above needs the final CTE list intact, so rebuild
+# explicitly instead of string surgery if the shape ever changes.
+
+
+@register("graph_modularity", oracle=_modularity_oracle(), category="graph")
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity Q of the label-propagation partition: fraction of
+    edges inside communities minus the degree-based expectation
+    Σ(d_c/2m)² — the single number that says whether
+    `graph_label_propagation`'s communities are real structure or
+    noise (Q≈0 means the partition explains nothing; >0.3 is strong).
+
+    Every input to Q is an exact integer (edge count, internal-edge
+    count, per-community degree sums); one float expression at the
+    end.  The oracle reuses the LPA round CTEs verbatim, so both ops
+    score the IDENTICAL partition.
+
+    Plan: labels from the broadcast-round LPA loop; internal-edge
+    check is two broadcast label joins on the |E| frame; degree sums
+    are |V|-sized.
+    """
+    und = _strong_und_edges(spark, sf_dir)
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    labels = adj.select("node").distinct().withColumn("label", F.col("node"))
+    for _ in range(_LPA_ROUNDS):
+        nb = labels.select(
+            F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
+        )
+        counts = (
+            adj.join(F.broadcast(nb), "nbr")
+            .groupBy("node", "nbr_label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("nbr_label").asc()
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("nbr_label").alias("label"))
+        )
+    m = und.count()
+    if m == 0:  # Q undefined on an empty graph (sf0.1's threshold case)
+        return und.sparkSession.createDataFrame(
+            [],
+            "n_edges long, n_internal_edges long, n_communities long,"
+            " modularity double",
+        )
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("lab_a"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("lab_b"))
+    internal = (
+        und.join(F.broadcast(la), "a")
+        .join(F.broadcast(lb), "b")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .count()
+    )
+    deg = adj.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    degsum = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(F.sum("deg").cast("bigint").alias("dsum"))
+    )
+    [agg] = degsum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nc"),
+        F.sum(F.col("dsum").cast("double") * F.col("dsum")).alias("ss"),
+    ).collect()
+    q = internal / m - agg["ss"] / (4.0 * m * m)
+    return und.sparkSession.createDataFrame(
+        [(m, internal, agg["nc"], round(q, 6))],
+        "n_edges long, n_internal_edges long, n_communities long,"
+        " modularity double",
+    )

@@ -4778,3 +4778,58 @@ def test_wilson_ci_properties(spark, sf_dir):
     half = z / (n + z * z) * ((k * (n - k) / n + z * z / 4) ** 0.5)
     assert abs(r["wilson_lo"] - round(center - half, 6)) < 1e-9
     assert abs(r["wilson_hi"] - round(center + half, 6)) < 1e-9
+
+
+def test_format_bytes_matches_python(spark, sf_dir):
+    rows = REGISTRY["fn_format_bytes"].fn(spark, sf_dir).collect()
+    units = {0: "B", 1: "KiB", 2: "MiB", 3: "GiB"}
+    seen_units = set()
+    for r in rows[:300]:
+        nb = r["nbytes"]
+        mag = 3 if nb >= 1 << 30 else 2 if nb >= 1 << 20 else 1 if nb >= 1024 else 0
+        assert r["unit"] == units[mag]
+        # python round() is banker's; SQL ROUND is half-up (244.25 ->
+        # 244.2 vs 244.3) — compare against the unrounded value instead
+        assert abs(r["scaled"] - nb / (1024**mag)) <= 0.05 + 1e-9
+        assert r["human"].endswith(" " + units[mag])
+        seen_units.add(r["unit"])
+    assert len(seen_units) >= 3  # sizes genuinely span magnitudes
+
+
+def test_modularity_scores_lpa_partition(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from snapshot_s3_util_spark.operators.graphs import (
+        _LPA_ROUNDS,
+        _strong_und_edges,
+    )
+
+    out = REGISTRY["graph_modularity"].fn(spark, sf_dir).collect()
+    edges = {(r["a"], r["b"]) for r in _strong_und_edges(spark, sf_dir).collect()}
+    if not edges:
+        assert out == []
+        return
+    [r] = out
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    labels = {n: n for n in nbrs}
+    for _ in range(_LPA_ROUNDS):
+        labels = {
+            n: min(lab for lab in cnt if cnt[lab] == max(cnt.values()))
+            for n, cnt in (
+                (n, Counter(labels[m] for m in ms)) for n, ms in nbrs.items()
+            )
+        }
+    m = len(edges)
+    internal = sum(1 for a, b in edges if labels[a] == labels[b])
+    dsum = Counter()
+    for n, ms in nbrs.items():
+        dsum[labels[n]] += len(ms)
+    q = internal / m - sum(v * v for v in dsum.values()) / (4.0 * m * m)
+    assert r["n_edges"] == m
+    assert r["n_internal_edges"] == internal
+    assert r["n_communities"] == len(dsum)
+    assert abs(r["modularity"] - round(q, 6)) < 1e-9
+    assert -0.5 <= r["modularity"] <= 1.0
