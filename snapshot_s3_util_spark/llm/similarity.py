@@ -718,3 +718,80 @@ def llm_semdedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_docs_removable"),
     )
+
+
+# ------------------------------------------------ embedding health
+
+_ANISO_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+per AS (
+  SELECT vec_id, LIST_DOT_PRODUCT(e, e) AS sq,
+         list_aggregate(e, 'sum') AS comp_sum
+  FROM v
+),
+comp AS (
+  SELECT i,
+         SUM(e[i]) AS s
+  FROM v, UNNEST(generate_series(1, 64)) t(i)
+  GROUP BY i
+),
+m AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n,
+         (SELECT SUM(sq) FROM per) AS sum_sq,
+         (SELECT SUM(s * s) FROM comp) AS norm_sum_sq
+)
+SELECT n AS n_vectors,
+       ROUND(SQRT(sum_sq / n), 6) AS rms_norm,
+       ROUND((norm_sum_sq - sum_sq) / (CAST(n AS DOUBLE) * (n - 1)), 6)
+         AS mean_pairwise_dot,
+       ROUND((norm_sum_sq - sum_sq) / (CAST(n AS DOUBLE) * (n - 1))
+             / (sum_sq / n), 6) AS anisotropy
+FROM m
+"""
+
+
+@register("llm_embedding_anisotropy", oracle=_ANISO_ORACLE, category="llm")
+def llm_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health audit: RMS norm and the MEAN PAIRWISE
+    DOT PRODUCT over all vector pairs — the anisotropy statistic
+    (Ethayarajh-style): healthy isotropic spaces sit near 0, collapsed
+    "cone" embeddings (a known representation pathology that wrecks
+    cosine retrieval) sit high.  Computed WITHOUT any pair join via
+    the moment identity Σ_{{i≠j}} xᵢ·xⱼ = |Σx|² − Σ|x|²: one
+    component-sum pass and one squared-norm pass — O(n·d), while the
+    naive pairwise audit is O(n²·d).
+
+    Sums are doubles over identical operands (deterministic per
+    engine pair at this reduce shape); rounded once.
+
+    Plan: posexplode → 64-row component-sum combine + one scalar
+    reduce; no joins at all.
+    """
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_E).alias("e")
+    )
+    per = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("aggregate(e, 0D, (a, x) -> a + x * x)")).alias(
+            "sum_sq"
+        ),
+    )
+    comp = (
+        v.select(F.posexplode("e").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("s"))
+        .agg(F.sum(F.col("s") * F.col("s")).alias("norm_sum_sq"))
+    )
+    m = per.crossJoin(F.broadcast(comp))
+    n = F.col("n")
+    mpd = (F.col("norm_sum_sq") - F.col("sum_sq")) / (
+        n.cast("double") * (n - 1)
+    )
+    return m.select(
+        n.alias("n_vectors"),
+        F.round(F.sqrt(F.col("sum_sq") / n), 6).alias("rms_norm"),
+        F.round(mpd, 6).alias("mean_pairwise_dot"),
+        F.round(mpd / (F.col("sum_sq") / n), 6).alias("anisotropy"),
+    )

@@ -2430,3 +2430,91 @@ def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(center - half, 6).alias("wilson_lo"),
         F.round(center + half, 6).alias("wilson_hi"),
     )
+
+
+_DELTA_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM per_user
+),
+c AS (
+  SELECT n, sx, sy,
+         CAST(sx AS DOUBLE) / sy AS r,
+         (sxx / 1.0 - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS vx,
+         (syy / 1.0 - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vy,
+         (sxy / 1.0 - CAST(sx AS DOUBLE) * sy / n) / (n - 1) AS cxy,
+         CAST(sx AS DOUBLE) / n AS mx,
+         CAST(sy AS DOUBLE) / n AS my
+  FROM m
+)
+SELECT n AS n_users,
+       ROUND(r, 6) AS ratio,
+       ROUND((vx / (mx * mx) + vy / (my * my) - 2 * cxy / (mx * my))
+             * (r * r) / n, 10) AS var_ratio,
+       ROUND(r - 1.959964 * SQRT((vx / (mx * mx) + vy / (my * my)
+                                  - 2 * cxy / (mx * my))
+                                 * (r * r) / n), 6) AS ci_lo,
+       ROUND(r + 1.959964 * SQRT((vx / (mx * mx) + vy / (my * my)
+                                  - 2 * cxy / (mx * my))
+                                 * (r * r) / n), 6) AS ci_hi
+FROM c
+"""
+
+
+@register("agg_delta_method_ratio", oracle=_DELTA_ORACLE, category="aggregate")
+def agg_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method CI for a RATIO metric (purchases per event, the
+    per-user ratio-of-sums): var(X̄/Ȳ) ≈ r²(σ²ₓ/μ²ₓ + σ²ᵧ/μ²ᵧ −
+    2σₓᵧ/μₓμᵧ)/n — the standard experimentation answer for CTR-like
+    metrics, where treating the ratio as a plain mean (each user one
+    observation of x/y) over- or under-states variance because users
+    contribute unequal denominators.  Completes the experimentation
+    shelf: z (proportions), Welch (means), THIS (ratios), CUPED
+    (variance reduction), power (sizing), SPRT (sequential), Wilson
+    (small-k proportions).
+
+    All five second moments accumulate as exact BIGINTs in one
+    reduce; the delta formula evaluates once on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("y"),
+    )
+    m = pu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n = F.col("n")
+    r = F.col("sx").cast("double") / F.col("sy")
+    mx = F.col("sx").cast("double") / n
+    my = F.col("sy").cast("double") / n
+    vx = (F.col("sxx") / 1.0 - F.col("sx").cast("double") * F.col("sx") / n) / (n - 1)
+    vy = (F.col("syy") / 1.0 - F.col("sy").cast("double") * F.col("sy") / n) / (n - 1)
+    cxy = (F.col("sxy") / 1.0 - F.col("sx").cast("double") * F.col("sy") / n) / (n - 1)
+    rel = vx / (mx * mx) + vy / (my * my) - 2 * cxy / (mx * my)
+    var_r = rel * (r * r) / n
+    return m.select(
+        n.alias("n_users"),
+        F.round(r, 6).alias("ratio"),
+        F.round(var_r, 10).alias("var_ratio"),
+        F.round(r - 1.959964 * F.sqrt(var_r), 6).alias("ci_lo"),
+        F.round(r + 1.959964 * F.sqrt(var_r), 6).alias("ci_hi"),
+    )

@@ -4833,3 +4833,58 @@ def test_modularity_scores_lpa_partition(spark, sf_dir):
     assert r["n_communities"] == len(dsum)
     assert abs(r["modularity"] - round(q, 6)) < 1e-9
     assert -0.5 <= r["modularity"] <= 1.0
+
+
+def test_anisotropy_matches_pairwise_python(spark, sf_dir):
+    [r] = REGISTRY["llm_embedding_anisotropy"].fn(spark, sf_dir).collect()
+    embs = [
+        [float(x) for x in e["embedding"]]
+        for e in load_table(spark, sf_dir, "embeddings").collect()
+    ]
+    n = len(embs)
+    sum_sq = sum(sum(x * x for x in e) for e in embs)
+    comp = [sum(e[i] for e in embs) for i in range(64)]
+    norm_sum_sq = sum(s * s for s in comp)
+    mpd = (norm_sum_sq - sum_sq) / (n * (n - 1))
+    assert r["n_vectors"] == n
+    assert abs(r["rms_norm"] - round((sum_sq / n) ** 0.5, 6)) < 1e-5
+    assert abs(r["mean_pairwise_dot"] - round(mpd, 6)) < 1e-5
+    # identity check on a small brute subset: the moment trick equals
+    # the literal pairwise mean
+    sub = embs[:40]
+    brute = sum(
+        sum(a * b for a, b in zip(sub[i], sub[j]))
+        for i in range(40)
+        for j in range(40)
+        if i != j
+    ) / (40 * 39)
+    ssq = sum(sum(x * x for x in e) for e in sub)
+    cs = [sum(e[i] for e in sub) for i in range(64)]
+    moment = (sum(s * s for s in cs) - ssq) / (40 * 39)
+    assert abs(brute - moment) < 1e-9
+
+
+def test_delta_method_matches_python(spark, sf_dir):
+    [r] = REGISTRY["agg_delta_method_ratio"].fn(spark, sf_dir).collect()
+    pu = [
+        (x["x"], x["y"])
+        for x in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias("x"),
+            F.count(F.lit(1)).alias("y"),
+        )
+        .collect()
+    ]
+    n = len(pu)
+    sx, sy = sum(x for x, _ in pu), sum(y for _, y in pu)
+    mx, my = sx / n, sy / n
+    ratio = sx / sy
+    vx = sum((x - mx) ** 2 for x, _ in pu) / (n - 1)
+    vy = sum((y - my) ** 2 for _, y in pu) / (n - 1)
+    cxy = sum((x - mx) * (y - my) for x, y in pu) / (n - 1)
+    var_r = (vx / mx**2 + vy / my**2 - 2 * cxy / (mx * my)) * ratio**2 / n
+    assert r["n_users"] == n
+    assert abs(r["ratio"] - round(ratio, 6)) < 1e-9
+    assert abs(r["var_ratio"] - round(var_r, 10)) < 1e-8
+    assert r["ci_lo"] < r["ratio"] < r["ci_hi"]
