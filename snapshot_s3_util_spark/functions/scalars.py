@@ -1424,3 +1424,85 @@ def fn_format_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled.alias("scaled"),
         F.concat(scaled.cast("string"), F.lit(" "), unit).alias("human"),
     )
+
+
+# Acklam's inverse-normal-CDF rational approximation (|rel err| < 1.15e-9)
+_NI_A = (-39.69683028665376, 220.9460984245205, -275.9285104469687,
+         138.3577518672690, -30.66479806614716, 2.506628277459239)
+_NI_B = (-54.47609879822406, 161.5858368580409, -155.6989798598866,
+         66.80131188771972, -13.28068155288572)
+_NI_C = (-0.007784894002430293, -0.3223964580411365, -2.400758277161838,
+         -2.549732539343734, 4.374664141464968, 2.938163982698783)
+_NI_D = (0.007784695709041462, 0.3224671290700398, 2.445134137142996,
+         3.754408661907416)
+
+
+def _norminv_sql(p: str) -> str:
+    a, b, c, d = _NI_A, _NI_B, _NI_C, _NI_D
+    q_lo = f"SQRT(-2 * LN({p}))"
+    q_hi = f"SQRT(-2 * LN(1 - ({p})))"
+    r = f"(({p}) - 0.5)"
+    r2 = f"({r} * {r})"
+    central_num = (
+        f"((((({a[0]} * {r2} + {a[1]}) * {r2} + {a[2]}) * {r2} + {a[3]})"
+        f" * {r2} + {a[4]}) * {r2} + {a[5]}) * {r}"
+    )
+    central_den = (
+        f"((((({b[0]} * {r2} + {b[1]}) * {r2} + {b[2]}) * {r2} + {b[3]})"
+        f" * {r2} + {b[4]}) * {r2} + 1)"
+    )
+    def tail(q):
+        num = (
+            f"((((({c[0]} * {q} + {c[1]}) * {q} + {c[2]}) * {q} + {c[3]})"
+            f" * {q} + {c[4]}) * {q} + {c[5]})"
+        )
+        den = (
+            f"(((({d[0]} * {q} + {d[1]}) * {q} + {d[2]}) * {q} + {d[3]})"
+            f" * {q} + 1)"
+        )
+        return num, den
+
+    lo_n, lo_d = tail(q_lo)
+    hi_n, hi_d = tail(q_hi)
+    return (
+        f"CASE WHEN {p} < 0.02425 THEN {lo_n} / {lo_d}"
+        f" WHEN {p} > 0.97575 THEN -({hi_n}) / {hi_d}"
+        f" ELSE {central_num} / {central_den} END"
+    )
+
+
+_NORMINV_ORACLE = f"""
+WITH g AS (
+  SELECT o_orderkey,
+         (o_orderkey % 999 + 1) / 1000.0 AS p
+  FROM orders
+)
+SELECT o_orderkey, p,
+       ROUND({_norminv_sql("p")}, 8) AS z
+FROM g
+"""
+
+
+@register("fn_norm_inv", oracle=_NORMINV_ORACLE, category="function")
+def fn_norm_inv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse normal CDF Φ⁻¹(p) as a pure SQL expression (Acklam's
+    rational approximation, |rel err| < 1.2e-9) — the quantile
+    function the statistical shelf needs for in-engine p-value and
+    critical-value work without hardcoded z tables (the 1.96s in
+    `agg_power_analysis`/`agg_wilson_ci` come from exactly this
+    function).  Central/tail branches at the canonical 0.02425 cut;
+    the IDENTICAL polynomial string is compiled by both engines, so
+    every coefficient multiply happens in the same order.
+
+    Evaluated over a 999-point p grid; rounded at 1e-8 (inside the
+    approximation's own error).  Narrow, zero shuffles, codegen.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        ((F.col("o_orderkey") % 999 + 1) / 1000.0).alias("p"),
+    )
+    return o.select(
+        "o_orderkey",
+        "p",
+        F.round(F.expr(_norminv_sql("p")), 8).alias("z"),
+    )

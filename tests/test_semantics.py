@@ -4888,3 +4888,40 @@ def test_delta_method_matches_python(spark, sf_dir):
     assert abs(r["ratio"] - round(ratio, 6)) < 1e-9
     assert abs(r["var_ratio"] - round(var_r, 10)) < 1e-8
     assert r["ci_lo"] < r["ratio"] < r["ci_hi"]
+
+
+def test_norm_inv_matches_python_acklam_and_known_values(spark, sf_dir):
+    rows = {r["o_orderkey"]: r for r in REGISTRY["fn_norm_inv"].fn(spark, sf_dir).collect()}
+    from snapshot_s3_util_spark.functions.scalars import (
+        _NI_A,
+        _NI_B,
+        _NI_C,
+        _NI_D,
+    )
+    import math
+
+    def acklam(p):
+        if p < 0.02425:
+            q = math.sqrt(-2 * math.log(p))
+            return (
+                ((((_NI_C[0] * q + _NI_C[1]) * q + _NI_C[2]) * q + _NI_C[3]) * q + _NI_C[4]) * q + _NI_C[5]
+            ) / ((((_NI_D[0] * q + _NI_D[1]) * q + _NI_D[2]) * q + _NI_D[3]) * q + 1)
+        if p > 0.97575:
+            q = math.sqrt(-2 * math.log(1 - p))
+            return -(
+                ((((_NI_C[0] * q + _NI_C[1]) * q + _NI_C[2]) * q + _NI_C[3]) * q + _NI_C[4]) * q + _NI_C[5]
+            ) / ((((_NI_D[0] * q + _NI_D[1]) * q + _NI_D[2]) * q + _NI_D[3]) * q + 1)
+        r = p - 0.5
+        r2 = r * r
+        return (
+            (((((_NI_A[0] * r2 + _NI_A[1]) * r2 + _NI_A[2]) * r2 + _NI_A[3]) * r2 + _NI_A[4]) * r2 + _NI_A[5]) * r
+        ) / (((((_NI_B[0] * r2 + _NI_B[1]) * r2 + _NI_B[2]) * r2 + _NI_B[3]) * r2 + _NI_B[4]) * r2 + 1)
+
+    for k, r in list(rows.items())[:300]:
+        assert abs(r["z"] - round(acklam(r["p"]), 8)) < 1e-7
+    # known quantiles to the approximation's accuracy
+    mid = {round(r["p"], 3): r["z"] for r in rows.values()}
+    assert abs(mid[0.5]) < 1e-8
+    assert abs(mid[0.975] - 1.959964) < 1e-5
+    assert abs(mid[0.025] + 1.959964) < 1e-5
+    assert abs(mid[0.841] - 0.998576) < 1e-3  # ~Phi(1) = 0.8413
