@@ -2502,3 +2502,145 @@ def ts_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_lag_us"),
         F.max("lag_us").cast("bigint").alias("max_lag_us"),
     )
+
+
+_BINSEG_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM {EVENTS_REL} e GROUP BY 1
+),
+idx AS (
+  SELECT day, n,
+         ROW_NUMBER() OVER (ORDER BY day) AS k,
+         SUM(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS c
+  FROM daily
+),
+meta AS (
+  SELECT CAST(MAX(k) AS BIGINT) AS len, CAST(MAX(c) AS BIGINT) AS tot
+  FROM idx
+),
+l1 AS (
+  SELECT i.k AS t1, i.day AS day1,
+         ABS(m.len * i.c - i.k * m.tot) AS g1
+  FROM idx i, meta m
+  WHERE i.k < m.len
+  ORDER BY ABS(m.len * i.c - i.k * m.tot) DESC, i.k
+  LIMIT 1
+),
+seg AS (
+  SELECT 'left' AS side, CAST(1 AS BIGINT) AS a, l1.t1 AS b FROM l1
+  UNION ALL
+  SELECT 'right', l1.t1 + 1, m.len FROM l1, meta m
+),
+l2 AS (
+  SELECT s.side, s.a, s.b, i.k, i.day,
+         ABS((s.b - s.a + 1)
+             * (i.c - COALESCE(p.c, 0))
+             - (i.k - s.a + 1)
+               * (bc.c - COALESCE(p.c, 0))) AS g,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.side
+           ORDER BY ABS((s.b - s.a + 1) * (i.c - COALESCE(p.c, 0))
+                        - (i.k - s.a + 1)
+                          * (bc.c - COALESCE(p.c, 0))) DESC, i.k) AS rn
+  FROM seg s
+  JOIN idx i ON i.k >= s.a AND i.k < s.b
+  LEFT JOIN idx p ON p.k = s.a - 1
+  JOIN idx bc ON bc.k = s.b
+  WHERE s.b - s.a + 1 >= 4
+)
+SELECT CAST(1 AS BIGINT) AS level, 'all' AS segment,
+       day1 AS change_day, CAST(g1 AS BIGINT) AS g_stat
+FROM l1
+UNION ALL
+SELECT CAST(2 AS BIGINT), side, day, CAST(g AS BIGINT)
+FROM l2 WHERE rn = 1
+"""
+
+
+@register("ts_changepoint_binseg", oracle=_BINSEG_ORACLE, category="composite")
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint detection (2 levels): the
+    level-1 CUSUM argmax splits the daily series, then each half gets
+    its own argmax — the standard recursion that finds MULTIPLE mean
+    shifts where `ts_cusum_changepoint` stops at one.  The statistic
+    stays in scaled-integer space (len·C_k − k·C_total per segment,
+    with segment cumsums derived by subtracting the prefix boundary —
+    no per-segment rescan), so argmax ties break identically.
+
+    Plan: the day frame is built once; level 2's per-segment cumsum
+    is algebra on the SAME frame joined to two boundary rows — the
+    recursion never re-aggregates the corpus (at depth d it is d
+    window passes over |days| rows).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wk = Window.orderBy("day")
+    idx = daily.select(
+        "day",
+        "n",
+        F.row_number().over(wk).alias("k"),
+        F.sum("n").over(wk.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "c"
+        ),
+    ).localCheckpoint()
+    [meta] = idx.agg(
+        F.max("k").cast("bigint").alias("len"),
+        F.max("c").cast("bigint").alias("tot"),
+    ).collect()
+    ln, tot = meta["len"], meta["tot"]
+    l1 = (
+        idx.filter(F.col("k") < ln)
+        .withColumn("g1", F.abs(ln * F.col("c") - F.col("k") * tot))
+        .orderBy(F.col("g1").desc(), "k")
+        .limit(1)
+        .select(
+            F.col("k").alias("t1"), F.col("day").alias("day1"), "g1"
+        )
+    )
+    [t1row] = l1.collect()
+    t1 = t1row["t1"]
+    segs = [("left", 1, t1), ("right", t1 + 1, ln)]
+    seg_df = idx.sparkSession.createDataFrame(
+        [s for s in segs if s[2] - s[1] + 1 >= 4],
+        "side string, a long, b long",
+    )
+    p = idx.select(F.col("k").alias("pk"), F.col("c").alias("pc"))
+    bc = idx.select(F.col("k").alias("bk"), F.col("c").alias("bc"))
+    l2 = (
+        F.broadcast(seg_df)
+        .join(idx, (F.col("k") >= F.col("a")) & (F.col("k") < F.col("b")))
+        .join(p, F.col("pk") == F.col("a") - 1, "left")
+        .join(bc, F.col("bk") == F.col("b"))
+        .withColumn(
+            "g",
+            F.abs(
+                (F.col("b") - F.col("a") + 1)
+                * (F.col("c") - F.coalesce(F.col("pc"), F.lit(0)))
+                - (F.col("k") - F.col("a") + 1)
+                * (F.col("bc") - F.coalesce(F.col("pc"), F.lit(0)))
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("side").orderBy(F.col("g").desc(), "k")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    out1 = l1.select(
+        F.lit(1).cast("bigint").alias("level"),
+        F.lit("all").alias("segment"),
+        F.col("day1").alias("change_day"),
+        F.col("g1").cast("bigint").alias("g_stat"),
+    )
+    out2 = l2.select(
+        F.lit(2).cast("bigint").alias("level"),
+        F.col("side").alias("segment"),
+        F.col("day").alias("change_day"),
+        F.col("g").cast("bigint").alias("g_stat"),
+    )
+    return out1.unionAll(out2)

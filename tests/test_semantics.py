@@ -4925,3 +4925,43 @@ def test_norm_inv_matches_python_acklam_and_known_values(spark, sf_dir):
     assert abs(mid[0.975] - 1.959964) < 1e-5
     assert abs(mid[0.025] + 1.959964) < 1e-5
     assert abs(mid[0.841] - 0.998576) < 1e-3  # ~Phi(1) = 0.8413
+
+
+def test_binseg_matches_python_recursion(spark, sf_dir):
+    rows = REGISTRY["ts_changepoint_binseg"].fn(spark, sf_dir).collect()
+    daily = sorted(
+        (r["day"], r["n"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    ns = [n for _, n in daily]
+    cum = []
+    s = 0
+    for n in ns:
+        s += n
+        cum.append(s)
+
+    def argmax_seg(a, b):  # 1-based inclusive bounds
+        pc = cum[a - 2] if a >= 2 else 0
+        length, total = b - a + 1, cum[b - 1] - pc
+        best = None
+        for k in range(a, b):
+            g = abs(length * (cum[k - 1] - pc) - (k - a + 1) * total)
+            if best is None or g > best[0]:
+                best = (g, k)
+        return best
+
+    n_days = len(ns)
+    g1, t1 = argmax_seg(1, n_days)
+    by = {(r["level"], r["segment"]): r for r in rows}
+    assert by[(1, "all")]["change_day"] == daily[t1 - 1][0]
+    assert by[(1, "all")]["g_stat"] == g1
+    for side, a, b in (("left", 1, t1), ("right", t1 + 1, n_days)):
+        if b - a + 1 >= 4:
+            g, t = argmax_seg(a, b)
+            assert by[(2, side)]["change_day"] == daily[t - 1][0]
+            assert by[(2, side)]["g_stat"] == g
+        else:
+            assert (2, side) not in by
