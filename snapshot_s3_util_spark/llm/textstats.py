@@ -1805,3 +1805,101 @@ def llm_token_count_pretokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS bigint)"
         ).alias("est_bpe_tokens"),
     )
+
+
+# ------------------------------------------------ speculative draft
+
+_SPEC_ORACLE = """
+WITH split AS (
+  SELECT doc_id, text,
+         CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT)
+           % 100 < 90 AS is_train
+  FROM documents
+),
+grams AS (
+  SELECT s.is_train, s.doc_id, t.w1, t.w2
+  FROM split s, LATERAL (
+    SELECT UNNEST(string_split(s.text, ' ')[1:-2]) AS w1,
+           UNNEST(string_split(s.text, ' ')[2:-1]) AS w2
+  ) t
+),
+draft AS (
+  SELECT w1, w2 AS pred FROM (
+    SELECT w1, w2, ROW_NUMBER() OVER (
+      PARTITION BY w1 ORDER BY COUNT(*) DESC, w2) AS rn
+    FROM grams WHERE is_train GROUP BY w1, w2
+  ) WHERE rn = 1
+),
+val AS (
+  SELECT g.doc_id, g.w2,
+         d.pred IS NOT NULL AND d.pred = g.w2 AS accepted
+  FROM (SELECT doc_id, w1, w2 FROM grams WHERE NOT is_train) g
+  LEFT JOIN draft d ON d.w1 = g.w1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_positions,
+       CAST(SUM(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_accepted,
+       ROUND(CAST(SUM(CASE WHEN accepted THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS acceptance_rate
+FROM val GROUP BY doc_id
+"""
+
+
+@register("llm_speculative_acceptance", oracle=_SPEC_ORACLE, category="llm")
+def llm_speculative_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speculative-decoding acceptance simulation with an n-gram
+    draft model (prompt-lookup / REST style): train the bigram ARGMAX
+    table on the 90% split (most frequent successor per context,
+    count-desc/word-asc tie), then replay the held-out docs and count
+    positions where the draft's guess equals the actual next token —
+    the acceptance rate that decides whether cheap n-gram drafting
+    would pay for a given corpus (each accepted position is a
+    large-model forward pass saved).
+
+    Plan: the draft table is the bigram census + WindowGroupLimit
+    argmax (combine-bounded); replay is one broadcast lookup join
+    over val bigrams; per-doc reduce.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        (
+            F.expr(
+                "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8),"
+                " 16, 10) AS bigint) % 100"
+            )
+            < 90
+        ).alias("is_train"),
+    )
+    grams = d.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "is_train", "g.w1", "g.w2")
+    wr = Window.partitionBy("w1").orderBy(F.col("c").desc(), F.col("w2"))
+    draft = (
+        grams.filter("is_train")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("w1", F.col("w2").alias("pred"))
+    )
+    val = grams.filter(~F.col("is_train")).join(
+        F.broadcast(draft), "w1", "left"
+    )
+    acc = F.col("pred").isNotNull() & (F.col("pred") == F.col("w2"))
+    return val.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_positions"),
+        F.sum(acc.cast("int")).cast("bigint").alias("n_accepted"),
+        F.round(
+            F.sum(acc.cast("int")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("acceptance_rate"),
+    )

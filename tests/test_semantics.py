@@ -4965,3 +4965,49 @@ def test_binseg_matches_python_recursion(spark, sf_dir):
             assert by[(2, side)]["g_stat"] == g
         else:
             assert (2, side) not in by
+
+
+def test_speculative_acceptance_matches_python(spark, sf_dir):
+    import hashlib
+    from collections import Counter, defaultdict
+
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["llm_speculative_acceptance"].fn(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    counts = defaultdict(Counter)
+    val_docs = {}
+    for d in docs:
+        toks = d["text"].split(" ")
+        train = (
+            int(hashlib.md5(str(d["doc_id"]).encode()).hexdigest()[:8], 16)
+            % 100
+            < 90
+        )
+        if train:
+            for a, b in zip(toks, toks[1:]):
+                counts[a][b] += 1
+        else:
+            val_docs[d["doc_id"]] = toks
+    draft = {
+        w1: min(
+            (w2 for w2 in c if c[w2] == max(c.values())),
+        )
+        for w1, c in counts.items()
+    }
+    assert set(rows) == set(val_docs)
+    for doc_id, toks in val_docs.items():
+        acc = sum(
+            1
+            for a, b in zip(toks, toks[1:])
+            if draft.get(a) == b
+        )
+        r = rows[doc_id]
+        assert r["n_positions"] == len(toks) - 1
+        assert r["n_accepted"] == acc
+        assert abs(
+            r["acceptance_rate"] - round(acc / (len(toks) - 1), 6)
+        ) < 1e-9
