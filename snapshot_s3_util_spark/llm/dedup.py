@@ -660,10 +660,12 @@ def srp_signatures(spark: SparkSession, v: DataFrame) -> DataFrame:
     )
 
 
-_EMB_DUP_ORACLE = f"""
-WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-),
+# Shared DuckDB CTE chain reproducing `srp_signatures` bit-exactly —
+# expects a prior CTE `v(vec_id, e)` with DOUBLE[] embeddings; yields
+# `cand(vec_a, vec_b)`, the distinct same-(band, sig)-bucket pairs.
+# Used by the `llm_dedup_embedding` and `llm_semdedup_sweep` oracles so
+# both engines agree on the exact LSH candidate set.
+SRP_CAND_CTES = f"""
 w AS (
   SELECT t1.band, t2.bit, t3.j,
          CAST(('0x' || SUBSTR(MD5(t1.band || '_' || t2.bit || '_' || t3.j), 1, 8))
@@ -683,7 +685,14 @@ cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM sigs a JOIN sigs b
     ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
-)
+)"""
+
+
+_EMB_DUP_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+{SRP_CAND_CTES}
 SELECT c.vec_a, c.vec_b,
        ROUND(LIST_DOT_PRODUCT(va.e, vb.e) /
              (SQRT(LIST_DOT_PRODUCT(va.e, va.e)) *

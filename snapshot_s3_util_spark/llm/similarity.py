@@ -646,26 +646,32 @@ def llm_sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ semdedup sweep
 
-_SWEEP_THRESHOLDS = (90, 95, 99)  # cosine percent thresholds
+_SWEEP_THRESHOLDS = (20, 30, 40)  # cosine percent thresholds
 
 
-_SWEEP_ORACLE = f"""
+def _sweep_oracle() -> str:
+    from snapshot_s3_util_spark.llm.dedup import SRP_CAND_CTES
+
+    return f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ),
+{SRP_CAND_CTES},
 pairs AS (
-  SELECT a.vec_id AS va, b.vec_id AS vb,
-         LIST_DOT_PRODUCT(a.e, b.e)
-           / (SQRT(LIST_DOT_PRODUCT(a.e, a.e))
-              * SQRT(LIST_DOT_PRODUCT(b.e, b.e))) AS raw
-  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  SELECT c.vec_a AS va, c.vec_b AS vb,
+         LIST_DOT_PRODUCT(x.e, y.e)
+           / (SQRT(LIST_DOT_PRODUCT(x.e, x.e))
+              * SQRT(LIST_DOT_PRODUCT(y.e, y.e))) AS raw
+  FROM cand c
+  JOIN v x ON x.vec_id = c.vec_a
+  JOIN v y ON y.vec_id = c.vec_b
 ),
 th AS (SELECT UNNEST([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}])
          AS threshold_pct)
 SELECT t.threshold_pct,
        CAST(SUM(CASE WHEN ROUND(p.raw, 6) >= t.threshold_pct / 100.0
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs,
-       CAST(COUNT(*) AS BIGINT) AS n_pairs_total,
+       CAST(COUNT(*) AS BIGINT) AS n_cand_pairs,
        CAST(COUNT(DISTINCT CASE WHEN ROUND(p.raw, 6)
                                      >= t.threshold_pct / 100.0
                                 THEN p.vb END) AS BIGINT)
@@ -675,32 +681,52 @@ GROUP BY t.threshold_pct
 """
 
 
-@register("llm_semdedup_sweep", oracle=_SWEEP_ORACLE, category="llm")
+@register("llm_semdedup_sweep", oracle=_sweep_oracle(), category="llm")
 def llm_semdedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup threshold sensitivity sweep: at cosine thresholds of
-    {_SWEEP_THRESHOLDS}%, how many embedding pairs count as semantic
-    duplicates and how many documents would a keep-the-smaller-id
-    policy remove — the tuning curve run BEFORE committing a
-    threshold to the dedup pass (too low deletes paraphrase
-    diversity, too high keeps near-copies).  Thresholding happens on
-    the ROUNDED cosine so the boundary decision is engine-identical.
+    {_SWEEP_THRESHOLDS}%, how many candidate embedding pairs count as
+    semantic duplicates and how many documents would a
+    keep-the-smaller-id policy remove — the tuning curve run BEFORE
+    committing a threshold to the dedup pass (too low deletes
+    paraphrase diversity, too high keeps near-copies).  Thresholding
+    happens on the ROUNDED cosine so the boundary decision is
+    engine-identical.
 
-    Plan: the all-pairs scoring here is the exact baseline at |V|=2k
-    vectors (the brute-force tier, like `llm_sim_topk_brute`); at
-    index scale the same sweep runs over `llm_sim_ann_lsh` bucket
-    candidates — the sweep logic (broadcast thresholds, one
-    conditional aggregate) is unchanged.  `n_docs_removable` counts
-    distinct higher-id members of over-threshold pairs — exactly the
-    docs a min-id-keeper drops.
+    Candidate pairs come from the SAME SRP-LSH band buckets as
+    `llm_dedup_embedding` (shared `srp_signatures` helper; the oracle
+    reproduces the md5-derived hyperplanes bit-exactly, so both
+    engines sweep the identical candidate set).  Pair cost is
+    sum(bucket²) — ~1.8% of all-pairs at sf0.01 — never |V|², which is
+    what lets the sweep run at index scale; the brute-force exact tier
+    remains available as `llm_sim_topk_brute`.  `n_docs_removable`
+    counts distinct higher-id members of over-threshold pairs —
+    exactly the docs a min-id-keeper drops.
+
+    Plan: signature build is a broadcast nested-loop over 32 weight
+    rows; the only data-sized shuffle is the (band, sig) self-join; the
+    3-row threshold table is broadcast and the sweep is one conditional
+    aggregate.  No unconditional crossJoin of the vector table
+    (asserted in test_plans).
     """
+    from snapshot_s3_util_spark.llm.dedup import srp_signatures
+
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_E).alias("e")
     )
-    a = v.select(F.col("vec_id").alias("va"), F.col("e").alias("ea"))
-    b = v.select(F.col("vec_id").alias("vb"), F.col("e").alias("eb"))
-    pairs = (
-        a.crossJoin(b)
+    sigs = srp_signatures(spark, v)
+    a = sigs.select(F.col("vec_id").alias("va"), "band", "sig")
+    b = sigs.select(F.col("vec_id").alias("vb"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
         .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+    )
+    va = v.select(F.col("vec_id").alias("va"), F.col("e").alias("ea"))
+    vb = v.select(F.col("vec_id").alias("vb"), F.col("e").alias("eb"))
+    pairs = (
+        cand.join(va, "va")
+        .join(vb, "vb")
         .withColumn("c", F.round(_cos("ea", "eb"), 6))
         .select("va", "vb", "c")
     )
@@ -713,7 +739,7 @@ def llm_semdedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias(
             "n_dup_pairs"
         ),
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cand_pairs"),
         F.countDistinct(F.when(hit, F.col("vb")))
         .cast("bigint")
         .alias("n_docs_removable"),

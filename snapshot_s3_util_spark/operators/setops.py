@@ -103,16 +103,20 @@ def set_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SYMDIFF_ORACLE = """
 WITH clickers AS (
-  SELECT DISTINCT user_id FROM {EVENTS_REL} e WHERE event_type = 'click'
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM {EVENTS_REL} e WHERE event_type = 'click'
 ),
 buyers AS (
-  SELECT DISTINCT user_id FROM {EVENTS_REL} e WHERE event_type = 'purchase'
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM {EVENTS_REL} e WHERE event_type = 'purchase'
 )
-SELECT user_id, 'click_only' AS side FROM clickers
-WHERE user_id NOT IN (SELECT user_id FROM buyers)
+SELECT c.user_id, c.day, 'click_only' AS side FROM clickers c
+WHERE NOT EXISTS (SELECT 1 FROM buyers b
+                  WHERE b.user_id = c.user_id AND b.day = c.day)
 UNION ALL
-SELECT user_id, 'purchase_only' FROM buyers
-WHERE user_id NOT IN (SELECT user_id FROM clickers)
+SELECT b.user_id, b.day, 'purchase_only' FROM buyers b
+WHERE NOT EXISTS (SELECT 1 FROM clickers c
+                  WHERE c.user_id = b.user_id AND c.day = b.day)
 """
 
 
@@ -124,29 +128,34 @@ WHERE user_id NOT IN (SELECT user_id FROM clickers)
 def set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric difference with side attribution: keys in exactly one
     of two sets, labeled by which — the audience-overlap complement
-    (clicked-never-bought vs bought-never-clicked) that plain
+    (clicked-but-didn't-buy vs bought-without-clicking) that plain
     EXCEPT/INTERSECT can't express in one result.
+
+    Keys are (user, active day) — at every test SF each user emits
+    every event type SOMEWHERE in the month, so a per-user XOR is
+    structurally empty and would make the oracle check vacuous (the
+    r5 verdict's finding); day-scoping leaves ~1k rows per side at
+    sf0.01 while keeping the op's shape identical.
 
     Two anti-joins over the deduplicated key sets, unioned; both sides
     reduce to distinct keys BEFORE joining, so the anti-join probes
-    carry |users|, not |events|, and AQE broadcasts the smaller side.
-    The side label makes the op a partition of the XOR set —
-    `set_intersect` + this op's two halves tile the union exactly
-    (asserted in tests).
+    carry |user-days|, not |events|, and AQE broadcasts the smaller
+    side.  The side label makes the op a partition of the XOR set —
+    `set_intersect`-style overlap + this op's two halves tile the
+    union exactly (asserted in tests).
     """
     ev = load_table(spark, sf_dir, "events")
+    key = [F.col("user_id"), F.to_date("ts").alias("day")]
     clickers = (
-        ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+        ev.filter(F.col("event_type") == "click").select(key).distinct()
     )
     buyers = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select("user_id")
-        .distinct()
+        ev.filter(F.col("event_type") == "purchase").select(key).distinct()
     )
-    click_only = clickers.join(buyers, "user_id", "left_anti").select(
-        "user_id", F.lit("click_only").alias("side")
-    )
-    buy_only = buyers.join(clickers, "user_id", "left_anti").select(
-        "user_id", F.lit("purchase_only").alias("side")
-    )
+    click_only = clickers.join(
+        buyers, ["user_id", "day"], "left_anti"
+    ).select("user_id", "day", F.lit("click_only").alias("side"))
+    buy_only = buyers.join(
+        clickers, ["user_id", "day"], "left_anti"
+    ).select("user_id", "day", F.lit("purchase_only").alias("side"))
     return click_only.unionByName(buy_only)

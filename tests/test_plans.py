@@ -65,6 +65,25 @@ def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
     assert has_node(df, "TakeOrderedAndProject"), physical_plan(df)
 
 
+def test_sort_multi_has_no_single_partition_window(spark, sf_dir):
+    """Global rank must come from the range-partitioned two-pass form
+    (r5 verdict): every WindowExec is partitioned (the data-sized one
+    by spark_partition_id, the N-row prefix sum by a non-foldable
+    constant), the offsets subtree reuses the range exchange, and the
+    rank still tiles 1..n exactly (oracle-checked separately)."""
+    df = REGISTRY["sort_multi"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # textual form: "Window [..], [partition spec], [order spec]" —
+    # a no-partition window renders an EMPTY partition spec "[], "
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert ", [], [" not in line, line
+    assert has_node(df, "RangePartitioning") or "rangepartitioning" in plan.lower(), plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed
+
+
 def test_q3_uses_take_ordered(spark, sf_dir):
     assert has_node(REGISTRY["join_3way_topk"].fn(spark, sf_dir), "TakeOrderedAndProject")
 
@@ -735,6 +754,33 @@ def test_symmetric_diff_anti_joins_no_cartesian(spark, sf_dir):
     plan = physical_plan(df)
     assert plan.count("LeftAnti") >= 2, plan
     assert not has_node(df, "CartesianProduct")
+
+
+def test_semdedup_sweep_is_lsh_bucketed_not_all_pairs(spark, sf_dir):
+    """The sweep must score SRP bucket candidates, never an
+    unconditional vector×vector cross join (r5 verdict): the only
+    nested-loop join allowed is the broadcast of the 3-row threshold
+    table, and the candidate join must be an equi-join on (band, sig).
+    """
+    df = REGISTRY["llm_semdedup_sweep"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert not has_node(df, "CartesianProduct"), plan
+    # candidate pairs come from an equi-join keyed on (band, sig) —
+    # the LSH bucket join — not from pairing the raw vector table
+    # (formatted plans list join keys in the details section)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert any(
+        "keys" in line and "band" in line and "sig" in line
+        for line in plan.splitlines()
+    ), plan
+    # the only nested-loop joins are tiny broadcasts (the 32-row SRP
+    # weight table twice, the 3-row threshold table once)
+    tree_nlj = sum(
+        1
+        for line in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in line and "(" in line
+    )
+    assert tree_nlj <= 6, plan
 
 
 def test_udf_pandas_iter_is_single_arrow_stage(spark, sf_dir):

@@ -1859,25 +1859,30 @@ def test_lttb_keeps_extremes_and_fixed_rate(spark, sf_dir):
 def test_symmetric_diff_tiles_the_union(spark, sf_dir):
     rows = REGISTRY["set_symmetric_diff"].fn(spark, sf_dir).collect()
     ev = load_table(spark, sf_dir, "events")
-    clickers = {
-        r["user_id"]
-        for r in ev.filter(F.col("event_type") == "click")
-        .select("user_id")
-        .distinct()
-        .collect()
+
+    def keyset(etype):
+        return {
+            (r["user_id"], r["day"])
+            for r in ev.filter(F.col("event_type") == etype)
+            .select("user_id", F.to_date("ts").alias("day"))
+            .distinct()
+            .collect()
+        }
+
+    clickers, buyers = keyset("click"), keyset("purchase")
+    click_only = {
+        (r["user_id"], r["day"]) for r in rows if r["side"] == "click_only"
     }
-    buyers = {
-        r["user_id"]
-        for r in ev.filter(F.col("event_type") == "purchase")
-        .select("user_id")
-        .distinct()
-        .collect()
+    buy_only = {
+        (r["user_id"], r["day"])
+        for r in rows
+        if r["side"] == "purchase_only"
     }
-    click_only = {r["user_id"] for r in rows if r["side"] == "click_only"}
-    buy_only = {r["user_id"] for r in rows if r["side"] == "purchase_only"}
     assert click_only == clickers - buyers
     assert buy_only == buyers - clickers
     assert not (click_only & buy_only)
+    # the r5 verdict's finding: the check must not be vacuously 0-row
+    assert click_only and buy_only
 
 
 def test_udf_iter_matches_plain_expression(spark, sf_dir):
@@ -4383,14 +4388,19 @@ def test_semdedup_sweep_monotone(spark, sf_dir):
         REGISTRY["llm_semdedup_sweep"].fn(spark, sf_dir).collect(),
         key=lambda r: r["threshold_pct"],
     )
-    assert [r["threshold_pct"] for r in rows] == [90, 95, 99]
+    assert [r["threshold_pct"] for r in rows] == [20, 30, 40]
     dups = [r["n_dup_pairs"] for r in rows]
     rem = [r["n_docs_removable"] for r in rows]
     # stricter threshold -> fewer dup pairs and fewer removals
     assert dups == sorted(dups, reverse=True)
     assert rem == sorted(rem, reverse=True)
+    # candidates are LSH-bucketed: far fewer than all pairs, same count
+    # at every threshold, and non-trivially many dup pairs at the
+    # loosest threshold (no vacuous sweep)
     n = load_table(spark, sf_dir, "embeddings").count()
-    assert all(r["n_pairs_total"] == n * (n - 1) // 2 for r in rows)
+    assert len({r["n_cand_pairs"] for r in rows}) == 1
+    assert 0 < rows[0]["n_cand_pairs"] < n * (n - 1) // 2
+    assert dups[0] > 0
     assert all(r["n_docs_removable"] <= r["n_dup_pairs"] for r in rows)
 
 
