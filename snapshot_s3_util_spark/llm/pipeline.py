@@ -679,9 +679,9 @@ SELECT source,
             AS BIGINT) AS n_within_budget,
        CAST(SUM(CASE WHEN n_budget_toks <= {_CHAT_BUDGET}
                      THEN n_budget_toks END) AS BIGINT) AS sum_budget_toks,
-       MD5(string_agg(CASE WHEN n_budget_toks <= {_CHAT_BUDGET}
-                           THEN MD5(chat) END, ',' ORDER BY doc_id))
-         AS kept_md5
+       MD5(COALESCE(string_agg(CASE WHEN n_budget_toks <= {_CHAT_BUDGET}
+                                    THEN MD5(chat) END, ',' ORDER BY doc_id),
+                    '')) AS kept_md5
 FROM rendered GROUP BY source
 """
 

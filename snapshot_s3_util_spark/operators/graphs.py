@@ -1278,8 +1278,14 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("dsum").cast("double") * F.col("dsum")).alias("ss"),
     ).collect()
     q = internal / m - agg["ss"] / (4.0 * m * m)
-    return und.sparkSession.createDataFrame(
-        [(m, internal, agg["nc"], round(q, 6))],
-        "n_edges long, n_internal_edges long, n_communities long,"
-        " modularity double",
+    # round IN-ENGINE (F.round = SQL half-up, matching DuckDB ROUND):
+    # Python round() is banker's, and q is dyadic when m is a power of
+    # two, so a q*1e6 midpoint would diverge in the last digit
+    return (
+        und.sparkSession.createDataFrame(
+            [(m, internal, agg["nc"], q)],
+            "n_edges long, n_internal_edges long, n_communities long,"
+            " modularity double",
+        )
+        .withColumn("modularity", F.round("modularity", 6))
     )

@@ -28,9 +28,10 @@ from snapshot_s3_util_spark.sql_helpers import KEYS_FP_SQL, keys_fp_col
 
 
 class JsonlCommit(WriterCommitMessage):
-    def __init__(self, file: str, n_rows: int):
+    def __init__(self, file: str, n_rows: int, pid: int):
         self.file = file
         self.n_rows = n_rows
+        self.pid = pid
 
 
 class JsonlSinkWriter(DataSourceWriter):
@@ -40,18 +41,43 @@ class JsonlSinkWriter(DataSourceWriter):
     def write(self, iterator) -> JsonlCommit:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        fname = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # per-ATTEMPT temp name: a retried/speculative zombie attempt
+        # writing the bare part-<pid> path concurrently could interleave
+        # output with the winner or disagree with its committed row
+        # count; unique attempt files make writes conflict-free and let
+        # commit() publish exactly the winning attempt via rename
+        fname = os.path.join(
+            self.path,
+            f"part-{pid:05d}.attempt-{ctx.taskAttemptId()}.jsonl.tmp",
+        )
         n = 0
         with open(fname, "w") as fh:
             for row in iterator:
                 fh.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
                 n += 1
-        return JsonlCommit(fname, n)
+        return JsonlCommit(fname, n, pid)
 
     def commit(self, messages) -> None:
+        import glob
+
+        files = []
+        for m in messages:
+            final = os.path.join(self.path, f"part-{m.pid:05d}.jsonl")
+            os.replace(m.file, final)  # atomic publish of the winner
+            files.append(os.path.basename(final))
+        # sweep losing/zombie attempt files so readers and the manifest
+        # agree on exactly the committed set
+        for leftover in glob.glob(
+            os.path.join(self.path, "part-*.jsonl.tmp")
+        ):
+            try:
+                os.remove(leftover)
+            except OSError:
+                pass
         manifest = {
-            "files": sorted(os.path.basename(m.file) for m in messages),
+            "files": sorted(files),
             "total_rows": sum(m.n_rows for m in messages),
         }
         with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
