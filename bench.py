@@ -61,6 +61,7 @@ def main() -> None:
     spark = get_spark("bench")
 
     times: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     for q in BENCH_QUERIES:
         # One warm-up run, then median of _TIMED_RUNS timed runs per
         # query (warming everything first and timing afterwards
@@ -74,6 +75,7 @@ def main() -> None:
             engine.REGISTRY[q].fn(spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
         times[q] = round(statistics.median(samples), 3)
+        raw_runs[q] = [round(s, 3) for s in samples]
 
     print(
         json.dumps(
@@ -82,6 +84,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "runs": raw_runs,
                 "sf": sf,
             }
         )

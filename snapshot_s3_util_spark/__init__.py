@@ -35,9 +35,15 @@ from snapshot_s3_util_spark.registry import REGISTRY, register  # noqa: F401
 # 4. Everything else, oldest-green-round first, so stale verifications
 #    drain; registration order breaks ties (stable sort).
 _WINDOW_CHANGED_THIS_ROUND: list = [
-    # round 5: no behavior changes to previously verified ops yet; the
-    # round-4 entries all got fresh green rows in CORRECTNESS_r04.json.
-    # New round-5 ops are never-verified and rank first automatically.
+    # round 6 behavior changes (r5 verdict items): day-scoped symmetric
+    # diff (was vacuously empty), LSH-bucketed semdedup sweep (new
+    # thresholds + n_cand_pairs column), range-partitioned sort_multi,
+    # in-engine modularity rounding, chat-template oracle COALESCE.
+    "set_symmetric_diff",
+    "llm_semdedup_sweep",
+    "sort_multi",
+    "graph_modularity",
+    "llm_chat_template_export",
 ]
 
 

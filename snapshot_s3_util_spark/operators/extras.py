@@ -257,6 +257,91 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_RUN_SPLIT = "2024-01-16"  # run 1 = days before, run 2 = days at/after
+
+
+@register(
+    "agg_hll_sketch_persist",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_sketches,
+           TRUE AS within_tol
+    FROM {EVENTS_REL} e
+    GROUP BY event_type
+    """,
+    category="agg",
+)
+def agg_hll_sketch_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED-sketch re-aggregability: per-day HLL sketch BYTES are
+    written to parquet by two separate \"ingest runs\" (days before /
+    at-after {_HLL_RUN_SPLIT}), read back cold, and `hll_union_agg`-
+    merged across runs — the restart-survival contract
+    `agg_hll_sketch_union` only exercises in-memory.  This is the shape
+    a 100 TB incremental pipeline actually uses: each ingest job emits
+    kilobyte sketch rows once; any later rollup (all-time distincts
+    here) unions blobs from MANY historical runs without re-scanning
+    raw data, so distinct-counting is re-aggregable across job
+    boundaries the way SUM is.
+
+    Verified with the tolerance-verdict contract (`agg_approx_distinct`
+    / `agg_hll_sketch_union`): DuckDB has no bit-identical sketch, so
+    the oracle pins the exact distinct count, the sketch-row count
+    (= distinct days, since the runs partition days), and the claim
+    |est − exact| / exact <= 5%.
+
+    Plan: two narrow groupBy(event_type, day) sketch builds + parquet
+    writes; the merge reads only (event_type, sketch) columns back and
+    exchanges |event_types| x |days| kilobyte rows — never raw events.
+    """
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    out = tempfile.mkdtemp(prefix="s3u_hll_persist_")
+    try:
+        split = F.lit(_HLL_RUN_SPLIT).cast("date")
+        for run, pred in (
+            ("run1", F.col("day") < split),
+            ("run2", F.col("day") >= split),
+        ):
+            (
+                ev.filter(pred)
+                .groupBy("event_type", "day")
+                .agg(F.expr("hll_sketch_agg(user_id)").alias("sketch"))
+                .write.mode("overwrite")
+                .parquet(f"{out}/{run}")
+            )
+        back = spark.read.parquet(f"{out}/run1", f"{out}/run2")
+        merged = back.groupBy("event_type").agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias(
+                "est_users"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_sketches"),
+        )
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_users")
+        )
+        return (
+            merged.join(F.broadcast(exact), "event_type")
+            .select(
+                "event_type",
+                "exact_users",
+                "n_sketches",
+                (
+                    F.abs(F.col("est_users") - F.col("exact_users"))
+                    / F.col("exact_users")
+                    <= 0.05
+                ).alias("within_tol"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 _JOIN_SALT = 8
 
 

@@ -391,6 +391,32 @@ def test_hll_union_within_tolerance_and_multiday(spark, sf_dir):
     assert all(r["n_days"] > 1 for r in rows)
 
 
+def test_hll_persisted_sketches_merge_across_runs(spark, sf_dir):
+    """Sketch bytes written by two separate parquet 'runs' must read
+    back and union to the same verdict as the in-memory path: every
+    group in tolerance, and the sketch-row count equal to the distinct
+    (event_type, day) groups — proof both runs' files contributed
+    (each run alone covers only part of January)."""
+    rows = REGISTRY["agg_hll_sketch_persist"].fn(spark, sf_dir).collect()
+    assert rows and all(r["within_tol"] for r in rows)
+    ev = load_table(spark, sf_dir, "events")
+    days = {
+        (r["event_type"], r["d"]): None
+        for r in ev.select(
+            "event_type", F.to_date("ts").alias("d")
+        ).distinct().collect()
+    }
+    per_type = {}
+    for et, _d in days:
+        per_type[et] = per_type.get(et, 0) + 1
+    assert {r["event_type"]: r["n_sketches"] for r in rows} == per_type
+    # both runs must be non-empty (days straddle the split date)
+    split = {True: 0, False: 0}
+    for _et, d in days:
+        split[str(d) < "2024-01-16"] += 1
+    assert split[True] and split[False]
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     """Salting must be result-invisible: identical to the plain join."""
     salted = {
