@@ -136,16 +136,18 @@ def _interpolate_docstrings() -> None:
     counts, thresholds, chunk widths) by name; f-strings can't be
     docstrings, so without this pass `help()` renders the braces
     literally (round-3 ADVICE item). Substitutes only `{_UPPER_CASE}`
-    names that resolve to an int/float/str in the op's own module —
-    anything else (legit braces, struct examples) is left untouched.
+    or `{UPPER_CASE}` names (module constants, including imported
+    params like MINHASH_K — the r5 ADVICE leak class) that resolve to
+    an int/float/str in the op's own module — anything else (legit
+    braces, struct examples) is left untouched.
     """
     import re
     import sys
 
-    pat = re.compile(r"\{(_[A-Z][A-Z0-9_]*)\}")
+    pat = re.compile(r"\{(_?[A-Z][A-Z0-9_]*)\}")
     for op in REGISTRY.values():
         doc = op.fn.__doc__
-        if not doc or "{_" not in doc:
+        if not doc or "{" not in doc:
             continue
         mod_vars = vars(sys.modules[op.fn.__module__])
 

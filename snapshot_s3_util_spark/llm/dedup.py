@@ -1600,13 +1600,3 @@ def llm_dedup_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("by_exact", "by_prefix").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
-
-
-# Render config placeholders in plain (non-f) docstrings — a literal
-# "{MINHASH_K}" in help() would misdocument the op (ADVICE r5 class).
-llm_dedup_near_minhash.__doc__ = llm_dedup_near_minhash.__doc__.format(
-    MINHASH_K=MINHASH_K,
-    MINHASH_BANDS=MINHASH_BANDS,
-    _ROWS_PER_BAND=_ROWS_PER_BAND,
-    DEDUP_DF_SAMPLE_MOD=DEDUP_DF_SAMPLE_MOD,
-)

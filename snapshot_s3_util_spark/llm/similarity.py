@@ -821,9 +821,3 @@ def llm_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mpd, 6).alias("mean_pairwise_dot"),
         F.round(mpd / (F.col("sum_sq") / n), 6).alias("anisotropy"),
     )
-
-
-# Render config placeholders in plain (non-f) docstrings (ADVICE r5).
-llm_sim_knn_join.__doc__ = llm_sim_knn_join.__doc__.format(
-    N_PROBES=N_PROBES, _KNN_K=_KNN_K
-)

@@ -877,12 +877,21 @@ def llm_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_matched_terms"),
         F.sum("sc").alias("score"),
     )
+    # rank runs over the already-limited top-k rows; partition by a
+    # NON-FOLDABLE constant (doc_id % 1 = 0) so the k-row window has an
+    # explicit partition spec — a bare Window.orderBy here emitted the
+    # no-partition WindowExec warning on every bench run even though
+    # the frame is only _BM25_TOPK rows (TakeOrderedAndProject upstream)
     return (
         agg.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(_BM25_TOPK)
         .select(
             F.row_number()
-            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .over(
+                Window.partitionBy(F.col("doc_id") % 1).orderBy(
+                    F.desc("score"), F.asc("doc_id")
+                )
+            )
             .cast("bigint")
             .alias("rank"),
             "doc_id",

@@ -114,16 +114,24 @@ def test_window_ranking_computed():
         names = list(REGISTRY)
         window = names[:50]
         # The real invariant: a never-verified op outranks every op
-        # that already has a green row. (When >50 never-verified ops
-        # exist — as at the end of round 5 — the dummy can't also fit
-        # in the window, so assert rank order, not membership.)
+        # that already has a green row — EXCEPT the hand-declared
+        # behavior-changed ops, which policy rule 1 puts first even
+        # when green (a behavior change needs a fresh external row).
+        # (When >50 never-verified ops exist — as at the end of round
+        # 5 — the dummy can't also fit in the window, so assert rank
+        # order, not membership.)
         from pathlib import Path as _P
 
         _checked, _latest, _green = pkg._verification_history(
             _P(__file__).resolve().parent.parent
         )
         first_green_pos = next(
-            (i for i, n in enumerate(names) if n in _green), len(names)
+            (
+                i
+                for i, n in enumerate(names)
+                if n in _green and n not in pkg._WINDOW_CHANGED_THIS_ROUND
+            ),
+            len(names),
         )
         assert names.index(dummy) < first_green_pos, (
             "never-verified op ranked below a green op"

@@ -135,6 +135,17 @@ def main() -> int:
                     print(f"  spark:  {a[:300]}\n  duckdb: {b[:300]}")
                     shown += 1
             continue
+        if sn == 0:
+            # both engines agreeing on the EMPTY set proves nothing
+            # (hash d41d8cd98f = md5('') — the r1 join_anti / r5
+            # set_symmetric_diff vacuous-pass class); treat as failure
+            # so a data or predicate drift can't silently blank an op
+            failures.append(name)
+            print(
+                f"FAIL {name}: VACUOUS — both engines returned 0 rows; "
+                f"pick predicates that are non-empty at this SF"
+            )
+            continue
         print(f"ok   {name}: {sn} rows hash={sh[:10]} ({spark_t:.1f}s)")
 
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
