@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.plans.rank import global_order_stats
 from snapshot_s3_util_spark.registry import register
 
 # Gate thresholds — shared verbatim with llm_quality_score's gate.
@@ -1160,9 +1161,11 @@ def llm_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rnk·100 ≤ n·pct — no float percentile boundary), so phase
     membership is exact on both engines.
 
-    Plan: difficulty is narrow; the rank is ONE window over the
-    (doc-count)-sized frame; at 100 TB the exact rank swaps for the
-    two-phase distributed rank (`sink_sorted_layout`) unchanged.
+    Plan: difficulty is narrow; the exact global rank and corpus count
+    come from the two-pass range-partitioned rank
+    (`plans.rank.global_order_stats`) — one range exchange + an
+    npart-row broadcast ledger, no single-partition window at any
+    corpus size.
     """
     d = load_table(spark, sf_dir, "documents").withColumn(
         "toks", F.split("text", " ")
@@ -1176,9 +1179,8 @@ def llm_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     diff = F.col("n_tokens") * 1000 + F.col("n_distinct")
-    w = Window.orderBy(diff, "doc_id")
-    scored = m.withColumn("rnk", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    scored = global_order_stats(
+        m, [diff, "doc_id"], rn="rnk", ntotal="n"
     )
     phased = scored.withColumn(
         "phase",

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.plans.rank import global_order_stats
 from snapshot_s3_util_spark.registry import register
 
 # Contamination check: docs with doc_id < this bound act as the held-out
@@ -1502,10 +1503,12 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     1−coverage is the OOV/byte-fallback rate a budget V implies).
 
     Plan: token census is ONE map-side-combined explode+count (the
-    `llm_ngram_topk` shape); ranking and cumulative coverage run on
-    the |vocabulary| frame (word-soup corpus: tiny; real corpora:
-    |types| ≪ |tokens|, and the rank window's single-partition stage
-    works on the census, never the corpus).
+    `llm_ngram_topk` shape); rank, cumulative coverage, and grand
+    totals over the |vocabulary| frame come from the two-pass
+    range-partitioned prefix machinery
+    (`plans.rank.global_order_stats`) — |types| reaches hundreds of
+    millions on a 100 TB corpus, so the census never funnels through
+    a single-partition window.
     """
     tok = load_table(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("t")
@@ -1513,16 +1516,13 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     census = tok.groupBy("t").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    wr = Window.orderBy(F.col("c").desc(), F.col("t"))
-    wall = Window.partitionBy()
-    ranked = (
-        census.withColumn("rnk", F.row_number().over(wr))
-        .withColumn(
-            "cum",
-            F.sum("c").over(wr.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .withColumn("total", F.sum("c").over(wall))
-        .withColumn("n_types", F.count(F.lit(1)).over(wall))
+    ranked = global_order_stats(
+        census,
+        [F.col("c").desc(), F.col("t")],
+        rn="rnk",
+        cumsum={"c": "cum"},
+        totals={"c": "total"},
+        ntotal="n_types",
     )
     sizes = spark.createDataFrame(
         [(v,) for v in _VOCAB_SIZES], "vocab_size long"

@@ -14,6 +14,10 @@ from pyspark.sql import functions as F
 
 from snapshot_s3_util_spark.io import load_table
 from snapshot_s3_util_spark.params import Q1_SHIP_CUTOFF
+from snapshot_s3_util_spark.plans.rank import (
+    global_order_stats,
+    global_row_number,
+)
 from snapshot_s3_util_spark.registry import register
 from snapshot_s3_util_spark.sql_helpers import EVENTS_REL
 
@@ -919,16 +923,15 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity.  Every moment is an exact integer; one final float
     division, so both engines agree to the last rounded digit.
 
-    Plan: one corpus exchange (the user aggregate); the rank window
-    runs over the |users| frame.  The rank window's global ORDER BY
-    is single-partition — fine at |users| scale; for billions of
-    users the two-phase rank (partition-local rank + offset
-    broadcast, as in `sink_sorted_layout`) swaps in unchanged.
+    Plan: one corpus exchange (the user aggregate); the rank over the
+    |users| frame — billions of rows at 100 TB, so NOT a global
+    window — is the two-pass range-partitioned rank
+    (`plans.rank.global_row_number`): checkpointed range spine +
+    partition-local row_number + broadcast count-prefix offsets.
     """
     e = load_table(spark, sf_dir, "events")
     act = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("x"))
-    w = Window.partitionBy().orderBy("x", "user_id")
-    rk = act.withColumn("i", F.row_number().over(w))
+    rk = global_row_number(act, ["x", "user_id"], out="i")
     return rk.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("x").cast("bigint").alias("n_events"),
@@ -1065,9 +1068,11 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the corpus collapses to |distinct values| rows in ONE
     map-side-combined aggregate before any window runs; the ECDF
-    window is partition-less but over the bounded value-domain frame
-    (the `agg_weighted_median` aggregate-before-window rule), never
-    the raw corpus.
+    cumulatives come from the two-pass range-partitioned prefix sum
+    (`plans.rank.global_order_stats`) — the value domain is bounded at
+    this quantization but an arbitrary-domain input stays partitioned.
+    The argmax value (smallest-v tie-break) is a lexicographic
+    max(struct(d, -v)) — one aggregate, no full-frame window.
     """
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
@@ -1082,32 +1087,26 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("nb"),
     )
-    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    e = (
-        g.withColumn("ca", F.sum("na").over(wc))
-        .withColumn("cb", F.sum("nb").over(wc))
-        .withColumn("ta", F.sum("na").over(wall))
-        .withColumn("tb", F.sum("nb").over(wall))
-        .withColumn(
-            "dscaled", F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta"))
-        )
-        .withColumn("m", F.max("dscaled").over(wall))
+    e = global_order_stats(
+        g,
+        ["v"],
+        cumsum={"na": "ca", "nb": "cb"},
+        totals={"na": "ta", "nb": "tb"},
+    ).withColumn(
+        "dscaled", F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta"))
     )
+    # argmax with smallest-v tie-break, as one lexicographic struct max
+    best = F.max(F.struct(F.col("dscaled").alias("d"), (-F.col("v")).alias("nv")))
     return e.agg(
         F.max("ta").cast("bigint").alias("n_a"),
         F.max("tb").cast("bigint").alias("n_b"),
-        F.max("dscaled").cast("bigint").alias("d_scaled"),
+        best.getField("d").cast("bigint").alias("d_scaled"),
         F.round(
-            F.max("dscaled").cast("double") / (F.max("ta") * F.max("tb")), 6
+            best.getField("d").cast("double") / (F.max("ta") * F.max("tb")), 6
         ).alias("d_stat"),
-        F.round(
-            F.min(F.when(F.col("dscaled") == F.col("m"), F.col("v"))).cast(
-                "double"
-            )
-            / 10000,
-            4,
-        ).alias("d_at_value"),
+        F.round((-best.getField("nv")).cast("double") / 10000, 4).alias(
+            "d_at_value"
+        ),
     )
 
 
@@ -1348,12 +1347,14 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rank arithmetic stays EXACT: doubled midranks `2·rank + ties − 1`
     are integers, the doubled rank-sum and the tie correction
     Σ(t³ − t) are BIGINTs, and the single float division happens at
-    the end.  The rank window is partition-less but runs over the
-    corpus collapsed per distinct value? No — ranks need per-ROW
-    attribution, so the window runs over the filtered two-group frame
-    with a value ORDER BY; at 100 TB the midranks come from the
-    value-histogram cumulative form (`agg_ks_test`'s ECDF shape)
-    instead — same integers, |distinct values| window.
+    the end.  Ranks come from the value-histogram cumulative form
+    (`agg_ks_test`'s ECDF shape): the corpus collapses to |distinct
+    values| rows first, the cumulative tie count ct comes from the
+    two-pass range-partitioned prefix sum
+    (`plans.rank.global_order_stats`), and every row at value v
+    carries doubled midrank 2·rank + t − 1 = 2·ct − t + 1 — so the
+    group-A doubled rank-sum is Σ na_v·(2·ct_v − t_v + 1), one
+    aggregate, never a per-row rank window over raw data.
     """
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "signup")
@@ -1362,35 +1363,20 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "click").cast("int").alias("is_a"),
         F.round(F.col("value") * 10000).cast("bigint").alias("v"),
     )
-    r = s.select(
-        "is_a",
-        (
-            2 * F.rank().over(Window.orderBy("v"))
-            + F.count(F.lit(1)).over(Window.partitionBy("v"))
-            - 1
-        ).alias("rank2"),
+    hist = s.groupBy("v").agg(
+        F.sum("is_a").cast("bigint").alias("na_v"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
     )
-    ties = (
-        s.groupBy("v")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
-        .agg(
-            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-            .cast("bigint")
-            .alias("tie_corr")
-        )
+    h = global_order_stats(hist, ["v"], cumsum={"t": "ct"})
+    rank2 = 2 * F.col("ct") - F.col("t") + 1  # doubled midrank at v
+    c = h.agg(
+        F.sum("na_v").cast("bigint").alias("na"),
+        F.sum(F.col("t") - F.col("na_v")).cast("bigint").alias("nb"),
+        F.sum(F.col("na_v") * rank2).cast("bigint").alias("r2a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_corr"),
     )
-    m = r.agg(
-        F.sum(F.when(F.col("is_a") == 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("na"),
-        F.sum(F.when(F.col("is_a") == 0, 1).otherwise(0))
-        .cast("bigint")
-        .alias("nb"),
-        F.sum(F.when(F.col("is_a") == 1, F.col("rank2")).otherwise(0))
-        .cast("bigint")
-        .alias("r2a"),
-    )
-    c = m.crossJoin(F.broadcast(ties))
     u = (F.col("r2a") - F.col("na") * (F.col("na") + 1)) / 2.0
     mu = F.col("na") * F.col("nb") / 2.0
     n = F.col("na") + F.col("nb")
@@ -1748,14 +1734,20 @@ WITH conv AS (
               THEN 1 ELSE 0 END AS converted
   FROM events GROUP BY user_id
 ),
-walk AS (
+steps AS (
   SELECT user_id, converted,
          ROW_NUMBER() OVER (ORDER BY user_id) AS step,
-         SUM(CASE WHEN converted = 1
-                  THEN LN({_SPRT_P1} / {_SPRT_P0})
-                  ELSE LN((1 - {_SPRT_P1}) / (1 - {_SPRT_P0})) END)
-           OVER (ORDER BY user_id ROWS UNBOUNDED PRECEDING) AS llr
+         SUM(converted) OVER (ORDER BY user_id
+                              ROWS UNBOUNDED PRECEDING) AS c
   FROM conv
+),
+walk AS (
+  -- llr = c*up + (step-c)*dn: the integer-cumulative form the engine
+  -- uses (three IEEE ops per row, no float accumulation order)
+  SELECT step,
+         c * LN({_SPRT_P1} / {_SPRT_P0})
+           + (step - c) * LN((1 - {_SPRT_P1}) / (1 - {_SPRT_P0})) AS llr
+  FROM steps
 ),
 crossed AS (
   SELECT step, llr,
@@ -1788,14 +1780,16 @@ def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     the moment evidence suffices instead of at a fixed n
     (`agg_ab_test_z` is the fixed-horizon sibling).
 
-    Determinism: the LLR increments are one of exactly TWO constants,
-    accumulated in the same user_id order by both engines — identical
-    float sequence, identical boundary crossings; the first-crossing
-    step and verdict are integer/categorical.
+    Determinism: after k steps with c conversions the LLR is EXACTLY
+    c·up + (k−c)·dn — two integer cumulatives times two float
+    constants, three IEEE ops per row performed identically by both
+    engines (no float accumulation order to disagree on); the
+    first-crossing step and verdict are integer/categorical.
 
     Plan: per-user conversion is one map-side-combined aggregate; the
-    walk runs on the |users| frame (partition-less window over the
-    post-aggregate rows, the `agg_gini_coefficient` caveat).
+    walk's step/cumulative-conversion pair comes from the two-pass
+    range-partitioned prefix sum (`plans.rank.global_order_stats`) —
+    billions of users never hit a single-partition window.
     """
     ev = load_table(spark, sf_dir, "events")
     conv = ev.groupBy("user_id").agg(
@@ -1812,12 +1806,11 @@ def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     up = math.log(_SPRT_P1 / _SPRT_P0)
     dn = math.log((1 - _SPRT_P1) / (1 - _SPRT_P0))
-    w = Window.orderBy("user_id")
-    walk = conv.withColumn("step", F.row_number().over(w)).withColumn(
+    walk = global_order_stats(
+        conv, ["user_id"], rn="step", cumsum={"converted": "c"}
+    ).withColumn(
         "llr",
-        F.sum(
-            F.when(F.col("converted") == 1, F.lit(up)).otherwise(F.lit(dn))
-        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        F.col("c") * F.lit(up) + (F.col("step") - F.col("c")) * F.lit(dn),
     )
     crossed = walk.withColumn(
         "verdict",
@@ -2124,24 +2117,22 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact integer ranks and cumulative sums; decile assignment via
     ceil(rank·10/n) on integer operands; divisions round once.
 
-    Plan: per-user aggregate, then rank/cumsum windows over the
-    |users| frame (partition-less but post-aggregate — the gini
-    caveat) and a 10-row reduce.
+    Plan: per-user aggregate, then rank/cumsum/total via the two-pass
+    range-partitioned prefix machinery (`plans.rank.global_order_stats`
+    — one range exchange, npart-row broadcast ledger, no
+    single-partition window at any |users|) and a 10-row reduce.
     """
     ev = load_table(spark, sf_dir, "events")
     act = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("x")
     )
-    wo = Window.orderBy("x", "user_id")
-    wall = Window.partitionBy()
-    r = (
-        act.withColumn("rnk", F.row_number().over(wo))
-        .withColumn("n", F.count(F.lit(1)).over(wall))
-        .withColumn("tot", F.sum("x").over(wall))
-        .withColumn(
-            "cum",
-            F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
-        )
+    r = global_order_stats(
+        act,
+        ["x", "user_id"],
+        rn="rnk",
+        cumsum={"x": "cum"},
+        totals={"x": "tot"},
+        ntotal="n",
     )
     dec = r.groupBy(
         F.ceil(F.col("rnk") * 10.0 / F.col("n")).cast("bigint").alias(

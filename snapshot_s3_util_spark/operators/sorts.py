@@ -7,11 +7,12 @@ column — making ordering (incl. NULLS FIRST placement) value-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from snapshot_s3_util_spark.io import load_table
 from snapshot_s3_util_spark.params import TOPK_LIMIT
+from snapshot_s3_util_spark.plans.rank import global_row_number
 from snapshot_s3_util_spark.registry import register
 
 _SORT_NPART = 32  # range partitions for sort_multi's two-pass global rank
@@ -35,23 +36,15 @@ def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized — WITHOUT a single-partition window.
 
     Two-pass range-partitioned rank (the 100 TB shape, replacing the
-    r5-flagged global `Window.orderBy` row_number):
-      1. `repartitionByRange` on the full sort key — partition i holds
-         strictly smaller keys than partition i+1, every partition
-         bounded at ~|orders|/N rows.
-      2. LOCAL row_number per range partition (window PARTITIONED by
-         `spark_partition_id()` — never a no-partition WindowExec).
-      3. Global rank = local rank + the count-prefix offset of the
-         partition: a groupBy(pid).count() (N bounded rows), prefix-
-         summed by a window over those N rows (partitioned by a
-         constant so the frame is explicit and tiny), broadcast back.
-    Everything is ONE plan: RangePartitioner seeds its boundary
-    sampling with the RDD id, so a recomputed exchange can place
-    boundary rows differently across separate jobs — the offsets
-    subtree therefore reuses the SAME range exchange via Spark's
-    ReuseExchange (identical canonical subplan), never a second
-    execution.  Asserted in test_plans: one ReusedExchange, no
-    no-partition WindowExec warning class.
+    r5-flagged global `Window.orderBy` row_number) via the shared
+    `plans.rank.global_row_number` helper — see that module for the
+    full plan derivation (range partition -> local row_number ->
+    broadcast count-prefix offsets) and for why the range-exchanged
+    spine is localCheckpoint'ed (the offsets ledger and the rank side
+    must observe ONE RangePartitioner; ReuseExchange only guarantees
+    that while column pruning keeps both subtrees identical, which
+    payload columns break).  Asserted in test_plans: no no-partition
+    WindowExec anywhere in the plan.
     """
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -65,33 +58,11 @@ def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(),
         F.col("o_orderkey").asc(),
     ]
-    part = o.repartitionByRange(_SORT_NPART, *keys).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    counts = part.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    # partition the N-row prefix sum by a NON-FOLDABLE constant
-    # (`_pid % 1` = 0): a foldable literal is optimized out of the
-    # partition spec, which would re-trigger the no-partition WindowExec
-    # warning this op exists to avoid.  The frame is |N| = 32 rows.
-    w_prefix = (
-        Window.partitionBy(F.col("_pid") % 1)
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "_pid",
-        F.coalesce(F.sum("_cnt").over(w_prefix), F.lit(0)).alias("_off"),
-    )
-    w_local = Window.partitionBy("_pid").orderBy(*keys)
-    return (
-        part.withColumn("_lrn", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), "_pid")
-        .select(
-            "o_orderkey",
-            "status_or_null",
-            "o_totalprice",
-            (F.col("_off") + F.col("_lrn")).cast("int").alias("sort_pos"),
-        )
+    return global_row_number(o, keys, out="_rn", npart=_SORT_NPART).select(
+        "o_orderkey",
+        "status_or_null",
+        "o_totalprice",
+        F.col("_rn").cast("int").alias("sort_pos"),
     )
 
 

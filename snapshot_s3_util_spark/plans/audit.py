@@ -1,0 +1,101 @@
+"""Plan-shape audit rules (library side of tools/plan_audit.py).
+
+Detects, from a formatted physical plan, the anti-pattern classes that
+kill 100 TB runs regardless of data shape:
+
+  W  Window with an empty partition spec — single-partition WindowExec,
+     the whole input moves to ONE task
+  C  CartesianProduct — a NON-broadcast all-pairs join
+  S  global Sort not fused into TakeOrderedAndProject — full-data range
+     shuffle + total order
+  B  BroadcastNestedLoopJoin — informational only: every broadcast in
+     this engine is an explicit F.broadcast() of an O(1) side (a scalar
+     aggregate, a literal threshold/weight/fold table), the standard
+     "attach a tiny lookup" shape
+
+W/C/S are gated: an op whose plan carries one must appear in ALLOW with
+the concrete scale bound that justifies it (|days|, |sources|, top-K —
+frames bounded by the catalog or a constant, never by data volume).
+tests/test_plans.py asserts the audit is clean over every lazy op;
+tools/plan_audit.py sweeps the whole registry and writes PLAN_AUDIT.md.
+"""
+
+from __future__ import annotations
+
+import re
+
+# An unpartitioned window's spec starts with an ORDER column (attr +
+# sort direction); a partitioned one starts with bare partition attrs.
+# Window order keys are resolved attribute refs in the physical plan,
+# so a first argument ending in a sort direction == empty partition
+# spec. A partition-only spec (no order) renders no ASC/DESC at all.
+_UNPARTITIONED_WINDOW = re.compile(r"windowspecdefinition\([^(,]+? (?:ASC|DESC) ")
+# Formatted plans print global sorts as "Sort [keys...], true, 0" —
+# the boolean is the `global` flag.
+_GLOBAL_SORT = re.compile(r"\bSort \[[^\]]*\], true,")
+
+# Codes that must be matched by an ALLOW entry; "B" is informational.
+GATED = "WCS"
+
+
+def find_issues(plan: str) -> set[str]:
+    codes: set[str] = set()
+    if _UNPARTITIONED_WINDOW.search(plan):
+        codes.add("W")
+    if "CartesianProduct" in plan:
+        codes.add("C")
+    if "BroadcastNestedLoopJoin" in plan:
+        codes.add("B")
+    if _GLOBAL_SORT.search(plan):
+        codes.add("S")
+    return codes
+
+
+# name -> (codes that are justified, why they survive a 100x scale-up).
+# Keep reasons concrete: name the bound (|days|, |sources|, K, 1 row).
+ALLOW: dict[str, tuple[str, str]] = {}
+
+
+def _allow(names: str, codes: str, reason: str) -> None:
+    for name in names.split():
+        prev_codes, prev = ALLOW.get(name, ("", ""))
+        ALLOW[name] = (prev_codes + codes, (prev + "; " if prev else "") + reason)
+
+
+# Frames bounded by the CALENDAR, not data volume: one row per day
+# post-aggregate (the corpus collapses map-side first).
+_allow(
+    "agg_spearman_rho win_rolling_corr",
+    "W",
+    "rank/rolling windows run over the |days| frame — one row per "
+    "calendar day post-aggregate; bounded by time span, not data volume",
+)
+_allow(
+    "agg_survival_km",
+    "W",
+    "KM cumulative product runs over the |duration-levels| frame "
+    "(<= observation-window days), post per-user aggregate",
+)
+# Frames bounded by the CATALOG (|sources|, |regions|) — the corpus
+# aggregates down before any window runs.
+_allow(
+    "hb_balanced_splits hb_export_throttle_plan hb_region_range_splits",
+    "W",
+    "LPT/quantile split planning windows run over the |sources|- or "
+    "|days|-row byte-accounting ledger — catalog-sized planning "
+    "arithmetic, never raw data",
+)
+# Frames bounded by a CONSTANT.
+_allow(
+    "agg_kmv_distinct",
+    "W",
+    "the global-KMV re-rank window sees only the union of per-group "
+    "K-minima (<= K x |groups| rows); the per-group minima themselves "
+    "use a partitioned window",
+)
+_allow(
+    "llm_ngram_topk",
+    "W",
+    "rank window runs AFTER .limit(K): its input is the K-row "
+    "TakeOrderedAndProject output, K constant",
+)

@@ -1,0 +1,156 @@
+"""Scale-safe global order statistics (two-pass range-partitioned form).
+
+`Window.partitionBy()` (empty spec) moves the ENTIRE input to one task —
+the single-partition WindowExec Spark itself warns about, and the one
+plan shape that cannot survive a 100x scale-up no matter what the data
+is. `sort_multi` (operators/sorts.py) replaced its global row_number
+with a two-pass range-partitioned rank in round 6; this module extracts
+that pattern so every op whose global-ORDER-BY frame grows with the
+data (|rows|, |users|, |docs|, |vocabulary|) shares one audited
+implementation. plans/audit.py + tools/plan_audit.py flag any remaining
+unpartitioned window registry-wide.
+
+The shape:
+
+  1. `repartitionByRange(npart, *keys)` — partition i holds strictly
+     smaller sort keys than partition i+1; each partition ~|rows|/npart.
+  2. LOCAL `row_number()` / running sums per range partition (window
+     partitioned by `spark_partition_id()` — bounded frame, no warning).
+  3. Global value = local value + the partition's count/sum prefix
+     offset: `groupBy(pid).agg(...)` (npart rows), prefix-summed by a
+     window over those npart rows, broadcast back. Grand totals ride
+     the same npart-row ledger for free.
+
+CORRECTNESS-CRITICAL: the offsets ledger and the rank/cumsum side must
+observe the SAME partition boundaries. RangePartitioner samples its
+boundaries per physical exchange, so two separately-planned exchanges
+over the same data can split boundary keys differently — the offsets
+would then be computed against one layout and applied to another
+(observed: a constant rank shift after the first boundary). Spark's
+ReuseExchange dedupes the two subtrees ONLY while they stay canonically
+identical, and ColumnPruning breaks that the moment the frame carries a
+payload column the ledger doesn't aggregate (it prunes the ledger's
+copy, the subtrees diverge, reuse silently vanishes). The helper
+therefore pins the boundary decision structurally: the range-exchanged
+spine is `localCheckpoint(eager=False)`-ed, so both consumers read one
+materialized RDD with one partitioner. Cost: one extra in-memory pass
+over the frame — the standard price of a multi-consumer exact-rank
+pipeline, amortized across every statistic the call computes.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+# Internal column names; prefixed to avoid colliding with caller schemas.
+_PID = "_grn_pid"
+
+
+def global_order_stats(
+    df: DataFrame,
+    keys: Sequence[ColumnOrName],
+    *,
+    rn: Optional[str] = None,
+    cumsum: Optional[Mapping[str, str]] = None,
+    totals: Optional[Mapping[str, str]] = None,
+    ntotal: Optional[str] = None,
+    npart: int = 32,
+) -> DataFrame:
+    """`df` + exact global order statistics under ORDER BY `keys`,
+    without a single-partition window.
+
+    rn      -> name of a 1-based global row_number column
+    cumsum  -> {src: out}: INCLUSIVE global prefix sum of `src`
+    totals  -> {src: out}: grand total of `src` on every row
+    ntotal  -> name of a grand row-count column
+
+    `keys` must be a total order for `rn`/`cumsum` to be deterministic
+    (add a unique tiebreaker as the last key, exactly as you would
+    under `ROW_NUMBER() OVER (ORDER BY ...)`). `npart` bounds the
+    per-task frame at ~|rows|/npart; the offsets side stays npart rows
+    and is broadcast regardless.
+    """
+    cumsum = dict(cumsum or {})
+    totals = dict(totals or {})
+    keys = [F.col(k) if isinstance(k, str) else k for k in keys]
+
+    # The checkpointed spine: ONE range exchange, ONE partitioner —
+    # see the module docstring for why this must not rely on
+    # ReuseExchange.
+    part = (
+        df.repartitionByRange(npart, *keys)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+
+    # npart-row ledger: per-partition row count + per-source sums.
+    srcs = sorted(set(cumsum) | set(totals))
+    ledger = part.groupBy(_PID).agg(
+        F.count("*").alias("_grn_cnt"),
+        *[F.sum(s).alias(f"_grn_sum_{s}") for s in srcs],
+    )
+    # Prefix-sum the ledger. Partition by a NON-FOLDABLE constant
+    # (`pid % 1` = 0): a foldable literal is optimized out of the
+    # partition spec, re-triggering the no-partition WindowExec warning
+    # this helper exists to remove. The frame is npart rows.
+    w_prefix = (
+        Window.partitionBy(F.col(_PID) % 1)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_ledger = Window.partitionBy(F.col(_PID) % 1)
+    off_cols = [F.col(_PID)]
+    if rn is not None or ntotal is not None:
+        off_cols.append(
+            F.coalesce(F.sum("_grn_cnt").over(w_prefix), F.lit(0)).alias("_grn_off")
+        )
+    if ntotal is not None:
+        off_cols.append(F.sum("_grn_cnt").over(w_ledger).alias(ntotal))
+    for s in srcs:
+        if s in cumsum:
+            off_cols.append(
+                F.coalesce(F.sum(f"_grn_sum_{s}").over(w_prefix), F.lit(0)).alias(
+                    f"_grn_soff_{s}"
+                )
+            )
+        if s in totals:
+            off_cols.append(F.sum(f"_grn_sum_{s}").over(w_ledger).alias(totals[s]))
+    offsets = ledger.select(*off_cols)
+
+    w_local = Window.partitionBy(_PID).orderBy(*keys)
+    w_run = w_local.rowsBetween(Window.unboundedPreceding, 0)
+    out = part
+    drop = [_PID]
+    if rn is not None:
+        out = out.withColumn("_grn_lrn", F.row_number().over(w_local))
+        drop.append("_grn_lrn")
+    for s in cumsum:
+        out = out.withColumn(f"_grn_lcs_{s}", F.sum(s).over(w_run))
+        drop.append(f"_grn_lcs_{s}")
+    out = out.join(F.broadcast(offsets), _PID)
+    if rn is not None:
+        out = out.withColumn(
+            rn, (F.col("_grn_off") + F.col("_grn_lrn")).cast("bigint")
+        )
+    if rn is not None or ntotal is not None:
+        drop.append("_grn_off")
+    for s, name in cumsum.items():
+        out = out.withColumn(name, F.col(f"_grn_soff_{s}") + F.col(f"_grn_lcs_{s}"))
+        drop.append(f"_grn_soff_{s}")
+    return out.drop(*drop)
+
+
+def global_row_number(
+    df: DataFrame,
+    keys: Sequence[ColumnOrName],
+    out: str = "rn",
+    npart: int = 32,
+) -> DataFrame:
+    """`df` + column `out` = exact 1-based global row_number under
+    ORDER BY `keys` (see :func:`global_order_stats`)."""
+    return global_order_stats(df, keys, rn=out, npart=npart)

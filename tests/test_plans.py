@@ -69,8 +69,11 @@ def test_sort_multi_has_no_single_partition_window(spark, sf_dir):
     """Global rank must come from the range-partitioned two-pass form
     (r5 verdict): every WindowExec is partitioned (the data-sized one
     by spark_partition_id, the N-row prefix sum by a non-foldable
-    constant), the offsets subtree reuses the range exchange, and the
-    rank still tiles 1..n exactly (oracle-checked separately)."""
+    constant). The range exchange itself lives inside the helper's
+    localCheckpoint'ed spine (plans/rank.py explains why reuse-by-
+    optimizer is not a correctness guarantee); the rank still tiles
+    1..n exactly (oracle-checked separately, plus the helper property
+    test in test_semantics)."""
     df = REGISTRY["sort_multi"].fn(spark, sf_dir)
     plan = physical_plan(df)
     # textual form: "Window [..], [partition spec], [order spec]" —
@@ -78,10 +81,6 @@ def test_sort_multi_has_no_single_partition_window(spark, sf_dir):
     for line in plan.splitlines():
         if "Window [" in line:
             assert ", [], [" not in line, line
-    assert has_node(df, "RangePartitioning") or "rangepartitioning" in plan.lower(), plan
-    df.collect()
-    executed = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in executed, executed
 
 
 def test_q3_uses_take_ordered(spark, sf_dir):

@@ -5047,3 +5047,43 @@ def test_speculative_acceptance_matches_python(spark, sf_dir):
         assert abs(
             r["acceptance_rate"] - round(acc / (len(toks) - 1), 6)
         ) < 1e-9
+
+
+def test_global_order_stats_exact_across_boundaries(spark):
+    """plans.rank.global_order_stats must reproduce single-stream
+    ROW_NUMBER / inclusive prefix sums / grand totals EXACTLY at a size
+    that spans many range partitions, including the regression mode
+    found in round 6: a payload column the offsets ledger does not
+    aggregate (column pruning then specialized the ledger's copy of
+    the range exchange, ReuseExchange silently vanished, and the two
+    independently-sampled RangePartitioners disagreed on boundaries —
+    a constant rank shift after the first boundary). The helper now
+    checkpoints the exchanged spine, so boundaries are decided once."""
+    from snapshot_s3_util_spark.plans.rank import global_order_stats
+
+    n = 40_000
+    df = (
+        spark.range(n)
+        .withColumn("k", (F.col("id") * 2654435761) % 1_000_003)
+        .withColumn("w", (F.col("id") % 97).cast("bigint"))
+        .withColumn("payload", F.md5(F.col("id").cast("string")))
+    )
+    got = global_order_stats(
+        df,
+        ["k", "id"],
+        rn="rn",
+        cumsum={"w": "cw"},
+        totals={"w": "tw"},
+        ntotal="nrows",
+        npart=32,
+    ).collect()
+    got.sort(key=lambda r: (r["k"], r["id"]))
+    run = 0
+    for i, r in enumerate(got, start=1):
+        run += r["w"]
+        assert r["rn"] == i, (i, r)
+        assert r["cw"] == run, (i, r)
+        assert r["nrows"] == n
+    assert got[0]["tw"] == run
+    # payload survives untouched and unduplicated
+    assert len({r["payload"] for r in got}) == n
