@@ -52,13 +52,36 @@ BENCH_QUERIES = (
     "graph_pagerank",         # extra headline: iterative graph class (round 5)
     "llm_url_dedup",          # extra headline: URL canonicalization dedup (round 5)
     "join_bloom_prefilter",   # extra headline: bloom runtime-filter join (round 5)
+    "sort_multi",             # rank-spine: range-partitioned global rank (round 7)
+    "agg_ks_test",            # rank-spine: two-pass ECDF prefix sums (round 7)
+    "agg_gini_coefficient",   # rank-spine: global rank + cumsums (round 7)
+    "llm_kmeans_iter",        # iterative heavy: broadcast-centroid Lloyd (round 7)
+    "graph_label_propagation",# iterative heavy: fixpoint label rounds (round 7)
 )
+
+
+def _calibration_sec(spark, sf_dir: str) -> float:
+    """Median wall time of a FIXED trivial query (full-scan count over
+    lineitem). The engine's code never changes this query, so its
+    round-over-round drift measures HOST conditions (shared-VM load,
+    page cache, JVM luck) — the r6 verdict's fix for cross-round bench
+    ambiguity. Reported raw and used to normalize per-query medians."""
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    df.count()  # warm-up
+    samples = []
+    for _ in range(_TIMED_RUNS):
+        t0 = time.perf_counter()
+        df.count()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
+
+    calib = _calibration_sec(spark, sf_dir)
 
     times: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
@@ -85,6 +108,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "runs": raw_runs,
+                # host-drift disambiguation (r6 verdict ask #3): raw
+                # median of the fixed lineitem count(*) + each query
+                # as a multiple of it — compare THESE across rounds.
+                "calibration_sec": round(calib, 3),
+                "queries_normalized": {
+                    q: round(t / calib, 2) for q, t in times.items()
+                },
                 "sf": sf,
             }
         )

@@ -35,15 +35,11 @@ from snapshot_s3_util_spark.registry import REGISTRY, register  # noqa: F401
 # 4. Everything else, oldest-green-round first, so stale verifications
 #    drain; registration order breaks ties (stable sort).
 _WINDOW_CHANGED_THIS_ROUND: list = [
-    # round 6 behavior changes (r5 verdict items): day-scoped symmetric
-    # diff (was vacuously empty), LSH-bucketed semdedup sweep (new
-    # thresholds + n_cand_pairs column), range-partitioned sort_multi,
-    # in-engine modularity rounding, chat-template oracle COALESCE.
-    "set_symmetric_diff",
-    "llm_semdedup_sweep",
-    "sort_multi",
-    "graph_modularity",
-    "llm_chat_template_export",
+    # round 7: no output-changing ops so far. The rank-spine cumsum
+    # NULL-coalesce (plans/rank.py, r6 ADVICE) is output-neutral for
+    # every caller (all feed non-null count columns — verified locally
+    # via tools/check.py on the spine ops), so the full 50-slot window
+    # goes to draining the 72 never-driver-verified ops (r6 verdict #2).
 ]
 
 

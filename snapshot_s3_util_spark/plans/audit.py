@@ -12,11 +12,17 @@ kill 100 TB runs regardless of data shape:
      this engine is an explicit F.broadcast() of an O(1) side (a scalar
      aggregate, a literal threshold/weight/fold table), the standard
      "attach a tiny lookup" shape
+  D  checkpoint-materialized spine(s) — informational only: each
+     distinct `Scan ExistingRDD` RDD is one localCheckpoint pass pinned
+     in memory (the plans/rank.py boundary-consistency price, or an
+     iterative op's per-round lineage cut); `checkpoint_spines()`
+     counts them so the memory-pass budget is trackable per op.
 
 W/C/S are gated: an op whose plan carries one must appear in ALLOW with
 the concrete scale bound that justifies it (|days|, |sources|, top-K —
 frames bounded by the catalog or a constant, never by data volume).
-tests/test_plans.py asserts the audit is clean over every lazy op;
+tests/test_plans.py::test_non_udf_operators_stay_jvm_side asserts the
+gated detectors are clean (or ALLOW-listed) over every lazy op;
 tools/plan_audit.py sweeps the whole registry and writes PLAN_AUDIT.md.
 """
 
@@ -30,6 +36,13 @@ import re
 # so a first argument ending in a sort direction == empty partition
 # spec. A partition-only spec (no order) renders no ASC/DESC at all.
 _UNPARTITIONED_WINDOW = re.compile(r"windowspecdefinition\([^(,]+? (?:ASC|DESC) ")
+# A window with NO partition spec AND no order (Window.partitionBy()
+# with an unbounded frame) renders its frame as the FIRST argument:
+# windowspecdefinition(specifiedwindowframe(...)). Same single-partition
+# WindowExec, different textual shape (r6 ADVICE gap).
+_UNPARTITIONED_NOORDER_WINDOW = re.compile(
+    r"windowspecdefinition\(specifiedwindowframe\("
+)
 # Formatted plans print global sorts as "Sort [keys...], true, 0" —
 # the boolean is the `global` flag.
 _GLOBAL_SORT = re.compile(r"\bSort \[[^\]]*\], true,")
@@ -38,9 +51,26 @@ _GLOBAL_SORT = re.compile(r"\bSort \[[^\]]*\], true,")
 GATED = "WCS"
 
 
+# Each materialized spine scans a checkpointed RDD; distinct RDD ids =
+# distinct in-memory passes (two consumers of ONE spine share an id).
+_SPINE_RDD = re.compile(r"\b(?:MapPartitions|Checkpoint)RDD\[(\d+)\]")
+
+
+def checkpoint_spines(plan: str) -> int:
+    """Number of DISTINCT localCheckpoint-materialized RDDs the plan
+    reads (0 for a pure-lineage plan)."""
+    ids = set()
+    for ln in plan.splitlines():
+        if "Scan ExistingRDD" in ln or "localCheckpoint" in ln:
+            ids.update(_SPINE_RDD.findall(ln))
+    return len(ids)
+
+
 def find_issues(plan: str) -> set[str]:
     codes: set[str] = set()
-    if _UNPARTITIONED_WINDOW.search(plan):
+    if _UNPARTITIONED_WINDOW.search(plan) or _UNPARTITIONED_NOORDER_WINDOW.search(
+        plan
+    ):
         codes.add("W")
     if "CartesianProduct" in plan:
         codes.add("C")
@@ -48,6 +78,8 @@ def find_issues(plan: str) -> set[str]:
         codes.add("B")
     if _GLOBAL_SORT.search(plan):
         codes.add("S")
+    if checkpoint_spines(plan):
+        codes.add("D")
     return codes
 
 
@@ -98,4 +130,35 @@ _allow(
     "W",
     "rank window runs AFTER .limit(K): its input is the K-row "
     "TakeOrderedAndProject output, K constant",
+)
+# No-partition-no-order normalizer windows (the r6 ADVICE detector gap,
+# now caught): every one runs over the RESULT of a map-side-combined
+# corpus aggregate, so the single task sees a catalog- or
+# constant-bounded handful of rows, never the data.
+_allow(
+    "agg_benford",
+    "W",
+    "the total-share window runs over the 9-row leading-digit "
+    "histogram (post-aggregate, constant-bounded)",
+)
+_allow(
+    "agg_chi2_independence",
+    "W",
+    "tot/marginal windows run over the |event_types| x |value-buckets| "
+    "contingency table — catalog-sized, post one corpus aggregate",
+)
+_allow(
+    "agg_entropy",
+    "W",
+    "the corpus-wide 'ALL' row partitions by a foldable literal "
+    "(optimized to an empty spec); its frame is the |langs|-row "
+    "marginal of the (source, lang) contingency counts",
+)
+_allow(
+    "llm_domain_mixture",
+    "W",
+    "share/weight normalizers run over the |sources|-row groupBy "
+    "result — bounded by the catalog, not data volume (the op's "
+    "docstring explains why window-over-aggregate beats agg+crossJoin "
+    "here: ReuseExchange survives, the corpus is scanned once)",
 )

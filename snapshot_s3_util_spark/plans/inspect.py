@@ -39,21 +39,22 @@ def read_schema(df: DataFrame) -> str:
     )
 
 
+#: Physical-plan node names that mean "rows leave the JVM for Python".
+PY_MARKERS = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "AggregateInPandas",
+)
+
+
 def uses_python(df: DataFrame) -> bool:
     """True if any Python evaluation appears (Batch/ArrowEvalPython,
     FlatMapGroupsInPandas, MapInPandas...). Non-UDF operators must keep
     this False — Python in the hot path is the #1 scale killer."""
     plan = physical_plan(df)
-    return any(
-        marker in plan
-        for marker in (
-            "BatchEvalPython",
-            "ArrowEvalPython",
-            "FlatMapGroupsInPandas",
-            "MapInPandas",
-            "AggregateInPandas",
-        )
-    )
+    return any(marker in plan for marker in PY_MARKERS)
 
 
 def shuffle_count(df: DataFrame) -> int:

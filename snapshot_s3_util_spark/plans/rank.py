@@ -69,6 +69,13 @@ def global_order_stats(
     totals  -> {src: out}: grand total of `src` on every row
     ntotal  -> name of a grand row-count column
 
+    NULL handling for `cumsum`: NULL source rows contribute 0 and the
+    running sum starts at 0 — i.e. a leading all-NULL prefix yields 0,
+    where `SUM(src) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` would
+    yield NULL until the first non-NULL value. Every current caller
+    feeds non-null counts, where the two semantics coincide; pre-filter
+    or pre-coalesce the source if you need the SQL NULL-prefix shape.
+
     `keys` must be a total order for `rn`/`cumsum` to be deterministic
     (add a unique tiebreaker as the last key, exactly as you would
     under `ROW_NUMBER() OVER (ORDER BY ...)`). `npart` bounds the
@@ -140,7 +147,12 @@ def global_order_stats(
     if rn is not None or ntotal is not None:
         drop.append("_grn_off")
     for s, name in cumsum.items():
-        out = out.withColumn(name, F.col(f"_grn_soff_{s}") + F.col(f"_grn_lcs_{s}"))
+        # coalesce: a partition whose leading rows are NULL would
+        # otherwise poison soff + NULL -> NULL (see NULL handling above)
+        out = out.withColumn(
+            name,
+            F.col(f"_grn_soff_{s}") + F.coalesce(F.col(f"_grn_lcs_{s}"), F.lit(0)),
+        )
         drop.append(f"_grn_soff_{s}")
     return out.drop(*drop)
 

@@ -13,6 +13,7 @@ import pytest
 
 from snapshot_s3_util_spark import REGISTRY
 from snapshot_s3_util_spark.plans.inspect import (
+    PY_MARKERS,
     has_node,
     physical_plan,
     pushed_filters,
@@ -116,10 +117,19 @@ def _jvm_side_ops():
 
 @pytest.mark.parametrize("name", _jvm_side_ops())
 def test_non_udf_operators_stay_jvm_side(name, spark, sf_dir):
-    """No Python evaluation node may appear in ANY non-UDF operator —
-    the whole-stage-codegen / vectorized path is the scale contract.
-    Covers every lazy op outside the deliberate Python categories."""
-    assert not uses_python(REGISTRY[name].fn(spark, sf_dir))
+    """Two registry-wide scale gates over every lazy op, one plan build:
+    (1) no Python evaluation node may appear in a non-UDF operator —
+    the whole-stage-codegen / vectorized path is the scale contract;
+    (2) the plans.audit W/C/S detectors must come back clean or
+    ALLOW-listed with a documented scale bound (r6 ADVICE: this gate
+    used to exist only in tools/plan_audit.py, now it IS CI)."""
+    from snapshot_s3_util_spark.plans.audit import ALLOW, GATED, find_issues
+
+    df = REGISTRY[name].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert not any(m in plan for m in PY_MARKERS), plan
+    bad = (find_issues(plan) & set(GATED)) - set(ALLOW.get(name, ("", ""))[0])
+    assert not bad, f"unexplained gated plan codes {sorted(bad)}:\n{plan}"
 
 
 @pytest.mark.parametrize(
@@ -1228,11 +1238,28 @@ def test_webdataset_arrow_stages(spark, sf_dir):
 
 
 def test_ks_test_aggregates_before_ecdf_window(spark, sf_dir):
+    """Since the round-6 move onto `plans.rank.global_order_stats`, the
+    ECDF cumulatives ride the checkpointed range-partitioned spine: the
+    corpus is collapsed to |distinct v| rows BELOW the checkpoint (the
+    visible `Scan ExistingRDD` already emits the aggregated (v, na, nb)
+    schema, not raw events), and every remaining window is partitioned
+    — the data-sized one by `_grn_pid`, the npart-row ledger by the
+    non-foldable `pid % 1`. Mirrors
+    test_sort_multi_has_no_single_partition_window."""
     import re
 
     df = REGISTRY["agg_ks_test"].fn(spark, sf_dir)
     plan = physical_plan(df)
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    # the parquet scan + groupBy ran below the checkpoint; the visible
+    # leaves are the materialized spine, already aggregated to counts
+    assert "Scan parquet" not in plan, plan
+    spine = re.findall(r"\(\d+\) Scan ExistingRDD\n(?:Output.*\n)?", plan)
+    assert spine, plan
+    assert "na#" in plan and "nb#" in plan, plan
+    # no single-partition window anywhere in the spine
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert ", [], [" not in line, line
     assert not uses_python(df)
 
 
@@ -1312,3 +1339,61 @@ def test_peak_detect_aggregates_before_window(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert shuffle_count(df) <= 2, plan
     assert not uses_python(df)
+
+
+def test_audit_detectors_on_canonical_plan_fragments():
+    """Pure-string checks of the plans.audit detectors against the
+    exact textual shapes Spark 4 prints — including the r6 ADVICE gap:
+    a Window.partitionBy() with an unbounded frame renders its frame as
+    the FIRST windowspecdefinition argument (no ASC/DESC anywhere), and
+    must still flag W."""
+    from snapshot_s3_util_spark.plans.audit import checkpoint_spines, find_issues
+
+    # empty partition spec, ORDER BY present (classic W)
+    w_ordered = (
+        "Arguments: [sum(x#1L) windowspecdefinition(v#8L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))]"
+    )
+    assert "W" in find_issues(w_ordered)
+    # empty partition spec AND no order (the detector gap)
+    w_noorder = (
+        "Arguments: [sum(x#1L) windowspecdefinition(specifiedwindowframe("
+        "RowFrame, unboundedpreceding$(), unboundedfollowing$())) AS t#2L]"
+    )
+    assert "W" in find_issues(w_noorder)
+    # partitioned window (with or without order) must NOT flag
+    w_part = (
+        "Arguments: [sum(x#1L) windowspecdefinition(_grn_pid#19, v#8L ASC "
+        "NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$()))]"
+    )
+    w_part_noorder = (
+        "Arguments: [sum(x#1L) windowspecdefinition(_w1#51, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$()))]"
+    )
+    assert "W" not in find_issues(w_part)
+    assert "W" not in find_issues(w_part_noorder)
+
+    # global sort flags S; local (false) sort does not
+    assert "S" in find_issues("Sort [a#1L ASC NULLS FIRST], true, 0")
+    assert "S" not in find_issues("Sort [a#1L ASC NULLS FIRST], false, 0")
+
+    # spine counting: two scans of ONE checkpointed RDD = one pass
+    spine = (
+        "(1) Scan ExistingRDD\n"
+        "Arguments: [v#8L], MapPartitionsRDD[14] at localCheckpoint, "
+        "ExistingRDD, UnknownPartitioning(0)\n"
+        "(6) Scan ExistingRDD\n"
+        "Arguments: [v#58L], MapPartitionsRDD[14] at localCheckpoint, "
+        "ExistingRDD, UnknownPartitioning(0)\n"
+    )
+    assert checkpoint_spines(spine) == 1
+    assert "D" in find_issues(spine)
+    two = spine + (
+        "(9) Scan ExistingRDD\n"
+        "Arguments: [y#9L], MapPartitionsRDD[77] at localCheckpoint, "
+        "ExistingRDD, UnknownPartitioning(0)\n"
+    )
+    assert checkpoint_spines(two) == 2
+    assert checkpoint_spines("HashAggregate nothing here") == 0

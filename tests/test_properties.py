@@ -7,7 +7,7 @@ additive bag unions, semi/anti partitioning, sessionization bounds.
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -516,3 +516,67 @@ def test_bloom_model_no_false_negatives(keys):
         bits.update(positions(k))
     for k in keys:
         assert all(p in bits for p in positions(k))
+
+
+@given(
+    keys=st.lists(
+        # heavy skew on purpose: most mass on one key, plus outliers
+        st.sampled_from([1, 1, 1, 1, 2, 3, 7, 99]),
+        min_size=1,
+        max_size=60,
+    ),
+    npart=st.sampled_from([1, 3, 32]),
+)
+@example(keys=[5] * 40, npart=32)   # all-equal keys
+@example(keys=[1, 2], npart=32)     # |distinct| < npart (empty ranges)
+@settings(**_SETTINGS)
+def test_global_order_stats_matches_python_model(spark, keys, npart):
+    """plans/rank.py boundary pinning (r6 verdict #6): whatever layout
+    RangePartitioner samples — skewed keys, all-equal keys, fewer
+    distinct keys than partitions — the checkpointed-spine offsets must
+    observe the SAME boundaries as the rank/cumsum side, so the global
+    row_number is a permutation of 1..n in (key, uid) order, the
+    inclusive cumsum equals the Python running sum, and totals/ntotal
+    are exact on every row."""
+    from snapshot_s3_util_spark.plans.rank import global_order_stats
+
+    rows = [(i, k, (k * 7 + i) % 11) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "uid int, k int, x int")
+    out = global_order_stats(
+        df.repartition(4),
+        ["k", "uid"],
+        rn="rn",
+        cumsum={"x": "cx"},
+        totals={"x": "tx"},
+        ntotal="n",
+        npart=npart,
+    ).collect()
+
+    n = len(rows)
+    assert len(out) == n
+    got = {r["uid"]: r for r in out}
+    assert sorted(r["rn"] for r in out) == list(range(1, n + 1))
+    running, total = 0, sum(r[2] for r in rows)
+    for pos, (uid, k, x) in enumerate(
+        sorted(rows, key=lambda r: (r[1], r[0])), start=1
+    ):
+        r = got[uid]
+        assert (r["rn"], r["cx"], r["tx"], r["n"]) == (pos, running + x, total, n)
+        running += x
+
+
+def test_global_order_stats_null_cumsum_contributes_zero(spark):
+    """Documented NULL contract (r6 ADVICE): NULL cumsum sources add 0
+    and a leading all-NULL prefix yields 0, never NULL — the offset
+    must not be poisoned by a partition whose head rows are NULL."""
+    from snapshot_s3_util_spark.plans.rank import global_order_stats
+
+    rows = [(1, None), (2, None), (3, 10), (4, None), (5, 5)]
+    df = spark.createDataFrame(rows, "uid int, x int")
+    out = {
+        r["uid"]: r["cx"]
+        for r in global_order_stats(
+            df, ["uid"], cumsum={"x": "cx"}, npart=3
+        ).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 10, 4: 10, 5: 15}
