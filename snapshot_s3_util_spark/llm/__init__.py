@@ -7,3 +7,4 @@ import snapshot_s3_util_spark.llm.multimodal  # noqa: F401
 import snapshot_s3_util_spark.llm.clustering  # noqa: F401
 import snapshot_s3_util_spark.llm.pipeline  # noqa: F401
 import snapshot_s3_util_spark.llm.mixture  # noqa: F401
+import snapshot_s3_util_spark.llm.tokenizer  # noqa: F401

@@ -224,6 +224,90 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_AUDIT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         doc_id % {_PACK_SHARDS} AS shard,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT shard, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                     - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS window_id
+  FROM toks
+),
+wins AS (
+  SELECT shard, window_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS win_tokens
+  FROM packed GROUP BY shard, window_id
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(win_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(SUM(win_tokens) / ({_PACK_BUDGET}.0 * COUNT(*)), 6)
+         AS utilization,
+       CAST(SUM(CASE WHEN win_tokens > {_PACK_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overflow_windows
+FROM wins GROUP BY shard
+"""
+
+
+@register("llm_pack_efficiency_audit", oracle=_PACK_AUDIT_ORACLE, category="llm")
+def llm_pack_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit of `llm_pack_sequences`' assignment:
+    per shard, how full the {_PACK_BUDGET}-token context windows
+    actually are (utilization = packed tokens / window capacity) and
+    how many windows overflow the budget (docs straddling a boundary
+    under the padding-free convention). The report a training pipeline
+    watches to tune window budget and shard count — low utilization is
+    wasted compute per step, high overflow is truncation pressure.
+
+    Plan: identical shard-local cumsum spine as `llm_pack_sequences`
+    (partitioned window, no global order), then two map-side-combined
+    aggregates that collapse to |shards| x |windows| and |shards| rows
+    — the audit costs one corpus pass regardless of scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wins = (
+        toks.withColumn(
+            "window_id",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET
+            ).cast("bigint"),
+        )
+        .groupBy("shard", "window_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").alias("win_tokens"),
+        )
+    )
+    return wins.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("win_tokens").cast("bigint").alias("sum_tokens"),
+        F.round(
+            F.sum("win_tokens") / (float(_PACK_BUDGET) * F.count(F.lit(1))), 6
+        ).alias("utilization"),
+        F.sum((F.col("win_tokens") > _PACK_BUDGET).cast("int"))
+        .cast("bigint")
+        .alias("n_overflow_windows"),
+    )
+
+
 # ------------------------------------------------ fused export pipeline
 
 _EXPORT_ORACLE = f"""

@@ -1912,3 +1912,110 @@ def llm_speculative_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(acc.cast("int")).cast("double") / F.count(F.lit(1)), 6
         ).alias("acceptance_rate"),
     )
+
+
+# ------------------------------------------------ ROUGE-style eval
+
+_ROUGE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, CAST(doc_id // 2 AS BIGINT) AS pk,
+         string_split(text, ' ') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, pk,
+         LIST_DISTINCT(ws) AS u1,
+         LIST_DISTINCT([ws[i] || ' ' || ws[i+1] FOR i IN RANGE(1, LEN(ws))])
+           AS u2
+  FROM t
+),
+p AS (
+  SELECT c.doc_id AS doc_id, r.doc_id AS ref_id,
+         CAST(LEN(list_filter(c.u1, x -> list_contains(r.u1, x))) AS BIGINT)
+           AS ov1,
+         CAST(LEN(c.u1) AS BIGINT) AS nc1, CAST(LEN(r.u1) AS BIGINT) AS nr1,
+         CAST(LEN(list_filter(c.u2, x -> list_contains(r.u2, x))) AS BIGINT)
+           AS ov2,
+         CAST(LEN(c.u2) AS BIGINT) AS nc2, CAST(LEN(r.u2) AS BIGINT) AS nr2
+  FROM g c JOIN g r ON c.pk = r.pk
+  WHERE c.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+)
+SELECT doc_id, ref_id,
+       ov1 AS n_ov1,
+       ROUND(CASE WHEN ov1 = 0 THEN 0.0
+                  ELSE 2.0 * (ov1 / CAST(nc1 AS DOUBLE)) * (ov1 / nr1)
+                       / (ov1 / CAST(nc1 AS DOUBLE) + ov1 / nr1) END, 6)
+         AS rouge1_f1,
+       ov2 AS n_ov2,
+       ROUND(CASE WHEN ov2 = 0 THEN 0.0
+                  ELSE 2.0 * (ov2 / CAST(nc2 AS DOUBLE)) * (ov2 / nr2)
+                       / (ov2 / CAST(nc2 AS DOUBLE) + ov2 / nr2) END, 6)
+         AS rouge2_f1
+FROM p
+"""
+
+
+@register("llm_rouge_n_eval", oracle=_ROUGE_ORACLE, category="llm")
+def llm_rouge_n_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 / ROUGE-2 F1 between deterministically paired documents
+    (odd doc_id = candidate, the preceding even doc_id = reference) —
+    the n-gram-overlap eval every summarization/generation harness
+    reduces to, here on distinct n-grams (set-ROUGE), computed fully
+    in-engine so eval rides the same pipeline as training exports.
+
+    Pairing is a pure key function (pair_key = doc_id // 2), NOT an
+    ordered window: a lag-over-global-order pairing would serialize
+    each partition's sort at 100 TB, while the equi self-join hash
+    partitions by pair key and scales like any join. N-gram sets are
+    doc-local array ops (split / zip_with / array_distinct); the one
+    shuffle is the pair join.
+    """
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.floor(F.col("doc_id") / 2).cast("bigint").alias("pk"),
+        F.split("text", " ").alias("ws"),
+    )
+    nn = F.size("ws")
+    bi = F.zip_with(
+        F.slice("ws", 1, nn - 1),
+        F.slice("ws", 2, nn - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    g = t.select(
+        "doc_id",
+        "pk",
+        F.array_distinct("ws").alias("u1"),
+        F.array_distinct(bi).alias("u2"),
+    )
+    c = g.filter(F.col("doc_id") % 2 == 1)
+    r = (
+        g.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            F.col("doc_id").alias("ref_id"),
+            F.col("pk").alias("rpk"),
+            F.col("u1").alias("r1"),
+            F.col("u2").alias("r2"),
+        )
+    )
+    j = c.join(r, c.pk == r.rpk)
+
+    def f1(ov, nc, nr):
+        p, rr = ov / nc.cast("double"), ov / nr.cast("double")
+        return F.round(
+            F.when(ov == 0, 0.0).otherwise(2.0 * p * rr / (p + rr)), 6
+        )
+
+    ov1 = F.size(F.array_intersect("u1", "r1")).cast("bigint")
+    ov2 = F.size(F.array_intersect("u2", "r2")).cast("bigint")
+    return j.select(
+        "doc_id",
+        "ref_id",
+        ov1.alias("n_ov1"),
+        f1(ov1, F.size("u1").cast("bigint"), F.size("r1").cast("bigint")).alias(
+            "rouge1_f1"
+        ),
+        ov2.alias("n_ov2"),
+        f1(ov2, F.size("u2").cast("bigint"), F.size("r2").cast("bigint")).alias(
+            "rouge2_f1"
+        ),
+    )

@@ -1397,3 +1397,45 @@ def test_audit_detectors_on_canonical_plan_fragments():
     )
     assert checkpoint_spines(two) == 2
     assert checkpoint_spines("HashAggregate nothing here") == 0
+
+
+def test_bpe_merge_step_topk_and_jvm(spark, sf_dir):
+    """The BPE pair statistic must end in TakeOrderedAndProject (never
+    a global sort over the pair table) and stay fully JVM-side; budget:
+    word-vocab aggregate + pair aggregate = 2 exchanges."""
+    df = REGISTRY["llm_bpe_merge_step"].fn(spark, sf_dir)
+    assert has_node(df, "TakeOrderedAndProject"), physical_plan(df)
+    assert shuffle_count(df) <= 2, physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_rouge_pairing_is_equi_join_not_window(spark, sf_dir):
+    """Doc pairing must be the pair-key equi join — an ordered-lag
+    pairing would serialize per-partition sorts at scale. No cartesian,
+    no Python, no unpartitioned window."""
+    df = REGISTRY["llm_rouge_n_eval"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Window" not in plan, plan
+    assert not uses_python(df)
+
+
+def test_pack_efficiency_single_shard_exchange(spark, sf_dir):
+    """The audit's cumsum window and BOTH roll-up aggregates must ride
+    ONE shard exchange (hash(shard) co-locates (shard, window_id))."""
+    df = REGISTRY["llm_pack_efficiency_audit"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
+    assert not uses_python(df)
+
+
+def test_unicode_normalize_arrow_and_pruned(spark, sf_dir):
+    """NFC kernel must be the Arrow-batched pandas UDF (one
+    ArrowEvalPython stage), with the scan pruned to doc_id + text and
+    zero shuffles."""
+    df = REGISTRY["llm_unicode_normalize"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert shuffle_count(df) == 0, plan
+    rs = read_schema(df)
+    assert "text" in rs and "lang" not in rs and "n_chars" not in rs, rs
