@@ -132,7 +132,10 @@ def llm_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(StringType())
     def nfc(col: pd.Series) -> pd.Series:
-        return col.map(lambda s: unicodedata.normalize("NFC", s))
+        # NULL rows pass through (DuckDB's nfc_normalize(NULL) is NULL)
+        return col.map(
+            lambda s: None if s is None else unicodedata.normalize("NFC", s)
+        )
 
     d = load_table(spark, sf_dir, "documents")
     raw = F.concat(F.lit(_NFC_PREFIX_SPARK), F.substring("text", 1, _NFC_WIDTH))
