@@ -34,8 +34,8 @@ def _pagerank_oracle() -> str:
     """Unroll the damped power iteration as chained CTEs (exact —
     every engine computes the identical fixed iteration count)."""
     sql = f"""
-WITH edges AS ({_EDGES_SQL}),
-norm AS (
+WITH edges AS MATERIALIZED ({_EDGES_SQL}),
+norm AS MATERIALIZED (
   SELECT src, dst,
          CAST(w AS DOUBLE) / SUM(w) OVER (PARTITION BY src) AS p
   FROM edges
@@ -236,17 +236,17 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # edges pass there), so small-SF outputs are BIT-IDENTICAL to the
 # pre-floor definition — only the converged regimes gain edges.
 _STRONG_TOPK = 36
-_STRONG_UND_CTES = f"""edges AS ({_EDGES_SQL}),
-stats AS (
+_STRONG_UND_CTES = f"""edges AS MATERIALIZED ({_EDGES_SQL}),
+stats AS MATERIALIZED (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_e, CAST(SUM(w) AS BIGINT) AS tot
   FROM edges WHERE src <> dst
 ),
-ranked AS (
+ranked AS MATERIALIZED (
   SELECT src, dst, w,
          ROW_NUMBER() OVER (ORDER BY w DESC, src, dst) AS wr
   FROM edges WHERE src <> dst
 ),
-und AS (
+und AS MATERIALIZED (
   SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
   FROM ranked, stats
   WHERE 2 * w * n_e >= 3 * tot OR wr <= {_STRONG_TOPK}
@@ -411,12 +411,12 @@ _UND_EDGES_SQL = f"""
 
 def _bfs_oracle() -> str:
     sql = f"""
-WITH sym AS ({_UND_EDGES_SQL}),
+WITH sym AS MATERIALIZED ({_UND_EDGES_SQL}),
 h0 AS (SELECT {_BFS_SRC} AS node, 0 AS hops)"""
     prev = "h0"
     for i in range(1, _BFS_ROUNDS + 1):
         sql += f""",
-h{i} AS (
+h{i} AS MATERIALIZED (
   SELECT node, MIN(hops) AS hops FROM (
     SELECT node, hops FROM {prev}
     UNION ALL
@@ -567,15 +567,15 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LINKPRED_ORACLE = f"""
 WITH {_STRONG_UND_CTES},
-adj AS (
+adj AS MATERIALIZED (
   SELECT a AS node, b AS nbr FROM und
   UNION ALL
   SELECT b AS node, a AS nbr FROM und
 ),
-deg AS (
+deg AS MATERIALIZED (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT x.node AS u, y.node AS v, CAST(COUNT(*) AS BIGINT) AS common
   FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
   GROUP BY x.node, y.node
@@ -651,12 +651,12 @@ _LPA_ROUNDS = 2
 def _lpa_oracle() -> str:
     ctes = [
         f"WITH {_STRONG_UND_CTES}",
-        """adj AS (
+        """adj AS MATERIALIZED (
   SELECT a AS node, b AS nbr FROM und
   UNION ALL
   SELECT b AS node, a AS nbr FROM und
 )""",
-        "l0 AS (SELECT DISTINCT node, node AS label FROM adj)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM adj)",
     ]
     for k in range(1, _LPA_ROUNDS + 1):
         ctes.append(
