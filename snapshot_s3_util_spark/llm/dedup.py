@@ -1600,3 +1600,249 @@ def llm_dedup_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("by_exact", "by_prefix").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+# --- cross-document duplicated-substring spans ----------------------
+# Suffix-array-style substring dedup (the Lee et al. 2022 "deduplicating
+# training data" primitive), approximated scalably as k-gram diagonal
+# runs: two documents share a t-token substring iff they share
+# t - K + 1 consecutive K-grams on one (pos_a - pos_b) diagonal.
+_SPAN_K = 8          # tokens per gram
+_SPAN_MAXOCC = 8     # frequency cap: grams occurring more often are
+                     # boilerplate and are dropped before the pair join
+_SPAN_MIN = 12       # minimum reported span length (tokens)
+
+_SUBSTR_SPAN_CTES = f"""toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, i AS pos,
+         MD5(array_to_string(t[i : i + {_SPAN_K} - 1], ' ')) AS h
+  FROM toks, UNNEST(range(1, len(t) - {_SPAN_K} + 2)) AS u(i)
+  WHERE len(t) >= {_SPAN_K}
+),
+capped AS MATERIALIZED (
+  SELECT doc_id, pos, h FROM (
+    SELECT g.*, COUNT(*) OVER (PARTITION BY h) AS occ FROM grams g
+  ) WHERE occ <= {_SPAN_MAXOCC}
+),
+m AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pos_a, a.pos - b.pos AS diag
+  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc_a, doc_b, diag, pos_a,
+         pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                    ORDER BY pos_a) AS grp
+  FROM m
+),
+spans AS (
+  SELECT doc_a, doc_b,
+         CAST(MIN(pos_a) AS BIGINT) AS start_a,
+         CAST(MIN(pos_a) - diag AS BIGINT) AS start_b,
+         CAST(COUNT(*) + {_SPAN_K} - 1 AS BIGINT) AS span_tokens
+  FROM isl GROUP BY doc_a, doc_b, diag, grp
+  HAVING COUNT(*) + {_SPAN_K} - 1 >= {_SPAN_MIN}
+)"""
+
+_SUBSTR_SPAN_ORACLE = f"""
+WITH {_SUBSTR_SPAN_CTES}
+SELECT s.doc_a, s.doc_b, s.start_a, s.start_b, s.span_tokens,
+       MD5(array_to_string(t.t[s.start_a : s.start_a + s.span_tokens - 1],
+                           ' ')) AS span_md5
+FROM spans s JOIN toks t ON t.doc_id = s.doc_a
+"""
+
+
+def _substring_spans(spark: SparkSession, sf_dir: str):
+    """Shared builder for the k-gram diagonal-run span frame: returns
+    (tokenized docs, spans) where spans = (doc_a, doc_b, start_a,
+    start_b, span_tokens) for every shared verbatim passage of
+    >= _SPAN_MIN tokens.  See `llm_dedup_substring_spans` for the
+    algorithm and the 100 TB bound."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    grams = d.filter(F.size("t") >= _SPAN_K).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_SPAN_K} + 1),"
+                f" i -> struct(i AS pos,"
+                f" md5(array_join(slice(t, i, {_SPAN_K}), ' ')) AS h))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    capped = (
+        grams.withColumn("occ", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("occ") <= _SPAN_MAXOCC)
+        .drop("occ")
+    )
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "h"
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "h"
+    )
+    m = a.join(b, ["h"]).filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    )
+    wi = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = m.withColumn("grp", F.col("pos_a") - F.row_number().over(wi))
+    spans = (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").cast("bigint").alias("start_a"),
+            (F.count(F.lit(1)) + _SPAN_K - 1).cast("bigint").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= _SPAN_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            "start_a",
+            (F.col("start_a") - F.col("diag")).cast("bigint").alias("start_b"),
+            "span_tokens",
+        )
+    )
+    return d, spans
+
+
+@register("llm_dedup_substring_spans", oracle=_SUBSTR_SPAN_ORACLE,
+          category="llm")
+def llm_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SUBSTRING detection — the
+    suffix-array dedup primitive (find every >= {_SPAN_MIN}-token
+    passage shared verbatim between two documents), re-expressed as
+    k-gram diagonal-run islands so it distributes: emit every
+    {_SPAN_K}-token gram as (md5, doc, pos), drop grams occurring more
+    than {_SPAN_MAXOCC} times corpus-wide (boilerplate cap — exactly
+    the stop-gram trick production substring dedup uses), equi-join
+    occurrences on the gram hash, then collapse matches that are
+    consecutive along one (pos_a - pos_b) diagonal into maximal spans
+    with the classic gaps-and-islands rank difference.  A shared
+    t-token passage appears as t - K + 1 consecutive diagonal hits, so
+    span_tokens = run + K - 1 recovers the true passage length; the
+    span text's md5 (re-sliced from doc_a) certifies the match is
+    textual, not a hash accident.
+
+    Plan: grams are a narrow generator (no shuffle); the frequency cap
+    and the pair join share one hash-partitioning on the gram md5
+    (window count + equi-join both key on h); the island window
+    partitions by (doc_a, doc_b, diag) — match-sized, never
+    corpus-sized.  At 100 TB the frequency cap is the load-bearing
+    bound: per-gram join fanout is <= cap^2 rows, so |matches| <=
+    cap * |grams| regardless of how pathological the duplicate
+    distribution gets — no all-pairs blowup, same discipline as the
+    LSH band buckets above.
+    """
+    d, spans = _substring_spans(spark, sf_dir)
+    return spans.join(d.withColumnRenamed("doc_id", "doc_a"), "doc_a").select(
+        "doc_a",
+        "doc_b",
+        "start_a",
+        "start_b",
+        "span_tokens",
+        F.md5(
+            F.array_join(
+                F.expr("slice(t, cast(start_a AS int), cast(span_tokens AS int))"),
+                " ",
+            )
+        ).alias("span_md5"),
+    )
+
+
+# --- train/val/test leakage audit -----------------------------------
+# Composes the substring-span detector with the md5 split assignment
+# (llm_split_assign's exact rule): a verbatim passage shared across
+# the split boundary IS evaluation leakage.
+_LEAK_SPLIT_SQL = """
+  SELECT doc_id,
+         CASE WHEN b < 90 THEN 'train'
+              WHEN b < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS b
+        FROM documents)
+"""
+
+_LEAKAGE_ORACLE = f"""
+WITH {_SUBSTR_SPAN_CTES},
+splits AS MATERIALIZED ({_LEAK_SPLIT_SQL}),
+pairs AS (
+  SELECT LEAST(sa.split, sb.split) AS split_lo,
+         GREATEST(sa.split, sb.split) AS split_hi,
+         sa.split <> sb.split AS crosses_boundary,
+         s.span_tokens
+  FROM spans s
+  JOIN splits sa ON sa.doc_id = s.doc_a
+  JOIN splits sb ON sb.doc_id = s.doc_b
+)
+SELECT split_lo, split_hi, crosses_boundary,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(span_tokens) AS BIGINT) AS leaked_tokens,
+       CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens
+FROM pairs
+GROUP BY split_lo, split_hi, crosses_boundary
+"""
+
+
+@register("llm_split_leakage_audit", oracle=_LEAKAGE_ORACLE, category="llm")
+def llm_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test LEAKAGE audit — the check every eval pipeline
+    needs before trusting held-out numbers: find verbatim passages
+    (>= {_SPAN_MIN} tokens, via the k-gram diagonal-run spans of
+    `llm_dedup_substring_spans`) shared between documents assigned to
+    DIFFERENT splits by the md5 hash rule of `llm_split_assign`, and
+    aggregate the damage per split pair: span count, total leaked
+    tokens, worst single span.  Same-split duplication is reported too
+    (crosses_boundary = false) — it's a dedup problem, not a leakage
+    problem, and the contrast between the two rows is the audit's
+    point.
+
+    Plan: the span frame's cost dominates and is bounded by the gram
+    frequency cap (see `llm_dedup_substring_spans`); the split frame
+    is a map-side expression over doc_id (no data movement), both
+    split joins key on doc ids, and the final aggregate is a handful
+    of (split_lo, split_hi) groups.  At 100 TB this audit costs the
+    same as the substring dedup it reuses — leakage detection is free
+    once you're already doing span dedup, which is exactly why it
+    belongs in the same engine.
+    """
+    _, spans = _substring_spans(spark, sf_dir)
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    splits = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    pairs = (
+        spans.join(
+            splits.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+            (F.col("sa") != F.col("sb")).alias("crosses_boundary"),
+            "span_tokens",
+        )
+    )
+    return pairs.groupBy("split_lo", "split_hi", "crosses_boundary").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("span_tokens").cast("bigint").alias("leaked_tokens"),
+        F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
+    )

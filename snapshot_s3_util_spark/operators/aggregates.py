@@ -2509,3 +2509,127 @@ def agg_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r - 1.959964 * F.sqrt(var_r), 6).alias("ci_lo"),
         F.round(r + 1.959964 * F.sqrt(var_r), 6).alias("ci_hi"),
     )
+
+
+# --- Cramér's V (bias-corrected) ------------------------------------
+_CRAMERS_V_ORACLE = """
+WITH pairs AS (
+  SELECT 'returnflag_x_linestatus' AS pair, l_returnflag AS a,
+         l_linestatus AS b
+  FROM lineitem
+  UNION ALL
+  SELECT 'returnflag_x_noisy_echo' AS pair, l_returnflag AS a,
+         CASE WHEN l_linenumber % 4 = 0 THEN l_linestatus
+              ELSE l_returnflag END AS b
+  FROM lineitem
+),
+obs AS (
+  SELECT pair, a, b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs GROUP BY 1, 2, 3
+),
+marg AS (
+  SELECT pair, a, b, n,
+         SUM(n) OVER (PARTITION BY pair, a) AS row_tot,
+         SUM(n) OVER (PARTITION BY pair, b) AS col_tot,
+         SUM(n) OVER (PARTITION BY pair) AS tot
+  FROM obs
+),
+chi AS (
+  SELECT pair,
+         CAST(MAX(tot) AS DOUBLE) AS n,
+         CAST(COUNT(DISTINCT a) AS DOUBLE) AS r,
+         CAST(COUNT(DISTINCT b) AS DOUBLE) AS c,
+         SUM(POWER(n - CAST(row_tot AS DOUBLE) * col_tot / tot, 2)
+             / (CAST(row_tot AS DOUBLE) * col_tot / tot)) AS chi2
+  FROM marg GROUP BY pair
+)
+SELECT pair,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(r AS BIGINT) AS n_levels_a,
+       CAST(c AS BIGINT) AS n_levels_b,
+       ROUND(chi2, 4) AS chi2,
+       ROUND(SQRT(chi2 / (n * LEAST(r - 1, c - 1))), 6) AS cramers_v,
+       ROUND(SQRT(
+         GREATEST(0, chi2 / n - (r - 1) * (c - 1) / (n - 1))
+         / LEAST(r - (r - 1) * (r - 1) / (n - 1) - 1,
+                 c - (c - 1) * (c - 1) / (n - 1) - 1) ), 6)
+         AS cramers_v_corrected
+FROM chi
+"""
+
+
+@register("agg_cramers_v", oracle=_CRAMERS_V_ORACLE, category="aggregate")
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size — plain and Bergsma/Wicher
+    bias-corrected — over two contingency pairs at once: the REAL
+    l_returnflag × l_linestatus association (independent in this
+    corpus: plain V still reads a spurious nonzero, the corrected
+    estimator clamps it to 0 — exactly the inflation the correction
+    exists to remove) and a PLANTED noisy-echo pair (b copies
+    returnflag except on every 4th linenumber) whose dependence is
+    structural, so the corrected branch (phi² above its independence
+    expectation) is exercised non-vacuously and stays oracle-checked.
+    At 100 TB *everything* passes a chi² significance test; only
+    effect sizes can rank candidate features, and only the corrected
+    form doesn't inflate with sparse cells.
+
+    Plan: both pairs derive map-side from ONE scan of the fact table
+    (the union is two projections of the same columnar read);
+    contingency counts are a single map-side-combined aggregate to an
+    r×c-sized frame per pair, marginals are windows on that tiny
+    frame, and the V algebra collapses to one row per pair.  Shuffle
+    = |pairs| × r × c rows — scan-dominated at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p1 = li.select(
+        F.lit("returnflag_x_linestatus").alias("pair"),
+        F.col("l_returnflag").alias("a"),
+        F.col("l_linestatus").alias("b"),
+    )
+    p2 = li.select(
+        F.lit("returnflag_x_noisy_echo").alias("pair"),
+        F.col("l_returnflag").alias("a"),
+        F.when(F.col("l_linenumber") % 4 == 0, F.col("l_linestatus"))
+        .otherwise(F.col("l_returnflag"))
+        .alias("b"),
+    )
+    obs = (
+        p1.unionByName(p2)
+        .groupBy("pair", "a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    marg = (
+        obs.withColumn(
+            "row_tot", F.sum("n").over(Window.partitionBy("pair", "a"))
+        )
+        .withColumn(
+            "col_tot", F.sum("n").over(Window.partitionBy("pair", "b"))
+        )
+        .withColumn("tot", F.sum("n").over(Window.partitionBy("pair")))
+    )
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("tot")
+    chi = marg.groupBy("pair").agg(
+        F.max("tot").cast("double").alias("n"),
+        F.countDistinct("a").cast("double").alias("r"),
+        F.countDistinct("b").cast("double").alias("c"),
+        F.sum(F.pow(F.col("n") - e, 2) / e).alias("chi2"),
+    )
+    n, r, c = F.col("n"), F.col("r"), F.col("c")
+    phi2c = F.greatest(
+        F.lit(0.0), F.col("chi2") / n - (r - 1) * (c - 1) / (n - 1)
+    )
+    rp = r - (r - 1) * (r - 1) / (n - 1)
+    cp = c - (c - 1) * (c - 1) / (n - 1)
+    return chi.select(
+        "pair",
+        n.cast("bigint").alias("n_rows"),
+        r.cast("bigint").alias("n_levels_a"),
+        c.cast("bigint").alias("n_levels_b"),
+        F.round("chi2", 4).alias("chi2"),
+        F.round(F.sqrt(F.col("chi2") / (n * F.least(r - 1, c - 1))), 6).alias(
+            "cramers_v"
+        ),
+        F.round(F.sqrt(phi2c / F.least(rp - 1, cp - 1)), 6).alias(
+            "cramers_v_corrected"
+        ),
+    )
