@@ -1846,3 +1846,87 @@ def llm_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("span_tokens").cast("bigint").alias("leaked_tokens"),
         F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
     )
+
+
+# --- span excision (apply the substring dedup) ----------------------
+_SPAN_EXCISION_ORACLE = f"""
+WITH {_SUBSTR_SPAN_CTES},
+covered AS (
+  SELECT DISTINCT s.doc_b AS doc_id, p.pos
+  FROM spans s,
+       UNNEST(range(s.start_b, s.start_b + s.span_tokens)) AS p(pos)
+),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(len(t.t) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(COUNT(c.pos), 0) AS BIGINT) AS n_excised,
+         MD5(COALESCE(string_agg(
+           CASE WHEN c.pos IS NULL THEN t.t[u.i] END, ' '
+           ORDER BY u.i), '')) AS kept_md5
+  FROM toks t
+  CROSS JOIN UNNEST(range(1, len(t.t) + 1)) AS u(i)
+  LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = u.i
+  GROUP BY t.doc_id, len(t.t)
+)
+SELECT doc_id, n_tokens, n_excised,
+       CAST(n_tokens - n_excised AS BIGINT) AS n_kept, kept_md5
+FROM per_doc
+"""
+
+
+@register("llm_dedup_span_excision", oracle=_SPAN_EXCISION_ORACLE,
+          category="llm")
+def llm_dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the substring dedup — the step after detection: excise
+    every duplicated >= {_SPAN_MIN}-token span from the LATER document
+    of each pair (doc_a < doc_b keeps the first occurrence, the
+    `llm_dedup_exact` keeper convention one level down) and rebuild
+    the corpus.  Per document: original token count, excised token
+    count (overlapping spans union'd, not double-counted), surviving
+    count, and the md5 of the rebuilt text — the Lee et al. 2022
+    pipeline's write path, where `llm_dedup_substring_spans` is its
+    read path.
+
+    Plan: span ranges explode to (doc, pos) coverage rows — bounded by
+    total leaked tokens, a tiny fraction of the corpus — and the
+    rebuild is doc-local: positions explode from the token array,
+    anti-match the coverage set on (doc_id, pos), and re-aggregate
+    ordered by position inside one doc-keyed exchange.  At 100 TB the
+    dominant cost is the span frame it shares with the detector; the
+    excision itself shuffles |corpus tokens| rows once on doc_id —
+    the same order of work as any tokenize pass.
+    """
+    d, spans = _substring_spans(spark, sf_dir)
+    covered = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.explode(
+            F.expr(
+                "sequence(cast(start_b AS int),"
+                " cast(start_b + span_tokens - 1 AS int))"
+            )
+        ).alias("pos"),
+    ).distinct()
+    toks = d.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.posexplode("t").alias("pos0", "tok"),
+    ).select(
+        "doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    joined = toks.join(
+        covered.withColumn("cut", F.lit(True)), ["doc_id", "pos"], "left"
+    )
+    kept_sorted = F.expr(
+        "array_join(transform(array_sort(collect_list("
+        "  CASE WHEN cut IS NULL THEN struct(pos, tok) END)),"
+        " x -> x.tok), ' ')"
+    )
+    return joined.groupBy("doc_id", "n_tokens").agg(
+        F.sum(F.when(F.col("cut"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_excised"),
+        (F.count(F.lit(1)) - F.sum(F.when(F.col("cut"), 1).otherwise(0)))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.md5(kept_sorted).alias("kept_md5"),
+    ).select("doc_id", "n_tokens", "n_excised", "n_kept", "kept_md5")

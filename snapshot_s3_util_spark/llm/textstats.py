@@ -2019,3 +2019,90 @@ def llm_rouge_n_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rouge2_f1"
         ),
     )
+
+
+# --- corpus n-gram novelty profile ----------------------------------
+_NOVELTY_SHINGLE = 3
+
+_NOVELTY_ORACLE = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id,
+         MD5(array_to_string(t[i : i + {_NOVELTY_SHINGLE} - 1], ' ')) AS h
+  FROM toks, UNNEST(range(1, len(t) - {_NOVELTY_SHINGLE} + 2)) AS u(i)
+  WHERE len(t) >= {_NOVELTY_SHINGLE}
+),
+first_seen AS MATERIALIZED (
+  SELECT h, MIN(doc_id) AS first_doc FROM grams GROUP BY h
+),
+per_doc AS (
+  SELECT g.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COUNT(DISTINCT g.h) AS BIGINT) AS n_distinct,
+         CAST(COUNT(DISTINCT CASE WHEN f.first_doc = g.doc_id
+                                  THEN g.h END) AS BIGINT) AS n_novel
+  FROM grams g JOIN first_seen f ON f.h = g.h
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_distinct, n_novel,
+       ROUND(CAST(n_novel AS DOUBLE) / n_distinct, 6) AS novelty_ratio
+FROM per_doc
+"""
+
+
+@register("llm_ngram_novelty_profile", oracle=_NOVELTY_ORACLE,
+          category="llm")
+def llm_ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus NOVELTY curve — for each document (in doc_id ingest
+    order), how many of its distinct {_NOVELTY_SHINGLE}-gram shingles
+    have never appeared in any earlier document: the saturation
+    diagnostic that tells a data-curation pipeline when additional
+    crawl is buying repeated boilerplate instead of new content
+    (novelty_ratio decaying toward 0 = the corpus has converged; flat
+    near 1 = still sampling fresh text).
+
+    Plan: one shingle generator (narrow), ONE groupBy on the gram md5
+    to elect each gram's first document (map-side-combined MIN — the
+    same shuffle shape as the dedup ladder's inverted index), a
+    colocated join back on the same key, then a doc-keyed aggregate.
+    No pair joins anywhere; at 100 TB the gram-key shuffle dominates
+    and is the irreducible cost of any corpus-wide first-occurrence
+    statistic.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    grams = d.filter(F.size("t") >= _NOVELTY_SHINGLE).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_NOVELTY_SHINGLE} + 1),"
+                f" i -> md5(array_join(slice(t, i, {_NOVELTY_SHINGLE}), ' ')))"
+            )
+        ).alias("h"),
+    )
+    first_seen = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.countDistinct("h").cast("bigint").alias("n_distinct"),
+            F.countDistinct(
+                F.when(F.col("first_doc") == F.col("doc_id"), F.col("h"))
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_distinct"), 6
+        ).alias("novelty_ratio"),
+    )

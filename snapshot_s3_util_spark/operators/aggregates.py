@@ -2633,3 +2633,96 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cramers_v_corrected"
         ),
     )
+
+
+# --- ANOVA effect size (eta² / omega²) ------------------------------
+_ETA_SQ_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(value) AS s,
+         SUM(value * value) AS ss
+  FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS n,
+         CAST(COUNT(*) AS DOUBLE) AS k,
+         SUM(s) AS s,
+         SUM(ss) AS ss,
+         SUM(s * s / n) AS sb_raw
+  FROM g
+),
+anova AS (
+  SELECT n, k,
+         sb_raw - s * s / n AS ss_between,
+         ss - sb_raw AS ss_within,
+         ss - s * s / n AS ss_total
+  FROM tot
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(k AS BIGINT) AS n_groups,
+       ROUND(ss_between, 4) AS ss_between,
+       ROUND(ss_within, 4) AS ss_within,
+       ROUND((ss_between / (k - 1)) / (ss_within / (n - k)), 6) AS f_stat,
+       ROUND(ss_between / ss_total, 6) AS eta_sq,
+       ROUND(GREATEST(0, (ss_between - (k - 1) * ss_within / (n - k))
+                         / (ss_total + ss_within / (n - k))), 6)
+         AS omega_sq
+FROM anova
+"""
+
+
+@register("agg_eta_squared", oracle=_ETA_SQ_ORACLE, category="aggregate")
+def agg_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA effect size for value ~ event_type: eta² (the
+    variance fraction the grouping explains) and the less-biased
+    omega², plus the F statistic — the continuous-outcome companion
+    to `agg_cramers_v` (categorical × categorical) and
+    `agg_ttest_welch` (2 groups): at 100 TB the F test is always
+    "significant"; eta²/omega² are what actually rank candidate
+    segmentations.
+
+    Plan: the entire ANOVA decomposition reduces to per-group
+    sufficient statistics (n, Σx, Σx²) — ONE map-side-combined
+    aggregate over the fact scan, then pure algebra on a k-row frame
+    collapsed to a single row.  No window, no second scan, no
+    per-row variance pass: SS_between = Σ sᵢ²/nᵢ − s²/n is computed
+    from the same three sums, which is the only formulation that
+    stays one-pass at scale.
+    """
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("value").alias("s"),
+            F.sum(F.col("value") * F.col("value")).alias("ss"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sb_raw"),
+    )
+    n, k = F.col("n"), F.col("k")
+    ss_between = F.col("sb_raw") - F.col("s") * F.col("s") / n
+    ss_within = F.col("ss") - F.col("sb_raw")
+    ss_total = F.col("ss") - F.col("s") * F.col("s") / n
+    ms_within = ss_within / (n - k)
+    return tot.select(
+        n.cast("bigint").alias("n_rows"),
+        k.cast("bigint").alias("n_groups"),
+        F.round(ss_between, 4).alias("ss_between"),
+        F.round(ss_within, 4).alias("ss_within"),
+        F.round((ss_between / (k - 1)) / ms_within, 6).alias("f_stat"),
+        F.round(ss_between / ss_total, 6).alias("eta_sq"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                (ss_between - (k - 1) * ms_within) / (ss_total + ms_within),
+            ),
+            6,
+        ).alias("omega_sq"),
+    )
