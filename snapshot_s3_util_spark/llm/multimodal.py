@@ -725,3 +725,137 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _feature_stage(analyze_wav, ["n_samples", "energy", "zero_crossings"]),
         "doc_id long, n_samples long, energy long, zero_crossings long",
     )
+
+
+# --- perceptual-hash (aHash) near-duplicate detection ---------------
+# Average-hash over the payload's first 64 bytes, standing in for the
+# 8x8-grayscale-thumbnail mean-threshold hash (the real decode/resize
+# is the PIL-gated stub above; the bit-signature -> banded-Hamming-join
+# pipeline below is the production shape either way).
+_AHASH_BYTES = 64
+_AHASH_BANDS = 4          # 4 bands x 16 bits
+_AHASH_MAX_HAMMING = 6
+
+_AHASH_CTES = f"""codes AS MATERIALIZED (
+  SELECT doc_id, u.i,
+         CASE WHEN u.i <= OCTET_LENGTH(ENCODE(text))
+              THEN ORD(SUBSTR(text, CAST(u.i AS INT), 1)) ELSE 0
+         END AS v
+  FROM documents, UNNEST(range(1, {_AHASH_BYTES} + 1)) AS u(i)
+),
+stats AS MATERIALIZED (
+  SELECT doc_id, SUM(v) AS s FROM codes GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  SELECT c.doc_id, CAST((c.i - 1) // 16 AS INT) AS band,
+         CAST(SUM(CASE WHEN c.v * {_AHASH_BYTES} > st.s THEN 1 ELSE 0 END
+                  * POWER(2, 15 - ((c.i - 1) % 16))) AS BIGINT) AS sig
+  FROM codes c JOIN stats st ON st.doc_id = c.doc_id
+  GROUP BY c.doc_id, (c.i - 1) // 16
+)"""
+
+_AHASH_ORACLE = f"""
+WITH {_AHASH_CTES},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(SUM(BIT_COUNT(XOR(ba.sig, bb.sig))) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN bands ba ON ba.doc_id = c.doc_a
+  JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band = ba.band
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, hamming
+FROM ham WHERE hamming <= {_AHASH_MAX_HAMMING}
+"""
+
+
+@register("multimodal_ahash_dedup", oracle=_AHASH_ORACLE,
+          category="multimodal")
+def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash NEAR-DUPLICATE detection for binary media — the
+    image-dedup pipeline shape: decode to an 8×8 grayscale thumbnail,
+    threshold each cell against the thumbnail mean (average hash),
+    then find pairs within Hamming distance {_AHASH_MAX_HAMMING} via
+    banded blocking ({_AHASH_BANDS} bands × 16 bits) — never an
+    all-pairs XOR.  Recall contract: pigeonhole guarantees an intact
+    band only below {_AHASH_BANDS} bit flips, so candidates are
+    LOSSLESS for distance ≤ 3; reported pairs at distance 4–6 are
+    best-effort (they surface only when the flips cluster away from
+    one band) — the same banded-recall trade `llm_dedup_simhash`
+    documents, here with the looser verify threshold kept because
+    perceptual hashes degrade gracefully.
+    The thumbnail step uses the payload's first {_AHASH_BYTES} bytes
+    (PIL-gated stub boundary, like every image op above); the hash
+    computation runs in Arrow-batched Python over genuine BinaryType
+    exactly as the real decoder would feed it.
+
+    Plan: mapInPandas emits {_AHASH_BANDS} narrow (doc, band, sig)
+    rows per payload; candidates come from ONE equi-join on
+    (band, sig) — bucket-bounded, the simhash/SRP discipline — and
+    the Hamming verify joins only candidate pairs back to their
+    {_AHASH_BANDS}-row signatures.  At 100 TB the band join is the
+    only data-sized shuffle and its fanout is bucket-size-bounded;
+    signature storage is 8 bytes/band.
+    """
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "band": [], "sig": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                thumb = list(payload[:_AHASH_BYTES])
+                thumb += [0] * (_AHASH_BYTES - len(thumb))
+                s = sum(thumb)
+                bits = [1 if v * _AHASH_BYTES > s else 0 for v in thumb]
+                for k in range(_AHASH_BANDS):
+                    sig = 0
+                    for j in range(16):
+                        sig = (sig << 1) | bits[16 * k + j]
+                    out["doc_id"].append(doc_id)
+                    out["band"].append(k)
+                    out["sig"].append(sig)
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    bands = d.mapInPandas(ahash, schema="doc_id long, band int, sig long")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", F.col("sig").alias("sig_a")
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", F.col("sig").alias("sig_b")
+    )
+    ham = (
+        cand.join(ba, "doc_a")
+        .join(bb, ["doc_b", "band"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.bit_count(
+                    F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+                )
+            )
+            .cast("bigint")
+            .alias("hamming")
+        )
+    )
+    return ham.filter(F.col("hamming") <= _AHASH_MAX_HAMMING)

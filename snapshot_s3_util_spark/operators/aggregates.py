@@ -2726,3 +2726,107 @@ def agg_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("omega_sq"),
     )
+
+
+# --- population stability index (distribution drift) ----------------
+# Fixed log-ish bucket edges for `value` (0.01..490 observed range);
+# 0.5 Laplace smoothing per bucket keeps PSI finite on empty cells.
+_PSI_EDGES = (5.0, 10.0, 20.0, 40.0, 80.0, 160.0)
+_PSI_CUTOFF_DAY = 16  # days 1-15 = baseline window A, 16+ = window B
+
+_PSI_BUCKET_SQL = """CASE
+  WHEN value < 5 THEN 0 WHEN value < 10 THEN 1 WHEN value < 20 THEN 2
+  WHEN value < 40 THEN 3 WHEN value < 80 THEN 4 WHEN value < 160 THEN 5
+  ELSE 6 END"""
+
+_PSI_ORACLE = f"""
+WITH bucketed AS (
+  SELECT event_type,
+         CASE WHEN EXTRACT(day FROM ts) < {_PSI_CUTOFF_DAY}
+              THEN 'a' ELSE 'b' END AS win,
+         {_PSI_BUCKET_SQL} AS bucket
+  FROM events
+),
+cells AS (
+  SELECT e.event_type, b.bucket,
+         CAST(COALESCE(SUM(CASE WHEN c.win = 'a' THEN 1 END), 0)
+              AS DOUBLE) + 0.5 AS na,
+         CAST(COALESCE(SUM(CASE WHEN c.win = 'b' THEN 1 END), 0)
+              AS DOUBLE) + 0.5 AS nb
+  FROM (SELECT DISTINCT event_type FROM bucketed) e
+  CROSS JOIN (SELECT UNNEST(range(7)) AS bucket) b
+  LEFT JOIN bucketed c
+    ON c.event_type = e.event_type AND c.bucket = b.bucket
+  GROUP BY e.event_type, b.bucket
+),
+pcts AS (
+  SELECT event_type, bucket,
+         na / SUM(na) OVER (PARTITION BY event_type) AS pa,
+         nb / SUM(nb) OVER (PARTITION BY event_type) AS pb
+  FROM cells
+)
+SELECT event_type,
+       ROUND(SUM((pa - pb) * LN(pa / pb)), 6) AS psi,
+       SUM((pa - pb) * LN(pa / pb)) >= 0.1 AS drift_warning
+FROM pcts
+GROUP BY event_type
+"""
+
+
+@register("agg_psi_drift", oracle=_PSI_ORACLE, category="aggregate")
+def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type between a baseline
+    window (days < {_PSI_CUTOFF_DAY}) and the current window — THE
+    industry drift gate for features and scores (PSI < 0.1 stable,
+    0.1–0.25 shifting, > 0.25 retrain): fixed log-spaced value
+    buckets, 0.5-smoothed cell counts so empty buckets can't blow up
+    the log, symmetric KL form Σ (pa−pb)·ln(pa/pb).  Complements
+    `agg_ks_test` (continuous two-sample) with the bucketed,
+    monitoring-friendly statistic that's comparable across runs.
+
+    Plan: ONE map-side-combined count over (event_type, window,
+    bucket) — at most |types|×2×7 cells leave the scan; the smoothing
+    grid (types × buckets) is synthesized by a broadcast cross join of
+    two tiny distinct frames, and PSI algebra runs on the cell frame
+    via windows.  Scan-dominated at any scale; the statistic's whole
+    point is that the shuffled state is O(buckets), not O(rows).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.dayofmonth("ts") < _PSI_CUTOFF_DAY, "a")
+        .otherwise("b")
+        .alias("win"),
+        F.expr(_PSI_BUCKET_SQL.replace("\n", " ")).alias("bucket"),
+    )
+    types = ev.select("event_type").distinct()
+    buckets = spark.range(7).select(F.col("id").cast("int").alias("bucket"))
+    grid = types.crossJoin(F.broadcast(buckets))
+    cells = (
+        grid.join(ev, ["event_type", "bucket"], "left")
+        .groupBy("event_type", "bucket")
+        .agg(
+            (
+                F.sum(F.when(F.col("win") == "a", 1).otherwise(0)).cast(
+                    "double"
+                )
+                + 0.5
+            ).alias("na"),
+            (
+                F.sum(F.when(F.col("win") == "b", 1).otherwise(0)).cast(
+                    "double"
+                )
+                + 0.5
+            ).alias("nb"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    pcts = cells.select(
+        "event_type",
+        (F.col("na") / F.sum("na").over(wt)).alias("pa"),
+        (F.col("nb") / F.sum("nb").over(wt)).alias("pb"),
+    )
+    term = (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))
+    return pcts.groupBy("event_type").agg(
+        F.round(F.sum(term), 6).alias("psi"),
+        (F.sum(term) >= 0.1).alias("drift_warning"),
+    )
