@@ -57,6 +57,8 @@ BENCH_QUERIES = (
     "agg_gini_coefficient",   # rank-spine: global rank + cumsums (round 7)
     "llm_kmeans_iter",        # iterative heavy: broadcast-centroid Lloyd (round 7)
     "graph_label_propagation",# iterative heavy: fixpoint label rounds (round 7)
+    "llm_dedup_substring_spans",  # gram-index pair join + islands (round 7)
+    "multimodal_ahash_dedup",     # mapInPandas sigs + banded Hamming (round 7)
 )
 
 

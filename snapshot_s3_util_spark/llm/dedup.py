@@ -1656,14 +1656,23 @@ FROM spans s JOIN toks t ON t.doc_id = s.doc_a
 
 
 def _substring_spans(spark: SparkSession, sf_dir: str):
-    """Shared builder for the k-gram diagonal-run span frame: returns
-    (tokenized docs, spans) where spans = (doc_a, doc_b, start_a,
-    start_b, span_tokens) for every shared verbatim passage of
-    >= _SPAN_MIN tokens.  See `llm_dedup_substring_spans` for the
-    algorithm and the 100 TB bound."""
+    """Shared builder for the k-gram diagonal-run span frame over the
+    documents table: returns (tokenized docs, spans).  See
+    `llm_dedup_substring_spans` for the algorithm and the 100 TB
+    bound."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t")
     )
+    return d, _substring_spans_from(d)
+
+
+def _substring_spans_from(d: DataFrame) -> DataFrame:
+    """Span frame from a pre-tokenized (doc_id, t:array<string>) frame:
+    (doc_a, doc_b, start_a, start_b, span_tokens) for every shared
+    verbatim passage of >= _SPAN_MIN tokens, k-gram frequency cap
+    applied.  Factored out so tests can drive it with synthetic
+    corpora (tests/test_properties.py pits it against a naive
+    all-pairs reference)."""
     grams = d.filter(F.size("t") >= _SPAN_K).select(
         "doc_id",
         F.explode(
@@ -1705,7 +1714,7 @@ def _substring_spans(spark: SparkSession, sf_dir: str):
             "span_tokens",
         )
     )
-    return d, spans
+    return spans
 
 
 @register("llm_dedup_substring_spans", oracle=_SUBSTR_SPAN_ORACLE,

@@ -580,3 +580,76 @@ def test_global_order_stats_null_cumsum_contributes_zero(spark):
         ).collect()
     }
     assert out == {1: 0, 2: 0, 3: 10, 4: 10, 5: 15}
+
+
+# --- substring-span detector vs naive all-pairs reference -----------
+def _naive_spans(corpus):
+    """O(n²) reference for llm_dedup_substring_spans: same k-gram
+    frequency cap, same diagonal-island semantics, no distribution."""
+    from snapshot_s3_util_spark.llm.dedup import (
+        _SPAN_K,
+        _SPAN_MAXOCC,
+        _SPAN_MIN,
+    )
+
+    occs = []  # (gram tuple, doc, pos) — pos 1-based like the op
+    for doc_id, toks in corpus:
+        for i in range(len(toks) - _SPAN_K + 1):
+            occs.append((tuple(toks[i : i + _SPAN_K]), doc_id, i + 1))
+    from collections import Counter, defaultdict
+
+    freq = Counter(g for g, _, _ in occs)
+    by_gram = defaultdict(list)
+    for g, doc, pos in occs:
+        if freq[g] <= _SPAN_MAXOCC:
+            by_gram[g].append((doc, pos))
+    diag_hits = defaultdict(set)  # (doc_a, doc_b, diag) -> {pos_a}
+    for g, lst in by_gram.items():
+        for da, pa in lst:
+            for db, pb in lst:
+                if da < db:
+                    diag_hits[(da, db, pa - pb)].add(pa)
+    spans = set()
+    for (da, db, diag), poss in diag_hits.items():
+        run = []
+        for p in sorted(poss) + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                length = len(run) + _SPAN_K - 1
+                if length >= _SPAN_MIN:
+                    spans.add((da, db, run[0], run[0] - diag, length))
+                run = []
+            if p is not None:
+                run.append(p)
+    return spans
+
+
+@given(data=st.data())
+@settings(**_SETTINGS)
+def test_substring_spans_match_naive_reference(spark, data):
+    from snapshot_s3_util_spark.llm.dedup import (
+        _SPAN_MIN,
+        _substring_spans_from,
+    )
+
+    vocab = ["a", "b", "c", "d"]
+    tok = st.sampled_from(vocab)
+    n_docs = data.draw(st.integers(min_value=2, max_value=4))
+    corpus = [
+        (i, data.draw(st.lists(tok, min_size=0, max_size=40)))
+        for i in range(n_docs)
+    ]
+    # plant a shared passage often enough that spans actually occur
+    if data.draw(st.booleans()) and len(corpus[0][1]) >= _SPAN_MIN:
+        seg = corpus[0][1][: data.draw(
+            st.integers(min_value=_SPAN_MIN, max_value=len(corpus[0][1]))
+        )]
+        at = data.draw(st.integers(min_value=0, max_value=len(corpus[1][1])))
+        corpus[1] = (1, corpus[1][1][:at] + seg + corpus[1][1][at:])
+    d = spark.createDataFrame(
+        [(i, t) for i, t in corpus], "doc_id long, t array<string>"
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens)
+        for r in _substring_spans_from(d).collect()
+    }
+    assert got == _naive_spans(corpus)
