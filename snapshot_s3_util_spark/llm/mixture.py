@@ -143,3 +143,87 @@ def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("draw") < (F.col("rate") * _SMP_MOD).cast("bigint"))
         .select("doc_id", "source", "rate")
     )
+
+
+# --- effective sample size of the mixture weights -------------------
+_ESS_ORACLE = """
+WITH s AS MATERIALIZED (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+  FROM documents GROUP BY source
+),
+w AS MATERIALIZED (
+  SELECT source, n_docs,
+         SQRT(CAST(sum_tokens AS DOUBLE)
+              / (SELECT SUM(sum_tokens) FROM s)) AS pw
+  FROM s
+),
+docw AS (
+  SELECT d.doc_id,
+         (w.pw / (SELECT SUM(pw) FROM w))
+           / (CAST(w.n_docs AS DOUBLE) / (SELECT SUM(n_docs) FROM s))
+           AS wt
+  FROM documents d JOIN w ON w.source = d.source
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(POWER(SUM(wt), 2) / SUM(wt * wt), 4) AS ess,
+       ROUND(POWER(SUM(wt), 2) / SUM(wt * wt) / COUNT(*), 6) AS ess_fraction,
+       ROUND(MAX(wt) / SUM(wt), 8) AS max_weight_share
+FROM docw
+"""
+
+
+@register("llm_mixture_ess", oracle=_ESS_ORACLE, category="llm")
+def llm_mixture_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the domain-mixture importance weights
+    — the diagnostic that tells you whether `llm_domain_mixture`'s
+    temperature reweighting (target share ∝ sqrt(token share)) is a
+    mild rebalance or a degenerate resample: each doc's weight is
+    target_share(source) / natural_share(source), ESS = (Σw)²/Σw²
+    (Kish), and ess_fraction near 1 means the mixture barely fights
+    the corpus while a small fraction means a few upweighted docs
+    dominate training — the standard go/no-go before committing a
+    mixture to a 100 TB run.  max_weight_share is the single-doc
+    concentration bound.
+
+    Plan: per-source sufficient statistics (ONE map-side-combined
+    aggregate), weight algebra on the |sources|-row frame, then a
+    broadcast join back to docs and a second one-pass aggregate for
+    the ESS moments.  Two corpus scans total (token count + moment
+    pass), no windows over data, shuffled state O(|sources|).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("sum_tokens"),
+    )
+    w_all = Window.partitionBy()
+    w = s.select(
+        "source",
+        "n_docs",
+        F.sqrt(
+            F.col("sum_tokens").cast("double")
+            / F.sum("sum_tokens").over(w_all)
+        ).alias("pw"),
+        F.sum("n_docs").over(w_all).alias("tot_docs"),
+    ).select(
+        "source",
+        (
+            (F.col("pw") / F.sum("pw").over(w_all))
+            / (F.col("n_docs").cast("double") / F.col("tot_docs"))
+        ).alias("wt"),
+    )
+    docw = d.select("doc_id", "source").join(F.broadcast(w), "source")
+    return docw.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.pow(F.sum("wt"), 2) / F.sum(F.col("wt") * F.col("wt")), 4
+        ).alias("ess"),
+        F.round(
+            F.pow(F.sum("wt"), 2)
+            / F.sum(F.col("wt") * F.col("wt"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("ess_fraction"),
+        F.round(F.max("wt") / F.sum("wt"), 8).alias("max_weight_share"),
+    )

@@ -1429,3 +1429,223 @@ def llm_train_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "train_accuracy"
         ),
     )
+
+
+# --- Bradley-Terry preference-strength fit --------------------------
+_BT_GROUPS = 100   # prompt groups (doc_id % _BT_GROUPS)
+_BT_ITERS = 3      # unrolled MM iterations (fixed, so the oracle is exact)
+
+
+def _bt_oracle() -> str:
+    """Unroll the regularized Bradley-Terry MM iteration as CTEs."""
+    sql = f"""
+WITH q AS MATERIALIZED (
+  SELECT doc_id, source,
+         CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 9, 8))
+              AS BIGINT) % {_BT_GROUPS} AS prompt_id,
+         ROUND(0.5 * (CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks))
+               + 0.3 * (CAST(LEN(list_filter(toks,
+                         x -> x IN ('the', 'a', 'of', 'and', 'to')))
+                         AS DOUBLE) / LEN(toks))
+               + 0.2 * LEAST(LEN(toks) / 100.0, 1.0), 6) AS quality
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents)
+),
+ranked AS MATERIALIZED (
+  SELECT prompt_id, doc_id, source, quality,
+         ROW_NUMBER() OVER (PARTITION BY prompt_id
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM q
+),
+comps AS MATERIALIZED (
+  SELECT a.source AS win_src, b.source AS lose_src
+  FROM ranked a JOIN ranked b
+    ON b.prompt_id = a.prompt_id AND b.rn = a.rn + 1
+  WHERE a.source <> b.source
+),
+cells AS MATERIALIZED (
+  SELECT i, j, CAST(SUM(n) AS DOUBLE) AS n
+  FROM (
+    SELECT win_src AS i, lose_src AS j, COUNT(*) AS n
+    FROM comps GROUP BY 1, 2
+    UNION ALL
+    SELECT lose_src AS i, win_src AS j, COUNT(*) AS n
+    FROM comps GROUP BY 1, 2
+  ) GROUP BY i, j
+),
+wins AS MATERIALIZED (
+  SELECT s.i AS source,
+         CAST(COALESCE(w.wins, 0) AS DOUBLE) AS wins,
+         CAST(tot.n AS DOUBLE) AS n_sources
+  FROM (SELECT DISTINCT i FROM cells) s
+  LEFT JOIN (SELECT win_src AS i, COUNT(*) AS wins
+             FROM comps GROUP BY 1) w ON w.i = s.i
+  CROSS JOIN (SELECT COUNT(DISTINCT i) AS n FROM cells) tot
+),
+p0 AS MATERIALIZED (
+  SELECT source, 1.0 / n_sources AS p, n_sources FROM wins
+)"""
+    prev = "p0"
+    for k in range(1, _BT_ITERS + 1):
+        sql += f""",
+r{k}raw AS MATERIALIZED (
+  SELECT w.source,
+         (w.wins + 0.5) /
+         (COALESCE(SUM(c.n / (pi.p + pj.p)), 0)
+          + 1.0 / (pi_self.p + 1.0 / w.n_sources)) AS p,
+         w.n_sources
+  FROM wins w
+  JOIN {prev} pi_self ON pi_self.source = w.source
+  LEFT JOIN cells c ON c.i = w.source
+  LEFT JOIN {prev} pi ON pi.source = c.i
+  LEFT JOIN {prev} pj ON pj.source = c.j
+  GROUP BY w.source, w.wins, w.n_sources, pi_self.p
+),
+r{k} AS MATERIALIZED (
+  SELECT source, p / (SELECT SUM(p) FROM r{k}raw) AS p, n_sources
+  FROM r{k}raw
+)"""
+        prev = f"r{k}"
+    sql += f"""
+SELECT w.source,
+       CAST(w.wins AS BIGINT) AS wins,
+       CAST(n.n_comps AS BIGINT) AS comparisons,
+       ROUND(p.p, 6) AS bt_strength,
+       CAST(ROW_NUMBER() OVER (ORDER BY p.p DESC, w.source)
+            AS BIGINT) AS bt_rank
+FROM wins w
+JOIN {prev} p ON p.source = w.source
+JOIN (SELECT i, CAST(SUM(n) AS BIGINT) AS n_comps
+      FROM cells GROUP BY i) n ON n.i = w.source
+"""
+    return sql
+
+
+@register("llm_bt_preference_fit", oracle=_bt_oracle(), category="llm")
+def llm_bt_preference_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength fit over SOURCES from pairwise quality
+    preferences — the arena/reward-model analysis primitive: within
+    each prompt group (doc_id % {_BT_GROUPS}), adjacent-rank documents
+    from different sources form one comparison (Swiss-style pairing —
+    LINEAR in corpus size, unlike all-pairs which is quadratic in
+    group size), the quality-ranked winner takes it, and {_BT_ITERS}
+    fixed MM iterations (Hunter 2004: p_i <- W_i / Σ_j n_ij/(p_i+p_j),
+    renormalized) fit the latent strengths.  Regularized with half a
+    virtual win and one virtual draw against a fixed 1/|S| reference
+    so zero-win sources stay positive (the standard MM degeneracy
+    guard); fixed iteration count keeps the oracle exact, the
+    `graph_pagerank` discipline.
+
+    Plan: quality + rank ride one prompt_id window exchange;
+    comparisons are a self-join on (prompt, rank+1) — 1 row per
+    ranked neighbor, never a group cross join; everything after the
+    cell aggregate runs on the |sources|²-bounded cell frame
+    (catalog-sized), so the MM loop shuffles kilobytes regardless of
+    corpus size.
+    """
+    from snapshot_s3_util_spark.llm.textstats import llm_quality_score
+
+    q = llm_quality_score(spark, sf_dir).select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % _BT_GROUPS
+        ).alias("prompt_id"),
+        F.col("quality_score").alias("quality"),
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    qd = q.join(src, "doc_id")
+    w = Window.partitionBy("prompt_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    ranked = qd.select(
+        "prompt_id", "doc_id", "source", F.row_number().over(w).alias("rn")
+    )
+    a = ranked.select("prompt_id", F.col("source").alias("win_src"), "rn")
+    b = ranked.select(
+        "prompt_id",
+        F.col("source").alias("lose_src"),
+        (F.col("rn") - 1).alias("rn"),
+    )
+    comps = a.join(b, ["prompt_id", "rn"]).filter(
+        F.col("win_src") != F.col("lose_src")
+    )
+    dir_cells = comps.groupBy("win_src", "lose_src").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cells = (
+        dir_cells.select(
+            F.col("win_src").alias("i"), F.col("lose_src").alias("j"), "n"
+        )
+        .unionByName(
+            dir_cells.select(
+                F.col("lose_src").alias("i"), F.col("win_src").alias("j"), "n"
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n").cast("double").alias("n"))
+        .localCheckpoint()
+    )
+    srcs = cells.select("i").distinct()
+    n_sources = srcs.count()  # catalog-sized scalar
+    wins = (
+        srcs.withColumnRenamed("i", "source")
+        .join(
+            comps.groupBy("win_src")
+            .agg(F.count(F.lit(1)).cast("double").alias("wins"))
+            .withColumnRenamed("win_src", "source"),
+            "source",
+            "left",
+        )
+        .select("source", F.coalesce("wins", F.lit(0.0)).alias("wins"))
+        .localCheckpoint()
+    )
+    p = wins.select("source", F.lit(1.0 / n_sources).alias("p"))
+    w_all = Window.partitionBy()
+    for _ in range(_BT_ITERS):
+        denom = (
+            cells.join(p.withColumnRenamed("source", "i").withColumnRenamed("p", "pi"), "i")
+            .join(
+                p.select(F.col("source").alias("j"), F.col("p").alias("pj")),
+                "j",
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("n") / (F.col("pi") + F.col("pj"))).alias("d"))
+            .withColumnRenamed("i", "source")
+        )
+        raw = (
+            wins.join(p, "source")
+            .join(denom, "source", "left")
+            .select(
+                "source",
+                (
+                    (F.col("wins") + 0.5)
+                    / (
+                        F.coalesce(F.col("d"), F.lit(0.0))
+                        + 1.0 / (F.col("p") + 1.0 / n_sources)
+                    )
+                ).alias("p"),
+            )
+        )
+        p = raw.select(
+            "source", (F.col("p") / F.sum("p").over(w_all)).alias("p")
+        ).localCheckpoint()
+    n_comps = cells.groupBy("i").agg(
+        F.sum("n").cast("bigint").alias("comparisons")
+    ).withColumnRenamed("i", "source")
+    wr = Window.orderBy(F.col("p").desc(), F.col("source"))
+    return (
+        wins.join(p, "source")
+        .join(n_comps, "source")
+        .select(
+            "source",
+            F.col("wins").cast("bigint").alias("wins"),
+            "comparisons",
+            F.round("p", 6).alias("bt_strength"),
+            F.row_number().over(wr).cast("bigint").alias("bt_rank"),
+        )
+    )

@@ -162,3 +162,19 @@ _allow(
     "docstring explains why window-over-aggregate beats agg+crossJoin "
     "here: ReuseExchange survives, the corpus is scanned once)",
 )
+_allow(
+    "llm_bt_preference_fit",
+    "W",
+    "the MM renormalizer (per-iteration sum) and the final strength "
+    "rank run over the |sources|-row cell/strength frames — "
+    "catalog-bounded like llm_domain_mixture; the only data-sized "
+    "window is the partitioned prompt_id rank",
+)
+_allow(
+    "llm_mixture_ess",
+    "W",
+    "importance-weight normalizers (token-share sqrt + per-source "
+    "doc share) are windows over the |sources|-row groupBy result — "
+    "the llm_domain_mixture bound; the doc-level ESS moment pass is "
+    "a plain aggregate, not a window",
+)
