@@ -2830,3 +2830,70 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(term), 6).alias("psi"),
         (F.sum(term) >= 0.1).alias("drift_warning"),
     )
+
+
+# --- concentration (HHI) --------------------------------------------
+_HHI_ORACLE = """
+WITH s AS (
+  SELECT source, CAST(SUM(LEN(string_split(text, ' '))) AS DOUBLE) AS tok
+  FROM documents GROUP BY source
+),
+sh AS (
+  SELECT source, tok / SUM(tok) OVER () AS share,
+         ROW_NUMBER() OVER (ORDER BY tok DESC, source) AS rnk
+  FROM s
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+       ROUND(SUM(share * share), 6) AS hhi,
+       ROUND(1.0 / SUM(share * share), 4) AS effective_sources,
+       ROUND(SUM(CASE WHEN rnk <= 3 THEN share ELSE 0 END), 6)
+         AS top3_share,
+       ROUND(MAX(share), 6) AS max_share
+FROM sh
+"""
+
+
+@register("agg_concentration_hhi", oracle=_HHI_ORACLE, category="aggregate")
+def agg_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of the corpus over sources
+    (token-weighted): HHI = Σ share², its reciprocal (the "effective
+    number of sources" — the diversity number a dataset card should
+    quote instead of the raw catalog count), the top-3 share, and the
+    single-source max.  The one-number companion to
+    `agg_gini_coefficient`/`agg_lorenz_curve` that mixture design
+    (`llm_domain_mixture`) moves: rebalancing should push
+    effective_sources toward the catalog count.
+
+    Plan: per-source token sums in ONE map-side-combined pass; share
+    normalization, ranking and the HHI algebra all run on the
+    |sources|-row frame (catalog-bounded windows), collapsing to a
+    single row.  Scan-dominated at any scale.
+    """
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", " ")).cast("bigint"))
+            .cast("double")
+            .alias("tok")
+        )
+    )
+    w_all = Window.partitionBy()
+    sh = s.select(
+        "source",
+        (F.col("tok") / F.sum("tok").over(w_all)).alias("share"),
+        F.row_number()
+        .over(Window.orderBy(F.col("tok").desc(), "source"))
+        .alias("rnk"),
+    )
+    return sh.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
+        F.round(1.0 / F.sum(F.col("share") * F.col("share")), 4).alias(
+            "effective_sources"
+        ),
+        F.round(
+            F.sum(F.when(F.col("rnk") <= 3, F.col("share")).otherwise(0.0)), 6
+        ).alias("top3_share"),
+        F.round(F.max("share"), 6).alias("max_share"),
+    )

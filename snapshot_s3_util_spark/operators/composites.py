@@ -2644,3 +2644,96 @@ def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g").cast("bigint").alias("g_stat"),
     )
     return out1.unionAll(out2)
+
+
+# --- event burstiness (Fano factor + gap CV) ------------------------
+_BURST_ORACLE = """
+WITH per_min AS (
+  SELECT event_type, DATE_TRUNC('minute', ts) AS m,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+),
+fano AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS active_minutes,
+         (SUM(n * n) / COUNT(*) - POWER(SUM(n) / COUNT(*), 2))
+           / (SUM(n) / COUNT(*)) AS fano_raw
+  FROM per_min GROUP BY event_type
+),
+gaps AS (
+  SELECT event_type,
+         EPOCH(ts - LAG(ts) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id)) AS gap
+  FROM events
+),
+gapstats AS (
+  SELECT event_type,
+         SUM(gap) / COUNT(gap) AS mean_gap,
+         SQRT(SUM(gap * gap) / COUNT(gap)
+              - POWER(SUM(gap) / COUNT(gap), 2)) AS sd_gap
+  FROM gaps WHERE gap IS NOT NULL GROUP BY event_type
+)
+SELECT f.event_type, f.active_minutes,
+       ROUND(f.fano_raw, 6) AS fano_factor,
+       ROUND(g.sd_gap / g.mean_gap, 6) AS gap_cv,
+       ROUND((g.sd_gap - g.mean_gap) / (g.sd_gap + g.mean_gap), 6)
+         AS burstiness_b
+FROM fano f JOIN gapstats g ON g.event_type = f.event_type
+"""
+
+
+@register("ts_burstiness", oracle=_BURST_ORACLE, category="timeseries")
+def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness profile per event_type — three standard diagnostics
+    that separate Poisson-like traffic from bursty arrivals: the Fano
+    factor of per-minute counts (variance/mean; 1 = Poisson, >1 =
+    clustered), the coefficient of variation of inter-event gaps, and
+    Goh-Barabási burstiness B = (σ−μ)/(σ+μ) ∈ (−1, 1).  What a
+    rate-limiter or capacity plan (`ts_rate_limiter_sim`,
+    `ts_concurrency_sweep`) needs to know about the arrival process
+    before trusting mean-rate math.
+
+    Plan: the Fano leg is one map-side-combined (type, minute) count
+    then per-type sufficient statistics; the gap leg is one
+    type-partitioned LAG window (the sessionize exchange) feeding the
+    same one-pass moment algebra.  Population variance from (Σx, Σx²)
+    — no second scan; both legs shuffle on event_type only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    fano = per_min.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_minutes"),
+        (
+            (
+                F.sum(F.col("n") * F.col("n")) / F.count(F.lit(1))
+                - F.pow(F.sum("n") / F.count(F.lit(1)), 2)
+            )
+            / (F.sum("n") / F.count(F.lit(1)))
+        ).alias("fano_raw"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ep = F.col("ts").cast("double")  # epoch seconds incl. fraction
+    gaps = ev.select(
+        "event_type",
+        (ep - F.lag(ep).over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    gapstats = gaps.groupBy("event_type").agg(
+        (F.sum("gap") / F.count("gap")).alias("mean_gap"),
+        F.sqrt(
+            F.sum(F.col("gap") * F.col("gap")) / F.count("gap")
+            - F.pow(F.sum("gap") / F.count("gap"), 2)
+        ).alias("sd_gap"),
+    )
+    return fano.join(gapstats, "event_type").select(
+        "event_type",
+        "active_minutes",
+        F.round("fano_raw", 6).alias("fano_factor"),
+        F.round(F.col("sd_gap") / F.col("mean_gap"), 6).alias("gap_cv"),
+        F.round(
+            (F.col("sd_gap") - F.col("mean_gap"))
+            / (F.col("sd_gap") + F.col("mean_gap")),
+            6,
+        ).alias("burstiness_b"),
+    )

@@ -163,6 +163,12 @@ _allow(
     "here: ReuseExchange survives, the corpus is scanned once)",
 )
 _allow(
+    "agg_concentration_hhi",
+    "W",
+    "share normalizer + top-k rank run over the |sources|-row token "
+    "aggregate — catalog-bounded, the llm_domain_mixture bound",
+)
+_allow(
     "llm_bt_preference_fit",
     "W",
     "the MM renormalizer (per-iteration sum) and the final strength "
