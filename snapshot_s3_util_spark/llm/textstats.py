@@ -2106,3 +2106,88 @@ def llm_ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_novel").cast("double") / F.col("n_distinct"), 6
         ).alias("novelty_ratio"),
     )
+
+
+# --- greenlist watermark detection ----------------------------------
+_WM_Z_THRESHOLD = 4.0
+
+_WATERMARK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || SUBSTR(MD5(t[i] || ':' || t[i + 1]), 1, 1))
+                        AS INT) % 2 = 0
+              THEN 1 ELSE 0 END AS green
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(green) AS BIGINT) AS n_green
+  FROM pairs GROUP BY doc_id
+)
+SELECT doc_id, n_pairs, n_green,
+       ROUND(CAST(n_green AS DOUBLE) / n_pairs, 6) AS green_frac,
+       ROUND((n_green - 0.5 * n_pairs) / SQRT(0.25 * n_pairs), 6) AS z_score,
+       (n_green - 0.5 * n_pairs) / SQRT(0.25 * n_pairs)
+         > {_WM_Z_THRESHOLD} AS watermark_detected
+FROM scored
+"""
+
+
+@register("llm_watermark_greenlist_score", oracle=_WATERMARK_ORACLE,
+          category="llm")
+def llm_watermark_greenlist_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenlist WATERMARK detector (Kirchenbauer et al. 2023): a
+    soft-watermarked LLM seeds each step's "green" vocabulary half
+    from the previous token's hash and biases sampling toward it, so
+    watermarked text shows a green-token excess detectable by a
+    one-proportion z-test — here the greenlist membership of each
+    adjacent token pair is the parity of md5(prev:next)'s first hex
+    digit (the seeded-hash rule both engines reproduce exactly), and
+    each document reports its green fraction, z-score vs the null 0.5,
+    and the detected flag at z > {_WM_Z_THRESHOLD}.  On this natural
+    corpus the z's scatter around 0 and nothing crosses the threshold
+    — the detector's FALSE-POSITIVE calibration, which is the half of
+    a provenance audit a data pipeline can actually run (true-positive
+    calibration needs a watermarked generator upstream).
+
+    Plan: pair explosion is a narrow generator; the score is one
+    doc-keyed map-side-combined aggregate — no joins, no windows, one
+    shuffle of |docs| partial rows.  At 100 TB this is a pure scan op,
+    the cheapest class in the engine.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    pairs = d.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> CASE WHEN conv(substring("
+                "md5(concat(t[i-1], ':', t[i])), 1, 1), 16, 10) % 2 = 0"
+                " THEN 1 ELSE 0 END)"
+            )
+        ).alias("green"),
+    )
+    scored = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("green").cast("bigint").alias("n_green"),
+    )
+    z = (F.col("n_green") - 0.5 * F.col("n_pairs")) / F.sqrt(
+        0.25 * F.col("n_pairs")
+    )
+    return scored.select(
+        "doc_id",
+        "n_pairs",
+        "n_green",
+        F.round(F.col("n_green").cast("double") / F.col("n_pairs"), 6).alias(
+            "green_frac"
+        ),
+        F.round(z, 6).alias("z_score"),
+        (z > _WM_Z_THRESHOLD).alias("watermark_detected"),
+    )
