@@ -2737,3 +2737,98 @@ def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("burstiness_b"),
     )
+
+
+# --- fixed-harmonic periodogram -------------------------------------
+_PGRAM_N = 28   # first 28 days: integer harmonics, k=4 is exactly weekly
+_PGRAM_K = 7    # harmonics 1..7
+
+_PGRAM_ORACLE = f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type, EXTRACT(day FROM ts) AS d,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events
+  WHERE EXTRACT(day FROM ts) <= {_PGRAM_N}
+  GROUP BY 1, 2
+),
+centered AS MATERIALIZED (
+  SELECT event_type, d,
+         n - AVG(n) OVER (PARTITION BY event_type) AS x
+  FROM daily
+),
+harm AS (
+  SELECT c.event_type, k.k,
+         SUM(c.x * COS(2 * PI() * k.k * (c.d - 1) / {_PGRAM_N})) AS re,
+         SUM(c.x * SIN(2 * PI() * k.k * (c.d - 1) / {_PGRAM_N})) AS im
+  FROM centered c
+  CROSS JOIN (SELECT UNNEST(range(1, {_PGRAM_K} + 1)) AS k) k
+  GROUP BY c.event_type, k.k
+)
+SELECT event_type, CAST(k AS BIGINT) AS harmonic,
+       ROUND((re * re + im * im) * 2 / {_PGRAM_N}, 4) AS power,
+       CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY re * re + im * im DESC, k)
+            AS BIGINT) AS power_rank
+FROM harm
+"""
+
+
+@register("ts_periodogram", oracle=_PGRAM_ORACLE, category="timeseries")
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-harmonic DFT periodogram of the daily event-count series
+    per event_type — the frequency-domain complement to
+    `ts_seasonality_profile`'s autocorrelation view: the first
+    {_PGRAM_N} days give integer harmonics (k=4 is exactly weekly),
+    the series is mean-centered, and each harmonic reports its power
+    2|X_k|²/N with a per-type power rank — the dominant-period finder
+    a seasonality-aware forecaster (`ts_forecast_snaive`,
+    `ts_holt_linear`) keys off.  Fixed k (not FFT) keeps the work a
+    closed-form aggregate both engines compute identically.
+
+    Plan: the daily roll-up is one map-side-combined count to
+    |types|×{_PGRAM_N} rows; centering is a window on that tiny
+    frame; harmonics explode ×{_PGRAM_K} (still catalog-sized) and
+    reduce in one aggregate.  The corpus is scanned once; everything
+    downstream is O(types × N × K) — bounded by the calendar, not
+    data.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.dayofmonth("ts") <= _PGRAM_N
+    )
+    daily = ev.groupBy(
+        "event_type", F.dayofmonth("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    centered = daily.select(
+        "event_type",
+        "d",
+        (
+            F.col("n")
+            - F.avg("n").over(Window.partitionBy("event_type"))
+        ).alias("x"),
+    )
+    ks = spark.range(1, _PGRAM_K + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    ang = (
+        2.0
+        * 3.141592653589793
+        * F.col("k")
+        * (F.col("d") - 1)
+        / _PGRAM_N
+    )
+    harm = (
+        centered.crossJoin(F.broadcast(ks))
+        .groupBy("event_type", "k")
+        .agg(
+            F.sum(F.col("x") * F.cos(ang)).alias("re"),
+            F.sum(F.col("x") * F.sin(ang)).alias("im"),
+        )
+    )
+    p = F.col("re") * F.col("re") + F.col("im") * F.col("im")
+    wr = Window.partitionBy("event_type").orderBy(p.desc(), "k")
+    return harm.select(
+        "event_type",
+        F.col("k").cast("bigint").alias("harmonic"),
+        F.round(p * 2 / _PGRAM_N, 4).alias("power"),
+        F.row_number().over(wr).cast("bigint").alias("power_rank"),
+    )
