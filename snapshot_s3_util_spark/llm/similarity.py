@@ -821,3 +821,89 @@ def llm_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mpd, 6).alias("mean_pairwise_dot"),
         F.round(mpd / (F.col("sum_sq") / n), 6).alias("anisotropy"),
     )
+
+
+# ------------------------------------------ label-noise outliers
+_LBL_OUT_K = 5  # flag the K least-central members per label
+
+
+_LABEL_OUTLIER_ORACLE = f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+expl AS MATERIALIZED (
+  SELECT vec_id, label, u.j, e[u.j] AS x
+  FROM v, UNNEST(range(1, len(e) + 1)) AS u(j)
+),
+cent AS MATERIALIZED (
+  SELECT label, j, ROUND(AVG(x), 6) AS c FROM expl GROUP BY label, j
+),
+cos AS MATERIALIZED (
+  SELECT ex.vec_id, ex.label,
+         ROUND(SUM(ex.x * ct.c)
+               / (SQRT(SUM(ex.x * ex.x)) * SQRT(SUM(ct.c * ct.c))), 6)
+           AS cos_c
+  FROM expl ex JOIN cent ct ON ct.label = ex.label AND ct.j = ex.j
+  GROUP BY ex.vec_id, ex.label
+)
+SELECT vec_id, label, cos_c AS cos_to_centroid,
+       CAST(rnk AS BIGINT) AS outlier_rank
+FROM (
+  SELECT vec_id, label, cos_c,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY cos_c ASC, vec_id) AS rnk
+  FROM cos
+)
+WHERE rnk <= {_LBL_OUT_K}
+"""
+
+
+@register("llm_label_outliers", oracle=_LABEL_OUTLIER_ORACLE, category="llm")
+def llm_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection (confident-learning-lite): the
+    {_LBL_OUT_K} embeddings LEAST similar to their own label's
+    centroid, per label — the candidates a relabeling queue reviews
+    first, since mislabeled points sit far from the class they claim.
+    Cosine is computed against the 6dp-ROUNDED centroid in BOTH
+    engines and ranked on the rounded value (ties by vec_id), so
+    float-summation-order drift can't reorder the cut.
+
+    Plan: one posexplode pass builds |labels|×dim centroid partial
+    sums (map-side-combined — constant in corpus size); the cosine
+    join keys on (label, dim) against the broadcast-sized centroid
+    frame and re-aggregates per vector; the final rank rides one
+    label-partitioned window.  Two |rows|×dim narrow passes, one
+    data-sized shuffle each — no pair joins anywhere.
+    """
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(_E).alias("e")
+    )
+    expl = v.select(
+        "vec_id", "label", F.posexplode("e").alias("j0", "x")
+    ).select("vec_id", "label", (F.col("j0") + 1).alias("j"), "x")
+    cent = expl.groupBy("label", "j").agg(F.round(F.avg("x"), 6).alias("c"))
+    cos = (
+        expl.join(F.broadcast(cent), ["label", "j"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sum(F.col("x") * F.col("c"))
+                / (
+                    F.sqrt(F.sum(F.col("x") * F.col("x")))
+                    * F.sqrt(F.sum(F.col("c") * F.col("c")))
+                ),
+                6,
+            ).alias("cos_c")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("cos_c").asc(), "vec_id")
+    return (
+        cos.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _LBL_OUT_K)
+        .select(
+            "vec_id",
+            "label",
+            F.col("cos_c").alias("cos_to_centroid"),
+            F.col("rnk").cast("bigint").alias("outlier_rank"),
+        )
+    )
