@@ -8,3 +8,4 @@ import snapshot_s3_util_spark.llm.clustering  # noqa: F401
 import snapshot_s3_util_spark.llm.pipeline  # noqa: F401
 import snapshot_s3_util_spark.llm.mixture  # noqa: F401
 import snapshot_s3_util_spark.llm.tokenizer  # noqa: F401
+import snapshot_s3_util_spark.llm.quality  # noqa: F401

@@ -1,0 +1,402 @@
+"""Corpus-quality EVALUATION operators: distinctive-term log-odds,
+annotator agreement, filter-score calibration, and inference batching
+efficiency.
+
+These audit the *decisions* a curation pipeline makes — which terms
+mark a subcorpus, whether two cheap labelers agree, whether a filter's
+confidence score is honest, and what padding an inference fleet pays —
+all as single-pass map-side-combined aggregates that hold their shape
+at 100 TB (outputs are |vocab|-, |bins|- or |buckets|-bounded, never
+row-bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.registry import register
+
+# ------------------------------------ distinctive terms (log-odds)
+# Monroe / Colaresi / Quinn "Fightin' Words" (2008): log-odds-ratio
+# with an informative Dirichlet prior drawn from the pooled corpus,
+# z-scored.  Group A = English docs, group B = everything else.
+_LO_PRIOR = 10.0  # total prior mass a0 spread per pooled term share
+_LO_TOPK = 15     # report the K most A-leaning and K most B-leaning
+_LO_MIN_CNT = 5   # ignore terms rarer than this in the pooled corpus
+
+_LOGODDS_ORACLE = f"""
+WITH toks AS (
+  SELECT lang = 'en' AS is_a, UNNEST(string_split(text, ' ')) AS term
+  FROM documents
+),
+cnt AS (
+  SELECT term,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS DOUBLE) AS ya,
+         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS DOUBLE) AS yb
+  FROM toks GROUP BY term
+),
+tot AS (
+  SELECT SUM(ya) AS na, SUM(yb) AS nb, SUM(ya + yb) AS n FROM cnt
+),
+z AS (
+  SELECT term, ya, yb,
+         LN((ya + aw) / (na + {_LO_PRIOR} - ya - aw))
+           - LN((yb + aw) / (nb + {_LO_PRIOR} - yb - aw)) AS delta,
+         1.0 / (ya + aw) + 1.0 / (yb + aw) AS var
+  FROM (SELECT c.*, t.na, t.nb,
+               {_LO_PRIOR} * (c.ya + c.yb) / t.n AS aw
+        FROM cnt c CROSS JOIN tot t)
+  WHERE ya + yb >= {_LO_MIN_CNT}
+),
+ranked AS (
+  SELECT term,
+         CAST(ya AS BIGINT) AS cnt_a, CAST(yb AS BIGINT) AS cnt_b,
+         ROUND(delta / SQRT(var), 6) AS zscore,
+         ROW_NUMBER() OVER (ORDER BY delta / SQRT(var) DESC, term) AS ra,
+         ROW_NUMBER() OVER (ORDER BY delta / SQRT(var) ASC, term) AS rb
+  FROM z
+)
+SELECT term, cnt_a, cnt_b, zscore,
+       CASE WHEN ra <= {_LO_TOPK} THEN 'a' ELSE 'b' END AS leans
+FROM ranked WHERE ra <= {_LO_TOPK} OR rb <= {_LO_TOPK}
+"""
+
+
+@register("llm_distinctive_terms_logodds", oracle=_LOGODDS_ORACLE, category="llm")
+def llm_distinctive_terms_logodds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The {_LO_TOPK} terms most characteristic of the English
+    subcorpus and the {_LO_TOPK} most characteristic of the rest, by
+    the Monroe et al. log-odds-ratio with an informative Dirichlet
+    prior (prior mass {_LO_PRIOR} spread by pooled term share),
+    z-scored by the delta's variance — the standard "what words mark
+    this source" diagnostic, more robust than raw PMI/tf-idf because
+    the prior shrinks rare-term noise.
+
+    Plan: one token explode into a map-side-combined groupBy(term)
+    conditional-sum (the only data-sized shuffle, keyed by term);
+    totals are a broadcast 1-row frame; each top-K side is an
+    orderBy+limit — TakeOrderedAndProject, a parallel per-partition
+    heap + K-row driver merge, NEVER a global window — so the scored
+    |vocab|-row frame (tens of millions of rows under Zipf at 100 TB)
+    is never funneled through one task.  The B side anti-joins the
+    broadcast K-row A side so a term in both cuts keeps leans='a',
+    matching the oracle's CASE.  ln() on doubles is bit-identical
+    across engines; z is rounded once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(
+            (F.col("lang") == "en").alias("is_a"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+            .cast("double")
+            .alias("ya"),
+            F.sum(F.when(F.col("is_a"), 0).otherwise(1))
+            .cast("double")
+            .alias("yb"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("ya").alias("na"),
+        F.sum("yb").alias("nb"),
+        F.sum(F.col("ya") + F.col("yb")).alias("n"),
+    )
+    aw = F.lit(_LO_PRIOR) * (F.col("ya") + F.col("yb")) / F.col("n")
+    delta = F.log(
+        (F.col("ya") + aw) / (F.col("na") + F.lit(_LO_PRIOR) - F.col("ya") - aw)
+    ) - F.log(
+        (F.col("yb") + aw) / (F.col("nb") + F.lit(_LO_PRIOR) - F.col("yb") - aw)
+    )
+    var = 1.0 / (F.col("ya") + aw) + 1.0 / (F.col("yb") + aw)
+    z = (
+        cnt.filter(F.col("ya") + F.col("yb") >= _LO_MIN_CNT)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.col("ya").cast("bigint").alias("cnt_a"),
+            F.col("yb").cast("bigint").alias("cnt_b"),
+            (delta / F.sqrt(var)).alias("_z"),
+        )
+    )
+    top_a = (
+        z.orderBy(F.desc("_z"), F.asc("term"))
+        .limit(_LO_TOPK)
+        .withColumn("leans", F.lit("a"))
+    )
+    top_b = (
+        z.orderBy(F.asc("_z"), F.asc("term"))
+        .limit(_LO_TOPK)
+        .join(F.broadcast(top_a.select("term")), "term", "left_anti")
+        .withColumn("leans", F.lit("b"))
+    )
+    return top_a.unionByName(top_b).select(
+        "term",
+        "cnt_a",
+        "cnt_b",
+        F.round("_z", 6).alias("zscore"),
+        "leans",
+    )
+
+
+# ------------------------------------------ annotator agreement
+# Two deterministic cheap labelers stand in for a pair of LLM judges:
+# rater A keeps docs by raw length, rater B by token count.  Cohen's
+# kappa corrects their observed agreement for chance.
+_KAPPA_A_MIN_CHARS = 250
+_KAPPA_B_MIN_TOKS = 45
+
+_KAPPA_ORACLE = f"""
+WITH lab AS (
+  SELECT CASE WHEN LEN(text) >= {_KAPPA_A_MIN_CHARS} THEN 1 ELSE 0 END AS a,
+         CASE WHEN LEN(string_split(text, ' ')) >= {_KAPPA_B_MIN_TOKS}
+              THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(a * b) AS DOUBLE) AS kk,
+         CAST(SUM(a * (1 - b)) AS DOUBLE) AS kd,
+         CAST(SUM((1 - a) * b) AS DOUBLE) AS dk,
+         CAST(SUM((1 - a) * (1 - b)) AS DOUBLE) AS dd
+  FROM lab
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(kk AS BIGINT) AS both_keep, CAST(dd AS BIGINT) AS both_drop,
+       CAST(kd AS BIGINT) AS a_only, CAST(dk AS BIGINT) AS b_only,
+       ROUND((kk + dd) / n, 6) AS po,
+       ROUND(((kk + kd) * (kk + dk) + (dk + dd) * (kd + dd)) / (n * n), 6)
+         AS pe,
+       ROUND(((kk + dd) / n
+              - ((kk + kd) * (kk + dk) + (dk + dd) * (kd + dd)) / (n * n))
+             / (1 - ((kk + kd) * (kk + dk) + (dk + dd) * (kd + dd)) / (n * n)),
+             6) AS kappa
+FROM m
+"""
+
+
+@register("llm_annotator_agreement", oracle=_KAPPA_ORACLE, category="llm")
+def llm_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic keep/drop labelers
+    (rater A: >= {_KAPPA_A_MIN_CHARS} chars; rater B: >=
+    {_KAPPA_B_MIN_TOKS} tokens) — the inter-annotator-agreement audit
+    a labeling pipeline runs before trusting an ensemble of cheap
+    LLM judges: kappa = (po - pe) / (1 - pe) corrects raw agreement
+    for the agreement two biased coin-flippers would get for free.
+
+    Plan: one narrow scan -> four map-side-combined conditional sums
+    -> 1 row; the kappa arithmetic is driver-free column algebra on
+    that single row.  No shuffle carries more than the partial-agg
+    rows; holds at any corpus size.
+    """
+    lab = load_table(spark, sf_dir, "documents").select(
+        (F.length("text") >= _KAPPA_A_MIN_CHARS)
+        .cast("int")
+        .alias("a"),
+        (F.size(F.split("text", " ")) >= _KAPPA_B_MIN_TOKS)
+        .cast("int")
+        .alias("b"),
+    )
+    m = lab.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("double").alias("kk"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("double").alias("kd"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("double").alias("dk"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("double").alias("dd"),
+    )
+    n, kk, kd, dk, dd = (F.col(c) for c in ("n", "kk", "kd", "dk", "dd"))
+    po = (kk + dd) / n
+    pe = ((kk + kd) * (kk + dk) + (dk + dd) * (kd + dd)) / (n * n)
+    return m.select(
+        n.cast("bigint").alias("n_docs"),
+        kk.cast("bigint").alias("both_keep"),
+        dd.cast("bigint").alias("both_drop"),
+        kd.cast("bigint").alias("a_only"),
+        dk.cast("bigint").alias("b_only"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+# ------------------------------------------ filter calibration (ECE)
+# A quality filter emits a keep-probability; calibration asks whether
+# "0.8 confidence" really keeps 80%.  Score: logistic in token count
+# (centered mid-corpus); outcome: the n_chars ground truth the score
+# tries to predict.  Ten equal-width bins + the expected calibration
+# error, the reliability-diagram standard.
+_ECE_BINS = 10
+_ECE_TOK_MID = 55.0
+_ECE_TOK_SCALE = 15.0
+_ECE_POS_CHARS = 300
+
+_ECE_ORACLE = f"""
+WITH scored AS (
+  SELECT 1.0 / (1.0 + EXP(-(LEN(string_split(text, ' ')) - {_ECE_TOK_MID})
+                          / {_ECE_TOK_SCALE})) AS conf,
+         CASE WHEN n_chars >= {_ECE_POS_CHARS} THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+b AS (
+  SELECT LEAST(CAST(FLOOR(conf * {_ECE_BINS}) AS BIGINT), {_ECE_BINS} - 1)
+           AS bin,
+         COUNT(*) AS n, AVG(conf) AS avg_conf, AVG(y) AS frac_pos
+  FROM scored GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n * ABS(avg_conf - frac_pos)) / SUM(n) AS ece FROM b
+)
+SELECT bin, CAST(n AS BIGINT) AS n_docs,
+       ROUND(avg_conf, 6) AS avg_conf, ROUND(frac_pos, 6) AS frac_pos,
+       ROUND(avg_conf - frac_pos, 6) AS gap,
+       ROUND(tot.ece, 6) AS ece
+FROM b CROSS JOIN tot
+ORDER BY bin
+"""
+
+
+@register("llm_filter_calibration_ece", oracle=_ECE_ORACLE, category="llm")
+def llm_filter_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error for a quality
+    filter's keep-probability (logistic in token count, centered at
+    {_ECE_TOK_MID}) against the >= {_ECE_POS_CHARS}-chars outcome it
+    predicts: {_ECE_BINS} equal-width confidence bins with mean
+    confidence vs realized positive rate, and ECE = Σ n_b/N ·
+    |conf_b - pos_b| — the audit that tells you whether a threshold
+    on that score means what it claims before it gates 100 TB.
+
+    Plan: one scan -> map-side-combined groupBy(bin) ({_ECE_BINS}
+    rows); ECE is an aggregate OVER those bins, broadcast back onto
+    them — constant-bounded frames beyond the single data pass.
+    """
+    scored = load_table(spark, sf_dir, "documents").select(
+        (
+            1.0
+            / (
+                1.0
+                + F.exp(
+                    -(F.size(F.split("text", " ")) - F.lit(_ECE_TOK_MID))
+                    / F.lit(_ECE_TOK_SCALE)
+                )
+            )
+        ).alias("conf"),
+        F.when(F.col("n_chars") >= _ECE_POS_CHARS, 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    b = scored.groupBy(
+        F.least(
+            F.floor(F.col("conf") * _ECE_BINS).cast("bigint"),
+            F.lit(_ECE_BINS - 1).cast("bigint"),
+        ).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("conf").alias("avg_conf"),
+        F.avg("y").alias("frac_pos"),
+    )
+    tot = b.agg(
+        (
+            F.sum(F.col("n_docs") * F.abs(F.col("avg_conf") - F.col("frac_pos")))
+            / F.sum("n_docs")
+        ).alias("ece")
+    )
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_docs",
+            F.round("avg_conf", 6).alias("avg_conf"),
+            F.round("frac_pos", 6).alias("frac_pos"),
+            F.round(F.col("avg_conf") - F.col("frac_pos"), 6).alias("gap"),
+            F.round("ece", 6).alias("ece"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ------------------------------------------ length-bucket batching
+# Inference fleets batch fixed-shape tensors: each sequence pads up to
+# its bucket's cap.  Bucketing by next-power-of-two bounds waste at
+# <50% worst-case; this op reports what the corpus actually pays.
+_LBB_MIN_CAP = 16
+_LBB_MAX_CAP = 2048
+_LBB_BATCH = 32
+
+_LBB_ORACLE = f"""
+WITH lens AS (
+  SELECT GREATEST(LEAST(LEN(string_split(text, ' ')), {_LBB_MAX_CAP}), 1)
+           AS n_toks
+  FROM documents
+),
+b AS (
+  SELECT GREATEST(
+           CAST(POWER(2, CEIL(LOG2(CAST(n_toks AS DOUBLE)))) AS BIGINT),
+           {_LBB_MIN_CAP}) AS bucket_cap,
+         COUNT(*) AS n_docs,
+         SUM(n_toks) AS real_tokens
+  FROM lens GROUP BY 1
+)
+SELECT bucket_cap, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(real_tokens AS BIGINT) AS real_tokens,
+       CAST(CEIL(CAST(n_docs AS DOUBLE) / {_LBB_BATCH}) AS BIGINT)
+         AS n_batches,
+       CAST(n_docs * bucket_cap AS BIGINT) AS padded_tokens,
+       ROUND(1.0 - CAST(real_tokens AS DOUBLE) / (n_docs * bucket_cap), 6)
+         AS pad_waste
+FROM b ORDER BY bucket_cap
+"""
+
+
+@register("llm_length_bucket_batching", oracle=_LBB_ORACLE, category="llm")
+def llm_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference batching plan by power-of-two length buckets (caps
+    clamped to [{_LBB_MIN_CAP}, {_LBB_MAX_CAP}]): per bucket, document
+    count, batch count at batch size {_LBB_BATCH}, and the padding
+    waste (1 - real/padded tokens) the fleet pays because every
+    sequence in a bucket pads to the cap — the number that decides
+    whether finer bucketing or sequence packing is worth it.
+
+    Plan: one scan -> map-side-combined groupBy(bucket): the shuffle
+    carries O(log2 {_LBB_MAX_CAP}) rows per map task regardless of
+    corpus size.  All bucket math is integer column algebra.
+    """
+    lens = load_table(spark, sf_dir, "documents").select(
+        F.greatest(
+            F.least(F.size(F.split("text", " ")), F.lit(_LBB_MAX_CAP)),
+            F.lit(1),
+        ).alias("n_toks")
+    )
+    cap = F.greatest(
+        F.pow(
+            F.lit(2.0),
+            F.ceil(F.log2(F.col("n_toks").cast("double"))).cast("double"),
+        ).cast("bigint"),
+        F.lit(_LBB_MIN_CAP).cast("bigint"),
+    )
+    b = lens.groupBy(cap.alias("bucket_cap")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("real_tokens"),
+    )
+    return b.select(
+        "bucket_cap",
+        "n_docs",
+        "real_tokens",
+        F.ceil(F.col("n_docs").cast("double") / _LBB_BATCH)
+        .cast("bigint")
+        .alias("n_batches"),
+        (F.col("n_docs") * F.col("bucket_cap"))
+        .cast("bigint")
+        .alias("padded_tokens"),
+        F.round(
+            1.0
+            - F.col("real_tokens").cast("double")
+            / (F.col("n_docs") * F.col("bucket_cap")),
+            6,
+        ).alias("pad_waste"),
+    ).orderBy("bucket_cap")

@@ -5087,3 +5087,72 @@ def test_global_order_stats_exact_across_boundaries(spark):
     assert got[0]["tw"] == run
     # payload survives untouched and unduplicated
     assert len({r["payload"] for r in got}) == n
+
+
+def test_logodds_sides_and_prior_shrinkage(spark, sf_dir):
+    """Each leaning side carries its K terms, z-signs agree with the
+    side, and the Dirichlet prior's shrinkage holds: every reported
+    term meets the pooled min-count floor."""
+    from snapshot_s3_util_spark.llm.quality import _LO_MIN_CNT, _LO_TOPK
+
+    rows = (
+        REGISTRY["llm_distinctive_terms_logodds"].fn(spark, sf_dir).collect()
+    )
+    a = [r for r in rows if r["leans"] == "a"]
+    b = [r for r in rows if r["leans"] == "b"]
+    assert len(a) == _LO_TOPK and len(b) == _LO_TOPK
+    assert all(r["zscore"] > 0 for r in a)
+    assert all(r["zscore"] < 0 for r in b)
+    assert all(r["cnt_a"] + r["cnt_b"] >= _LO_MIN_CNT for r in rows)
+    # disjoint: the anti-join must keep overlap out of the b side
+    assert not {r["term"] for r in a} & {r["term"] for r in b}
+
+
+def test_kappa_identities(spark, sf_dir):
+    """Cohen's kappa from the confusion cells must satisfy its own
+    definition and bounds; cells must partition the corpus."""
+    r = REGISTRY["llm_annotator_agreement"].fn(spark, sf_dir).collect()[0]
+    n = r["n_docs"]
+    assert (
+        r["both_keep"] + r["both_drop"] + r["a_only"] + r["b_only"] == n
+    )
+    po = (r["both_keep"] + r["both_drop"]) / n
+    assert abs(po - r["po"]) < 1e-6
+    assert -1.0 <= r["kappa"] <= 1.0
+    assert abs(r["kappa"] - (r["po"] - r["pe"]) / (1 - r["pe"])) < 1e-5
+
+
+def test_ece_is_bin_weighted_gap(spark, sf_dir):
+    """ECE must equal the doc-weighted mean |gap| over the bins it is
+    reported alongside, and confidences must live in their bin."""
+    from snapshot_s3_util_spark.llm.quality import _ECE_BINS
+
+    rows = REGISTRY["llm_filter_calibration_ece"].fn(spark, sf_dir).collect()
+    n = sum(r["n_docs"] for r in rows)
+    ece = sum(r["n_docs"] * abs(r["avg_conf"] - r["frac_pos"]) for r in rows) / n
+    assert all(abs(r["ece"] - ece) < 1e-5 for r in rows)
+    for r in rows:
+        lo, hi = r["bin"] / _ECE_BINS, (r["bin"] + 1) / _ECE_BINS
+        assert lo - 1e-9 <= r["avg_conf"] <= hi + 1e-9 or r["bin"] == _ECE_BINS - 1
+        assert 0.0 <= r["frac_pos"] <= 1.0
+
+
+def test_length_buckets_are_pow2_and_account_all_docs(spark, sf_dir):
+    """Bucket caps are powers of two in range, padding is an upper
+    bound on real tokens, and doc counts partition the corpus."""
+    from snapshot_s3_util_spark.llm.quality import (
+        _LBB_BATCH,
+        _LBB_MAX_CAP,
+        _LBB_MIN_CAP,
+    )
+
+    rows = (
+        REGISTRY["llm_length_bucket_batching"].fn(spark, sf_dir).collect()
+    )
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    for r in rows:
+        assert _LBB_MIN_CAP <= r["bucket_cap"] <= _LBB_MAX_CAP
+        assert r["bucket_cap"] & (r["bucket_cap"] - 1) == 0
+        assert r["real_tokens"] <= r["padded_tokens"]
+        assert r["n_batches"] == -(-r["n_docs"] // _LBB_BATCH)
