@@ -2832,3 +2832,178 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p * 2 / _PGRAM_N, 4).alias("power"),
         F.row_number().over(wr).cast("bigint").alias("power_rank"),
     )
+
+
+# ------------------------------------------------ Hurst exponent (R/S)
+_HURST_BLOCKS = (8, 16, 32, 64)  # block lengths, hours
+
+
+_HURST_ORACLE = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM {EVENTS_REL} e GROUP BY 1
+),
+dense AS (
+  SELECT UNNEST(generate_series(
+           0,
+           (SELECT CAST(date_diff('hour', MIN(h), MAX(h)) AS BIGINT)
+            FROM hourly))) AS i
+),
+idx AS (
+  SELECT d.i, COALESCE(hy.cnt, 0) AS cnt
+  FROM dense d
+  LEFT JOIN (SELECT CAST(date_diff('hour',
+                                   (SELECT MIN(h) FROM hourly), h)
+                      AS BIGINT) AS i, cnt
+             FROM hourly) hy USING (i)
+),
+blk AS (
+  SELECT u.n, i // u.n AS b, i, cnt,
+         COUNT(*) OVER w AS k,
+         SUM(cnt) OVER w AS sx,
+         SUM(cnt * cnt) OVER w AS sxx,
+         SUM(cnt) OVER (PARTITION BY u.n, i // u.n ORDER BY i) AS rsum,
+         ROW_NUMBER() OVER (PARTITION BY u.n, i // u.n ORDER BY i) AS j
+  FROM idx CROSS JOIN (SELECT UNNEST([{', '.join(map(str, _HURST_BLOCKS))}]) AS n) u
+  WINDOW w AS (PARTITION BY u.n, i // u.n)
+),
+rs AS (
+  SELECT n, b,
+         MAX(rsum - j * CAST(sx AS DOUBLE) / k)
+           - MIN(rsum - j * CAST(sx AS DOUBLE) / k) AS r,
+         SQRT((MAX(sxx) - CAST(MAX(sx) AS DOUBLE) * MAX(sx) / MAX(k))
+              / MAX(k)) AS s
+  FROM blk WHERE k = n
+  GROUP BY n, b
+),
+pern AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS n_blocks, AVG(r / s) AS avg_rs
+  FROM rs WHERE s > 0 GROUP BY n
+),
+fit AS (
+  SELECT (COUNT(*) * SUM(LOG2(CAST(n AS DOUBLE)) * LOG2(avg_rs))
+            - SUM(LOG2(CAST(n AS DOUBLE))) * SUM(LOG2(avg_rs)))
+         / NULLIF(
+             COUNT(*) * SUM(LOG2(CAST(n AS DOUBLE)) * LOG2(CAST(n AS DOUBLE)))
+               - SUM(LOG2(CAST(n AS DOUBLE))) * SUM(LOG2(CAST(n AS DOUBLE))),
+             0)
+           AS hurst
+  FROM pern
+)
+SELECT CAST(n AS BIGINT) AS block_len, n_blocks,
+       ROUND(avg_rs, 6) AS avg_rs,
+       ROUND(fit.hurst, 6) AS hurst
+FROM pern CROSS JOIN fit
+ORDER BY block_len
+"""
+
+
+@register("ts_hurst_exponent", oracle=_HURST_ORACLE, category="ts")
+def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the hourly event-count series by classic
+    rescaled-range (R/S) analysis: split the series into blocks of
+    {_HURST_BLOCKS} hours, per block take R = range of the cumulative
+    mean-deviation walk and S = population stddev, average R/S per
+    block length, and fit H = slope of log2(avg R/S) on log2(n).
+    H > 0.5 is long-range dependence (bursts cluster — provision for
+    correlated load), H ~ 0.5 is memoryless; the capacity-planning
+    companion to `ts_burstiness`'s single-scale Fano factor.
+
+    Determinism: every moment is an EXACT bigint sum (counts, squared
+    counts, running sums); the only divisions are one exact-sum/k per
+    block, so both engines compute bit-identical R and S before the
+    single 6dp rounding.
+
+    Plan: one corpus exchange to the |hours| frame (calendar-bounded),
+    densified against a generated hour spine (a missing hour is a real
+    zero, so sparse corpora still have gap-free blocks), a 4-way
+    block-length explode, ONE (n, block)-keyed exchange shared by both
+    window specs and the per-block reduce, then a 4-row fit broadcast
+    back.  Nothing data-sized survives the first aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    h0 = hourly.agg(
+        F.min("h").alias("h0"),
+        (
+            (F.unix_timestamp(F.max("h")) - F.unix_timestamp(F.min("h")))
+            / 3600
+        )
+        .cast("bigint")
+        .alias("span"),
+    )
+    # dense hour calendar: a missing hour is a REAL zero in the count
+    # series, not an absent sample (sparse low-SF data would otherwise
+    # leave no gap-free block at the larger lengths)
+    dense = h0.select(
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("span"))).alias(
+            "i"
+        )
+    )
+    present = hourly.crossJoin(F.broadcast(h0)).select(
+        ((F.unix_timestamp("h") - F.unix_timestamp("h0")) / 3600)
+        .cast("bigint")
+        .alias("i"),
+        "cnt",
+    )
+    # both sides are |hours| rows (calendar-bounded) — broadcast the
+    # present-hours side onto the generated spine
+    idx = dense.join(F.broadcast(present), "i", "left").select(
+        "i", F.coalesce("cnt", F.lit(0).cast("bigint")).alias("cnt")
+    )
+    blk = idx.withColumn(
+        "n", F.explode(F.array(*[F.lit(x) for x in _HURST_BLOCKS]))
+    ).withColumn("b", (F.col("i") / F.col("n")).cast("bigint"))
+    w_full = Window.partitionBy("n", "b")
+    w_ord = w_full.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    stats = blk.select(
+        "n",
+        "b",
+        F.count(F.lit(1)).over(w_full).alias("k"),
+        F.sum("cnt").over(w_full).alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w_full).alias("sxx"),
+        F.sum("cnt").over(w_ord).alias("rsum"),
+        F.row_number().over(w_full.orderBy("i")).alias("j"),
+    ).filter(F.col("k") == F.col("n"))
+    cum = F.col("rsum") - F.col("j") * F.col("sx").cast("double") / F.col("k")
+    rs = stats.groupBy("n", "b").agg(
+        (F.max(cum) - F.min(cum)).alias("r"),
+        F.sqrt(
+            (
+                F.max("sxx")
+                - F.max("sx").cast("double") * F.max("sx") / F.max("k")
+            )
+            / F.max("k")
+        ).alias("s"),
+    )
+    pern = (
+        rs.filter(F.col("s") > 0)
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.avg(F.col("r") / F.col("s")).alias("avg_rs"),
+        )
+    )
+    ln = F.log2(F.col("n").cast("double"))
+    ly = F.log2("avg_rs")
+    fit = pern.agg(
+        (
+            (F.count(F.lit(1)) * F.sum(ln * ly) - F.sum(ln) * F.sum(ly))
+            / F.nullif(
+                F.count(F.lit(1)) * F.sum(ln * ln) - F.sum(ln) * F.sum(ln),
+                F.lit(0.0),
+            )
+        ).alias("hurst")
+    )
+    return (
+        pern.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("n").cast("bigint").alias("block_len"),
+            "n_blocks",
+            F.round("avg_rs", 6).alias("avg_rs"),
+            F.round("hurst", 6).alias("hurst"),
+        )
+        .orderBy("block_len")
+    )

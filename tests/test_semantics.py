@@ -5156,3 +5156,52 @@ def test_length_buckets_are_pow2_and_account_all_docs(spark, sf_dir):
         assert r["bucket_cap"] & (r["bucket_cap"] - 1) == 0
         assert r["real_tokens"] <= r["padded_tokens"]
         assert r["n_batches"] == -(-r["n_docs"] // _LBB_BATCH)
+
+
+def test_hurst_rs_matches_python(spark, sf_dir):
+    """Recompute R/S per block length in plain Python from the hourly
+    series and require exact agreement (the op's moments are exact
+    bigint sums, so only the final rounding separates the paths);
+    H must sit in the open (0, 1) physical range."""
+    import math
+
+    from snapshot_s3_util_spark.operators.composites import _HURST_BLOCKS
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("h")
+        .collect()
+    )
+    t0 = hourly[0]["h"]
+    series = {}
+    for r in hourly:
+        series[int((r["h"] - t0).total_seconds() // 3600)] = r["c"]
+    span = max(series) + 1  # dense calendar: a missing hour counts 0
+    pts = []
+    for n in _HURST_BLOCKS:
+        rss = []
+        for b in range(0, span // n + 1):
+            if (b + 1) * n > span:
+                continue  # partial tail block is dropped (k == n gate)
+            xs = [series.get(i, 0) for i in range(b * n, (b + 1) * n)]
+            m = sum(xs) / n
+            cum, lo, hi, acc = 0.0, 0.0, 0.0, 0
+            for j, x in enumerate(xs, 1):
+                acc += x
+                cum = acc - j * m
+                lo, hi = min(lo, cum), max(hi, cum)
+            s = math.sqrt(sum(x * x for x in xs) / n - m * m)
+            if s > 0:
+                rss.append((hi - lo) / s)
+        if rss:
+            pts.append((n, len(rss), sum(rss) / len(rss)))
+    rows = {
+        r["block_len"]: r
+        for r in REGISTRY["ts_hurst_exponent"].fn(spark, sf_dir).collect()
+    }
+    for n, nb, avg in pts:
+        assert rows[n]["n_blocks"] == nb
+        assert abs(rows[n]["avg_rs"] - avg) < 1e-5
+    assert 0.0 < rows[_HURST_BLOCKS[0]]["hurst"] < 1.0
