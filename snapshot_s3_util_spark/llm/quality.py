@@ -400,3 +400,145 @@ def llm_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pad_waste"),
     ).orderBy("bucket_cap")
+
+
+# ------------------------------------------ char-entropy gibberish gate
+# Natural prose sits near 4-4.5 bits/char at the character level;
+# repetitive spam collapses toward 0, key-mash / binary spew pushes
+# toward log2(alphabet).  Both tails get flagged.
+_ENT_LO = 3.0
+_ENT_HI = 5.2
+
+_CHAR_ENTROPY_ORACLE = f"""
+WITH chars AS (
+  SELECT doc_id, UNNEST(string_split(text, '')) AS c FROM documents
+),
+dist AS (
+  SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS k FROM chars GROUP BY 1, 2
+),
+withn AS (
+  SELECT doc_id, k, SUM(k) OVER (PARTITION BY doc_id) AS n FROM dist
+),
+ent AS (
+  SELECT doc_id,
+         CAST(MAX(n) AS BIGINT) AS n_chars,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         -SUM((k / n) * LOG2(k / n)) AS h
+  FROM withn GROUP BY doc_id
+)
+SELECT doc_id, n_chars, n_distinct,
+       ROUND(h, 6) AS bits_per_char,
+       (h < {_ENT_LO} OR h > {_ENT_HI}) AS flagged
+FROM ent
+"""
+
+
+@register("llm_char_entropy_filter", oracle=_CHAR_ENTROPY_ORACLE, category="llm")
+def llm_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document with a two-sided
+    gibberish gate: flag below {_ENT_LO} bits/char (repetitive spam —
+    the mode n-gram filters miss when the repeat unit is long) or
+    above {_ENT_HI} (key-mash / base64 / binary spew).  The standard
+    cheap pre-filter a curation funnel runs before any tokenization.
+
+    Plan: entirely DOC-LOCAL — the char histogram and the entropy sum
+    are higher-order array expressions over split(text, ''), so the
+    operator is one narrow projection with NO shuffle at all (the
+    distinct-char loop is O(|alphabet| x len) per doc, alphabet <= a
+    few hundred).  Summation order over distinct chars is pinned by
+    array_sort in Spark; the oracle's GROUP BY sum differs only at
+    ~1e-16, absorbed by the 6dp rounding.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    chars = F.split("text", "")
+    n = F.size(chars)
+    # per distinct char c: k = occurrences; accumulate -p*log2(p)
+    h = F.expr(
+        "aggregate(array_sort(array_distinct(split(text, ''))), 0D,"
+        " (acc, c) -> acc - (cast(size(filter(split(text, ''), x -> x = c))"
+        "                        AS double) / size(split(text, '')))"
+        "             * log2(cast(size(filter(split(text, ''), x -> x = c))"
+        "                        AS double) / size(split(text, ''))))"
+    )
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chars"),
+        F.size(F.array_distinct(chars)).cast("bigint").alias("n_distinct"),
+        F.round(h, 6).alias("bits_per_char"),
+        ((h < _ENT_LO) | (h > _ENT_HI)).alias("flagged"),
+    )
+
+
+# ------------------------------------------ tokenizer fertility by lang
+# Fertility = subword tokens per whitespace word (the ~4-chars-per-
+# token estimate llm_token_count uses for budget accounting); languages
+# with high fertility pay more sequence length for the same text — the
+# multilingual-tokenizer-equity number mixture planning needs.
+
+_FERTILITY_ORACLE = """
+WITH per_doc AS (
+  SELECT lang,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS words,
+         CAST((SELECT SUM(CAST(CEIL(LEN(w) / 4.0) AS BIGINT))
+               FROM UNNEST(string_split(text, ' ')) AS t(w)) AS BIGINT)
+           AS subwords,
+         CAST(LEN(text) AS BIGINT) AS chars
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(words) AS BIGINT) AS words,
+       CAST(SUM(subwords) AS BIGINT) AS subwords,
+       CAST(SUM(chars) AS BIGINT) AS chars,
+       ROUND(CAST(SUM(subwords) AS DOUBLE) / SUM(words), 6) AS fertility,
+       ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(subwords), 6)
+         AS chars_per_token
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+@register("llm_tokenizer_fertility", oracle=_FERTILITY_ORACLE, category="llm")
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword tokens per whitespace
+    word and chars per token, under the same ceil(len/4) subword
+    estimate `llm_token_count` budgets with.  High-fertility languages
+    consume more context window per sentence — this is the table a
+    mixture planner reads to convert document shares into TOKEN shares
+    per language (and the fairness audit for tokenizer choice).
+
+    Plan: word and subword counts are DOC-LOCAL array aggregates (no
+    explode — the token stream never leaves its row); the only shuffle
+    is the map-side-combined groupBy(lang), |langs| rows.  All counts
+    are exact bigints; the two ratios divide once and round once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    subwords = F.expr(
+        "aggregate(split(text, ' '), 0L,"
+        " (acc, w) -> acc + cast(ceil(length(w) / 4.0) AS bigint))"
+    )
+    per = d.select(
+        "lang",
+        F.size(toks).cast("bigint").alias("words"),
+        subwords.alias("subwords"),
+        F.length("text").cast("bigint").alias("chars"),
+    )
+    g = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("words").alias("words"),
+        F.sum("subwords").alias("subwords"),
+        F.sum("chars").alias("chars"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "words",
+        "subwords",
+        "chars",
+        F.round(F.col("subwords").cast("double") / F.col("words"), 6).alias(
+            "fertility"
+        ),
+        F.round(F.col("chars").cast("double") / F.col("subwords"), 6).alias(
+            "chars_per_token"
+        ),
+    ).orderBy("lang")

@@ -5205,3 +5205,43 @@ def test_hurst_rs_matches_python(spark, sf_dir):
         assert rows[n]["n_blocks"] == nb
         assert abs(rows[n]["avg_rs"] - avg) < 1e-5
     assert 0.0 < rows[_HURST_BLOCKS[0]]["hurst"] < 1.0
+
+
+def test_char_entropy_matches_python(spark, sf_dir):
+    """Recompute char entropy for a sample of docs in plain Python
+    (Counter-based) and require 1e-5 agreement; bounds: 0 <= H <=
+    log2(n_distinct)."""
+    import math
+    from collections import Counter
+
+    rows = (
+        REGISTRY["llm_char_entropy_filter"].fn(spark, sf_dir).limit(50).collect()
+    )
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin([r["doc_id"] for r in rows]))
+        .collect()
+    }
+    for r in rows:
+        cnt = Counter(docs[r["doc_id"]])
+        n = sum(cnt.values())
+        h = -sum((k / n) * math.log2(k / n) for k in cnt.values())
+        assert abs(r["bits_per_char"] - h) < 1e-5
+        assert r["n_chars"] == n and r["n_distinct"] == len(cnt)
+        assert -1e-9 <= r["bits_per_char"] <= math.log2(max(len(cnt), 2)) + 1e-9
+
+
+def test_fertility_ratios_consistent(spark, sf_dir):
+    """Fertility must be >= 1 (every word is at least one subword) and
+    the reported ratios must equal the reported exact counts."""
+    rows = REGISTRY["llm_tokenizer_fertility"].fn(spark, sf_dir).collect()
+    langs = {
+        r["lang"]
+        for r in load_table(spark, sf_dir, "documents").select("lang").distinct().collect()
+    }
+    assert {r["lang"] for r in rows} == langs
+    for r in rows:
+        assert r["fertility"] >= 1.0
+        assert abs(r["fertility"] - r["subwords"] / r["words"]) < 1e-5
+        assert abs(r["chars_per_token"] - r["chars"] / r["subwords"]) < 1e-5
