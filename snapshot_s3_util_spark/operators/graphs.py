@@ -1437,3 +1437,134 @@ def graph_scc_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("scc_class"),
         )
     )
+
+
+# ------------------------------------------------ Louvain move pass
+_LOUVAIN_ORACLE = f"""
+WITH edges AS MATERIALIZED ({_EDGES_SQL}),
+und AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+         CAST(SUM(w) AS BIGINT) AS w
+  FROM edges WHERE src <> dst GROUP BY 1, 2
+),
+adj AS (
+  SELECT a AS i, b AS j, w FROM und
+  UNION ALL
+  SELECT b AS i, a AS j, w FROM und
+),
+deg AS (SELECT i AS node, CAST(SUM(w) AS BIGINT) AS d FROM adj GROUP BY i),
+m2 AS (SELECT CAST(SUM(d) AS BIGINT) AS m2 FROM deg),
+gain AS (
+  SELECT ad.i, ad.j,
+         m2.m2 * ad.w - di.d * dj.d AS num,
+         m2.m2
+  FROM adj ad
+  JOIN deg di ON di.node = ad.i
+  JOIN deg dj ON dj.node = ad.j
+  CROSS JOIN m2
+),
+best AS (
+  SELECT i, j, num, m2,
+         ROW_NUMBER() OVER (PARTITION BY i ORDER BY num DESC, j ASC) AS rn
+  FROM gain
+)
+SELECT na.n_name AS nation,
+       CAST(CASE WHEN b.num > 0 THEN b.j ELSE b.i END AS BIGINT)
+         AS community,
+       ROUND(CAST(b.num AS DOUBLE) / (CAST(b.m2 AS DOUBLE) * b.m2 / 2), 6)
+         AS gain,
+       b.num > 0 AS moved
+FROM best b JOIN nation na ON na.n_nationkey = b.i
+WHERE b.rn = 1
+"""
+
+
+@register("graph_louvain_move", oracle=_LOUVAIN_ORACLE, category="graph")
+def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous Louvain phase-1 move pass over the weighted
+    nation trade graph, from the all-singletons start: each node
+    evaluates the modularity gain of joining each neighbor's community
+    (dQ = w_ij/m - d_i d_j / 2m^2 for singletons) and takes the best
+    strictly-positive move — the building block modularity-refinement
+    loops (`graph_modularity` scores the result of such passes)
+    iterate to convergence.
+
+    Determinism: moves are ranked by the EXACT BIGINT numerator
+    2m*w_ij - d_i*d_j (the dQ ordering with the positive 2m^2
+    denominator cleared), ties by neighbor id — no float enters the
+    argmax.  At edge-weight sums beyond ~3e9 (where the product could
+    overflow int64) widen to DECIMAL(38,0); the reported gain itself
+    divides once into double and rounds.
+
+    Plan: the |E|-sized symmetrized adjacency joins the BROADCAST
+    |V|-row degree frame twice plus the 1-row 2m scalar; the argmax is
+    one node-partitioned window.  One data-sized exchange total
+    (building und); everything downstream is |E| rows max.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    adj = und.select(
+        F.col("a").alias("i"), F.col("b").alias("j"), "w"
+    ).unionAll(und.select(F.col("b").alias("i"), F.col("a").alias("j"), "w"))
+    deg = adj.groupBy(F.col("i").alias("node")).agg(
+        F.sum("w").cast("bigint").alias("d")
+    )
+    m2 = deg.agg(F.sum("d").cast("bigint").alias("m2"))
+    gain = (
+        adj.join(
+            F.broadcast(deg.select(F.col("node").alias("i"), F.col("d").alias("di"))),
+            "i",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("j"), F.col("d").alias("dj"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "i",
+            "j",
+            (F.col("m2") * F.col("w") - F.col("di") * F.col("dj")).alias("num"),
+            "m2",
+        )
+    )
+    w_best = Window.partitionBy("i").orderBy(F.col("num").desc(), F.col("j").asc())
+    best = gain.withColumn("rn", F.row_number().over(w_best)).filter(
+        F.col("rn") == 1
+    )
+    return best.join(
+        F.broadcast(nation), best["i"] == nation["n_nationkey"]
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.when(F.col("num") > 0, F.col("j"))
+        .otherwise(F.col("i"))
+        .cast("bigint")
+        .alias("community"),
+        F.round(
+            F.col("num").cast("double")
+            / (F.col("m2").cast("double") * F.col("m2") / 2),
+            6,
+        ).alias("gain"),
+        (F.col("num") > 0).alias("moved"),
+    )

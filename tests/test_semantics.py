@@ -5245,3 +5245,51 @@ def test_fertility_ratios_consistent(spark, sf_dir):
         assert r["fertility"] >= 1.0
         assert abs(r["fertility"] - r["subwords"] / r["words"]) < 1e-5
         assert abs(r["chars_per_token"] - r["chars"] / r["subwords"]) < 1e-5
+
+
+def test_louvain_move_gains_match_python(spark, sf_dir):
+    """Rebuild the weighted trade graph driver-side and verify every
+    node's chosen move IS the argmax of the singleton-partition
+    modularity gain (exact integer arithmetic), and that 'moved'
+    strictly tracks positive gain."""
+    rows = REGISTRY["graph_louvain_move"].fn(spark, sf_dir).collect()
+    nation = {
+        r["n_name"]: r["n_nationkey"]
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ed = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("c_nationkey", "s_nationkey")
+        .count()
+        .collect()
+    )
+    w = {}
+    for r in ed:
+        a, b = r["c_nationkey"], r["s_nationkey"]
+        if a == b:
+            continue
+        k = (min(a, b), max(a, b))
+        w[k] = w.get(k, 0) + r["count"]
+    deg = {}
+    for (a, b), x in w.items():
+        deg[a] = deg.get(a, 0) + x
+        deg[b] = deg.get(b, 0) + x
+    m2 = sum(deg.values())
+    for r in rows:
+        i = nation[r["nation"]]
+        cands = [
+            (m2 * x - deg[i] * deg[(a if b == i else b)], (a if b == i else b))
+            for (a, b), x in w.items()
+            if i in (a, b)
+        ]
+        num, j = max(cands, key=lambda t: (t[0], -t[1]))
+        exp_comm = j if num > 0 else i
+        assert r["community"] == exp_comm, (r, num, j)
+        assert r["moved"] == (num > 0)
+        assert abs(r["gain"] - num / (m2 * m2 / 2)) < 1e-5
