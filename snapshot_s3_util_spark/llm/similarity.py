@@ -907,3 +907,131 @@ def llm_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("outlier_rank"),
         )
     )
+
+
+# ------------------------------------------ top principal component
+_PCA_ITERS = 3
+
+
+def _pca_oracle() -> str:
+    """Unrolled power iteration on the mean-centered Gram matrix
+    (pagerank discipline: identical fixed iteration count in both
+    engines, checked exactly after one 6dp rounding)."""
+    d0 = f"1.0 / SQRT(64)"
+    sql = f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+expl AS MATERIALIZED (
+  SELECT vec_id, u.j, e[u.j] AS x
+  FROM v, UNNEST(range(1, len(e) + 1)) AS u(j)
+),
+mu AS MATERIALIZED (SELECT j, AVG(x) AS m FROM expl GROUP BY j),
+cx AS MATERIALIZED (
+  SELECT ex.vec_id, ex.j, ex.x - mu.m AS x
+  FROM expl ex JOIN mu ON mu.j = ex.j
+),
+v0 AS (SELECT j, {d0} AS vj FROM mu)"""
+    prev = "v0"
+    for t in range(1, _PCA_ITERS + 1):
+        sql += f""",
+u{t} AS MATERIALIZED (
+  SELECT cx.vec_id, SUM(cx.x * p.vj) AS ui
+  FROM cx JOIN {prev} p ON p.j = cx.j
+  GROUP BY cx.vec_id
+),
+w{t} AS MATERIALIZED (
+  SELECT cx.j, SUM(cx.x * u.ui) AS wj
+  FROM cx JOIN u{t} u ON u.vec_id = cx.vec_id
+  GROUP BY cx.j
+),
+v{t} AS MATERIALIZED (
+  SELECT j, wj / (SELECT SQRT(SUM(wj * wj)) FROM w{t}) AS vj FROM w{t}
+)"""
+        prev = f"v{t}"
+    sql += f""",
+ufin AS (
+  SELECT cx.vec_id, SUM(cx.x * p.vj) AS ui
+  FROM cx JOIN {prev} p ON p.j = cx.j
+  GROUP BY cx.vec_id
+),
+lam AS (SELECT SUM(ui * ui) AS lam FROM ufin),
+tot AS (SELECT SUM(x * x) AS tot FROM cx)
+SELECT CAST(p.j AS BIGINT) AS dim,
+       ROUND(p.vj, 6) AS loading,
+       ROUND(lam.lam, 4) AS eigenvalue,
+       ROUND(lam.lam / tot.tot, 6) AS explained_share
+FROM {prev} p CROSS JOIN lam CROSS JOIN tot
+ORDER BY dim
+"""
+    return sql
+
+
+@register("llm_pca_top_component", oracle=_pca_oracle(), category="llm")
+def llm_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the mean-centered embedding matrix
+    by {_PCA_ITERS} unrolled power iterations (v <- normalize(X'Xv)
+    from the uniform start): per-dimension loadings, the Rayleigh
+    eigenvalue, and the explained-variance share — the embedding-space
+    health probe that catches a rogue dominant direction (the
+    anisotropy op's actionable sibling: it tells you WHICH direction
+    to project out).
+
+    Sign-deterministic: the fixed positive start vector pins the
+    iterate's sign in both engines.  Summation-order drift stays
+    ~1e-13 through the normalizations and is absorbed by the final
+    rounding (the only rounding anywhere).
+
+    Plan: one posexplode to the (n x d) component stream, re-centered
+    against the broadcast |d|-row mean frame; each iteration is one
+    vec_id-keyed map-side-combined reduce (n rows out) and one
+    |d|-row reduce, both joining only BROADCAST frames (v is |d| rows,
+    u is n rows but only ever joined back to the stream by key —
+    shuffle-keyed, not broadcast, at 100 TB).  Iterations are
+    unrolled, lineage stays flat, nothing wider than the component
+    stream is ever shuffled.
+    """
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_E).alias("e")
+    )
+    expl = v.select(
+        "vec_id", F.posexplode("e").alias("j0", "x")
+    ).select("vec_id", (F.col("j0") + 1).alias("j"), "x")
+    mu = expl.groupBy("j").agg(F.avg("x").alias("m"))
+    cx = expl.join(F.broadcast(mu), "j").select(
+        "vec_id", "j", (F.col("x") - F.col("m")).alias("x")
+    )
+    vec = mu.select("j", F.lit(1.0 / 8.0).alias("vj"))  # 1/sqrt(64)
+    for _ in range(_PCA_ITERS):
+        u = (
+            cx.join(F.broadcast(vec), "j")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("x") * F.col("vj")).alias("ui"))
+        )
+        w = (
+            cx.join(u, "vec_id")
+            .groupBy("j")
+            .agg(F.sum(F.col("x") * F.col("ui")).alias("wj"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("wj") * F.col("wj"))).alias("nrm"))
+        vec = w.crossJoin(F.broadcast(nrm)).select(
+            "j", (F.col("wj") / F.col("nrm")).alias("vj")
+        )
+    ufin = (
+        cx.join(F.broadcast(vec), "j")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("x") * F.col("vj")).alias("ui"))
+    )
+    lam = ufin.agg(F.sum(F.col("ui") * F.col("ui")).alias("lam"))
+    tot = cx.agg(F.sum(F.col("x") * F.col("x")).alias("tot"))
+    return (
+        vec.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("j").cast("bigint").alias("dim"),
+            F.round("vj", 6).alias("loading"),
+            F.round("lam", 4).alias("eigenvalue"),
+            F.round(F.col("lam") / F.col("tot"), 6).alias("explained_share"),
+        )
+        .orderBy("dim")
+    )

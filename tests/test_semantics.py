@@ -5293,3 +5293,33 @@ def test_louvain_move_gains_match_python(spark, sf_dir):
         assert r["community"] == exp_comm, (r, num, j)
         assert r["moved"] == (num > 0)
         assert abs(r["gain"] - num / (m2 * m2 / 2)) < 1e-5
+
+
+def test_pca_top_component_matches_numpy(spark, sf_dir):
+    """The power-iterate must match numpy's 3-iteration replay to 1e-4
+    and point (up to that tolerance) along the true top eigenvector of
+    the centered covariance; unit norm; explained share in (0, 1)."""
+    import numpy as np
+
+    rows = REGISTRY["llm_pca_top_component"].fn(spark, sf_dir).collect()
+    v = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"])])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    X = np.array(
+        [
+            r["e"]
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select(F.expr("transform(embedding, x -> cast(x AS double))").alias("e"))
+            .collect()
+        ]
+    )
+    Xc = X - X.mean(axis=0)
+    w = np.full(X.shape[1], 1.0 / 8.0)
+    for _ in range(3):
+        w = Xc.T @ (Xc @ w)
+        w /= np.linalg.norm(w)
+    assert np.max(np.abs(v - w)) < 1e-4
+    lam = float(np.sum((Xc @ w) ** 2))
+    r0 = rows[0]
+    assert abs(r0["eigenvalue"] - lam) / lam < 1e-4
+    assert 0.0 < r0["explained_share"] < 1.0
+    assert abs(r0["explained_share"] - lam / np.sum(Xc * Xc)) < 1e-4
