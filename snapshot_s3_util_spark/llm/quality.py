@@ -542,3 +542,175 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     ).orderBy("lang")
+
+
+# ------------------------------------------ pass@k estimator
+# Codex-paper unbiased estimator: per problem with n samples of which
+# c pass, pass@k = 1 - C(n-c, k)/C(n, k) = 1 - prod_{i<k} (n-c-i)/(n-i).
+# Events stand in for an eval harness: user_id = problem, one event =
+# one sample, success = value above the ~88th-percentile bar.
+_PAK_KS = (1, 5, 10)
+_PAK_BAR = 100.0
+
+_PASS_AT_K_ORACLE = f"""
+WITH per AS (
+  SELECT user_id AS problem,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value > {_PAK_BAR} THEN 1 ELSE 0 END) AS BIGINT)
+           AS c
+  FROM events GROUP BY user_id
+),
+terms AS (
+  SELECT p.problem, p.n, p.c, u.k, t.i,
+         CAST(p.n - p.c - t.i AS DOUBLE) / (p.n - t.i) AS term
+  FROM per p
+  CROSS JOIN (SELECT UNNEST([{', '.join(map(str, _PAK_KS))}]) AS k) u
+  CROSS JOIN UNNEST(range(0, {max(_PAK_KS)})) AS t(i)
+  WHERE t.i < u.k AND p.n >= u.k
+),
+perk AS (
+  SELECT k, problem, 1.0 - PRODUCT(term) AS pak
+  FROM terms GROUP BY k, problem
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_problems,
+       ROUND(AVG(pak), 6) AS pass_at_k
+FROM perk GROUP BY k ORDER BY k
+"""
+
+
+@register("llm_eval_pass_at_k", oracle=_PASS_AT_K_ORACLE, category="llm")
+def llm_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k for k in {_PAK_KS} by the unbiased Codex estimator
+    1 - C(n-c,k)/C(n,k), averaged over problems (events grouped by
+    user as the stand-in eval harness; success = value > {_PAK_BAR}).
+    The estimator — NOT the naive empirical top-k — is what an eval
+    pipeline must compute when n varies per problem; the hypergeometric
+    product form avoids factorial overflow entirely.
+
+    Plan: one map-side-combined groupBy(problem) to (n, c); the k-term
+    product is a doc-local higher-order `aggregate` over
+    sequence(0, k-1) (exact integer ratios in double, a zero factor
+    short-circuits the c > n-k case to pass@k = 1); the final mean is
+    a |k|-row reduce.  Nothing after the first aggregate is
+    data-sized.
+    """
+    per = load_table(spark, sf_dir, "events").groupBy(
+        F.col("user_id").alias("problem")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") > _PAK_BAR, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    )
+    ks = per.withColumn(
+        "k", F.explode(F.array(*[F.lit(k) for k in _PAK_KS]))
+    ).filter(F.col("n") >= F.col("k"))
+    pak = 1.0 - F.expr(
+        "aggregate(sequence(0, k - 1), 1D,"
+        " (acc, i) -> acc * cast(n - c - i AS double) / (n - i))"
+    )
+    return (
+        ks.select("k", pak.alias("pak"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_problems"),
+            F.round(F.avg("pak"), 6).alias("pass_at_k"),
+        )
+        .select(F.col("k").cast("bigint").alias("k"), "n_problems", "pass_at_k")
+        .orderBy("k")
+    )
+
+
+# ------------------------------------------ Zipf exponent fit
+_ZIPF_TOP = 500  # fit over the top-N frequency ranks
+
+_ZIPF_ORACLE = f"""
+WITH cnt AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+),
+top AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS r
+  FROM cnt ORDER BY c DESC, term ASC LIMIT {_ZIPF_TOP}
+),
+pts AS (SELECT LN(CAST(r AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y
+        FROM top),
+fit AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND(-( (n * sxy - sx * sy) / (n * sxx - sx * sx) ), 6)
+         AS zipf_exponent,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS log_intercept,
+       ROUND(POWER(n * sxy - sx * sy, 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM fit
+"""
+
+
+@register("llm_zipf_fit", oracle=_ZIPF_ORACLE, category="llm")
+def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit over the top-{_ZIPF_TOP} token frequency
+    ranks: least-squares slope of ln(freq) on ln(rank) (reported as
+    the positive exponent), intercept, and r².  Natural corpora sit
+    near exponent 1 with high r²; template/boilerplate floods flatten
+    the head and machine-generated spam steepens it — a one-row
+    corpus-health gate cheap enough to run per ingest batch.
+
+    Plan: one token explode into a map-side-combined groupBy(term);
+    the top-N cut is orderBy+limit (TakeOrderedAndProject — the
+    |vocab| frame never crosses one task); ranking and the moment fit
+    then run on the constant {_ZIPF_TOP}-row frame (the W-gated
+    window is ALLOW-listed with that bound).  Ties rank by term, so
+    both engines fit identical points.
+    """
+    from pyspark.sql import Window
+
+    cnt = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    top = cnt.orderBy(F.desc("c"), F.asc("term")).limit(_ZIPF_TOP)
+    ranked = top.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("term")))
+        .alias("r"),
+    )
+    pts = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fit.select(
+        F.col("n").alias("n_terms"),
+        F.round(-slope, 6).alias("zipf_exponent"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "log_intercept"
+        ),
+        F.round(
+            F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )

@@ -131,6 +131,12 @@ _allow(
     "rank window runs AFTER .limit(K): its input is the K-row "
     "TakeOrderedAndProject output, K constant",
 )
+_allow(
+    "llm_zipf_fit",
+    "W",
+    "rank window runs AFTER .limit(500): its input is the constant "
+    "500-row TakeOrderedAndProject head of the term-frequency table",
+)
 # No-partition-no-order normalizer windows (the r6 ADVICE detector gap,
 # now caught): every one runs over the RESULT of a map-side-combined
 # corpus aggregate, so the single task sees a catalog- or

@@ -5323,3 +5323,64 @@ def test_pca_top_component_matches_numpy(spark, sf_dir):
     assert abs(r0["eigenvalue"] - lam) / lam < 1e-4
     assert 0.0 < r0["explained_share"] < 1.0
     assert abs(r0["explained_share"] - lam / np.sum(Xc * Xc)) < 1e-4
+
+
+def test_pass_at_k_matches_python(spark, sf_dir):
+    """Recompute the unbiased estimator with exact fractions driver-
+    side; pass@k must be monotone nondecreasing in k."""
+    from fractions import Fraction
+
+    from snapshot_s3_util_spark.llm.quality import _PAK_BAR, _PAK_KS
+
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") > _PAK_BAR, 1).otherwise(0)).alias("c"),
+        )
+        .collect()
+    )
+    rows = {
+        r["k"]: r for r in REGISTRY["llm_eval_pass_at_k"].fn(spark, sf_dir).collect()
+    }
+    prev = -1.0
+    for k in _PAK_KS:
+        vals = []
+        for r in per:
+            if r["n"] < k:
+                continue
+            p = Fraction(1)
+            for i in range(k):
+                p *= Fraction(r["n"] - r["c"] - i, r["n"] - i)
+            vals.append(1.0 - float(p))
+        assert rows[k]["n_problems"] == len(vals)
+        assert abs(rows[k]["pass_at_k"] - sum(vals) / len(vals)) < 1e-5
+        assert rows[k]["pass_at_k"] >= prev - 1e-9
+        prev = rows[k]["pass_at_k"]
+
+
+def test_zipf_fit_matches_numpy(spark, sf_dir):
+    """The fitted exponent/r2 must match numpy's polyfit over the same
+    (ln rank, ln count) points; r2 in [0, 1]."""
+    import numpy as np
+
+    from snapshot_s3_util_spark.llm.quality import _ZIPF_TOP
+
+    cnt = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .count()
+        .orderBy(F.desc("count"), F.asc("t"))
+        .limit(_ZIPF_TOP)
+        .collect()
+    )
+    y = np.log([r["count"] for r in cnt])
+    x = np.log(np.arange(1, len(cnt) + 1))
+    slope, intercept = np.polyfit(x, y, 1)
+    r = REGISTRY["llm_zipf_fit"].fn(spark, sf_dir).collect()[0]
+    assert r["n_terms"] == len(cnt)
+    assert abs(r["zipf_exponent"] - (-slope)) < 1e-4
+    assert abs(r["log_intercept"] - intercept) < 1e-4
+    assert 0.0 <= r["r2"] <= 1.0
