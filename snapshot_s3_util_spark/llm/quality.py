@@ -1,13 +1,15 @@
 """Corpus-quality EVALUATION operators: distinctive-term log-odds,
-annotator agreement, filter-score calibration, and inference batching
-efficiency.
+annotator agreement, filter-score calibration, inference batching
+efficiency, char-entropy gating, tokenizer fertility, pass@k, and the
+Zipf corpus-health fit.
 
 These audit the *decisions* a curation pipeline makes — which terms
 mark a subcorpus, whether two cheap labelers agree, whether a filter's
-confidence score is honest, and what padding an inference fleet pays —
-all as single-pass map-side-combined aggregates that hold their shape
-at 100 TB (outputs are |vocab|-, |bins|- or |buckets|-bounded, never
-row-bounded).
+confidence score is honest, what padding an inference fleet pays,
+whether the token distribution still looks like language — all as
+single-pass map-side-combined aggregates (or fully doc-local array
+expressions) that hold their shape at 100 TB: outputs are |vocab|-,
+|bins|-, |buckets|-, |langs|- or |k|-bounded, never row-bounded.
 """
 
 from __future__ import annotations
