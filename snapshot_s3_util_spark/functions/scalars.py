@@ -1506,3 +1506,109 @@ def fn_norm_inv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         F.round(F.expr(_norminv_sql("p")), 8).alias("z"),
     )
+
+
+# ------------------------------------------------ geohash encoding
+_GH_CHARS = "0123456789bcdefghjkmnpqrstuvwxyz"  # geohash base32
+_GH_PRECISION = 5                               # chars -> 25 bits
+_GH_LON_BITS = 13                               # ceil(25/2): lon leads
+_GH_LAT_BITS = 12
+
+
+def _gh_interleave_terms(lon_q: str, lat_q: str) -> str:
+    """Integer arithmetic interleaving lon (13 bits, MSB first) and
+    lat (12 bits) into the 25-bit geohash value — one generated
+    formula string shared verbatim by both engines (the
+    `sink_zorder_layout` dialect rule)."""
+    terms = []
+    for i in range(_GH_LON_BITS):  # lon bit (12-i) -> z bit (24-2i)
+        terms.append(f"((({lon_q}) >> {_GH_LON_BITS - 1 - i}) & 1) * {1 << (24 - 2 * i)}")
+    for i in range(_GH_LAT_BITS):  # lat bit (11-i) -> z bit (23-2i)
+        terms.append(f"((({lat_q}) >> {_GH_LAT_BITS - 1 - i}) & 1) * {1 << (23 - 2 * i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _gh_sql(z: str) -> str:
+    """Base32 rendering of the 25-bit value `z` (5 substr lookups)."""
+    parts = [
+        f"SUBSTR('{_GH_CHARS}', (({z}) >> {20 - 5 * g}) % 32 + 1, 1)"
+        for g in range(_GH_PRECISION)
+    ]
+    return " || ".join(parts)
+
+
+_GEOHASH_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 179 AS DOUBLE) - 89.0 + 0.25 AS lat,
+         CAST((c_custkey * 7 + c_nationkey) % 359 AS DOUBLE)
+           - 179.0 + 0.5 AS lon
+  FROM customer
+),
+q AS (
+  SELECT c_custkey, lat, lon,
+         CAST(FLOOR((lat + 90.0) / 180.0 * {1 << _GH_LAT_BITS}) AS BIGINT)
+           AS lat_q,
+         CAST(FLOOR((lon + 180.0) / 360.0 * {1 << _GH_LON_BITS}) AS BIGINT)
+           AS lon_q
+  FROM pts
+),
+z AS (
+  SELECT c_custkey, lat, lon,
+         {_gh_interleave_terms('lon_q', 'lat_q')} AS zv
+  FROM q
+)
+SELECT c_custkey, lat, lon,
+       {_gh_sql('zv')} AS geohash
+FROM z
+"""
+
+
+@register("fn_geohash", oracle=_GEOHASH_ORACLE, category="function")
+def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-{_GH_PRECISION} encoding of the synthesized customer
+    coordinates (same derivation as `fn_geo_haversine`): quantize lat
+    to {_GH_LAT_BITS} bits / lon to {_GH_LON_BITS} bits, interleave
+    lon-first into the 25-bit cell id, render base32 — the standard
+    prefix-shardable spatial key (equal prefixes = nearby cells), the
+    string-keyed sibling of `join_spatial_grid`'s integer grid and
+    `sink_zorder_layout`'s Morton tiles.
+
+    The quantize-and-interleave form is exactly the classic bisection
+    algorithm closed-form (floor((x - lo)/(hi - lo) * 2^bits) IS the
+    bisection path), verified against a reference bisection encoder in
+    tests.  Pure integer/bit JVM algebra in one narrow projection —
+    zero shuffles, no UDF.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") % 179).cast("double") - 89.0 + 0.25
+    lon = (
+        (F.col("c_custkey") * 7 + F.col("c_nationkey")) % 359
+    ).cast("double") - 179.0 + 0.5
+    q = c.select(
+        "c_custkey",
+        lat.alias("lat"),
+        lon.alias("lon"),
+    ).select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.floor((F.col("lat") + 90.0) / 180.0 * (1 << _GH_LAT_BITS))
+        .cast("bigint")
+        .alias("lat_q"),
+        F.floor((F.col("lon") + 180.0) / 360.0 * (1 << _GH_LON_BITS))
+        .cast("bigint")
+        .alias("lon_q"),
+    )
+    z = q.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.expr(_gh_interleave_terms("lon_q", "lat_q")).alias("zv"),
+    )
+    return z.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.expr(_gh_sql("zv")).alias("geohash"),
+    )

@@ -2897,3 +2897,104 @@ def agg_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top3_share"),
         F.round(F.max("share"), 6).alias("max_share"),
     )
+
+
+# ------------------------------------------------ k-anonymity audit
+# Quasi-identifier: (lang, source, length-centile-bucket) — the tuple
+# an adversary could plausibly know about a document's author.
+_KANON_KS = (2, 5, 10)
+_KANON_LEN_BUCKET = 100  # n_chars bucket width
+
+_KANON_ORACLE = f"""
+WITH cls AS (
+  SELECT lang, source, n_chars // {_KANON_LEN_BUCKET} AS lb,
+         CAST(COUNT(*) AS BIGINT) AS sz
+  FROM documents GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(MIN(sz) AS BIGINT) AS min_class
+  FROM cls
+)
+SELECT u.k,
+       tot.n_classes,
+       tot.min_class,
+       CAST(COALESCE(SUM(CASE WHEN cls.sz < u.k THEN 1 END), 0) AS BIGINT)
+         AS classes_below,
+       CAST(COALESCE(SUM(CASE WHEN cls.sz < u.k THEN cls.sz END), 0)
+            AS BIGINT) AS rows_below,
+       ROUND(CAST(COALESCE(SUM(CASE WHEN cls.sz < u.k THEN cls.sz END), 0)
+                  AS DOUBLE) / tot.n_rows, 6) AS share_at_risk,
+       tot.min_class >= u.k AS k_anonymous
+FROM cls
+CROSS JOIN (SELECT UNNEST([{', '.join(f'CAST({k} AS BIGINT)' for k in _KANON_KS)}]) AS k) u
+CROSS JOIN tot
+GROUP BY u.k, tot.n_classes, tot.min_class, tot.n_rows
+ORDER BY u.k
+"""
+
+
+@register("agg_k_anonymity", oracle=_KANON_ORACLE, category="aggregate")
+def agg_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the documents table under the
+    quasi-identifier (lang, source, n_chars//{_KANON_LEN_BUCKET}): for
+    k in {_KANON_KS}, the number of equivalence classes smaller than
+    k, the row mass they carry, and whether the release is k-anonymous
+    — the re-identification-risk gate a privacy review runs before a
+    corpus (or its metadata) ships.  Rows in small classes are the
+    ones suppression/generalization must handle.
+
+    Plan: ONE map-side-combined groupBy over the quasi-identifier (the
+    class frame is catalog-bounded: |langs| x |sources| x length
+    buckets); the per-k risk sums explode that small frame by |k|
+    and reduce again.  The corpus is scanned exactly once.
+    """
+    cls = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(
+            "lang",
+            "source",
+            (F.col("n_chars") / _KANON_LEN_BUCKET).cast("bigint").alias("lb"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    )
+    tot = cls.agg(
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("sz").cast("bigint").alias("min_class"),
+    )
+    ks = cls.crossJoin(F.broadcast(tot)).withColumn(
+        "k",
+        F.explode(
+            F.array(*[F.lit(k).cast("bigint") for k in _KANON_KS])
+        ),
+    )
+    return (
+        ks.groupBy("k", "n_classes", "min_class", "n_rows")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("sz") < F.col("k"), 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("classes_below"),
+            F.coalesce(
+                F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("rows_below"),
+        )
+        .select(
+            "k",
+            "n_classes",
+            "min_class",
+            "classes_below",
+            "rows_below",
+            F.round(
+                F.col("rows_below").cast("double") / F.col("n_rows"), 6
+            ).alias("share_at_risk"),
+            (F.col("min_class") >= F.col("k")).alias("k_anonymous"),
+        )
+        .orderBy("k")
+    )

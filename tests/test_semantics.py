@@ -5384,3 +5384,77 @@ def test_zipf_fit_matches_numpy(spark, sf_dir):
     assert abs(r["zipf_exponent"] - (-slope)) < 1e-4
     assert abs(r["log_intercept"] - intercept) < 1e-4
     assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_k_anonymity_matches_python(spark, sf_dir):
+    """Recompute equivalence classes driver-side; risk shares must
+    match and be monotone nondecreasing in k."""
+    from collections import Counter
+
+    from snapshot_s3_util_spark.operators.aggregates import (
+        _KANON_KS,
+        _KANON_LEN_BUCKET,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", "n_chars"
+    ).collect()
+    cls = Counter(
+        (r["lang"], r["source"], r["n_chars"] // _KANON_LEN_BUCKET)
+        for r in docs
+    )
+    rows = {
+        r["k"]: r for r in REGISTRY["agg_k_anonymity"].fn(spark, sf_dir).collect()
+    }
+    prev = -1.0
+    for k in _KANON_KS:
+        below = [s for s in cls.values() if s < k]
+        r = rows[k]
+        assert r["n_classes"] == len(cls)
+        assert r["min_class"] == min(cls.values())
+        assert r["classes_below"] == len(below)
+        assert r["rows_below"] == sum(below)
+        assert abs(r["share_at_risk"] - sum(below) / len(docs)) < 1e-6
+        assert r["k_anonymous"] == (min(cls.values()) >= k)
+        assert r["share_at_risk"] >= prev - 1e-9
+        prev = r["share_at_risk"]
+
+
+def _ref_geohash(lat, lon, precision):
+    """Classic bisection geohash encoder (reference implementation)."""
+    chars = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+    bits, bit, ch, even, out = [16, 8, 4, 2, 1], 0, 0, True, []
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch |= bits[bit]
+                lon_lo = mid
+            else:
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch |= bits[bit]
+                lat_lo = mid
+            else:
+                lat_hi = mid
+        even = not even
+        if bit < 4:
+            bit += 1
+        else:
+            out.append(chars[ch])
+            bit, ch = 0, 0
+    return "".join(out)
+
+
+def test_geohash_matches_bisection_reference(spark, sf_dir):
+    """The closed-form quantize-and-interleave must equal the classic
+    bisection algorithm on every synthesized point, and the canonical
+    test vector must hold."""
+    assert _ref_geohash(57.64911, 10.40744, 5) == "u4pru"
+    rows = REGISTRY["fn_geohash"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["geohash"] == _ref_geohash(r["lat"], r["lon"], 5), r
