@@ -1649,3 +1649,98 @@ def llm_bt_preference_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(wr).cast("bigint").alias("bt_rank"),
         )
     )
+
+
+# ------------------------------------------------ split SRM check
+# Expected split mass under the md5-mod-100 rule of llm_split_assign.
+_SRM_EXP = {"train": 0.90, "val": 0.05, "test": 0.05}
+_SRM_CHI2_CRIT = 5.991  # chi-square 0.95 quantile, df = 2
+
+_SRM_ORACLE = f"""
+WITH assign AS (
+  SELECT CASE WHEN b < {_SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN b < {_SPLIT_VAL_PCT}   THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS b
+        FROM documents)
+),
+obs AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_obs FROM assign GROUP BY split
+),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT o.split, o.n_obs,
+         t.n * CASE o.split WHEN 'train' THEN {_SRM_EXP['train']}
+                            WHEN 'val'   THEN {_SRM_EXP['val']}
+                            ELSE {_SRM_EXP['test']} END AS n_exp
+  FROM obs o CROSS JOIN tot t
+),
+chi AS (
+  SELECT SUM(POW(n_obs - n_exp, 2) / n_exp) AS chi2 FROM cells
+)
+SELECT c.split, c.n_obs,
+       CAST(ROUND(c.n_exp, 2) AS DOUBLE) AS n_expected,
+       ROUND(chi.chi2, 6) AS chi2,
+       chi.chi2 > {_SRM_CHI2_CRIT} AS srm_detected
+FROM cells c CROSS JOIN chi
+ORDER BY c.split
+"""
+
+
+@register("llm_split_srm_check", oracle=_SRM_ORACLE, category="llm")
+def llm_split_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check on `llm_split_assign`'s
+    train/val/test assignment: chi-square goodness-of-fit of observed
+    split counts against the designed 90/5/5 mass, alarming above the
+    df=2 0.95 critical value {_SRM_CHI2_CRIT} — the FIRST gate an
+    experimentation/eval pipeline runs, because a biased splitter
+    invalidates every downstream comparison before a single metric is
+    read.  (On the hash-mod rule this measures the md5 bucketing's
+    uniformity; a real SRM fires when filtering after assignment
+    removes rows asymmetrically.)
+
+    Plan: the assignment is the same zero-shuffle hash map as the
+    split op; one 3-row map-side-combined groupBy, the chi-square is
+    a 3-row reduce broadcast back.  One corpus scan total.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = F.expr(
+        "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint)"
+        " % 100"
+    )
+    obs = (
+        d.select(
+            F.when(b < _SPLIT_TRAIN_PCT, "train")
+            .when(b < _SPLIT_VAL_PCT, "val")
+            .otherwise("test")
+            .alias("split")
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    exp = (
+        F.when(F.col("split") == "train", _SRM_EXP["train"])
+        .when(F.col("split") == "val", _SRM_EXP["val"])
+        .otherwise(_SRM_EXP["test"])
+    )
+    cells = obs.crossJoin(F.broadcast(tot)).select(
+        "split", "n_obs", (F.col("n") * exp).alias("n_exp")
+    )
+    chi = cells.agg(
+        F.sum(F.pow(F.col("n_obs") - F.col("n_exp"), 2) / F.col("n_exp")).alias(
+            "chi2"
+        )
+    )
+    return (
+        cells.crossJoin(F.broadcast(chi))
+        .select(
+            "split",
+            "n_obs",
+            F.round("n_exp", 2).alias("n_expected"),
+            F.round("chi2", 6).alias("chi2"),
+            (F.col("chi2") > _SRM_CHI2_CRIT).alias("srm_detected"),
+        )
+        .orderBy("split")
+    )

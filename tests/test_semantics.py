@@ -5458,3 +5458,27 @@ def test_geohash_matches_bisection_reference(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["geohash"] == _ref_geohash(r["lat"], r["lon"], 5), r
+
+
+def test_srm_chi2_matches_python(spark, sf_dir):
+    """Chi-square must match the driver-side recomputation from the
+    split op's own assignment; counts must partition the corpus."""
+    from snapshot_s3_util_spark.llm.pipeline import _SRM_CHI2_CRIT, _SRM_EXP
+
+    splits = [
+        r["split"] for r in REGISTRY["llm_split_assign"].fn(spark, sf_dir).collect()
+    ]
+    n = len(splits)
+    rows = {
+        r["split"]: r
+        for r in REGISTRY["llm_split_srm_check"].fn(spark, sf_dir).collect()
+    }
+    chi2 = 0.0
+    for s, share in _SRM_EXP.items():
+        obs = splits.count(s)
+        assert rows[s]["n_obs"] == obs
+        chi2 += (obs - n * share) ** 2 / (n * share)
+    for r in rows.values():
+        assert abs(r["chi2"] - chi2) < 1e-4
+        assert r["srm_detected"] == (chi2 > _SRM_CHI2_CRIT)
+    assert sum(r["n_obs"] for r in rows.values()) == n
