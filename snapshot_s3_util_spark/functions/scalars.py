@@ -1547,10 +1547,12 @@ WITH pts AS (
 ),
 q AS (
   SELECT c_custkey, lat, lon,
-         CAST(FLOOR((lat + 90.0) / 180.0 * {1 << _GH_LAT_BITS}) AS BIGINT)
-           AS lat_q,
-         CAST(FLOOR((lon + 180.0) / 360.0 * {1 << _GH_LON_BITS}) AS BIGINT)
-           AS lon_q
+         LEAST(GREATEST(
+           CAST(FLOOR((lat + 90.0) / 180.0 * {1 << _GH_LAT_BITS}) AS BIGINT),
+           0), {(1 << _GH_LAT_BITS) - 1}) AS lat_q,
+         LEAST(GREATEST(
+           CAST(FLOOR((lon + 180.0) / 360.0 * {1 << _GH_LON_BITS}) AS BIGINT),
+           0), {(1 << _GH_LON_BITS) - 1}) AS lon_q
   FROM pts
 ),
 z AS (
@@ -1574,11 +1576,15 @@ def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     string-keyed sibling of `join_spatial_grid`'s integer grid and
     `sink_zorder_layout`'s Morton tiles.
 
-    The quantize-and-interleave form is exactly the classic bisection
+    The quantize-and-interleave form is the classic bisection
     algorithm closed-form (floor((x - lo)/(hi - lo) * 2^bits) IS the
     bisection path), verified against a reference bisection encoder in
-    tests.  Pure integer/bit JVM algebra in one narrow projection —
-    zero shuffles, no UDF.
+    tests — exactly, except when float rounding in (x + 90)/180 lands
+    ON a cell boundary (e.g. lon = -1e-200 rounds to the +0 cell),
+    where the encode may differ by one cell; the quantized indices are
+    clamped to their bit range so such inputs still produce a VALID
+    adjacent-cell geohash, never garbage bits.  Pure integer/bit JVM
+    algebra in one narrow projection — zero shuffles, no UDF.
     """
     c = load_table(spark, sf_dir, "customer")
     lat = (F.col("c_custkey") % 179).cast("double") - 89.0 + 0.25
@@ -1593,12 +1599,24 @@ def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "lat",
         "lon",
-        F.floor((F.col("lat") + 90.0) / 180.0 * (1 << _GH_LAT_BITS))
-        .cast("bigint")
-        .alias("lat_q"),
-        F.floor((F.col("lon") + 180.0) / 360.0 * (1 << _GH_LON_BITS))
-        .cast("bigint")
-        .alias("lon_q"),
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("lat") + 90.0) / 180.0 * (1 << _GH_LAT_BITS)
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit((1 << _GH_LAT_BITS) - 1).cast("bigint"),
+        ).alias("lat_q"),
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("lon") + 180.0) / 360.0 * (1 << _GH_LON_BITS)
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit((1 << _GH_LON_BITS) - 1).cast("bigint"),
+        ).alias("lon_q"),
     )
     z = q.select(
         "c_custkey",

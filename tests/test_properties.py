@@ -653,3 +653,60 @@ def test_substring_spans_match_naive_reference(spark, data):
         for r in _substring_spans_from(d).collect()
     }
     assert got == _naive_spans(corpus)
+
+
+@given(
+    lat=st.floats(min_value=-90.0, max_value=90.0, exclude_max=True,
+                  allow_nan=False),
+    lon=st.floats(min_value=-180.0, max_value=180.0, exclude_max=True,
+                  allow_nan=False),
+)
+@example(lat=57.64911, lon=10.40744)  # canonical "u4pru"
+@example(lat=0.0, lon=0.0)
+@example(lat=-90.0, lon=-180.0)
+@settings(max_examples=300, deadline=None)
+def test_geohash_closed_form_equals_bisection(lat, lon):
+    """fn_geohash's quantize-and-interleave closed form must equal the
+    classic bisection encoder wherever float rounding doesn't land the
+    quantization ON a cell boundary (the op's documented one-cell
+    caveat; detected here with exact Fraction arithmetic), and must
+    always emit in-range bits (the clamp).  Pure-Python property —
+    the generated formula string is evaluated with Python's identical
+    integer semantics."""
+    from fractions import Fraction
+
+    from hypothesis import assume
+
+    from snapshot_s3_util_spark.functions.scalars import (
+        _GH_CHARS,
+        _GH_LAT_BITS,
+        _GH_LON_BITS,
+        _GH_PRECISION,
+        _gh_interleave_terms,
+    )
+    from tests.test_semantics import _ref_geohash
+
+    def q(x, lo, span, bits):
+        f = min(max(int((x - lo) / span * (1 << bits)), 0), (1 << bits) - 1)
+        # Fraction(lo): a float operand would coerce the whole
+        # expression back to float and defeat the exactness check
+        exact = min(
+            (Fraction(x) - Fraction(lo)) * (1 << bits) // span,
+            (1 << bits) - 1,
+        )
+        return f, int(exact)
+
+    lat_q, lat_exact = q(lat, -90.0, 180, _GH_LAT_BITS)
+    lon_q, lon_exact = q(lon, -180.0, 360, _GH_LON_BITS)
+    assert 0 <= lat_q < (1 << _GH_LAT_BITS)
+    assert 0 <= lon_q < (1 << _GH_LON_BITS)
+    z = eval(  # the same arithmetic string both engines execute
+        _gh_interleave_terms("lon_q", "lat_q"),
+        {"lon_q": lon_q, "lat_q": lat_q},
+    )
+    got = "".join(
+        _GH_CHARS[(z >> (20 - 5 * g)) % 32] for g in range(_GH_PRECISION)
+    )
+    assert len(got) == _GH_PRECISION and all(c in _GH_CHARS for c in got)
+    assume(lat_q == lat_exact and lon_q == lon_exact)
+    assert got == _ref_geohash(lat, lon, _GH_PRECISION)
