@@ -716,3 +716,100 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# ------------------------------------------ lexicon sentiment scoring
+# Lexicon-based polarity (EDBT'16 Twitter-on-Spark shape): counts are
+# doc-local array matches against broadcast-literal word lists; the
+# lexicon below is the corpus's own performance vocabulary — swap in
+# AFINN/VADER lists for natural text, the machinery is identical.
+_SENT_POS = ("fast", "small")
+_SENT_NEG = ("slow", "big")
+
+
+def _sent_sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+_SENTIMENT_ORACLE = f"""
+WITH scored AS (
+  SELECT source,
+         CAST(LEN(list_filter(string_split(text, ' '),
+                              w -> w IN ({_sent_sql_list(_SENT_POS)})))
+              AS BIGINT) AS pos_hits,
+         CAST(LEN(list_filter(string_split(text, ' '),
+                              w -> w IN ({_sent_sql_list(_SENT_NEG)})))
+              AS BIGINT) AS neg_hits
+  FROM documents
+),
+pol AS (
+  SELECT source, pos_hits, neg_hits,
+         CASE WHEN pos_hits + neg_hits = 0 THEN 0.0
+              ELSE CAST(pos_hits - neg_hits AS DOUBLE)
+                   / (pos_hits + neg_hits) END AS polarity
+  FROM scored
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(pos_hits) AS BIGINT) AS pos_hits,
+       CAST(SUM(neg_hits) AS BIGINT) AS neg_hits,
+       ROUND(AVG(polarity), 6) AS avg_polarity,
+       ROUND(AVG(CASE WHEN polarity > 0 THEN 1.0 ELSE 0.0 END), 6)
+         AS share_positive,
+       ROUND(AVG(CASE WHEN polarity < 0 THEN 1.0 ELSE 0.0 END), 6)
+         AS share_negative
+FROM pol GROUP BY source ORDER BY source
+"""
+
+
+@register("llm_sentiment_lexicon", oracle=_SENTIMENT_ORACLE, category="llm")
+def llm_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment per source: doc-local positive/negative
+    hit counts against literal word lists, polarity =
+    (pos - neg)/(pos + neg), aggregated to per-source mean polarity and
+    positive/negative shares — the Spark-native shape of lexicon
+    sentiment at scale (EDBT 2016 Twitter study): the lexicon rides
+    the closure as a literal array, so scoring is a narrow projection
+    with ZERO shuffles before the |sources| groupBy; an AFINN-sized
+    list (~2.5k words) still folds into the plan as a literal.
+
+    All counts are exact bigints; polarity divides once per doc and
+    the per-source means round once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pos_arr = ", ".join(f"'{w}'" for w in _SENT_POS)
+    neg_arr = ", ".join(f"'{w}'" for w in _SENT_NEG)
+    scored = d.select(
+        "source",
+        F.expr(
+            f"cast(size(filter(split(text, ' '),"
+            f" w -> w IN ({pos_arr}))) AS bigint)"
+        ).alias("pos_hits"),
+        F.expr(
+            f"cast(size(filter(split(text, ' '),"
+            f" w -> w IN ({neg_arr}))) AS bigint)"
+        ).alias("neg_hits"),
+    )
+    pol = scored.withColumn(
+        "polarity",
+        F.when(F.col("pos_hits") + F.col("neg_hits") == 0, F.lit(0.0)).otherwise(
+            (F.col("pos_hits") - F.col("neg_hits")).cast("double")
+            / (F.col("pos_hits") + F.col("neg_hits"))
+        ),
+    )
+    return (
+        pol.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("pos_hits").cast("bigint").alias("pos_hits"),
+            F.sum("neg_hits").cast("bigint").alias("neg_hits"),
+            F.round(F.avg("polarity"), 6).alias("avg_polarity"),
+            F.round(
+                F.avg(F.when(F.col("polarity") > 0, 1.0).otherwise(0.0)), 6
+            ).alias("share_positive"),
+            F.round(
+                F.avg(F.when(F.col("polarity") < 0, 1.0).otherwise(0.0)), 6
+            ).alias("share_negative"),
+        )
+        .orderBy("source")
+    )

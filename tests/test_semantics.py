@@ -5482,3 +5482,32 @@ def test_srm_chi2_matches_python(spark, sf_dir):
         assert abs(r["chi2"] - chi2) < 1e-4
         assert r["srm_detected"] == (chi2 > _SRM_CHI2_CRIT)
     assert sum(r["n_obs"] for r in rows.values()) == n
+
+
+def test_sentiment_lexicon_matches_python(spark, sf_dir):
+    """Per-source polarity must match a driver-side recomputation with
+    multiplicity-counted lexicon hits."""
+    from snapshot_s3_util_spark.llm.quality import _SENT_NEG, _SENT_POS
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    agg = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        p = sum(1 for t in toks if t in _SENT_POS)
+        n = sum(1 for t in toks if t in _SENT_NEG)
+        pol = 0.0 if p + n == 0 else (p - n) / (p + n)
+        a = agg.setdefault(r["source"], [0, 0, 0, 0.0, 0, 0])
+        a[0] += 1
+        a[1] += p
+        a[2] += n
+        a[3] += pol
+        a[4] += pol > 0
+        a[5] += pol < 0
+    rows = REGISTRY["llm_sentiment_lexicon"].fn(spark, sf_dir).collect()
+    assert {r["source"] for r in rows} == set(agg)
+    for r in rows:
+        a = agg[r["source"]]
+        assert (r["n_docs"], r["pos_hits"], r["neg_hits"]) == (a[0], a[1], a[2])
+        assert abs(r["avg_polarity"] - a[3] / a[0]) < 1e-5
+        assert abs(r["share_positive"] - a[4] / a[0]) < 1e-5
+        assert abs(r["share_negative"] - a[5] / a[0]) < 1e-5
