@@ -2998,3 +2998,311 @@ def agg_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------- Kruskal–Wallis H
+_KW_ORACLE = """
+WITH s AS (
+  SELECT event_type, CAST(ROUND(value * 10000) AS BIGINT) AS v FROM events
+),
+hist AS (
+  SELECT v, event_type, CAST(COUNT(*) AS BIGINT) AS n_gv
+  FROM s GROUP BY v, event_type
+),
+vt AS (SELECT v, CAST(SUM(n_gv) AS BIGINT) AS t FROM hist GROUP BY v),
+sp AS (SELECT v, t, CAST(SUM(t) OVER (ORDER BY v) AS BIGINT) AS ct FROM vt),
+g AS (
+  SELECT h.event_type,
+         CAST(SUM(h.n_gv) AS BIGINT) AS n_g,
+         CAST(SUM(h.n_gv * (2 * sp.ct - sp.t + 1)) AS BIGINT) AS r2
+  FROM hist h JOIN sp USING (v)
+  GROUP BY h.event_type
+),
+ties AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n_total,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_corr
+  FROM vt
+),
+ss AS (
+  SELECT n_total, tie_corr,
+         SUM(n_g * POW(CAST(r2 AS DOUBLE) / (2 * n_g)
+                       - (n_total + 1) / 2.0, 2)) AS ssq
+  FROM g, ties GROUP BY n_total, tie_corr
+),
+hh AS (
+  SELECT 12.0 * ssq / (CAST(n_total AS DOUBLE) * (n_total + 1)) AS h_stat,
+         12.0 * ssq / (CAST(n_total AS DOUBLE) * (n_total + 1))
+           / (1.0 - CAST(tie_corr AS DOUBLE)
+                    / (CAST(n_total AS DOUBLE) * n_total * n_total - n_total))
+           AS h_adj
+  FROM ss
+)
+SELECT g.event_type, g.n_g,
+       ROUND(CAST(g.r2 AS DOUBLE) / 2, 1) AS rank_sum,
+       ROUND(CAST(g.r2 AS DOUBLE) / (2 * g.n_g), 6) AS mean_rank,
+       ROUND(hh.h_stat, 4) AS h_stat,
+       ROUND(hh.h_adj, 4) AS h_adj,
+       hh.h_adj > 9.488 AS reject_95
+FROM g, hh ORDER BY g.event_type
+"""
+
+
+@register("agg_kruskal_wallis", oracle=_KW_ORACLE, category="aggregate")
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H test across ALL five event-type value samples —
+    the k-group generalisation of `agg_mannwhitney_u` (one-way ANOVA on
+    ranks, no normality assumption), with the tie-corrected statistic
+    H' = H / (1 − Σ(t³−t)/(N³−N)) against χ²₀.₉₅,df=4 = 9.488.
+
+    Rank arithmetic stays EXACT end to end: the corpus collapses to
+    the (value, group) histogram first, per-value totals ride the
+    two-pass range-partitioned prefix sum
+    (`plans.rank.global_order_stats` — never a single-partition
+    window), and each group's DOUBLED midrank sum
+    Σ n_gv·(2·ct_v − t_v + 1) is a BIGINT (exact while N ≲ 3e9; the
+    float H forms once from five group rows). The |groups|-row ledger
+    cross-joins broadcast scalars — no data-sized shuffle after the
+    histogram groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+    )
+    hist = s.groupBy("v", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gv")
+    )
+    vt = hist.groupBy("v").agg(F.sum("n_gv").cast("bigint").alias("t"))
+    sp = global_order_stats(vt, ["v"], cumsum={"t": "ct"})
+    rank2 = 2 * F.col("ct") - F.col("t") + 1  # doubled midrank at v
+    g = (
+        hist.join(sp.select("v", "t", "ct"), "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_gv").cast("bigint").alias("n_g"),
+            F.sum(F.col("n_gv") * rank2).cast("bigint").alias("r2"),
+        )
+    )
+    ties = sp.agg(
+        F.sum("t").cast("bigint").alias("n_total"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_corr"),
+    )
+    mean_rank = F.col("r2").cast("double") / (2 * F.col("n_g"))
+    ss = (
+        g.crossJoin(F.broadcast(ties))
+        .groupBy("n_total", "tie_corr")
+        .agg(
+            F.sum(
+                F.col("n_g")
+                * F.pow(mean_rank - (F.col("n_total") + 1) / F.lit(2.0), 2)
+            ).alias("ssq")
+        )
+    )
+    n_d = F.col("n_total").cast("double")
+    h_stat = 12.0 * F.col("ssq") / (n_d * (F.col("n_total") + 1))
+    h_adj = h_stat / (
+        1.0
+        - F.col("tie_corr").cast("double")
+        / (n_d * F.col("n_total") * F.col("n_total") - F.col("n_total"))
+    )
+    hh = ss.select(h_stat.alias("h_stat"), h_adj.alias("h_adj"))
+    return (
+        g.crossJoin(F.broadcast(hh))
+        .select(
+            "event_type",
+            "n_g",
+            F.round(F.col("r2").cast("double") / 2, 1).alias("rank_sum"),
+            F.round(F.col("r2").cast("double") / (2 * F.col("n_g")), 6).alias(
+                "mean_rank"
+            ),
+            F.round("h_stat", 4).alias("h_stat"),
+            F.round("h_adj", 4).alias("h_adj"),
+            (F.col("h_adj") > 9.488).alias("reject_95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------- Brown–Forsythe (Levene) test
+_LEVENE_ORACLE = """
+WITH med AS (
+  SELECT event_type, MEDIAN(value) AS m FROM events GROUP BY event_type
+),
+z AS (
+  SELECT e.event_type, ABS(e.value - med.m) AS z
+  FROM events e JOIN med USING (event_type)
+),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+         SUM(z) AS s1, SUM(z * z) AS s2
+  FROM z GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n, SUM(s1) AS st,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM g
+),
+parts AS (
+  SELECT n, k,
+         SUM(n_g * POW(s1 / n_g - st / n, 2)) AS ssb,
+         SUM(s2 - s1 * s1 / n_g) AS ssw
+  FROM g, tot GROUP BY n, k, st
+),
+w AS (
+  SELECT CAST(n - k AS DOUBLE) / (k - 1) * ssb / ssw AS w_stat FROM parts
+)
+SELECT g.event_type, g.n_g,
+       ROUND(g.s1 / g.n_g, 6) AS mean_absdev,
+       ROUND(w.w_stat, 4) AS w_stat,
+       w.w_stat > 2.372 AS reject_95
+FROM g, w ORDER BY g.event_type
+"""
+
+
+@register("agg_levene_bf", oracle=_LEVENE_ORACLE, category="aggregate")
+def agg_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (Levene with group MEDIANS) for homogeneity
+    of variance across the five event-type value samples — the
+    robust pre-flight for every pooled-variance test in the battery
+    (Welch sidesteps it; classic ANOVA does not). W compares the
+    between-group to within-group spread of |x − median_g| against
+    F₀.₉₅(k−1, ∞) = 2.372.
+
+    Two passes, both group-local: (1) exact interpolated medians per
+    group (5 rows, broadcast back over the corpus — no second shuffle
+    of the data side beyond its groupBy); (2) one groupBy computing
+    n/Σz/Σz² per group, from which SSB and SSW form in closed form on
+    the |groups|-row ledger (SSW = Σz² − (Σz)²/n per group). No
+    data-sized window, no second scan: medians and the z-aggregation
+    reuse the one exchange on event_type.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("m"))
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("m")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("z").alias("s1"),
+        F.sum(F.col("z") * F.col("z")).alias("s2"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s1").alias("st"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    parts = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("n", "k", "st")
+        .agg(
+            F.sum(
+                F.col("n_g")
+                * F.pow(F.col("s1") / F.col("n_g") - F.col("st") / F.col("n"), 2)
+            ).alias("ssb"),
+            F.sum(
+                F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_g")
+            ).alias("ssw"),
+        )
+    )
+    w = parts.select(
+        (
+            (F.col("n") - F.col("k")).cast("double")
+            / (F.col("k") - 1)
+            * F.col("ssb")
+            / F.col("ssw")
+        ).alias("w_stat")
+    )
+    return (
+        g.crossJoin(F.broadcast(w))
+        .select(
+            "event_type",
+            "n_g",
+            F.round(F.col("s1") / F.col("n_g"), 6).alias("mean_absdev"),
+            F.round("w_stat", 4).alias("w_stat"),
+            (F.col("w_stat") > 2.372).alias("reject_95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------- Tukey IQR outlier fences
+_TUKEY_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+),
+f AS (
+  SELECT event_type, q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lo,
+         q3 + 1.5 * (q3 - q1) AS hi
+  FROM q
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(f.q1, 6) AS q1,
+       ROUND(f.q3, 6) AS q3,
+       ROUND(f.lo, 6) AS fence_lo,
+       ROUND(f.hi, 6) AS fence_hi,
+       CAST(SUM(CASE WHEN e.value < f.lo OR e.value > f.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(AVG(CASE WHEN e.value < f.lo OR e.value > f.hi
+                      THEN 1.0 ELSE 0.0 END), 6) AS outlier_rate
+FROM events e JOIN f USING (event_type)
+GROUP BY e.event_type, f.q1, f.q3, f.lo, f.hi
+ORDER BY e.event_type
+"""
+
+
+@register("agg_tukey_fences", oracle=_TUKEY_ORACLE, category="aggregate")
+def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier fences per event type: exact interpolated
+    Q1/Q3, fences at 1.5·IQR, and the count/share of values beyond
+    them — the boxplot rule, the distribution-free outlier gate the
+    anomaly suite (z-score, MAD) assumes has already run at ingest.
+    events.value is right-skewed (sf0.01: max ≈ 7× Q3), so the upper
+    fence is non-vacuous by construction.
+
+    Plan: pass 1 collapses the corpus to a 5-row fence ledger (exact
+    `percentile` — interpolated, matching DuckDB `quantile_cont`);
+    pass 2 broadcasts the fences back and counts in the same groupBy
+    exchange. Only the |groups|-row side ever re-shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25D)").alias("q1"),
+        F.expr("percentile(value, 0.75D)").alias("q3"),
+    )
+    f = q.select(
+        "event_type",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    out = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        ev.join(F.broadcast(f), "event_type")
+        .groupBy("event_type", "q1", "q3", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+            F.round(F.avg(F.when(out, 1.0).otherwise(0.0)), 6).alias(
+                "outlier_rate"
+            ),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("q1", 6).alias("q1"),
+            F.round("q3", 6).alias("q3"),
+            F.round("lo", 6).alias("fence_lo"),
+            F.round("hi", 6).alias("fence_hi"),
+            "n_outliers",
+            "outlier_rate",
+        )
+        .orderBy("event_type")
+    )

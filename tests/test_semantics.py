@@ -5511,3 +5511,91 @@ def test_sentiment_lexicon_matches_python(spark, sf_dir):
         assert abs(r["avg_polarity"] - a[3] / a[0]) < 1e-5
         assert abs(r["share_positive"] - a[4] / a[0]) < 1e-5
         assert abs(r["share_negative"] - a[5] / a[0]) < 1e-5
+
+
+def test_kruskal_wallis_matches_python(spark, sf_dir):
+    """H (tie-corrected) must match a driver-side midrank recompute."""
+    rows = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    samples = {}
+    for r in rows:
+        samples.setdefault(r["event_type"], []).append(round(r["value"] * 10000))
+    pooled = sorted(v for vs in samples.values() for v in vs)
+    n = len(pooled)
+    # midrank per distinct value
+    ranks, i = {}, 0
+    while i < n:
+        j = i
+        while j < n and pooled[j] == pooled[i]:
+            j += 1
+        ranks[pooled[i]] = (i + 1 + j) / 2.0
+        i = j
+    tie = sum(
+        t * t * t - t
+        for t in __import__("collections").Counter(pooled).values()
+    )
+    ssq = sum(
+        len(vs) * (sum(ranks[v] for v in vs) / len(vs) - (n + 1) / 2.0) ** 2
+        for vs in samples.values()
+    )
+    h = 12.0 * ssq / (n * (n + 1))
+    h_adj = h / (1 - tie / (n**3 - n))
+    out = {r["event_type"]: r for r in REGISTRY["agg_kruskal_wallis"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(samples)
+    for g, vs in samples.items():
+        r = out[g]
+        assert r["n_g"] == len(vs)
+        assert abs(r["rank_sum"] - sum(ranks[v] for v in vs)) < 1e-6
+        assert abs(r["h_adj"] - h_adj) < 1e-3
+        assert r["reject_95"] == (h_adj > 9.488)
+
+
+def test_levene_bf_matches_python(spark, sf_dir):
+    """Brown–Forsythe W must match the closed-form recompute on
+    median absolute deviations."""
+    import statistics
+
+    rows = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    samples = {}
+    for r in rows:
+        samples.setdefault(r["event_type"], []).append(r["value"])
+    z = {
+        g: [abs(x - statistics.median(vs)) for x in vs]
+        for g, vs in samples.items()
+    }
+    k = len(z)
+    n = sum(len(v) for v in z.values())
+    grand = sum(sum(v) for v in z.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in z.values())
+    ssw = sum(sum((x - sum(v) / len(v)) ** 2 for x in v) for v in z.values())
+    w = (n - k) / (k - 1) * ssb / ssw
+    out = {r["event_type"]: r for r in REGISTRY["agg_levene_bf"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(samples)
+    for g, v in z.items():
+        r = out[g]
+        assert r["n_g"] == len(v)
+        assert abs(r["mean_absdev"] - sum(v) / len(v)) < 1e-5
+        assert abs(r["w_stat"] - w) < 1e-3
+        assert r["reject_95"] == (w > 2.372)
+
+
+def test_tukey_fences_matches_numpy(spark, sf_dir):
+    """Fences and outlier counts must match numpy linear-interpolated
+    quartiles."""
+    import numpy as np
+
+    rows = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    samples = {}
+    for r in rows:
+        samples.setdefault(r["event_type"], []).append(r["value"])
+    out = {r["event_type"]: r for r in REGISTRY["agg_tukey_fences"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(samples)
+    for g, vs in samples.items():
+        q1, q3 = np.quantile(vs, [0.25, 0.75])
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        r = out[g]
+        assert r["n"] == len(vs)
+        assert abs(r["q1"] - q1) < 1e-5 and abs(r["q3"] - q3) < 1e-5
+        assert abs(r["fence_lo"] - lo) < 1e-5 and abs(r["fence_hi"] - hi) < 1e-5
+        assert r["n_outliers"] == sum(1 for x in vs if x < lo or x > hi)
+        # the fixture's value column is right-skewed: fences must bite
+        assert r["n_outliers"] > 0
