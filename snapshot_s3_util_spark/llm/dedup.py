@@ -1939,3 +1939,157 @@ def llm_dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_kept"),
         F.md5(kept_sorted).alias("kept_md5"),
     ).select("doc_id", "n_tokens", "n_excised", "n_kept", "kept_md5")
+
+
+# ------------------------------------------- LSH band/row tuning table
+# Every factorization b x r = MINHASH_K; the shipped config is
+# (MINHASH_BANDS, _ROWS_PER_BAND).
+_BAND_CONFIGS = tuple(
+    (MINHASH_K // r, r) for r in (MINHASH_K, 6, 4, 3, 2, 1) if MINHASH_K % r == 0
+)
+
+_PLAIN_MINHASH_CTE = f"""
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+shingles AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(t) - {MINHASH_SHINGLE} + 2),
+                i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS sh
+  FROM toks
+  WHERE len(t) >= {MINHASH_SHINGLE}
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || SUBSTR(MD5(sh), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || SUBSTR(MD5(sh), 9, 8)) AS BIGINT) AS h2
+  FROM shingles
+),
+minhashes AS (
+  SELECT doc_id,
+         {', '.join(f'MIN((h1 + {k} * h2) % {_MINHASH_P}) AS mh{k}' for k in range(MINHASH_K))}
+  FROM hashed GROUP BY doc_id
+)"""
+
+_BAND_TUNE_ORACLE = f"""
+WITH {_PLAIN_MINHASH_CTE},
+band_sigs AS (
+  {' UNION ALL '.join(
+      'SELECT doc_id, {bc} AS bands, {r} AS rpb, {band} AS band,'
+      ' MD5(CONCAT({args})) AS sig FROM minhashes'.format(
+          bc=bc, r=r, band=band,
+          args=", ',', ".join(f'mh{band * r + i}' for i in range(r)),
+      )
+      for bc, r in _BAND_CONFIGS for band in range(bc)
+  )}
+),
+buckets AS (
+  SELECT bands, rpb, band, sig, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM band_sigs GROUP BY bands, rpb, band, sig
+)
+SELECT bands, rpb,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS n_candidate_pairs,
+       CAST(MAX(sz) AS BIGINT) AS max_bucket,
+       ROUND(POW(1.0 / bands, 1.0 / rpb), 6) AS s50_threshold,
+       ROUND(1 - POW(1 - POW(0.5, rpb), bands), 6) AS p_detect_50,
+       ROUND(1 - POW(1 - POW(0.7, rpb), bands), 6) AS p_detect_70,
+       ROUND(1 - POW(1 - POW(0.9, rpb), bands), 6) AS p_detect_90
+FROM buckets GROUP BY bands, rpb ORDER BY bands
+"""
+
+
+@register("llm_minhash_band_tuning", oracle=_BAND_TUNE_ORACLE, category="llm")
+def llm_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding tuner: for EVERY factorization b x r = {MINHASH_K}
+    of the signature, measure on the actual corpus what the S-curve
+    theory only predicts — bucket count, candidate-pair volume
+    sum C(sz,2) (the join cost `llm_dedup_near_minhash` would pay
+    under that config), and the hottest bucket — alongside the
+    closed-form threshold s* = (1/b)^(1/r) and detection probability
+    1-(1-j^r)^b at j in (0.5, 0.7, 0.9). This is how the shipped
+    (bands={MINHASH_BANDS}) config was chosen; rerun on a new corpus
+    before trusting it.
+
+    Signatures here are the PLAIN Kirsch-Mitzenmacher minima (no
+    df-cap) so the table isolates banding effects. One shingle pass
+    builds all {MINHASH_K} minima; all configs' band signatures explode
+    from that one |docs|-row frame (sum over configs of b = 28 structs
+    per doc), so
+    the whole sweep costs ONE extra |docs| x sum(b) shuffle — never a
+    per-config rescan, never a pair join (bucket sizes give the pair
+    count arithmetically).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= MINHASH_SHINGLE
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {MINHASH_SHINGLE} + 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i+1), ' ', "
+                "element_at(t, i+2)))"
+            )
+        ).alias("sh"),
+    )
+    hashed = shingles.select(
+        "doc_id",
+        F.expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) AS bigint)").alias("h1"),
+        F.expr("cast(conv(substring(md5(sh), 9, 8), 16, 10) AS bigint)").alias("h2"),
+    )
+    minhashes = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h1") + F.lit(k) * F.col("h2")) % F.lit(_MINHASH_P)).alias(
+                f"mh{k}"
+            )
+            for k in range(MINHASH_K)
+        ]
+    )
+    entries = [
+        F.struct(
+            F.lit(bc).alias("bands"),
+            F.lit(r).alias("rpb"),
+            F.lit(band).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"mh{band * r + i}") for i in range(r)]
+                )
+            ).alias("sig"),
+        )
+        for bc, r in _BAND_CONFIGS
+        for band in range(bc)
+    ]
+    long = minhashes.select(F.explode(F.array(*entries)).alias("x")).select("x.*")
+    buckets = long.groupBy("bands", "rpb", "band", "sig").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    bands_d = F.col("bands").cast("double")
+    return (
+        buckets.groupBy("bands", "rpb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(F.expr("sz * (sz - 1) DIV 2")).cast("bigint").alias(
+                "n_candidate_pairs"
+            ),
+            F.max("sz").cast("bigint").alias("max_bucket"),
+        )
+        .select(
+            "bands",
+            "rpb",
+            "n_buckets",
+            "n_candidate_pairs",
+            "max_bucket",
+            F.round(F.pow(1.0 / bands_d, 1.0 / F.col("rpb")), 6).alias(
+                "s50_threshold"
+            ),
+            *[
+                F.round(
+                    1 - F.pow(1 - F.pow(F.lit(j), F.col("rpb")), bands_d), 6
+                ).alias(f"p_detect_{int(j * 100)}")
+                for j in (0.5, 0.7, 0.9)
+            ],
+        )
+        .orderBy("bands")
+    )

@@ -1035,3 +1035,143 @@ def llm_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --------------------------------------- retrieval quality (MRR/NDCG)
+_RETR_ORACLE = f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+probes AS (
+  SELECT vec_id AS probe_id, label AS plabel, e AS pe
+  FROM v WHERE vec_id < {N_PROBES}
+),
+nrel AS (
+  SELECT p.probe_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rel
+  FROM probes p JOIN v ON v.label = p.plabel AND v.vec_id <> p.probe_id
+  GROUP BY p.probe_id
+),
+ranked AS (
+  SELECT probe_id, plabel, vec_id, label,
+         ROW_NUMBER() OVER (
+           PARTITION BY probe_id
+           ORDER BY LIST_DOT_PRODUCT(e, pe) /
+                    (SQRT(LIST_DOT_PRODUCT(e, e)) * SQRT(LIST_DOT_PRODUCT(pe, pe)))
+                    DESC, vec_id) AS rn
+  FROM v CROSS JOIN probes
+  WHERE vec_id <> probe_id
+),
+topk AS (SELECT * FROM ranked WHERE rn <= {SIM_TOPK}),
+per AS (
+  SELECT probe_id, plabel,
+         CAST(SUM(CASE WHEN label = plabel THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel_topk,
+         COALESCE(MAX(CASE WHEN label = plabel THEN 1.0 / rn END), 0.0) AS rr,
+         SUM(CASE WHEN label = plabel THEN 1.0 / LOG2(rn + 1) ELSE 0.0 END)
+           AS dcg
+  FROM topk GROUP BY probe_id, plabel
+),
+scored AS (
+  SELECT per.probe_id, per.plabel, per.n_rel_topk, per.rr,
+         per.dcg / list_aggregate(
+           list_transform(
+             generate_series(1, CAST(LEAST({SIM_TOPK}, nrel.n_rel) AS INTEGER)),
+             i -> 1.0 / LOG2(i + 1)), 'sum') AS ndcg,
+         CAST(per.n_rel_topk AS DOUBLE) / {SIM_TOPK} AS prec
+  FROM per JOIN nrel USING (probe_id)
+),
+m AS (SELECT AVG(rr) AS mrr, AVG(ndcg) AS mndcg, AVG(prec) AS mprec FROM scored)
+SELECT s.probe_id, s.plabel, s.n_rel_topk,
+       ROUND(s.rr, 6) AS reciprocal_rank,
+       ROUND(s.ndcg, 6) AS ndcg_at_k,
+       ROUND(s.prec, 6) AS precision_at_k,
+       ROUND(m.mrr, 6) AS mrr,
+       ROUND(m.mndcg, 6) AS mean_ndcg,
+       ROUND(m.mprec, 6) AS mean_precision
+FROM scored s, m ORDER BY s.probe_id
+"""
+
+
+@register("llm_retrieval_mrr_ndcg", oracle=_RETR_ORACLE, category="llm")
+def llm_retrieval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval over the embedding index: for each of
+    {N_PROBES} probes, rank the corpus by cosine, take the top-{SIM_TOPK},
+    and score label-match relevance as reciprocal rank, NDCG@k (ideal
+    DCG uses min(k, |relevant in corpus|) — binary gains), and
+    precision@k; corpus-level MRR / mean-NDCG / mean-precision ride
+    every row. This is the recall-quality dashboard for the ANN ladder:
+    run it against `llm_sim_ann_lsh`'s candidates to quantify what the
+    bucketing trades away.
+
+    Plan shape = `llm_sim_knn_join`: probes broadcast (corpus never
+    shuffles for scoring), WindowGroupLimit caps the per-probe sort at
+    k rows, so the exchanged volume is |probes| x k, never |probes| x
+    corpus. The ideal-DCG series folds a sequence of <= k ints —
+    per-row closed form, no join. BIGINT hit counts; floats divide
+    once and round at the edge.
+    """
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(_E).alias("e")
+    )
+    probes = v.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("plabel"),
+        F.col("e").alias("pe"),
+    )
+    nrel = (
+        probes.join(
+            v,
+            (v.label == probes.plabel) & (v.vec_id != probes.probe_id),
+        )
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("raw").desc(), F.col("vec_id"))
+    topk = (
+        v.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("raw", _cos("e", "pe"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SIM_TOPK)
+    )
+    rel = F.col("label") == F.col("plabel")
+    per = topk.groupBy("probe_id", "plabel").agg(
+        F.sum(F.when(rel, 1).otherwise(0)).cast("bigint").alias("n_rel_topk"),
+        F.coalesce(F.max(F.when(rel, 1.0 / F.col("rn"))), F.lit(0.0)).alias("rr"),
+        F.sum(
+            F.when(rel, 1.0 / F.log2(F.col("rn") + 1)).otherwise(0.0)
+        ).alias("dcg"),
+    )
+    scored = per.join(F.broadcast(nrel), "probe_id").select(
+        "probe_id",
+        "plabel",
+        "n_rel_topk",
+        "rr",
+        (
+            F.col("dcg")
+            / F.expr(
+                f"aggregate(sequence(1, int(least({SIM_TOPK}, n_rel))),"
+                f" 0D, (acc, i) -> acc + 1.0 / log2(i + 1))"
+            )
+        ).alias("ndcg"),
+        (F.col("n_rel_topk").cast("double") / SIM_TOPK).alias("prec"),
+    )
+    m = scored.agg(
+        F.avg("rr").alias("mrr"),
+        F.avg("ndcg").alias("mndcg"),
+        F.avg("prec").alias("mprec"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(m))
+        .select(
+            "probe_id",
+            "plabel",
+            "n_rel_topk",
+            F.round("rr", 6).alias("reciprocal_rank"),
+            F.round("ndcg", 6).alias("ndcg_at_k"),
+            F.round("prec", 6).alias("precision_at_k"),
+            F.round("mrr", 6).alias("mrr"),
+            F.round("mndcg", 6).alias("mean_ndcg"),
+            F.round("mprec", 6).alias("mean_precision"),
+        )
+        .orderBy("probe_id")
+    )

@@ -2191,3 +2191,76 @@ def llm_watermark_greenlist_score(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(z, 6).alias("z_score"),
         (z > _WM_Z_THRESHOLD).alias("watermark_detected"),
     )
+
+
+# --------------------------------------- lexical diversity (TTR)
+_TTR_ORACLE = """
+WITH per_doc AS (
+  SELECT lang,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(LEN(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_types) AS BIGINT) AS total_types,
+       ROUND(AVG(CAST(n_types AS DOUBLE) / n_tokens), 6) AS avg_ttr,
+       ROUND(AVG(n_types / SQRT(CAST(n_tokens AS DOUBLE))), 6) AS avg_guiraud,
+       ROUND(CAST(SUM(n_types) AS DOUBLE) / SUM(n_tokens), 6) AS pooled_ttr
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+@register("llm_ttr_lexical_diversity", oracle=_TTR_ORACLE, category="llm")
+def llm_ttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per language: doc-level type-token ratio
+    (distinct words / words) and Guiraud's root TTR (types / sqrt
+    tokens — the length-robust variant), averaged per lang, plus the
+    pooled corpus-level ratio. Low TTR flags template/boilerplate
+    heavy slices before they reach training; TTR complements
+    `llm_repetition_stats` (which looks WITHIN docs at n-gram level).
+
+    Everything is doc-local (split + array_distinct in one narrow
+    projection — whole-stage codegen, no explode, no (doc, term)
+    shuffle); the only exchange is the |langs|-row groupBy. Token and
+    type counts stay BIGINT; the three ratios divide per doc or per
+    group and round once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        F.expr("cast(size(split(text, ' ')) AS bigint)").alias("n_tokens"),
+        F.expr(
+            "cast(size(array_distinct(split(text, ' '))) AS bigint)"
+        ).alias("n_types"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_types").cast("bigint").alias("total_types"),
+            F.round(
+                F.avg(F.col("n_types").cast("double") / F.col("n_tokens")), 6
+            ).alias("avg_ttr"),
+            F.round(
+                F.avg(
+                    F.col("n_types") / F.sqrt(F.col("n_tokens").cast("double"))
+                ),
+                6,
+            ).alias("avg_guiraud"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "total_types",
+            "avg_ttr",
+            "avg_guiraud",
+            F.round(
+                F.col("total_types").cast("double") / F.col("total_tokens"), 6
+            ).alias("pooled_ttr"),
+        )
+        .orderBy("lang")
+    )

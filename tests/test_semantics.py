@@ -5599,3 +5599,108 @@ def test_tukey_fences_matches_numpy(spark, sf_dir):
         assert r["n_outliers"] == sum(1 for x in vs if x < lo or x > hi)
         # the fixture's value column is right-skewed: fences must bite
         assert r["n_outliers"] > 0
+
+
+def test_retrieval_mrr_ndcg_matches_python(spark, sf_dir):
+    """MRR / NDCG@k must match a numpy brute-force recompute with the
+    same (cosine DESC, vec_id) tie-break."""
+    import math
+
+    import numpy as np
+
+    from snapshot_s3_util_spark.params import N_PROBES, SIM_TOPK
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["label"]) for r in rows}
+    out = {r["probe_id"]: r for r in REGISTRY["llm_retrieval_mrr_ndcg"].fn(spark, sf_dir).collect()}
+    assert set(out) == {i for i in vecs if i < N_PROBES}
+    rrs, ndcgs = [], []
+    for pid in sorted(out):
+        pe, plabel = vecs[pid]
+        sims = sorted(
+            (
+                (-float(e @ pe / (np.linalg.norm(e) * np.linalg.norm(pe))), vid)
+                for vid, (e, lbl) in vecs.items()
+                if vid != pid
+            ),
+        )[:SIM_TOPK]
+        rel = [1 if vecs[vid][1] == plabel else 0 for _, vid in sims]
+        rr = next((1.0 / (i + 1) for i, x in enumerate(rel) if x), 0.0)
+        dcg = sum(x / math.log2(i + 2) for i, x in enumerate(rel))
+        n_rel = sum(1 for vid, (e, lbl) in vecs.items() if lbl == plabel and vid != pid)
+        idcg = sum(1.0 / math.log2(i + 2) for i in range(min(SIM_TOPK, n_rel)))
+        r = out[pid]
+        assert r["n_rel_topk"] == sum(rel)
+        assert abs(r["reciprocal_rank"] - rr) < 1e-5
+        assert abs(r["ndcg_at_k"] - dcg / idcg) < 1e-5
+        rrs.append(rr)
+        ndcgs.append(dcg / idcg)
+    any_r = next(iter(out.values()))
+    assert abs(any_r["mrr"] - sum(rrs) / len(rrs)) < 1e-5
+    assert abs(any_r["mean_ndcg"] - sum(ndcgs) / len(ndcgs)) < 1e-5
+
+
+def test_ttr_matches_python(spark, sf_dir):
+    """Per-lang TTR aggregates must match a driver-side recompute."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text").collect()
+    agg = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        a = agg.setdefault(r["lang"], [0, 0, 0, 0.0, 0.0])
+        a[0] += 1
+        a[1] += len(toks)
+        a[2] += len(set(toks))
+        a[3] += len(set(toks)) / len(toks)
+        a[4] += len(set(toks)) / len(toks) ** 0.5
+    out = {r["lang"]: r for r in REGISTRY["llm_ttr_lexical_diversity"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(agg)
+    for lang, a in agg.items():
+        r = out[lang]
+        assert (r["n_docs"], r["total_tokens"], r["total_types"]) == (a[0], a[1], a[2])
+        assert abs(r["avg_ttr"] - a[3] / a[0]) < 1e-5
+        assert abs(r["avg_guiraud"] - a[4] / a[0]) < 1e-5
+        assert abs(r["pooled_ttr"] - a[2] / a[1]) < 1e-5
+
+
+def test_band_tuning_matches_python(spark, sf_dir):
+    """Candidate-pair counts per config must match a driver-side
+    minhash recompute, and the S-curve columns the closed form."""
+    import hashlib
+
+    from snapshot_s3_util_spark.llm.dedup import _BAND_CONFIGS, _MINHASH_P
+    from snapshot_s3_util_spark.params import MINHASH_K, MINHASH_SHINGLE
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    sigs = {}
+    for r in docs:
+        t = r["text"].split(" ")
+        if len(t) < MINHASH_SHINGLE:
+            continue
+        mins = [None] * MINHASH_K
+        for i in range(len(t) - MINHASH_SHINGLE + 1):
+            sh = " ".join(t[i : i + MINHASH_SHINGLE])
+            dig = hashlib.md5(sh.encode()).hexdigest()
+            h1, h2 = int(dig[:8], 16), int(dig[8:16], 16)
+            for k in range(MINHASH_K):
+                v = (h1 + k * h2) % _MINHASH_P
+                if mins[k] is None or v < mins[k]:
+                    mins[k] = v
+        sigs[r["doc_id"]] = mins
+    out = {(r["bands"], r["rpb"]): r for r in REGISTRY["llm_minhash_band_tuning"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(_BAND_CONFIGS)
+    for bc, rpb in _BAND_CONFIGS:
+        buckets = {}
+        for doc, mins in sigs.items():
+            for band in range(bc):
+                key = (band, ",".join(str(m) for m in mins[band * rpb : (band + 1) * rpb]))
+                buckets[key] = buckets.get(key, 0) + 1
+        r = out[(bc, rpb)]
+        assert r["n_buckets"] == len(buckets)
+        assert r["n_candidate_pairs"] == sum(s * (s - 1) // 2 for s in buckets.values())
+        assert r["max_bucket"] == max(buckets.values())
+        assert abs(r["s50_threshold"] - (1.0 / bc) ** (1.0 / rpb)) < 1e-5
+        assert abs(r["p_detect_70"] - (1 - (1 - 0.7**rpb) ** bc)) < 1e-5
+    # more bands -> lower threshold (higher recall) & more candidates
+    ordered = [out[c] for c in sorted(_BAND_CONFIGS)]
+    ths = [r["s50_threshold"] for r in ordered]
+    assert ths == sorted(ths, reverse=True)
