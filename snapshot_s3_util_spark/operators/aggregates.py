@@ -3306,3 +3306,124 @@ def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------- l-diversity audit
+_LDIV_LS = (2, 3, 5, 10)
+
+
+_LDIV_ORACLE = f"""
+WITH e AS (SELECT event_type, HOUR(ts) AS hb, user_id FROM {EVENTS_REL}),
+cu AS (
+  SELECT event_type, hb, user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM e GROUP BY 1, 2, 3
+),
+cs AS (
+  SELECT event_type, hb,
+         CAST(SUM(c) AS BIGINT) AS sz,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM cu GROUP BY 1, 2
+),
+ent AS (
+  SELECT cu.event_type, cu.hb,
+         MAX(cs.n_distinct) AS n_distinct,
+         EXP(-SUM(CAST(cu.c AS DOUBLE) / cs.sz
+                  * LN(CAST(cu.c AS DOUBLE) / cs.sz))) AS ent_l
+  FROM cu JOIN cs USING (event_type, hb)
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(MIN(n_distinct) AS BIGINT) AS min_distinct,
+         MIN(ent_l) AS min_ent
+  FROM ent
+)
+SELECT u.l,
+       tot.n_classes,
+       tot.min_distinct,
+       CAST(COALESCE(SUM(CASE WHEN ent.n_distinct < u.l THEN 1 END), 0)
+            AS BIGINT) AS classes_below,
+       ROUND(CAST(COALESCE(SUM(CASE WHEN ent.n_distinct < u.l THEN 1 END), 0)
+                  AS DOUBLE) / tot.n_classes, 6) AS share_classes_below,
+       tot.min_distinct >= u.l AS distinct_l_diverse,
+       ROUND(tot.min_ent, 6) AS min_entropy_l,
+       tot.min_ent >= u.l AS entropy_l_diverse
+FROM ent
+CROSS JOIN (SELECT UNNEST([{', '.join(f'CAST({l} AS BIGINT)' for l in _LDIV_LS)}]) AS l) u
+CROSS JOIN tot
+GROUP BY u.l, tot.n_classes, tot.min_distinct, tot.min_ent
+ORDER BY u.l
+"""
+
+
+@register("agg_l_diversity", oracle=_LDIV_ORACLE, category="aggregate")
+def agg_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion gate `agg_k_anonymity` (class
+    SIZE) cannot express: within each quasi-identifier class
+    (event_type, hour-of-day) the SENSITIVE attribute (user_id) must
+    take at least l distinct values (distinct l-diversity) and carry
+    at least l effective values by entropy (entropy l-diversity,
+    exp(H) — robust to one user dominating a class). For l in
+    {_LDIV_LS}: classes below l, their share, and both pass flags.
+
+    Plan: one groupBy to (class, user) counts, one to the
+    |classes|-row ledger (n_distinct, size, entropy in a single
+    aggregate after a broadcast-joined size), then the l-grid
+    cross-joins the 1-row summary — everything past the second
+    groupBy is catalog-bounded arithmetic. Counts BIGINT; entropy
+    forms from exact count ratios and rounds once.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hb"), "user_id"
+    )
+    cu = ev.groupBy("event_type", "hb", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cs = cu.groupBy("event_type", "hb").agg(
+        F.sum("c").cast("bigint").alias("sz"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    p = F.col("c").cast("double") / F.col("sz")
+    ent = (
+        cu.join(cs, ["event_type", "hb"])
+        .groupBy("event_type", "hb")
+        .agg(
+            F.max("n_distinct").alias("n_distinct"),
+            F.exp(-F.sum(p * F.log(p))).alias("ent_l"),
+        )
+    )
+    tot = ent.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("n_distinct").cast("bigint").alias("min_distinct"),
+        F.min("ent_l").alias("min_ent"),
+    )
+    ls = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(l).cast("bigint") for l in _LDIV_LS])
+        ).alias("l")
+    )
+    return (
+        ent.crossJoin(F.broadcast(ls))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("l", "n_classes", "min_distinct", "min_ent")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("n_distinct") < F.col("l"), 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("classes_below")
+        )
+        .select(
+            "l",
+            "n_classes",
+            "min_distinct",
+            "classes_below",
+            F.round(
+                F.col("classes_below").cast("double") / F.col("n_classes"), 6
+            ).alias("share_classes_below"),
+            (F.col("min_distinct") >= F.col("l")).alias("distinct_l_diverse"),
+            F.round("min_ent", 6).alias("min_entropy_l"),
+            (F.col("min_ent") >= F.col("l")).alias("entropy_l_diverse"),
+        )
+        .orderBy("l")
+    )

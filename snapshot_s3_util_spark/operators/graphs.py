@@ -306,6 +306,76 @@ def _strong_und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _und_degrees(und: DataFrame) -> DataFrame:
+    """(node, deg) over the canonical undirected edge frame."""
+    return (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def _triangles_per_node(und: DataFrame) -> DataFrame:
+    """(node, n_triangles) via degree-ordered wedge enumeration — the
+    O(m^1.5) orientation trick shared by `graph_triangle_count` and
+    `graph_clustering_coefficient` (see the former's docstring)."""
+    deg = _und_degrees(und)
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    oriented = (
+        und.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(
+                    F.col("a").alias("src"),
+                    F.col("b").alias("dst"),
+                    F.col("deg_b").alias("deg_dst"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("src"),
+                    F.col("a").alias("dst"),
+                    F.col("deg_a").alias("deg_dst"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.src", "e.dst", "e.deg_dst")
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = (
+        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
+        .filter(
+            (F.col("o1.deg_dst") < F.col("o2.deg_dst"))
+            | (
+                (F.col("o1.deg_dst") == F.col("o2.deg_dst"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        )
+        .select(
+            F.col("o1.src").alias("x"),
+            F.col("o1.dst").alias("v"),
+            F.col("o2.dst").alias("w"),
+        )
+    )
+    tri = wedges.join(
+        F.broadcast(und),
+        (F.least("v", "w") == und["a"]) & (F.greatest("v", "w") == und["b"]),
+        "semi",
+    )
+    return (
+        tri.select(F.explode(F.array("x", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+
+
 _TRI_ORACLE = f"""
 WITH {_STRONG_UND_CTES},
 tri AS (
@@ -345,61 +415,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     und = _strong_und_edges(spark, sf_dir)
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
-    oriented = (
-        und.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
-        .select(
-            F.when(
-                (F.col("deg_a") < F.col("deg_b"))
-                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
-                F.struct(
-                    F.col("a").alias("src"),
-                    F.col("b").alias("dst"),
-                    F.col("deg_b").alias("deg_dst"),
-                ),
-            )
-            .otherwise(
-                F.struct(
-                    F.col("b").alias("src"),
-                    F.col("a").alias("dst"),
-                    F.col("deg_a").alias("deg_dst"),
-                )
-            )
-            .alias("e")
-        )
-        .select("e.src", "e.dst", "e.deg_dst")
-    )
-    o1 = oriented.alias("o1")
-    o2 = oriented.alias("o2")
-    wedges = o1.join(o2, F.col("o1.src") == F.col("o2.src")).filter(
-        (F.col("o1.deg_dst") < F.col("o2.deg_dst"))
-        | (
-            (F.col("o1.deg_dst") == F.col("o2.deg_dst"))
-            & (F.col("o1.dst") < F.col("o2.dst"))
-        )
-    ).select(
-        F.col("o1.src").alias("x"),
-        F.col("o1.dst").alias("v"),
-        F.col("o2.dst").alias("w"),
-    )
-    tri = wedges.join(
-        F.broadcast(und),
-        (F.least("v", "w") == und["a"]) & (F.greatest("v", "w") == und["b"]),
-        "semi",
-    )
-    per_node = (
-        tri.select(F.explode(F.array("x", "v", "w")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
-    )
+    per_node = _triangles_per_node(und)
     return nation.join(
         F.broadcast(per_node), nation["n_nationkey"] == per_node["node"], "left"
     ).select(
@@ -1567,4 +1583,101 @@ def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gain"),
         (F.col("num") > 0).alias("moved"),
+    )
+
+
+# ------------------------------------- local clustering coefficient
+_CC_ORACLE = f"""
+WITH {_STRONG_UND_CTES},
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (SELECT UNNEST([x, y, z]) AS node FROM tri)
+  GROUP BY node
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+  GROUP BY node
+),
+loc AS (
+  SELECT d.node, d.deg, COALESCE(p.t, 0) AS t,
+         CASE WHEN d.deg >= 2
+              THEN 2.0 * COALESCE(p.t, 0) / (d.deg * (d.deg - 1))
+              ELSE 0.0 END AS cc
+  FROM deg d LEFT JOIN per_node p USING (node)
+),
+gsum AS (
+  SELECT AVG(cc) AS avg_cc,
+         CAST(SUM(t) AS DOUBLE) / SUM(deg * (deg - 1) // 2) AS transitivity
+  FROM loc
+)
+SELECT na.n_name AS nation,
+       COALESCE(l.deg, 0) AS degree,
+       COALESCE(l.t, 0) AS n_triangles,
+       ROUND(COALESCE(l.cc, 0.0), 6) AS local_cc,
+       ROUND(g.avg_cc, 6) AS avg_cc,
+       ROUND(g.transitivity, 6) AS transitivity
+FROM nation na LEFT JOIN loc l ON l.node = na.n_nationkey, gsum g
+ORDER BY nation
+"""
+
+
+@register("graph_clustering_coefficient", oracle=_CC_ORACLE, category="graph")
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per nation over the strong-trade
+    graph — cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — plus the two
+    global summaries every cohesion analysis wants side by side:
+    average local cc (Watts–Strogatz, deg<2 counting 0, averaged over
+    nodes WITH edges) and transitivity Σ T(v) / Σ wedges(v) (the
+    triangle-weighted ratio; diverges from avg-cc exactly when hubs
+    close fewer of their many wedges).
+
+    Triangle counts ride the shared degree-ordered wedge enumeration
+    (`_triangles_per_node`, O(m^1.5)); degrees and wedges are one
+    groupBy over the checkpointed edge frame. All counts BIGINT; the
+    per-node and global ratios divide once and round at the edge.
+    Everything after the edge build is |nations|-bounded ledger math.
+    """
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    und = _strong_und_edges(spark, sf_dir)
+    per_node = _triangles_per_node(und)
+    deg = _und_degrees(und).select(
+        "node", F.col("deg").cast("bigint").alias("deg")
+    )
+    loc = deg.join(F.broadcast(per_node), "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("t"),
+    ).withColumn(
+        "cc",
+        F.when(
+            F.col("deg") >= 2,
+            2.0 * F.col("t") / (F.col("deg") * (F.col("deg") - 1)),
+        ).otherwise(F.lit(0.0)),
+    )
+    glob = loc.agg(
+        F.avg("cc").alias("avg_cc"),
+        (
+            F.sum("t").cast("double")
+            / F.sum(F.expr("deg * (deg - 1) DIV 2"))
+        ).alias("transitivity"),
+    )
+    return (
+        nation.join(F.broadcast(loc), nation["n_nationkey"] == loc["node"], "left")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce("deg", F.lit(0)).cast("bigint").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.round(F.coalesce("cc", F.lit(0.0)), 6).alias("local_cc"),
+            F.round("avg_cc", 6).alias("avg_cc"),
+            F.round("transitivity", 6).alias("transitivity"),
+        )
+        .orderBy("nation")
     )

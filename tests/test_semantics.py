@@ -5704,3 +5704,74 @@ def test_band_tuning_matches_python(spark, sf_dir):
     ordered = [out[c] for c in sorted(_BAND_CONFIGS)]
     ths = [r["s50_threshold"] for r in ordered]
     assert ths == sorted(ths, reverse=True)
+
+
+def test_clustering_coefficient_matches_python(spark, sf_dir):
+    """Local cc and the two global summaries must match a pure-Python
+    recount over the same strong-trade edge set."""
+    from snapshot_s3_util_spark.operators.graphs import _strong_und_edges
+
+    edges = {(r["a"], r["b"]) for r in _strong_und_edges(spark, sf_dir).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {
+        v: sum(1 for x in adj[v] for y in adj[v] if x < y and y in adj[x])
+        for v in adj
+    }
+    ccs = {
+        v: (2 * tri[v] / (len(adj[v]) * (len(adj[v]) - 1)) if len(adj[v]) >= 2 else 0.0)
+        for v in adj
+    }
+    avg_cc = sum(ccs.values()) / len(ccs)
+    trans = sum(tri.values()) / sum(
+        len(adj[v]) * (len(adj[v]) - 1) // 2 for v in adj
+    )
+    nations = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    out = {r["nation"]: r for r in REGISTRY["graph_clustering_coefficient"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(nations.values())
+    for key, name in nations.items():
+        r = out[name]
+        assert r["degree"] == len(adj.get(key, ()))
+        assert r["n_triangles"] == tri.get(key, 0)
+        assert abs(r["local_cc"] - ccs.get(key, 0.0)) < 1e-5
+        assert abs(r["avg_cc"] - avg_cc) < 1e-5
+        assert abs(r["transitivity"] - trans) < 1e-5
+
+
+def test_l_diversity_matches_python(spark, sf_dir):
+    """Distinct- and entropy-l-diversity must match a driver-side
+    recompute over (event_type, hour) classes."""
+    import math
+
+    from snapshot_s3_util_spark.operators.aggregates import _LDIV_LS
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("event_type", "hour(ts) AS hb", "user_id")
+        .collect()
+    )
+    classes = {}
+    for r in rows:
+        classes.setdefault((r["event_type"], r["hb"]), []).append(r["user_id"])
+    n_dist = {k: len(set(v)) for k, v in classes.items()}
+    ents = {}
+    for k, v in classes.items():
+        from collections import Counter
+
+        cnt = Counter(v)
+        n = len(v)
+        ents[k] = math.exp(-sum(c / n * math.log(c / n) for c in cnt.values()))
+    out = {r["l"]: r for r in REGISTRY["agg_l_diversity"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(_LDIV_LS)
+    for l in _LDIV_LS:
+        r = out[l]
+        assert r["n_classes"] == len(classes)
+        assert r["min_distinct"] == min(n_dist.values())
+        assert r["classes_below"] == sum(1 for v in n_dist.values() if v < l)
+        assert abs(r["min_entropy_l"] - min(ents.values())) < 1e-4
+        assert r["distinct_l_diverse"] == (min(n_dist.values()) >= l)
