@@ -9,7 +9,7 @@ aggregation shuffle regardless of corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snapshot_s3_util_spark.io import load_table
@@ -2263,4 +2263,307 @@ def llm_ttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pooled_ttr"),
         )
         .orderBy("lang")
+    )
+
+
+# ------------------------------------------- Heaps' law vocab growth
+_HEAPS_CP_MOD = 50  # checkpoint every 50th doc_id
+
+
+_HEAPS_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+per_doc AS (SELECT doc_id, CAST(LEN(t) AS BIGINT) AS n_tokens FROM d),
+grams AS (
+  SELECT doc_id,
+         UNNEST(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                               FOR i IN RANGE(1, LEN(t) - 1)])) AS w
+  FROM d
+),
+firsts AS (SELECT w, MIN(doc_id) AS fd FROM grams GROUP BY w),
+n_new AS (SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_new FROM firsts GROUP BY fd),
+base AS (
+  SELECT p.doc_id, p.n_tokens, COALESCE(n.n_new, 0) AS n_new
+  FROM per_doc p LEFT JOIN n_new n ON n.fd = p.doc_id
+),
+sp AS (
+  SELECT doc_id,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS tt,
+         CAST(SUM(n_new) OVER (ORDER BY doc_id) AS BIGINT) AS vv
+  FROM base
+),
+cps AS (
+  SELECT LN(CAST(tt AS DOUBLE)) AS x, LN(CAST(vv AS DOUBLE)) AS y
+  FROM sp WHERE doc_id % {_HEAPS_CP_MOD} = {_HEAPS_CP_MOD - 1}
+),
+fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM cps
+),
+tot AS (
+  SELECT CAST(MAX(tt) AS BIGINT) AS total_tokens,
+         CAST(MAX(vv) AS BIGINT) AS total_vocab
+  FROM sp
+)
+SELECT fit.n AS n_checkpoints,
+       ROUND((fit.n * sxy - sx * sy) / (fit.n * sxx - sx * sx), 6)
+         AS heaps_beta,
+       ROUND((sy - (fit.n * sxy - sx * sy) / (fit.n * sxx - sx * sx) * sx)
+             / fit.n, 6) AS log_k,
+       ROUND(POW(fit.n * sxy - sx * sy, 2)
+             / ((fit.n * sxx - sx * sx) * (fit.n * syy - sy * sy)), 6) AS r2,
+       tot.total_tokens, tot.total_vocab
+FROM fit, tot
+"""
+
+
+@register("llm_heaps_law_fit", oracle=_HEAPS_ORACLE, category="llm")
+def llm_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) = K·n^beta of TYPE growth against corpus
+    size — the corpus-health twin of `llm_zipf_fit` (same log-log
+    OLS, frequency axis swapped for growth): beta -> 0 flags template
+    floods (the type inventory saturates), beta -> 1 tokenizer-hostile
+    noise (every doc mints new types). Types are word TRIGRAMS: the
+    fixture's unigram vocabulary saturates within the first checkpoint
+    (31 words), and on any corpus the n-gram variant keeps the curve
+    informative deep into the crawl. Growth is sampled at every
+    {_HEAPS_CP_MOD}-th doc_id; token mass still counts unigrams.
+
+    Scale shape: NO |vocab| x |checkpoints| product anywhere — each
+    word collapses to its FIRST-seen doc (one groupBy over
+    doc-distinct tokens), first-seen counts collapse to |docs| rows,
+    and both running totals (tokens, new types) ride ONE two-pass
+    range-partitioned prefix sum (`plans.rank.global_order_stats`).
+    The OLS fit runs over the |checkpoints|-row frame. Counts BIGINT
+    end to end; only the log-log fit is floating point.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    per_doc = d.select(
+        "doc_id", F.expr("cast(size(t) AS bigint)").alias("n_tokens")
+    )
+    nn = F.size("t")
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice("t", 1, nn - 2),
+            F.slice("t", 2, nn - 2),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        F.slice("t", 3, nn - 2),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(tri)).alias("w")
+    )
+    firsts = grams.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    n_new = firsts.groupBy("fd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    base = per_doc.join(
+        n_new, per_doc["doc_id"] == n_new["fd"], "left"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+    )
+    sp = global_order_stats(
+        base, ["doc_id"], cumsum={"n_tokens": "tt", "n_new": "vv"}
+    )
+    cps = sp.filter(
+        F.col("doc_id") % _HEAPS_CP_MOD == _HEAPS_CP_MOD - 1
+    ).select(
+        F.log(F.col("tt").cast("double")).alias("x"),
+        F.log(F.col("vv").cast("double")).alias("y"),
+    )
+    fit = cps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    tot = sp.agg(
+        F.max("tt").cast("bigint").alias("total_tokens"),
+        F.max("vv").cast("bigint").alias("total_vocab"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fit.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_checkpoints"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("log_k"),
+        F.round(
+            F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+        "total_tokens",
+        "total_vocab",
+    )
+
+
+# ------------------------------------------------ BLEU-style eval
+
+_BLEU_ORACLE = """
+WITH t AS (
+  SELECT doc_id, CAST(doc_id // 2 AS BIGINT) AS pk,
+         string_split(text, ' ') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, pk, ws,
+         [ws[i] || ' ' || ws[i+1] FOR i IN RANGE(1, LEN(ws))] AS bs
+  FROM t
+),
+p AS (
+  SELECT c.doc_id AS doc_id, r.doc_id AS ref_id,
+         CAST(LEN(c.ws) AS BIGINT) AS c_len,
+         CAST(LEN(r.ws) AS BIGINT) AS r_len,
+         CAST(GREATEST(LEN(c.ws) - 1, 0) AS BIGINT) AS n2,
+         CAST(COALESCE(list_aggregate(list_transform(list_distinct(c.ws),
+              w -> LEAST(LEN(list_filter(c.ws, x -> x = w)),
+                         LEN(list_filter(r.ws, x -> x = w)))), 'sum'), 0)
+           AS BIGINT) AS clip1,
+         CAST(COALESCE(list_aggregate(list_transform(list_distinct(c.bs),
+              w -> LEAST(LEN(list_filter(c.bs, x -> x = w)),
+                         LEN(list_filter(r.bs, x -> x = w)))), 'sum'), 0)
+           AS BIGINT) AS clip2
+  FROM g c JOIN g r ON c.pk = r.pk
+  WHERE c.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+),
+s AS (
+  SELECT *,
+         LEAST(1.0, EXP(1.0 - CAST(r_len AS DOUBLE) / c_len))
+         * EXP(0.5 * (LN((clip1 + 1.0) / (c_len + 1))
+                      + LN((clip2 + 1.0) / (n2 + 1)))) AS sbleu
+  FROM p
+),
+corp AS (
+  SELECT CAST(SUM(c_len) AS BIGINT) AS tc,
+         CAST(SUM(r_len) AS BIGINT) AS tr,
+         CAST(SUM(n2) AS BIGINT) AS tn2,
+         CAST(SUM(clip1) AS BIGINT) AS t1,
+         CAST(SUM(clip2) AS BIGINT) AS t2
+  FROM p
+),
+cb AS (
+  SELECT CASE WHEN t1 = 0 OR t2 = 0 THEN 0.0
+              ELSE LEAST(1.0, EXP(1.0 - CAST(tr AS DOUBLE) / tc))
+                   * EXP(0.5 * (LN(CAST(t1 AS DOUBLE) / tc)
+                                + LN(CAST(t2 AS DOUBLE) / tn2))) END
+           AS corpus
+  FROM corp
+)
+SELECT s.doc_id, s.ref_id, s.c_len, s.r_len, s.clip1, s.clip2,
+       ROUND(s.sbleu, 6) AS sentence_bleu2,
+       ROUND(cb.corpus, 6) AS corpus_bleu2
+FROM s, cb
+"""
+
+
+@register("llm_bleu_eval", oracle=_BLEU_ORACLE, category="llm")
+def llm_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 between the same deterministic candidate/reference pairs
+    as `llm_rouge_n_eval` (odd doc_id vs preceding even doc_id), with
+    the pieces a real MT/generation eval needs: CLIPPED n-gram
+    precision (multiset min of candidate/reference counts — the part
+    set-ROUGE cannot express), brevity penalty min(1, e^(1-r/c)),
+    add-1-smoothed per-sentence geometric mean, and the corpus-level
+    score from pooled counts (the statistic BLEU is actually defined
+    as).
+
+    Clipped counts are doc-LOCAL array folds (O(len^2) per doc over
+    distinct tokens — bounded by document length, not corpus size), so
+    the only shuffle is the hash pair-join on pair_key; the corpus
+    scalar broadcasts back over the pair rows. Counts BIGINT; the two
+    float scores round once at the edge.
+    """
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.floor(F.col("doc_id") / 2).cast("bigint").alias("pk"),
+        F.split("text", " ").alias("ws"),
+    )
+    nn = F.size("ws")
+    bi = F.zip_with(
+        F.slice("ws", 1, nn - 1),
+        F.slice("ws", 2, nn - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    g = t.select("doc_id", "pk", "ws", bi.alias("bs"))
+    c = g.select(
+        "doc_id", "pk", F.col("ws").alias("cws"), F.col("bs").alias("cbs")
+    ).filter(F.col("doc_id") % 2 == 1)
+    r = g.select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("pk").alias("rpk"),
+        F.col("ws").alias("rws"),
+        F.col("bs").alias("rbs"),
+    ).filter(F.col("ref_id") % 2 == 0)
+
+    def clipped(cand: str, ref: str) -> Column:
+        return F.expr(
+            f"cast(coalesce(aggregate(transform(array_distinct({cand}),"
+            f" w -> least(size(filter({cand}, x -> x = w)),"
+            f" size(filter({ref}, x -> x = w)))), 0, (a, v) -> a + v), 0)"
+            f" AS bigint)"
+        )
+
+    p = c.join(r, c.pk == r.rpk).select(
+        "doc_id",
+        "ref_id",
+        F.size("cws").cast("bigint").alias("c_len"),
+        F.size("rws").cast("bigint").alias("r_len"),
+        F.greatest(F.size("cws") - 1, F.lit(0)).cast("bigint").alias("n2"),
+        clipped("cws", "rws").alias("clip1"),
+        clipped("cbs", "rbs").alias("clip2"),
+    )
+    sbleu = F.least(
+        F.lit(1.0), F.exp(1.0 - F.col("r_len").cast("double") / F.col("c_len"))
+    ) * F.exp(
+        0.5
+        * (
+            F.log((F.col("clip1") + 1.0) / (F.col("c_len") + 1))
+            + F.log((F.col("clip2") + 1.0) / (F.col("n2") + 1))
+        )
+    )
+    s = p.withColumn("sbleu", sbleu)
+    corp = p.agg(
+        F.sum("c_len").cast("bigint").alias("tc"),
+        F.sum("r_len").cast("bigint").alias("tr"),
+        F.sum("n2").cast("bigint").alias("tn2"),
+        F.sum("clip1").cast("bigint").alias("t1"),
+        F.sum("clip2").cast("bigint").alias("t2"),
+    )
+    corpus = F.when((F.col("t1") == 0) | (F.col("t2") == 0), 0.0).otherwise(
+        F.least(
+            F.lit(1.0),
+            F.exp(1.0 - F.col("tr").cast("double") / F.col("tc")),
+        )
+        * F.exp(
+            0.5
+            * (
+                F.log(F.col("t1").cast("double") / F.col("tc"))
+                + F.log(F.col("t2").cast("double") / F.col("tn2"))
+            )
+        )
+    )
+    cb = corp.select(corpus.alias("corpus"))
+    return s.crossJoin(F.broadcast(cb)).select(
+        "doc_id",
+        "ref_id",
+        "c_len",
+        "r_len",
+        "clip1",
+        "clip2",
+        F.round("sbleu", 6).alias("sentence_bleu2"),
+        F.round("corpus", 6).alias("corpus_bleu2"),
     )

@@ -5775,3 +5775,82 @@ def test_l_diversity_matches_python(spark, sf_dir):
         assert r["classes_below"] == sum(1 for v in n_dist.values() if v < l)
         assert abs(r["min_entropy_l"] - min(ents.values())) < 1e-4
         assert r["distinct_l_diverse"] == (min(n_dist.values()) >= l)
+
+
+def test_heaps_law_fit_matches_python(spark, sf_dir):
+    """Checkpointed (tokens, vocab) growth and the OLS fit must match
+    a sequential driver-side scan."""
+    import math
+
+    from snapshot_s3_util_spark.llm.textstats import _HEAPS_CP_MOD
+
+    docs = sorted(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    seen, tok, pts = set(), 0, []
+    for r in docs:
+        ws = r["text"].split(" ")
+        tok += len(ws)
+        seen.update(
+            f"{ws[i]} {ws[i+1]} {ws[i+2]}" for i in range(len(ws) - 2)
+        )
+        if r["doc_id"] % _HEAPS_CP_MOD == _HEAPS_CP_MOD - 1:
+            pts.append((math.log(tok), math.log(len(seen))))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r = REGISTRY["llm_heaps_law_fit"].fn(spark, sf_dir).collect()[0]
+    assert r["n_checkpoints"] == n
+    assert r["total_tokens"] == tok
+    assert r["total_vocab"] == len(seen)
+    assert abs(r["heaps_beta"] - beta) < 1e-4
+    assert 0.0 < r["heaps_beta"] < 1.0  # sane growth exponent
+    assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_bleu_eval_matches_python(spark, sf_dir):
+    """Clipped counts, brevity penalty, and both BLEU scores must
+    match a pure-Python recompute on a few pairs."""
+    import math
+    from collections import Counter
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    rows = REGISTRY["llm_bleu_eval"].fn(spark, sf_dir).collect()
+    assert rows
+    tc = tr = tn2 = t1 = t2 = 0
+    py = {}
+    for did in docs:
+        if did % 2 == 1 and did - 1 in docs:
+            c, r = docs[did], docs[did - 1]
+            cb = [f"{c[i]} {c[i+1]}" for i in range(len(c) - 1)]
+            rb = [f"{r[i]} {r[i+1]}" for i in range(len(r) - 1)]
+            clip1 = sum(min(n, Counter(r)[w]) for w, n in Counter(c).items())
+            clip2 = sum(min(n, Counter(rb)[w]) for w, n in Counter(cb).items())
+            n2 = max(len(c) - 1, 0)
+            sb = min(1.0, math.exp(1 - len(r) / len(c))) * math.exp(
+                0.5 * (math.log((clip1 + 1) / (len(c) + 1)) + math.log((clip2 + 1) / (n2 + 1)))
+            )
+            py[did] = (len(c), len(r), clip1, clip2, sb)
+            tc += len(c)
+            tr += len(r)
+            tn2 += n2
+            t1 += clip1
+            t2 += clip2
+    corpus = (
+        0.0
+        if t1 == 0 or t2 == 0
+        else min(1.0, math.exp(1 - tr / tc)) * math.exp(0.5 * (math.log(t1 / tc) + math.log(t2 / tn2)))
+    )
+    assert {r["doc_id"] for r in rows} == set(py)
+    for r in rows:
+        c_len, r_len, clip1, clip2, sb = py[r["doc_id"]]
+        assert (r["c_len"], r["r_len"], r["clip1"], r["clip2"]) == (c_len, r_len, clip1, clip2)
+        assert abs(r["sentence_bleu2"] - sb) < 1e-5
+        assert abs(r["corpus_bleu2"] - corpus) < 1e-5
