@@ -1630,3 +1630,108 @@ def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lon",
         F.expr(_gh_sql("zv")).alias("geohash"),
     )
+
+
+# ------------------------------------------------- semver comparison
+_SEMVER_THRESH = (3, 5, 10)  # v3.5.10
+
+
+_SEMVER_ORACLE = f"""
+WITH v AS (
+  SELECT p_partkey, p_brand,
+         'v' || (p_partkey % 5) || '.' || (p_partkey % 10) || '.'
+             || (p_partkey % 20) AS ver
+  FROM part
+),
+parsed AS (
+  SELECT p_partkey, p_brand, ver,
+         CAST(string_split(SUBSTR(ver, 2), '.')[1] AS BIGINT) * 10000
+         + CAST(string_split(SUBSTR(ver, 2), '.')[2] AS BIGINT) * 100
+         + CAST(string_split(SUBSTR(ver, 2), '.')[3] AS BIGINT) AS vkey
+  FROM v
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CASE WHEN vkey >= {_SEMVER_THRESH[0] * 10000 + _SEMVER_THRESH[1] * 100 + _SEMVER_THRESH[2]}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_threshold,
+       'v' || (MAX(vkey) // 10000) || '.' || (MAX(vkey) // 100 % 100) || '.'
+           || (MAX(vkey) % 100) AS max_version,
+       'v' || (MIN(vkey) // 10000) || '.' || (MIN(vkey) // 100 % 100) || '.'
+           || (MIN(vkey) % 100) AS min_version,
+       CAST(COUNT(DISTINCT vkey) AS BIGINT) AS n_distinct_versions
+FROM parsed GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+@register("fn_semver_compare", oracle=_SEMVER_ORACLE, category="function")
+def fn_semver_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-version parse/compare suite: derive a deterministic
+    'vMAJOR.MINOR.PATCH' string per part, PARSE it back (split +
+    casts — the exercise is the string round-trip), order by the
+    numeric (major, minor, patch) key, and report per brand the
+    count at-or-above v{_SEMVER_THRESH[0]}.{_SEMVER_THRESH[1]}.{_SEMVER_THRESH[2]},
+    min/max version, and distinct versions. The point the op locks
+    in: LEXICOGRAPHIC comparison is wrong for versions ('v3.5.9' >
+    'v3.5.10' as strings) — comparisons must go through the parsed
+    key, and the reported min/max strings are RECONSTRUCTED from the
+    winning key so ties cannot smuggle order-dependence in.
+
+    One narrow projection (no UDF — split/element_at/casts are
+    codegen'd) + one |brands|-row groupBy.
+    """
+    thr = (
+        _SEMVER_THRESH[0] * 10000 + _SEMVER_THRESH[1] * 100 + _SEMVER_THRESH[2]
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.concat(
+            F.lit("v"),
+            (F.col("p_partkey") % 5).cast("string"),
+            F.lit("."),
+            (F.col("p_partkey") % 10).cast("string"),
+            F.lit("."),
+            (F.col("p_partkey") % 20).cast("string"),
+        ).alias("ver"),
+    )
+    parts = F.split(F.substring(F.col("ver"), 2, 2147483647), "\\.")
+    parsed = p.select(
+        "p_brand",
+        (
+            F.element_at(parts, 1).cast("bigint") * 10000
+            + F.element_at(parts, 2).cast("bigint") * 100
+            + F.element_at(parts, 3).cast("bigint")
+        ).alias("vkey"),
+    )
+
+    def ver_str(key):
+        return F.concat(
+            F.lit("v"),
+            (key / 10000).cast("bigint").cast("string"),
+            F.lit("."),
+            ((key / 100).cast("bigint") % 100).cast("string"),
+            F.lit("."),
+            (key % 100).cast("string"),
+        )
+
+    return (
+        parsed.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum(F.when(F.col("vkey") >= thr, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ge_threshold"),
+            F.max("vkey").alias("maxk"),
+            F.min("vkey").alias("mink"),
+            F.countDistinct("vkey").cast("bigint").alias("n_distinct_versions"),
+        )
+        .select(
+            "p_brand",
+            "n_parts",
+            "n_ge_threshold",
+            ver_str(F.col("maxk")).alias("max_version"),
+            ver_str(F.col("mink")).alias("min_version"),
+            "n_distinct_versions",
+        )
+        .orderBy("p_brand")
+    )

@@ -3427,3 +3427,172 @@ def agg_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l")
     )
+
+
+# ------------------------------------- raking / iterative prop. fit
+_IPF_ITERS = 3
+
+
+def _ipf_oracle() -> str:
+    """Unrolled IPF (like the pagerank oracle): each iteration is one
+    row-scaling CTE + one column-scaling CTE over the |types| x |dows|
+    cell ledger."""
+    sql = f"""
+WITH e AS (
+  SELECT event_type, DAYOFWEEK(ts) AS dow, user_id FROM {EVENTS_REL}
+),
+cells AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+),
+nt AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cells),
+rm AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS du
+  FROM e GROUP BY 1
+),
+cm AS (
+  SELECT dow, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS du
+  FROM e GROUP BY 1
+),
+rt AS (
+  SELECT event_type,
+         CAST(nt.n_total AS DOUBLE) * du / (SELECT SUM(du) FROM rm)
+           AS target_r
+  FROM rm, nt
+),
+ct AS (
+  SELECT dow,
+         CAST(nt.n_total AS DOUBLE) * du / (SELECT SUM(du) FROM cm)
+           AS target_c
+  FROM cm, nt
+),
+w0 AS (
+  SELECT c.event_type, c.dow, c.n, rt.target_r, ct.target_c,
+         CAST(c.n AS DOUBLE) AS w
+  FROM cells c
+  JOIN rt ON rt.event_type = c.event_type
+  JOIN ct ON ct.dow = c.dow
+)"""
+    prev = "w0"
+    for i in range(1, _IPF_ITERS + 1):
+        sql += f""",
+r{i} AS (
+  SELECT event_type, dow, n, target_r, target_c,
+         w * (target_r / SUM(w) OVER (PARTITION BY event_type)) AS w
+  FROM {prev}
+),
+c{i} AS (
+  SELECT event_type, dow, n, target_r, target_c,
+         w * (target_c / SUM(w) OVER (PARTITION BY dow)) AS w
+  FROM r{i}
+)"""
+        prev = f"c{i}"
+    sql += f""",
+rowsum AS (
+  SELECT SUM(w) OVER (PARTITION BY event_type) / target_r - 1 AS re
+  FROM {prev}
+),
+err AS (SELECT MAX(ABS(re)) AS max_row_err FROM rowsum)
+SELECT f.event_type, f.dow, f.n AS observed,
+       ROUND(f.w, 4) AS fitted,
+       ROUND(f.w / f.n, 6) AS weight_ratio,
+       ROUND(err.max_row_err, 6) AS max_row_margin_err
+FROM {prev} f, err
+ORDER BY f.event_type, f.dow
+"""
+    return sql
+
+
+@register("agg_raking_ipf", oracle=_ipf_oracle(), category="aggregate")
+def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raking (iterative proportional fitting) of the event-count
+    table to user-population margins: cell (event_type, day-of-week)
+    counts are rescaled in {_IPF_ITERS} row/column rounds until their
+    margins match the DISTINCT-USER share per type and per weekday
+    (both normalized to the same grand total, the solvability
+    condition) — the survey-weighting move that corrects activity
+    counts for heavy-user overrepresentation. Output: per-cell fitted
+    weight + weight ratio and the residual row-margin error (column
+    margins are exact by construction after the final column pass).
+
+    Scale shape: the corpus collapses ONCE to the |types| x |dows|
+    <= 35-row cell ledger plus two distinct-count margins; every IPF
+    round is two partitioned window-sums over that ledger — bounded by
+    the CATALOG, not data (the W-audit sees only partitioned windows).
+    Fixed iteration count keeps both engines bit-comparable; on this
+    doubly-positive table {_IPF_ITERS} rounds converge to <1e-3
+    relative margin error.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.dayofweek("ts") - 1).alias("dow"),
+        "user_id",
+    )
+    cells = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    nt = cells.agg(F.sum("n").cast("bigint").alias("n_total"))
+    rm = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("du")
+    )
+    cm = ev.groupBy("dow").agg(
+        F.countDistinct("user_id").cast("bigint").alias("du")
+    )
+    rsum = rm.agg(F.sum("du").alias("sdu"))
+    csum = cm.agg(F.sum("du").alias("sdu"))
+    rt = (
+        rm.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(rsum))
+        .select(
+            "event_type",
+            (
+                F.col("n_total").cast("double") * F.col("du") / F.col("sdu")
+            ).alias("target_r"),
+        )
+    )
+    ct = (
+        cm.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(csum))
+        .select(
+            "dow",
+            (
+                F.col("n_total").cast("double") * F.col("du") / F.col("sdu")
+            ).alias("target_c"),
+        )
+    )
+    w = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            "target_r",
+            "target_c",
+            F.col("n").cast("double").alias("w"),
+        )
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    for _ in range(_IPF_ITERS):
+        w = w.withColumn(
+            "w", F.col("w") * (F.col("target_r") / F.sum("w").over(wr))
+        )
+        w = w.withColumn(
+            "w", F.col("w") * (F.col("target_c") / F.sum("w").over(wc))
+        )
+    err = w.select(
+        (F.sum("w").over(wr) / F.col("target_r") - 1).alias("re")
+    ).agg(F.max(F.abs(F.col("re"))).alias("max_row_err"))
+    return (
+        w.crossJoin(F.broadcast(err))
+        .select(
+            "event_type",
+            "dow",
+            F.col("n").alias("observed"),
+            F.round("w", 4).alias("fitted"),
+            F.round(F.col("w") / F.col("n"), 6).alias("weight_ratio"),
+            F.round("max_row_err", 6).alias("max_row_margin_err"),
+        )
+        .orderBy("event_type", "dow")
+    )

@@ -1681,3 +1681,101 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# -------------------------------------- bipartite projection (types)
+_BIPROJ_ORACLE = f"""
+WITH ue AS (
+  SELECT DISTINCT user_id, event_type FROM {{EVENTS}}
+),
+deg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM ue GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM ue a JOIN ue b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_common,
+       da.n_users AS n_users_a, db.n_users AS n_users_b,
+       ROUND(CAST(p.n_common AS DOUBLE)
+             / (da.n_users + db.n_users - p.n_common), 6) AS jaccard,
+       ROUND(CAST(p.n_common AS DOUBLE)
+             / SQRT(CAST(da.n_users AS DOUBLE) * db.n_users), 6) AS cosine
+FROM pairs p
+JOIN deg da ON da.event_type = p.type_a
+JOIN deg db ON db.event_type = p.type_b
+ORDER BY p.type_a, p.type_b
+"""
+
+
+@register(
+    "graph_bipartite_projection",
+    oracle=_BIPROJ_ORACLE.format(EVENTS="events"),
+    category="graph",
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite user–event_type graph projected onto the event-type
+    side: for every type pair, how many users touch both, with the
+    Jaccard and cosine association strengths — the co-engagement
+    backbone behind "users who X also Y" analyses and behavioral
+    segment design.
+
+    Scale shape: the corpus first collapses to the DISTINCT
+    (user, type) incidence (<= |users| x |types| rows — the only
+    data-sized exchange), and the projection self-join is keyed on
+    user_id, so a user with d types expands to C(d,2) <= C(|types|,2)
+    = 10 pairs, NEVER |corpus|^2 — the catalog bounds the fan-out,
+    which is what makes bipartite projection safe here while generic
+    graph projection (unbounded degree) needs sampling. The pair
+    frame is |types|^2-bounded ledger math after that.
+    """
+    ue = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    deg = ue.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    a = ue.select("user_id", F.col("event_type").alias("type_a"))
+    b = ue.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    da = deg.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_users_a")
+    )
+    db = deg.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_users_b")
+    )
+    return (
+        pairs.join(F.broadcast(da), "type_a")
+        .join(F.broadcast(db), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            "n_users_a",
+            "n_users_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_users_a") + F.col("n_users_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common").cast("double")
+                / F.sqrt(
+                    F.col("n_users_a").cast("double") * F.col("n_users_b")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -1274,3 +1274,77 @@ def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_common") / F.col("uni"), 6).alias("jaccard"),
         )
     )
+
+
+# ----------------------------------------- array-membership join
+# Funnel-stage dim: stage -> member event types. "click" belongs to
+# two stages on purpose — membership joins are many-to-many and the
+# op must preserve that.
+_STAGE_DIM = (
+    ("activation", ("signup",)),
+    ("discovery", ("view", "click")),
+    ("engagement", ("click", "purchase")),
+    ("reliability", ("error",)),
+)
+
+_ARRMEM_ORACLE = f"""
+WITH dim AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"('{s}', '{t}')" for s, types in _STAGE_DIM for t in types)}
+  ) AS t(stage, event_type)
+)
+SELECT d.stage,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       ROUND(SUM(e.value), 4) AS sum_value
+FROM events e JOIN dim d USING (event_type)
+GROUP BY d.stage ORDER BY d.stage
+"""
+
+
+@register("join_array_membership", oracle=_ARRMEM_ORACLE, category="join")
+def join_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-membership join: a funnel-stage dimension whose key is a
+    SET of event types (stage -> [types]), joined to the event stream
+    by membership. The declarative predicate would be
+    `array_contains(d.types, e.event_type)` — which Spark can only
+    execute as BroadcastNestedLoopJoin (every event row probes every
+    dim row). The engine instead UNNESTS the dim to (stage, type)
+    long form first, turning membership into a broadcast hash
+    EQUI-join — same semantics (including the many-to-many case:
+    'click' sits in two stages and its events count in both), but the
+    probe side stays a single hash lookup per row at any scale. The
+    dim explode is |stages| x |types| planning rows; the one
+    data-sized operation is the final map-side-combined groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    dim = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("stage"),
+                            F.lit(t).alias("event_type"),
+                        )
+                        for s, types in _STAGE_DIM
+                        for t in types
+                    ]
+                )
+            ).alias("x")
+        )
+        .select("x.*")
+    )
+    return (
+        ev.join(F.broadcast(dim), "event_type")
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("stage")
+    )

@@ -5854,3 +5854,113 @@ def test_bleu_eval_matches_python(spark, sf_dir):
         assert (r["c_len"], r["r_len"], r["clip1"], r["clip2"]) == (c_len, r_len, clip1, clip2)
         assert abs(r["sentence_bleu2"] - sb) < 1e-5
         assert abs(r["corpus_bleu2"] - corpus) < 1e-5
+
+
+def test_bipartite_projection_matches_python(spark, sf_dir):
+    """Pair co-engagement counts and Jaccard must match a driver-side
+    set recompute."""
+    rows = load_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], set()).add(r["user_id"])
+    out = {(r["type_a"], r["type_b"]): r for r in REGISTRY["graph_bipartite_projection"].fn(spark, sf_dir).collect()}
+    types = sorted(by_type)
+    expected_pairs = {
+        (a, b)
+        for i, a in enumerate(types)
+        for b in types[i + 1 :]
+        if by_type[a] & by_type[b]
+    }
+    assert set(out) == expected_pairs
+    for (a, b), r in out.items():
+        common = by_type[a] & by_type[b]
+        assert r["n_common"] == len(common)
+        assert r["n_users_a"] == len(by_type[a])
+        assert r["n_users_b"] == len(by_type[b])
+        assert abs(r["jaccard"] - len(common) / len(by_type[a] | by_type[b])) < 1e-5
+
+
+def test_raking_ipf_converges_and_matches_python(spark, sf_dir):
+    """Fitted cells must match a driver-side IPF with the same margins
+    and iteration count; column margins must be (near-)exact."""
+    from collections import Counter
+
+    from snapshot_s3_util_spark.operators.aggregates import _IPF_ITERS
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("event_type", "dayofweek(ts) - 1 AS dow", "user_id")
+        .collect()
+    )
+    n = Counter((r["event_type"], r["dow"]) for r in rows)
+    ru, cu = {}, {}
+    for r in rows:
+        ru.setdefault(r["event_type"], set()).add(r["user_id"])
+        cu.setdefault(r["dow"], set()).add(r["user_id"])
+    total = sum(n.values())
+    tr = {k: total * len(v) / sum(len(x) for x in ru.values()) for k, v in ru.items()}
+    tc = {k: total * len(v) / sum(len(x) for x in cu.values()) for k, v in cu.items()}
+    w = {k: float(v) for k, v in n.items()}
+    for _ in range(_IPF_ITERS):
+        rs = Counter()
+        for (et, d), x in w.items():
+            rs[et] += x
+        w = {(et, d): x * (tr[et] / rs[et]) for (et, d), x in w.items()}
+        cs = Counter()
+        for (et, d), x in w.items():
+            cs[d] += x
+        w = {(et, d): x * (tc[d] / cs[d]) for (et, d), x in w.items()}
+    out = {(r["event_type"], r["dow"]): r for r in REGISTRY["agg_raking_ipf"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(n)
+    for k, r in out.items():
+        assert r["observed"] == n[k]
+        assert abs(r["fitted"] - w[k]) < 1e-2
+    # column margins exact after the final column pass
+    cs = Counter()
+    for (et, d), x in w.items():
+        cs[d] += x
+    for d, target in tc.items():
+        assert abs(cs[d] - target) < 1e-6
+    # row margins converged to well under 1%
+    assert next(iter(out.values()))["max_row_margin_err"] < 0.01
+
+
+def test_array_membership_join_matches_python(spark, sf_dir):
+    """Stage rollups must match a driver recompute, including the
+    many-to-many type ('click' in two stages)."""
+    from snapshot_s3_util_spark.operators.joins import _STAGE_DIM
+
+    rows = load_table(spark, sf_dir, "events").select("event_type", "user_id", "value").collect()
+    out = {r["stage"]: r for r in REGISTRY["join_array_membership"].fn(spark, sf_dir).collect()}
+    for stage, types in _STAGE_DIM:
+        sel = [r for r in rows if r["event_type"] in types]
+        assert out[stage]["n_events"] == len(sel)
+        assert out[stage]["n_users"] == len({r["user_id"] for r in sel})
+        assert abs(out[stage]["sum_value"] - sum(r["value"] for r in sel)) < 1e-3
+    # click rows counted in BOTH discovery and engagement
+    n_click = sum(1 for r in rows if r["event_type"] == "click")
+    n_view = sum(1 for r in rows if r["event_type"] == "view")
+    n_purchase = sum(1 for r in rows if r["event_type"] == "purchase")
+    assert out["discovery"]["n_events"] == n_click + n_view
+    assert out["engagement"]["n_events"] == n_click + n_purchase
+
+
+def test_semver_compare_matches_python(spark, sf_dir):
+    """Per-brand version stats must match a driver recompute through
+    the NUMERIC key (not string order)."""
+    rows = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand").collect()
+    agg = {}
+    for r in rows:
+        k = r["p_partkey"]
+        key = (k % 5) * 10000 + (k % 10) * 100 + (k % 20)
+        agg.setdefault(r["p_brand"], []).append(key)
+    out = {r["p_brand"]: r for r in REGISTRY["fn_semver_compare"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(agg)
+    for brand, keys in agg.items():
+        r = out[brand]
+        assert r["n_parts"] == len(keys)
+        assert r["n_ge_threshold"] == sum(1 for k in keys if k >= 30510)
+        mx, mn = max(keys), min(keys)
+        assert r["max_version"] == f"v{mx // 10000}.{mx // 100 % 100}.{mx % 100}"
+        assert r["min_version"] == f"v{mn // 10000}.{mn // 100 % 100}.{mn % 100}"
+        assert r["n_distinct_versions"] == len(set(keys))
