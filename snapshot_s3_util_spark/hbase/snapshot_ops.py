@@ -892,3 +892,146 @@ def hb_merge_regions_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("combined_bytes") < 2 * F.col("avg_region_bytes"))
         ).alias("merge_ok"),
     )
+
+
+# --------------------------------------------- salted-rowkey planning
+_SALT_BUCKETS = (4, 8, 16, 32)
+
+
+_SALT_ORACLE = f"""
+WITH writes AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS w
+  FROM events GROUP BY user_id
+),
+mx AS (
+  SELECT CAST(MAX(user_id) AS BIGINT) AS max_u,
+         CAST(SUM(w) AS BIGINT) AS total
+  FROM writes
+),
+grid AS (
+  SELECT UNNEST([{', '.join(f'CAST({n} AS BIGINT)' for n in _SALT_BUCKETS)}])
+    AS n_buckets
+),
+assigned AS (
+  SELECT g.n_buckets, wr.w,
+         wr.user_id * g.n_buckets // (mx.max_u + 1) AS range_bucket,
+         CAST(('0x' || SUBSTR(MD5(CAST(wr.user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % g.n_buckets AS salt_bucket
+  FROM writes wr, grid g, mx
+),
+rl AS (
+  SELECT n_buckets, range_bucket, CAST(SUM(w) AS BIGINT) AS load
+  FROM assigned GROUP BY 1, 2
+),
+sl AS (
+  SELECT n_buckets, salt_bucket, CAST(SUM(w) AS BIGINT) AS load
+  FROM assigned GROUP BY 1, 2
+),
+r AS (
+  SELECT n_buckets, CAST(MAX(load) AS BIGINT) AS range_max
+  FROM rl GROUP BY 1
+),
+s AS (
+  SELECT n_buckets, CAST(MAX(load) AS BIGINT) AS salt_max
+  FROM sl GROUP BY 1
+)
+SELECT r.n_buckets,
+       mx.total AS total_writes,
+       r.range_max AS range_max_load,
+       s.salt_max AS salt_max_load,
+       ROUND(CAST(r.range_max AS DOUBLE) * r.n_buckets / mx.total, 4)
+         AS range_skew,
+       ROUND(CAST(s.salt_max AS DOUBLE) * s.n_buckets / mx.total, 4)
+         AS salt_skew,
+       ROUND(CAST(r.range_max AS DOUBLE) / s.salt_max, 4)
+         AS hotspot_improvement
+FROM r JOIN s USING (n_buckets), mx
+ORDER BY r.n_buckets
+"""
+
+
+@register("hb_salt_plan", oracle=_SALT_ORACLE, category="hbase")
+def hb_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-rowkey design study (A5-adjacent: HBase hotspotting):
+    for each candidate salt-bucket count, compare the hottest region
+    under CONTIGUOUS rowkey ranges (what an unsalted sequential key
+    gives you) against md5-salted bucketing of the same write stream —
+    max load, skew ratio (max/ideal), and the hotspot improvement
+    factor. This is the table a schema review reads before choosing
+    `salt = hash(key) % n` for a write-heavy table; the reference's
+    export splits (`hb_balanced_splits`) assume the region layout this
+    op helps pick.
+
+    Plan: writes collapse to the per-key ledger ONCE (the only
+    data-sized exchange); the |keys| x |grid| assignment explodes from
+    a 4-row broadcast grid and reduces map-side per (config, bucket).
+    Loads stay BIGINT; the two skew ratios divide once. The md5 salt
+    matches the engine's other hash-routing ops (same conv/substr
+    split), so a plan chosen here is the plan the sinks implement.
+    """
+    writes = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    mx = writes.agg(
+        F.max("user_id").cast("bigint").alias("max_u"),
+        F.sum("w").cast("bigint").alias("total"),
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(n).cast("bigint") for n in _SALT_BUCKETS])
+        ).alias("n_buckets")
+    )
+    h = F.expr(
+        "cast(conv(substring(md5(cast(user_id AS string)), 1, 8), 16, 10)"
+        " AS bigint)"
+    )
+    assigned = (
+        writes.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "n_buckets",
+            "w",
+            "total",
+            F.expr("user_id * n_buckets DIV (max_u + 1)").alias("range_bucket"),
+            (h % F.col("n_buckets")).alias("salt_bucket"),
+        )
+    )
+    rl = assigned.groupBy("n_buckets", "total", "range_bucket").agg(
+        F.sum("w").cast("bigint").alias("load")
+    )
+    sl = assigned.groupBy("n_buckets", "salt_bucket").agg(
+        F.sum("w").cast("bigint").alias("load")
+    )
+    r = rl.groupBy("n_buckets", "total").agg(
+        F.max("load").cast("bigint").alias("range_max")
+    )
+    s = sl.groupBy("n_buckets").agg(
+        F.max("load").cast("bigint").alias("salt_max")
+    )
+    return (
+        r.join(F.broadcast(s), "n_buckets")
+        .select(
+            "n_buckets",
+            F.col("total").alias("total_writes"),
+            F.col("range_max").alias("range_max_load"),
+            F.col("salt_max").alias("salt_max_load"),
+            F.round(
+                F.col("range_max").cast("double")
+                * F.col("n_buckets")
+                / F.col("total"),
+                4,
+            ).alias("range_skew"),
+            F.round(
+                F.col("salt_max").cast("double")
+                * F.col("n_buckets")
+                / F.col("total"),
+                4,
+            ).alias("salt_skew"),
+            F.round(
+                F.col("range_max").cast("double") / F.col("salt_max"), 4
+            ).alias("hotspot_improvement"),
+        )
+        .orderBy("n_buckets")
+    )

@@ -3596,3 +3596,68 @@ def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+# --------------------------------------- Theil / Atkinson inequality
+_THEIL_ORACLE = f"""
+WITH x AS (
+  SELECT event_type, user_id, SUM(value) AS v
+  FROM {EVENTS_REL} e GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(v) AS sv,
+         SUM(v * LN(v)) AS svlv,
+         SUM(LN(v)) AS slv
+  FROM x GROUP BY 1
+)
+SELECT event_type,
+       n AS n_users,
+       ROUND(sv / n, 6) AS mean_value,
+       ROUND(svlv / sv - LN(sv / n), 6) AS theil_t,
+       ROUND(LN(sv / n) - slv / n, 6) AS theil_l,
+       ROUND(1 - EXP(slv / n) / (sv / n), 6) AS atkinson_1
+FROM m ORDER BY event_type
+"""
+
+
+@register("agg_theil_atkinson", oracle=_THEIL_ORACLE, category="aggregate")
+def agg_theil_atkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy-family inequality indices of per-user engagement value
+    within each event type: Theil T (top-sensitive), Theil L / mean
+    log deviation (bottom-sensitive), and Atkinson(ε=1) = 1 − exp(mean
+    ln x)/μ — the decomposable complements to `agg_gini_coefficient`
+    (Gini ranks, these weigh; T additionally decomposes
+    between/within groups, which Gini cannot). Engagement value sums
+    are strictly positive, so the logs are total.
+
+    Plan: ONE exchange to the (type, user) rollup, then a map-side-
+    combined reduce of four sufficient statistics (n, Σx, Σx·lnx,
+    Σlnx) per type — no sort, no window, no second scan; every index
+    is closed-form arithmetic on the |types|-row ledger. (Theil T is
+    computed as Σx·lnx/Σx − ln μ, algebraically equal to the textbook
+    (1/n)Σ(x/μ)ln(x/μ) but one pass.)
+    """
+    x = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("value").alias("v"))
+    )
+    m = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.log("v")).alias("svlv"),
+        F.sum(F.log("v")).alias("slv"),
+    )
+    mu = F.col("sv") / F.col("n")
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.round(mu, 6).alias("mean_value"),
+        F.round(F.col("svlv") / F.col("sv") - F.log(mu), 6).alias("theil_t"),
+        F.round(F.log(mu) - F.col("slv") / F.col("n"), 6).alias("theil_l"),
+        F.round(1 - F.exp(F.col("slv") / F.col("n")) / mu, 6).alias(
+            "atkinson_1"
+        ),
+    ).orderBy("event_type")

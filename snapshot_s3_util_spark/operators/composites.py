@@ -3007,3 +3007,143 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block_len")
     )
+
+
+# ------------------------------------------- Granger causality (1 lag)
+_GRANGER_X, _GRANGER_Y = "view", "purchase"
+_GRANGER_F_CRIT = 3.92  # F(0.95; 1, ~120)
+
+
+_GRANGER_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(SUM(CASE WHEN event_type = '{_GRANGER_X}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nx,
+         CAST(SUM(CASE WHEN event_type = '{_GRANGER_Y}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ny
+  FROM {EVENTS_REL} e GROUP BY 1
+),
+lagged AS (
+  SELECT t.ny AS y, p.ny AS w, p.nx AS x
+  FROM daily t JOIN daily p ON p.d = t.d - 1
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(w) AS BIGINT) AS sw,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(w * w) AS BIGINT) AS sww,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(w * y) AS BIGINT) AS swy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(w * x) AS BIGINT) AS swx
+  FROM lagged
+),
+cen AS (
+  SELECT n,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy,
+         CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * sw / n AS cww,
+         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS cxx,
+         CAST(swy AS DOUBLE) - CAST(sw AS DOUBLE) * sy / n AS cwy,
+         CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS cxy,
+         CAST(swx AS DOUBLE) - CAST(sw AS DOUBLE) * sx / n AS cwx
+  FROM mom
+),
+fit AS (
+  SELECT n,
+         cyy - cwy * cwy / cww AS rss_r,
+         cyy - ((cxx * cwy - cwx * cxy) / (cww * cxx - cwx * cwx)) * cwy
+             - ((cww * cxy - cwx * cwy) / (cww * cxx - cwx * cwx)) * cxy
+           AS rss_u,
+         (cww * cxy - cwx * cwy) / (cww * cxx - cwx * cwx) AS coef_x_lag
+  FROM cen
+)
+SELECT n,
+       ROUND(rss_r, 4) AS rss_restricted,
+       ROUND(rss_u, 4) AS rss_unrestricted,
+       ROUND(coef_x_lag, 6) AS coef_x_lag,
+       ROUND((rss_r - rss_u) / (rss_u / (n - 3)), 4) AS f_stat,
+       (rss_r - rss_u) / (rss_u / (n - 3)) > {_GRANGER_F_CRIT}
+         AS granger_significant_95
+FROM fit
+"""
+
+
+@register("ts_granger_1lag", oracle=_GRANGER_ORACLE, category="timeseries")
+def ts_granger_1lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality test (one lag): does yesterday's
+    '{_GRANGER_X}' count improve today's '{_GRANGER_Y}' forecast
+    beyond yesterday's own count?  Nested-OLS F-test: restricted
+    y_t ~ y_(t-1) vs unrestricted y_t ~ y_(t-1) + x_(t-1), F =
+    (RSS_r − RSS_u)/(RSS_u/(n−3)) against F(1, n−3) ≈
+    {_GRANGER_F_CRIT}. The companion to `ts_cross_correlation`: xcorr
+    says the series co-move, Granger says the lead adds predictive
+    information.
+
+    Both regressions solve in CLOSED FORM from ten exact-BIGINT
+    moments (the 2-regressor normal equations via centered
+    cross-moments — no iterative fit), accumulated in ONE pass over
+    the |days|-row daily pivot; the lag join is a |days| broadcast
+    self-join. Doubles appear only after the integer moments, in
+    identical expression order on both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == _GRANGER_X, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nx"),
+        F.sum(F.when(F.col("event_type") == _GRANGER_Y, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ny"),
+    ).localCheckpoint()
+    p = daily.select(
+        F.col("d").alias("dp"),
+        F.col("ny").alias("w"),
+        F.col("nx").alias("x"),
+    )
+    lagged = daily.join(
+        F.broadcast(p), F.col("dp") == F.date_sub(F.col("d"), 1)
+    ).select(F.col("ny").alias("y"), "w", "x")
+    mom = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("sww"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("w") * F.col("y")).cast("bigint").alias("swy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("w") * F.col("x")).cast("bigint").alias("swx"),
+    )
+    cen = mom.select(
+        "n",
+        (F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n")).alias("cyy"),
+        (F.col("sww").cast("double") - F.col("sw").cast("double") * F.col("sw") / F.col("n")).alias("cww"),
+        (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n")).alias("cxx"),
+        (F.col("swy").cast("double") - F.col("sw").cast("double") * F.col("sy") / F.col("n")).alias("cwy"),
+        (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n")).alias("cxy"),
+        (F.col("swx").cast("double") - F.col("sw").cast("double") * F.col("sx") / F.col("n")).alias("cwx"),
+    )
+    det = F.col("cww") * F.col("cxx") - F.col("cwx") * F.col("cwx")
+    b1 = (F.col("cxx") * F.col("cwy") - F.col("cwx") * F.col("cxy")) / det
+    b2 = (F.col("cww") * F.col("cxy") - F.col("cwx") * F.col("cwy")) / det
+    fit = cen.select(
+        "n",
+        (F.col("cyy") - F.col("cwy") * F.col("cwy") / F.col("cww")).alias("rss_r"),
+        (F.col("cyy") - b1 * F.col("cwy") - b2 * F.col("cxy")).alias("rss_u"),
+        b2.alias("coef_x_lag"),
+    )
+    f_stat = (F.col("rss_r") - F.col("rss_u")) / (
+        F.col("rss_u") / (F.col("n") - 3)
+    )
+    return fit.select(
+        "n",
+        F.round("rss_r", 4).alias("rss_restricted"),
+        F.round("rss_u", 4).alias("rss_unrestricted"),
+        F.round("coef_x_lag", 6).alias("coef_x_lag"),
+        F.round(f_stat, 4).alias("f_stat"),
+        (f_stat > _GRANGER_F_CRIT).alias("granger_significant_95"),
+    )

@@ -5964,3 +5964,97 @@ def test_semver_compare_matches_python(spark, sf_dir):
         assert r["max_version"] == f"v{mx // 10000}.{mx // 100 % 100}.{mx % 100}"
         assert r["min_version"] == f"v{mn // 10000}.{mn // 100 % 100}.{mn % 100}"
         assert r["n_distinct_versions"] == len(set(keys))
+
+
+def test_granger_1lag_matches_numpy(spark, sf_dir):
+    """Nested-OLS F must match a numpy lstsq recompute on the daily
+    pivot."""
+    import numpy as np
+
+    daily = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("to_date(date_trunc('day', ts)) AS d", "event_type")
+        .collect()
+    ):
+        a = daily.setdefault(r["d"], [0, 0])
+        if r["event_type"] == "view":
+            a[0] += 1
+        elif r["event_type"] == "purchase":
+            a[1] += 1
+    days = sorted(daily)
+    rows = [
+        (daily[d][1], daily[p][1], daily[p][0])
+        for d, p in zip(days[1:], days[:-1])
+        if (d - p).days == 1
+    ]
+    y = np.array([r[0] for r in rows], dtype=float)
+    w = np.array([r[1] for r in rows], dtype=float)
+    x = np.array([r[2] for r in rows], dtype=float)
+    n = len(y)
+    Xr = np.column_stack([np.ones(n), w])
+    Xu = np.column_stack([np.ones(n), w, x])
+    rss_r = float(np.sum((y - Xr @ np.linalg.lstsq(Xr, y, rcond=None)[0]) ** 2))
+    bu = np.linalg.lstsq(Xu, y, rcond=None)[0]
+    rss_u = float(np.sum((y - Xu @ bu) ** 2))
+    f = (rss_r - rss_u) / (rss_u / (n - 3))
+    r = REGISTRY["ts_granger_1lag"].fn(spark, sf_dir).collect()[0]
+    assert r["n"] == n
+    assert abs(r["rss_restricted"] - rss_r) < 1e-2
+    assert abs(r["rss_unrestricted"] - rss_u) < 1e-2
+    assert abs(r["coef_x_lag"] - bu[2]) < 1e-4
+    assert abs(r["f_stat"] - f) < 1e-2
+    assert r["granger_significant_95"] == (f > 3.92)
+
+
+def test_theil_atkinson_matches_python(spark, sf_dir):
+    """Inequality indices must match the textbook per-user recompute
+    and satisfy the known identities (all >= 0; zero on equality)."""
+    import math
+
+    vals = {}
+    for r in load_table(spark, sf_dir, "events").select("event_type", "user_id", "value").collect():
+        vals.setdefault(r["event_type"], {}).setdefault(r["user_id"], 0.0)
+        vals[r["event_type"]][r["user_id"]] += r["value"]
+    out = {r["event_type"]: r for r in REGISTRY["agg_theil_atkinson"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(vals)
+    for et, per_user in vals.items():
+        xs = list(per_user.values())
+        n, mu = len(xs), sum(xs) / len(xs)
+        tt = sum(x / mu * math.log(x / mu) for x in xs) / n
+        tl = sum(math.log(mu / x) for x in xs) / n
+        atk = 1 - math.exp(sum(math.log(x) for x in xs) / n) / mu
+        r = out[et]
+        assert r["n_users"] == n
+        assert abs(r["mean_value"] - mu) < 1e-4
+        assert abs(r["theil_t"] - tt) < 1e-4
+        assert abs(r["theil_l"] - tl) < 1e-4
+        assert abs(r["atkinson_1"] - atk) < 1e-4
+        assert r["theil_t"] >= 0 and r["theil_l"] >= 0 and 0 <= r["atkinson_1"] < 1
+
+
+def test_salt_plan_matches_python(spark, sf_dir):
+    """Range vs salted max loads must match a driver recompute with
+    the same md5 routing; salting must not be worse than ranges."""
+    import hashlib
+    from collections import Counter
+
+    w = Counter(
+        r["user_id"]
+        for r in load_table(spark, sf_dir, "events").select("user_id").collect()
+    )
+    max_u, total = max(w), sum(w.values())
+    out = {r["n_buckets"]: r for r in REGISTRY["hb_salt_plan"].fn(spark, sf_dir).collect()}
+    from snapshot_s3_util_spark.hbase.snapshot_ops import _SALT_BUCKETS
+
+    assert set(out) == set(_SALT_BUCKETS)
+    for n in _SALT_BUCKETS:
+        rng, slt = Counter(), Counter()
+        for u, c in w.items():
+            rng[u * n // (max_u + 1)] += c
+            slt[int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % n] += c
+        r = out[n]
+        assert r["total_writes"] == total
+        assert r["range_max_load"] == max(rng.values())
+        assert r["salt_max_load"] == max(slt.values())
+        assert abs(r["hotspot_improvement"] - max(rng.values()) / max(slt.values())) < 1e-3
