@@ -1175,3 +1175,167 @@ def llm_retrieval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+# ------------------------------------------- ANN recall evaluation
+def _ann_recall_oracle() -> str:
+    from snapshot_s3_util_spark.llm.dedup import _EMB_DIM, _SRP_BANDS, _SRP_BITS
+
+    cos = (
+        "LIST_DOT_PRODUCT(v.e, pe) / (SQRT(LIST_DOT_PRODUCT(v.e, v.e))"
+        " * SQRT(LIST_DOT_PRODUCT(pe, pe)))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+w AS (
+  SELECT t1.band, t2.bit, t3.j,
+         CAST(('0x' || SUBSTR(MD5(t1.band || '_' || t2.bit || '_' || t3.j), 1, 8))
+              AS BIGINT) / 2147483648.0 - 1.0 AS w
+  FROM range({_SRP_BANDS}) t1(band), range({_SRP_BITS}) t2(bit),
+       range({_EMB_DIM}) t3(j)
+),
+wv AS (SELECT band, bit, LIST(w ORDER BY j) AS wvec FROM w GROUP BY band, bit),
+sigs AS (
+  SELECT v.vec_id, wv.band,
+         CAST(SUM(CASE WHEN ROUND(LIST_DOT_PRODUCT(v.e, wv.wvec), 6) > 0
+                       THEN 1 << bit ELSE 0 END) AS BIGINT) AS sig
+  FROM v CROSS JOIN wv
+  GROUP BY v.vec_id, wv.band
+),
+probes AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < {N_PROBES}),
+probe_sigs AS (
+  SELECT vec_id AS probe_id, band, sig FROM sigs WHERE vec_id < {N_PROBES}
+),
+cand AS (
+  SELECT DISTINCT p.probe_id, s.vec_id
+  FROM sigs s JOIN probe_sigs p ON s.band = p.band AND s.sig = p.sig
+  WHERE s.vec_id <> p.probe_id
+),
+exact AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT p.probe_id, v.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                              ORDER BY {cos} DESC, v.vec_id) AS rn
+    FROM v CROSS JOIN probes p WHERE v.vec_id <> p.probe_id)
+  WHERE rn <= {SIM_TOPK}
+),
+annr AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT c.probe_id, c.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY c.probe_id
+                              ORDER BY {cos} DESC, v.vec_id) AS rn
+    FROM cand c JOIN v ON v.vec_id = c.vec_id
+    JOIN probes p ON p.probe_id = c.probe_id)
+  WHERE rn <= {SIM_TOPK}
+),
+nc AS (SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+       FROM cand GROUP BY 1),
+hits AS (
+  SELECT e.probe_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM exact e JOIN annr a ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+  GROUP BY 1
+),
+per AS (
+  SELECT p.probe_id,
+         COALESCE(nc.n_candidates, 0) AS n_candidates,
+         COALESCE(hits.n_hits, 0) AS n_hits,
+         CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / {SIM_TOPK} AS recall
+  FROM probes p
+  LEFT JOIN nc ON nc.probe_id = p.probe_id
+  LEFT JOIN hits ON hits.probe_id = p.probe_id
+),
+m AS (SELECT AVG(recall) AS mean_recall FROM per)
+SELECT per.probe_id, per.n_candidates, per.n_hits,
+       ROUND(per.recall, 6) AS recall_at_k,
+       ROUND(m.mean_recall, 6) AS mean_recall
+FROM per, m ORDER BY per.probe_id
+"""
+
+
+@register("llm_ann_recall_eval", oracle=_ann_recall_oracle(), category="llm")
+def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{SIM_TOPK} of the SRP-LSH index against exact brute
+    force, per probe and corpus-mean — the quality dashboard that
+    turns `llm_sim_ann_lsh`'s speed/recall trade into a measured
+    number (tests assert it once; this op ships it as a rerunnable
+    query, next to `llm_retrieval_mrr_ndcg` which scores LABEL
+    quality instead of index fidelity). Also reports each probe's
+    candidate-set size — recall 1.0 with a huge candidate set means
+    the bands are too coarse, high recall with a tiny set is the
+    regime you want.
+
+    Plan: signatures come from the shared `srp_signatures` pass (the
+    same index the dedup/ANN ops use); probe buckets broadcast; exact
+    ranking reuses the knn broadcast+WindowGroupLimit shape. The two
+    top-k sets meet in a (probe, vec) hash join of |probes| x k rows.
+    """
+    from snapshot_s3_util_spark.llm.dedup import srp_signatures
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_E).alias("e")
+    )
+    probes = v.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    sigs = srp_signatures(spark, v)
+    probe_sigs = sigs.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "band", "sig"
+    )
+    cand = (
+        sigs.join(F.broadcast(probe_sigs), ["band", "sig"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+        .distinct()
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("raw").desc(), F.col("vec_id")
+    )
+    exact = (
+        v.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("raw", _cos("e", "pe"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SIM_TOPK)
+        .select("probe_id", "vec_id")
+    )
+    annr = (
+        cand.join(v, "vec_id")
+        .join(F.broadcast(probes), "probe_id")
+        .withColumn("raw", _cos("e", "pe"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SIM_TOPK)
+        .select("probe_id", "vec_id")
+    )
+    nc = cand.groupBy("probe_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    hits = exact.join(annr, ["probe_id", "vec_id"]).groupBy("probe_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    per = (
+        probes.select("probe_id")
+        .join(F.broadcast(nc), "probe_id", "left")
+        .join(F.broadcast(hits), "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / SIM_TOPK
+            ).alias("recall"),
+        )
+    )
+    m = per.agg(F.avg("recall").alias("mean_recall"))
+    return (
+        per.crossJoin(F.broadcast(m))
+        .select(
+            "probe_id",
+            "n_candidates",
+            "n_hits",
+            F.round("recall", 6).alias("recall_at_k"),
+            F.round("mean_recall", 6).alias("mean_recall"),
+        )
+        .orderBy("probe_id")
+    )
