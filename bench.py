@@ -4,10 +4,17 @@ Runs the headline queries from BASELINE.md's flagship set at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS], one warm-up + MEDIAN OF 3 timed runs each
 (every headline query is sub-2 s now, so single-run noise on a shared
-VM — ±30% per BASELINE.md — would swamp the signal), and prints ONE
-JSON line:
+VM — ±30% per BASELINE.md — would swamp the signal).
+
+Output contract (r7 verdict fix: the single-line JSON outgrew the
+driver's bounded tail capture and BENCH_r07 parsed as null):
+- FIRST printed line + BENCH_DETAIL.json sidecar: the verbose detail
+  (per-run samples, calibration-normalized ratios, vs-prev-round
+  normalized drift from the committed BENCH_PREV.json).
+- LAST printed line: the COMPACT headline object only —
     {"metric": ..., "value": total_sec, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: median_sec, ...}, "calibration_sec": ..., "sf": ...}
+  so the driver's tail capture always sees a complete JSON line.
 
 Timing excludes session init (BASELINE.md excludes it too).
 """
@@ -102,6 +109,40 @@ def main() -> None:
         times[q] = round(statistics.median(samples), 3)
         raw_runs[q] = [round(s, 3) for s in samples]
 
+    normalized = {q: round(t / calib, 2) for q, t in times.items()}
+
+    # Drift-corrected round-over-round comparison (r7 verdict ask #6):
+    # norm_now / norm_prev per query, using the committed snapshot of
+    # the previous round's calibration-normalized ratios. >1.5 on any
+    # query needs a named cause in the round notes.
+    vs_prev: dict[str, float] = {}
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_PREV.json")
+    try:
+        with open(prev_path) as fh:
+            prev = json.load(fh).get("queries_normalized", {})
+        vs_prev = {
+            q: round(normalized[q] / prev[q], 2)
+            for q in normalized
+            if prev.get(q)
+        }
+    except (OSError, ValueError):
+        pass
+
+    detail = {
+        "runs": raw_runs,
+        # host-drift disambiguation (r6 verdict ask #3): raw median of
+        # the fixed lineitem count(*) + each query as a multiple of it
+        # — compare THESE across rounds, not wall seconds.
+        "queries_normalized": normalized,
+        "vs_prev_normalized": vs_prev,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps(detail))
+
+    # Headline LAST and compact — the line the driver parses.
     print(
         json.dumps(
             {
@@ -109,14 +150,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
-                "runs": raw_runs,
-                # host-drift disambiguation (r6 verdict ask #3): raw
-                # median of the fixed lineitem count(*) + each query
-                # as a multiple of it — compare THESE across rounds.
                 "calibration_sec": round(calib, 3),
-                "queries_normalized": {
-                    q: round(t / calib, 2) for q, t in times.items()
-                },
                 "sf": sf,
             }
         )

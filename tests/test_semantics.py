@@ -5515,10 +5515,18 @@ def test_sentiment_lexicon_matches_python(spark, sf_dir):
 
 def test_kruskal_wallis_matches_python(spark, sf_dir):
     """H (tie-corrected) must match a driver-side midrank recompute."""
+    import math
+
     rows = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
     samples = {}
     for r in rows:
-        samples.setdefault(r["event_type"], []).append(round(r["value"] * 10000))
+        # half-UP (away from zero for this positive fixture), matching
+        # the op's and oracle's ROUND semantics — Python round() is
+        # banker's rounding and would diverge on exact .5 boundaries
+        # (r7 ADVICE)
+        samples.setdefault(r["event_type"], []).append(
+            math.floor(r["value"] * 10000 + 0.5)
+        )
     pooled = sorted(v for vs in samples.values() for v in vs)
     n = len(pooled)
     # midrank per distinct value

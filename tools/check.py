@@ -38,11 +38,20 @@ def main() -> int:
         "50 registry entries in registration order (the rotation-ranked "
         "order the driver sees)",
     )
+    ap.add_argument(
+        "--backlog",
+        action="store_true",
+        help="check exactly the never-driver-verified set "
+        "(REGISTRY − union(CORRECTNESS_r*.json)) — the verification "
+        "debt the r7 verdict tracks; prints the debt count up front",
+    )
     ap.add_argument("ops", nargs="*")
     args = ap.parse_args()
-    if args.window and args.ops:
-        ap.error("--window checks the driver's 50-entry window; it cannot "
+    if (args.window or args.backlog) and args.ops:
+        ap.error("--window/--backlog derive their op set; they cannot "
                  "be combined with explicitly listed ops")
+    if args.window and args.backlog:
+        ap.error("--window and --backlog are mutually exclusive")
 
     import __spark_entry__ as e
     from snapshot_s3_util_spark.session import get_spark
@@ -50,6 +59,23 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     if args.window:
         names = list(qs)[:50]
+    elif args.backlog:
+        import glob
+        import json
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        checked: set = set()
+        for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+            try:
+                rows = json.load(open(path))
+            except (OSError, ValueError):
+                continue
+            if isinstance(rows, dict):
+                checked |= set(rows)
+        names = [n for n in qs if n not in checked]  # registry order
+        print(
+            f"driver-verification backlog: {len(names)} of {len(qs)} ops "
+            f"never in any CORRECTNESS_r*.json"
+        )
     else:
         names = args.ops or sorted(qs)
     unknown = [n for n in names if n not in qs]
