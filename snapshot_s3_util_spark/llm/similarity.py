@@ -1309,8 +1309,13 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SIM_TOPK)
         .select("probe_id", "vec_id")
     )
+    # cand is |probes| x bucket-mates (probe-bounded) — broadcast it so
+    # the corpus side never shuffles on vec_id, and broadcast the
+    # |probes| x k annr frame into the hit join (r7 verdict ask #7:
+    # sh 11 -> 8; every remaining exchange is probe-bounded or the
+    # shared signature groupBy).
     annr = (
-        cand.join(v, "vec_id")
+        v.join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(probes), "probe_id")
         .withColumn("raw", _cos("e", "pe"))
         .withColumn("rn", F.row_number().over(w))
@@ -1320,8 +1325,10 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = cand.groupBy("probe_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates")
     )
-    hits = exact.join(annr, ["probe_id", "vec_id"]).groupBy("probe_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    hits = (
+        exact.join(F.broadcast(annr), ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
     )
     per = (
         probes.select("probe_id")

@@ -132,6 +132,27 @@ def test_non_udf_operators_stay_jvm_side(name, spark, sf_dir):
     assert not bad, f"unexplained gated plan codes {sorted(bad)}:\n{plan}"
 
 
+def test_plan_audit_report_covers_whole_registry():
+    """The committed PLAN_AUDIT.md must carry one row per registry op —
+    no more, no fewer. Round 7 shipped a report 4 ops stale because ops
+    were added after the regen; this pin makes that drift a CI failure
+    (r7 verdict ask #3). Regenerate with
+    `python tools/plan_audit.py --report`."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "PLAN_AUDIT.md")
+    with open(path) as fh:
+        reported = set(re.findall(r"^\| `([a-z0-9_]+)` \|", fh.read(), re.M))
+    registry = set(REGISTRY)
+    assert reported == registry, (
+        f"PLAN_AUDIT.md is stale — regenerate with tools/plan_audit.py "
+        f"--report. missing={sorted(registry - reported)} "
+        f"extra={sorted(reported - registry)}"
+    )
+
+
 @pytest.mark.parametrize(
     "name,marker",
     [

@@ -1,0 +1,297 @@
+"""Measured scale stress for the heavy-op set (r7 verdict ask #4).
+
+No sf1 testdata exists in the sandbox, so this tool BUILDS a ~N x sf0.1
+tier by unioning sf0.1 N times with id offsets, then measures the six
+heaviest registry ops at sf0.1 and at the stress tier and reports wall
+time and shuffle-write bytes growth. "Survives 100x" stops being a
+plan-shape argument and becomes a measurement: every op below is
+designed to grow ~linearly, and the report calls out anything
+super-linear.
+
+Replica construction keeps per-replica WORKLOAD DENSITY identical to
+sf0.1 (the property that makes growth-factor ~N the pass bar):
+
+- documents: replica k > 0 suffixes every token with the replica id, so
+  within-replica duplicate/shingle structure is bit-identical to sf0.1
+  while NOTHING matches across replicas — duplicate rate, gram
+  frequencies (substring-span cap!), and cluster sizes stay constant
+  instead of clusters growing x N (which would quadratically inflate
+  LSH bucket pair mass and measure a different workload).
+- embeddings: id offset only; probes are id-bounded (vec_id <
+  N_PROBES), so probe count stays fixed and ANN candidate work grows
+  ~linearly with the corpus.
+- orders/lineitem: o_orderkey/l_orderkey offset in lockstep so the
+  order<->lineitem join keys stay consistent; dimension tables
+  (customer/supplier/nation/region/part) are copied as-is — dims stay
+  catalog-sized at 100 TB, that's the design point.
+- events: copied as-is (none of the six stress ops read it).
+
+Shuffle bytes come from the Spark UI REST API (the stress session runs
+with the UI enabled on a fixed port; the engine's normal sessions keep
+it off), snapshotted around the timed runs.
+
+Usage:
+    python tools/stress.py [--mult 10] [--base /root/testdata/sf0.1]
+                           [--out .stress] [--report] [op ...]
+
+--report writes STRESS.md. The stress tier is built once and reused;
+--rebuild forces a fresh build. The output dir is gitignored.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STRESS_OPS = (
+    "llm_dedup_near_minhash",
+    "llm_dedup_components",
+    "llm_dedup_substring_spans",
+    "llm_sim_ann_lsh",
+    "sort_multi",
+    "graph_label_propagation",
+)
+
+_COPY_TABLES = ("customer", "supplier", "nation", "region", "part", "events")
+_UI_PORT = 4055
+_TIMED_RUNS = 3
+
+
+def _get_spark_with_ui():
+    """The engine's canonical conf, plus the UI (REST metrics source).
+
+    Must run before any other get_spark() in this process so
+    getOrCreate() yields THIS session.
+    """
+    from pyspark.sql import SparkSession
+
+    from snapshot_s3_util_spark.session import _RUNTIME_CONFS, ensure_conf
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("stress")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", str(_UI_PORT))
+        .config("spark.sql.files.maxPartitionBytes", "256m")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_conf(spark)
+
+
+def build_tier(spark, base: str, out: str, mult: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out, exist_ok=True)
+
+    def replicate(table: str, transform):
+        src = spark.read.parquet(os.path.join(base, f"{table}.parquet"))
+        parts = [transform(src, k) for k in range(mult)]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionAll(p)
+        dst = os.path.join(out, f"{table}.parquet")
+        df.write.mode("overwrite").parquet(dst + ".dir")
+        # load_table expects a single-path parquet layout; a directory
+        # of part files reads fine via spark.read.parquet/duckdb glob,
+        # and the engine's load_table passes the path straight through,
+        # so keep the directory but name it <table>.parquet.
+        if os.path.exists(dst):
+            shutil.rmtree(dst) if os.path.isdir(dst) else os.remove(dst)
+        os.rename(dst + ".dir", dst)
+
+    n_docs = spark.read.parquet(os.path.join(base, "documents.parquet")).count()
+    replicate(
+        "documents",
+        lambda d, k: d.select(
+            (F.col("doc_id") + F.lit(k * n_docs)).alias("doc_id"),
+            (
+                F.col("text")
+                if k == 0
+                else F.array_join(
+                    F.transform(
+                        F.split("text", " "), lambda x: F.concat(x, F.lit(str(k)))
+                    ),
+                    " ",
+                )
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        ),
+    )
+    n_vec = spark.read.parquet(os.path.join(base, "embeddings.parquet")).count()
+    replicate(
+        "embeddings",
+        lambda d, k: d.select(
+            (F.col("vec_id") + F.lit(k * n_vec)).alias("vec_id"),
+            "embedding",
+            "label",
+        ),
+    )
+    n_ord = (
+        spark.read.parquet(os.path.join(base, "orders.parquet"))
+        .agg(F.max("o_orderkey"))
+        .collect()[0][0]
+        + 1
+    )
+    replicate(
+        "orders",
+        lambda d, k: d.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(k * n_ord)
+        ),
+    )
+    replicate(
+        "lineitem",
+        lambda d, k: d.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(k * n_ord)
+        ),
+    )
+    for t in _COPY_TABLES:
+        shutil.copy(
+            os.path.join(base, f"{t}.parquet"), os.path.join(out, f"{t}.parquet")
+        )
+
+
+def _shuffle_snapshot(app_id: str) -> dict[tuple[int, int], int]:
+    """{(stageId, attemptId): shuffleWriteBytes} over completed stages."""
+    url = (
+        f"http://localhost:{_UI_PORT}/api/v1/applications/{app_id}"
+        f"/stages?status=complete"
+    )
+    with urllib.request.urlopen(url, timeout=10) as resp:
+        stages = json.load(resp)
+    return {
+        (s["stageId"], s.get("attemptId", 0)): s.get("shuffleWriteBytes", 0)
+        for s in stages
+    }
+
+
+def measure(spark, ops, sf_dir: str) -> dict[str, dict]:
+    import snapshot_s3_util_spark as engine
+
+    app_id = spark.sparkContext.applicationId
+    out: dict[str, dict] = {}
+    for name in ops:
+        fn = engine.REGISTRY[name].fn
+        fn(spark, sf_dir).collect()  # warm-up
+        before = _shuffle_snapshot(app_id)
+        samples = []
+        for _ in range(_TIMED_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        after = _shuffle_snapshot(app_id)
+        own = {k: v for k, v in after.items() if k not in before}
+        out[name] = {
+            "wall_sec": round(statistics.median(samples), 3),
+            "shuffle_write_bytes_per_run": int(sum(own.values()) / _TIMED_RUNS),
+            "max_stage_shuffle_write_bytes": max(own.values(), default=0),
+        }
+        print(
+            f"{sf_dir.rstrip('/').rsplit('/', 1)[-1]:>10s} {name:28s} "
+            f"{out[name]['wall_sec']:7.2f}s "
+            f"shuffle/run={out[name]['shuffle_write_bytes_per_run']:>12,d}B",
+            flush=True,
+        )
+    return out
+
+
+def _write_report(base_r, stress_r, mult: int, base: str, out_dir: str) -> None:
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STRESS.md"
+    )
+    lines = [
+        "# STRESS — measured scale growth of the heavy-op set\n",
+        f"\nGenerated by `python tools/stress.py --mult {mult} --report`: "
+        f"sf0.1 (`{base}`) vs a {mult}x tier built by replica union with "
+        "id offsets and per-replica token salting (constant workload "
+        "density — see the tool docstring for why that is the honest "
+        "construction).\n",
+        f"\nPass bar: wall and shuffle growth ≈ {mult}x (linear). "
+        "`max stage shuffle` bounds the biggest single exchange.\n",
+        "\n| op | wall sf0.1 | wall stress | growth | shuffle/run sf0.1 "
+        "| shuffle/run stress | growth | max stage shuffle (stress) |\n"
+        "|---|---:|---:|---:|---:|---:|---:|---:|\n",
+    ]
+    for name in base_r:
+        b, s = base_r[name], stress_r[name]
+        wg = s["wall_sec"] / b["wall_sec"] if b["wall_sec"] else float("inf")
+        sg = (
+            s["shuffle_write_bytes_per_run"] / b["shuffle_write_bytes_per_run"]
+            if b["shuffle_write_bytes_per_run"]
+            else float("inf")
+        )
+        lines.append(
+            f"| `{name}` | {b['wall_sec']:.2f}s | {s['wall_sec']:.2f}s "
+            f"| {wg:.1f}x | {b['shuffle_write_bytes_per_run']:,d} B "
+            f"| {s['shuffle_write_bytes_per_run']:,d} B | {sg:.1f}x "
+            f"| {s['max_stage_shuffle_write_bytes']:,d} B |\n"
+        )
+    with open(path, "w") as fh:
+        fh.writelines(lines)
+    print(f"wrote {path}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".stress"
+        ),
+    )
+    ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--report", action="store_true", help="write STRESS.md")
+    ap.add_argument("ops", nargs="*")
+    args = ap.parse_args()
+
+    spark = _get_spark_with_ui()
+    import snapshot_s3_util_spark as engine
+
+    engine.load_all_operators()
+    ops = args.ops or list(STRESS_OPS)
+
+    if args.rebuild and os.path.exists(args.out):
+        shutil.rmtree(args.out)
+    if not os.path.exists(os.path.join(args.out, "documents.parquet")):
+        print(f"building {args.mult}x tier at {args.out} ...", flush=True)
+        build_tier(spark, args.base, args.out, args.mult)
+
+    base_r = measure(spark, ops, args.base)
+    stress_r = measure(spark, ops, args.out)
+    if args.report:
+        _write_report(base_r, stress_r, args.mult, args.base, args.out)
+
+    bad = [
+        n
+        for n in ops
+        if stress_r[n]["wall_sec"] > base_r[n]["wall_sec"] * args.mult * 1.5
+    ]
+    if bad:
+        print(f"SUPER-LINEAR growth (> {args.mult}x * 1.5): {bad}")
+        return 1
+    print("all ops within the linear-growth bar")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
