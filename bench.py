@@ -16,6 +16,12 @@ driver's bounded tail capture and BENCH_r07 parsed as null):
      "queries": {name: median_sec, ...}, "calibration_sec": ..., "sf": ...}
   so the driver's tail capture always sees a complete JSON line.
 
+BENCH_PREV.json maintenance: it holds the PREVIOUS round's official
+queries_normalized (from the driver's bench run, i.e. the committed
+BENCH_DETAIL.json of that round) and is updated by hand at the START of
+each round — bench.py never writes it, so local iteration runs can't
+clobber the round-over-round baseline.
+
 Timing excludes session init (BASELINE.md excludes it too).
 """
 
