@@ -6087,3 +6087,15 @@ def test_survey_registry_count_matches():
         f"SURVEY.md declares {m.group(1)} operators but the registry "
         f"holds {len(REGISTRY)} — update SURVEY §12's closing tally"
     )
+
+
+def test_band_configs_unique_and_factor_exactly():
+    """The banding-config table must hold unique (bands, rows) pairs
+    whose product is exactly MINHASH_K — a duplicate (possible if
+    MINHASH_K ever equals one of the candidate divisors, r7 ADVICE)
+    would double UNION ALL branches and bucket counts in both engines."""
+    from snapshot_s3_util_spark.llm.dedup import _BAND_CONFIGS, MINHASH_K
+
+    assert len(set(_BAND_CONFIGS)) == len(_BAND_CONFIGS)
+    assert len({r for _, r in _BAND_CONFIGS}) == len(_BAND_CONFIGS)
+    assert all(b * r == MINHASH_K for b, r in _BAND_CONFIGS)
