@@ -101,12 +101,19 @@ def main() -> None:
     times: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     for q in BENCH_QUERIES:
-        # One warm-up run, then median of _TIMED_RUNS timed runs per
+        # TWO warm-up runs, then median of _TIMED_RUNS timed runs per
         # query (warming everything first and timing afterwards
         # measures GC debt of the heaviest warm-up, not the query).
         # Warm-up must collect(): count() compiles a DIFFERENT physical
-        # plan (pruned projection), leaving the timed plan's codegen cold.
-        engine.REGISTRY[q].fn(spark, sf_dir).collect()
+        # plan (pruned projection), leaving the timed plan's codegen
+        # cold. Two runs because the Arrow/mapInPandas ops pay Python
+        # worker-pool ramp-up on BOTH of their first two executions
+        # (measured on multimodal_ahash_dedup: 7.9s, 2.0s, then a
+        # stable ~1.45s steady state from run 2 on) — with one warm-up
+        # the first timed run still carries ~40% ramp and skews the
+        # median of 3.
+        for _ in range(2):
+            engine.REGISTRY[q].fn(spark, sf_dir).collect()
         samples = []
         for _ in range(_TIMED_RUNS):
             t0 = time.perf_counter()
