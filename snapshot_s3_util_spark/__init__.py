@@ -42,7 +42,11 @@ _WINDOW_CHANGED_THIS_ROUND: list = [
     # band-config dedup (MINHASH_K=12 ∉ {6,4,3,2,1} literals), and the
     # mrr_ndcg left-join changes BOTH engines identically (op is in
     # the backlog, so it gets a first-ever driver row this round or
-    # next anyway) — verified via tools/check.py locally.
+    # next anyway) — verified via tools/check.py locally.  Likewise
+    # the degenerate-corpus gauntlet fixes (llm_cooccurrence_pmi
+    # zip_with rewrite, llm_token_count_pretokenizer oracle COALESCE):
+    # both only change behavior on sub-2-token / empty docs, absent
+    # from every driver fixture — sf0.01 parity re-verified.
 ]
 
 

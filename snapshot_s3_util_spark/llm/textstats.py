@@ -1228,12 +1228,18 @@ def llm_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         F.split("text", " ").alias("t")
     )
+    # zip_with over clamped slices, not sequence(1, size-1): for a
+    # sub-2-token doc the sequence form evaluates DESCENDING [1, 0]
+    # and element_at(t, 2) throws, while the oracle's range(LEN-1)
+    # degrades to empty (degenerate-corpus gauntlet; the
+    # llm_heaps_law_fit r7-ADVICE bug class).
+    nn = F.greatest(F.size("t") - F.lit(1), F.lit(0))
     bi = d.select(
         F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 1),"
-                " i -> struct(element_at(t, i) AS w1,"
-                " element_at(t, i + 1) AS w2))"
+            F.zip_with(
+                F.slice("t", 1, nn),
+                F.slice("t", 2, nn),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("b")
     ).select("b.w1", "b.w2")
@@ -1771,9 +1777,9 @@ SELECT doc_id,
        CAST(LEN(list_filter(regexp_extract_all(text, '{_PRETOK_PATTERN}'),
                             t -> t ~ '^[0-9]+$')) AS BIGINT)
          AS n_number_runs,
-       CAST(LIST_AGGREGATE(list_transform(
+       CAST(COALESCE(LIST_AGGREGATE(list_transform(
               regexp_extract_all(text, '{_PRETOK_PATTERN}'),
-              t -> CAST(CEIL(LENGTH(t) / 4.0) AS BIGINT)), 'sum')
+              t -> CAST(CEIL(LENGTH(t) / 4.0) AS BIGINT)), 'sum'), 0)
             AS BIGINT) AS est_bpe_tokens
 FROM documents
 """
