@@ -745,7 +745,9 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(a_e, b_e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
     )
     norm = lambda c: F.sqrt(F.expr(f"aggregate(zip_with({c}, {c}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))  # noqa: E731
-    cos = dot_ab / (norm("a_e") * norm("b_e"))
+    # try_divide: zero-norm vectors score NULL (DuckDB x/0 -> NULL) and
+    # NULL >= threshold stays NULL in both engines, not an ANSI error.
+    cos = F.try_divide(dot_ab, norm("a_e") * norm("b_e"))
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")

@@ -32,7 +32,11 @@ def _dot(a: str, b: str) -> Column:
 
 
 def _cos(a: str, b: str) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    # try_divide: a zero-norm vector (failed encoder output) scores NULL,
+    # matching DuckDB's x/0 -> NULL, instead of raising under ANSI mode.
+    # NULL ranks last under DESC in both engines, so zero vectors are
+    # never selected as neighbors.
+    return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
 _SIM_ORACLE = f"""
@@ -581,8 +585,10 @@ scored AS (
 ),
 tops AS (
   SELECT probe_id,
-         (LIST(vec_id ORDER BY rawf DESC, vec_id))[1:{_MAT_K}] AS t5f,
-         (LIST(vec_id ORDER BY rawt DESC, vec_id))[1:{_MAT_K}] AS t5t
+         (LIST(vec_id ORDER BY rawf DESC, vec_id)
+            FILTER (WHERE rawf IS NOT NULL))[1:{_MAT_K}] AS t5f,
+         (LIST(vec_id ORDER BY rawt DESC, vec_id)
+            FILTER (WHERE rawt IS NOT NULL))[1:{_MAT_K}] AS t5t
   FROM scored GROUP BY probe_id
 )
 SELECT probe_id,
@@ -626,7 +632,12 @@ def llm_sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rawf", _cos("e", "pe"))
         .withColumn("rawt", _cos("et", "pet"))
     )
-    top = "transform(slice(array_sort(collect_list(struct(-{r} AS nr, vec_id))), 1, {k}), s -> s.vec_id)"
+    # collect_list drops NULL elements, so a NULL (zero-norm) score is
+    # excluded from that ranking in both engines rather than landing at
+    # an engine-specific end of the struct sort.
+    top = ("transform(slice(array_sort(collect_list("
+           "CASE WHEN {r} IS NOT NULL THEN struct(-{r} AS nr, vec_id) END"
+           ")), 1, {k}), s -> s.vec_id)")
     tops = scored.groupBy("probe_id").agg(
         F.expr(top.format(r="rawf", k=_MAT_K)).alias("t5f"),
         F.expr(top.format(r="rawt", k=_MAT_K)).alias("t5t"),
@@ -851,7 +862,7 @@ SELECT vec_id, label, cos_c AS cos_to_centroid,
 FROM (
   SELECT vec_id, label, cos_c,
          ROW_NUMBER() OVER (PARTITION BY label
-                            ORDER BY cos_c ASC, vec_id) AS rnk
+                            ORDER BY cos_c ASC NULLS FIRST, vec_id) AS rnk
   FROM cos
 )
 WHERE rnk <= {_LBL_OUT_K}
@@ -887,16 +898,21 @@ def llm_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label")
         .agg(
             F.round(
-                F.sum(F.col("x") * F.col("c"))
-                / (
+                # try_divide: a zero-norm vector has no defined centroid
+                # cosine -> NULL (DuckDB x/0 agrees); ranked FIRST below:
+                # a broken embedding is the surest relabel candidate.
+                F.try_divide(
+                    F.sum(F.col("x") * F.col("c")),
                     F.sqrt(F.sum(F.col("x") * F.col("x")))
-                    * F.sqrt(F.sum(F.col("c") * F.col("c")))
+                    * F.sqrt(F.sum(F.col("c") * F.col("c"))),
                 ),
                 6,
             ).alias("cos_c")
         )
     )
-    w = Window.partitionBy("label").orderBy(F.col("cos_c").asc(), "vec_id")
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos_c").asc_nulls_first(), "vec_id"
+    )
     return (
         cos.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _LBL_OUT_K)
