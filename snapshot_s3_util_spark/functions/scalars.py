@@ -185,9 +185,11 @@ def fn_array_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_json",
     oracle=f"""
     SELECT event_id,
-           CAST(props->>'$.k' AS BIGINT)   AS k_long,
-           props->>'$.k'                   AS k_str,
-           props->>'$.missing'             AS missing_path,
+           CASE WHEN JSON_VALID(props)
+                THEN CAST(props->>'$.k' AS BIGINT) END AS k_long,
+           CASE WHEN JSON_VALID(props) THEN props->>'$.k' END AS k_str,
+           CASE WHEN JSON_VALID(props)
+                THEN props->>'$.missing' END      AS missing_path,
            COALESCE(CAST(JSON_VALID(props) AS BOOLEAN), FALSE) AS is_valid
     FROM {EVENTS_REL} e
     """,
@@ -272,9 +274,13 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_variant",
     oracle=f"""
     SELECT event_id,
-           CAST(props->>'$.k' AS BIGINT)        AS k_long,
-           CAST(props->>'$.k' AS BIGINT) * 2    AS k_doubled,
-           CAST(props->>'$.missing' AS BIGINT)  AS missing_typed
+           CASE WHEN JSON_VALID(props)
+                THEN CAST(props->>'$.k' AS BIGINT) END     AS k_long,
+           CASE WHEN JSON_VALID(props)
+                THEN CAST(props->>'$.k' AS BIGINT) * 2 END AS k_doubled,
+           CASE WHEN JSON_VALID(props)
+                THEN CAST(props->>'$.missing' AS BIGINT) END
+             AS missing_typed
     FROM {EVENTS_REL} e
     """,
     category="function",
@@ -293,7 +299,10 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction + cast, which the binary encoding must agree with.
     """
     ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    # try_parse_json: malformed/empty props become a NULL variant (every
+    # variant_get on it yields NULL), mirroring the oracle's JSON_VALID
+    # guard instead of FAILFAST-killing the job on one bad record.
+    v = F.try_parse_json("props")
     return ev.select(
         "event_id",
         F.variant_get(v, "$.k", "bigint").alias("k_long"),
@@ -366,7 +375,8 @@ _TRY_ORACLE = f"""
 SELECT event_id,
        ROUND(value / NULLIF(CAST(user_id % 5 AS DOUBLE), 0.0), 6)
          AS safe_ratio,
-       TRY_CAST(props->>'$.k' AS BIGINT) AS k_typed,
+       TRY_CAST(CASE WHEN JSON_VALID(props) THEN props->>'$.k' END
+                AS BIGINT) AS k_typed,
        TRY_CAST(event_type AS BIGINT) AS bad_cast,
        (CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END
         + CASE WHEN TRY_CAST(event_type AS BIGINT) IS NULL THEN 1 ELSE 0 END)

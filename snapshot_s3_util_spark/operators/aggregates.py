@@ -1299,7 +1299,8 @@ _MWU_ORACLE = """
 WITH s AS (
   SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
          CAST(ROUND(value * 10000) AS BIGINT) AS v
-  FROM events WHERE event_type IN ('click', 'signup')
+  FROM events
+  WHERE event_type IN ('click', 'signup') AND value IS NOT NULL
 ),
 r AS (
   SELECT is_a, v,
@@ -1356,8 +1357,11 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-A doubled rank-sum is Σ na_v·(2·ct_v − t_v + 1), one
     aggregate, never a per-row rank window over raw data.
     """
+    # NULL values are unobserved, not rank-able: both engines exclude
+    # them (Spark would rank NULL first, DuckDB last — no shared order).
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "signup")
+        & F.col("value").isNotNull()
     )
     s = ev.select(
         (F.col("event_type") == "click").cast("int").alias("is_a"),
@@ -1849,7 +1853,7 @@ _TRIM_PCT = 5  # trim/winsorize 5% from each tail
 _ROBUST_ORACLE = f"""
 WITH s AS (
   SELECT event_type, CAST(ROUND(value * 10000) AS BIGINT) AS v
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 r AS (
   SELECT event_type, v,
@@ -1898,7 +1902,11 @@ def agg_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookups (window max of two flagged ranks), and the final
     aggregate.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # NULL values are unobserved, not rank-able: both engines exclude
+    # them (Spark would rank NULL first, DuckDB last — no shared order).
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     s = ev.select(
         "event_type",
         F.round(F.col("value") * 10000).cast("bigint").alias("v"),
@@ -3003,7 +3011,8 @@ def agg_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------- Kruskal–Wallis H
 _KW_ORACLE = """
 WITH s AS (
-  SELECT event_type, CAST(ROUND(value * 10000) AS BIGINT) AS v FROM events
+  SELECT event_type, CAST(ROUND(value * 10000) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
 ),
 hist AS (
   SELECT v, event_type, CAST(COUNT(*) AS BIGINT) AS n_gv
@@ -3064,7 +3073,11 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-joins broadcast scalars — no data-sized shuffle after the
     histogram groupBy.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # NULL values are unobserved, not rank-able: both engines exclude
+    # them (Spark would rank NULL first, DuckDB last — no shared order).
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     s = ev.select(
         "event_type",
         F.round(F.col("value") * 10000).cast("bigint").alias("v"),

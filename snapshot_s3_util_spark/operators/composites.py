@@ -212,14 +212,22 @@ def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng = ev.groupBy("user_id").agg(
         F.min("us").alias("mn"), F.max("us").alias("mx")
     )
-    grid = rng.select(
-        "user_id",
-        F.explode(
-            F.expr(
-                f"sequence(((mn + {_RESAMPLE_G_US} - 1) div {_RESAMPLE_G_US})"
-                f" * {_RESAMPLE_G_US}, mx, {_RESAMPLE_G_US})"
-            )
-        ).alias("us"),
+    # A key whose whole span sits between two grid lines has NO grid
+    # points: Spark's sequence(start, stop) REQUIRES start <= stop
+    # (DuckDB's range just yields empty), so gate the generator.
+    start = F.expr(
+        f"((mn + {_RESAMPLE_G_US} - 1) div {_RESAMPLE_G_US})"
+        f" * {_RESAMPLE_G_US}"
+    )
+    grid = (
+        rng.withColumn("g_start", start)
+        .filter(F.col("g_start") <= F.col("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(g_start, mx, {_RESAMPLE_G_US})")
+            ).alias("us"),
+        )
     )
     pts = ev.select(
         "user_id", "us", "event_id", "value", F.lit(0).alias("is_grid")

@@ -50,19 +50,30 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_distribution",
     oracle=f"""
     SELECT event_id, user_id,
-           ROUND(PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value, event_id), 6)
+           ROUND(PERCENT_RANK() OVER (PARTITION BY event_type
+                 ORDER BY value ASC NULLS LAST, event_id), 6)
              AS pct_rank,
-           ROUND(CUME_DIST() OVER (PARTITION BY event_type ORDER BY value, event_id), 6)
+           ROUND(CUME_DIST() OVER (PARTITION BY event_type
+                 ORDER BY value ASC NULLS LAST, event_id), 6)
              AS cume,
-           NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+           NTILE(10) OVER (PARTITION BY event_type
+                 ORDER BY value ASC NULLS LAST, event_id) AS decile
     FROM {EVENTS_REL} e
     """,
     category="window",
 )
 def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions: percent_rank / cume_dist / ntile."""
+    """Distribution window functions: percent_rank / cume_dist / ntile.
+
+    NULL values rank LAST, pinned explicitly in both engines (Spark's
+    ASC default is NULLS FIRST, DuckDB's is NULLS LAST): a row with no
+    observed value keeps its row (per-row decile assignment must not
+    drop records) but sits past every observed value.
+    """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     return ev.select(
         "event_id",
         "user_id",

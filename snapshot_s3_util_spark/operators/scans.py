@@ -70,7 +70,9 @@ def scan_keyrange(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "source_json_props",
     oracle=f"""
-    SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+    SELECT event_id,
+           CASE WHEN JSON_VALID(props)
+                THEN CAST(props->>'$.k' AS BIGINT) END AS k
     FROM {EVENTS_REL} e
     """,
     category="scan",

@@ -732,7 +732,9 @@ def win_velocity_accel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dx",
         "dt_us",
         "d2x",
-        F.round(F.col("dx") * 360.0 / F.col("dt_us"), 6).alias(
+        # try_divide: two events at the same instant (dt=0) rate NULL,
+        # matching DuckDB's x/0 -> NULL, instead of an ANSI error.
+        F.round(F.try_divide(F.col("dx") * 360.0, F.col("dt_us")), 6).alias(
             "rate_per_hour"
         ),
     )

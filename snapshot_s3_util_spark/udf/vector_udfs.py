@@ -181,7 +181,8 @@ def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf_map_in_pandas",
     oracle=f"""
     SELECT event_id,
-           CAST(props->>'$.k' AS BIGINT) AS k,
+           CASE WHEN JSON_VALID(props)
+                THEN CAST(props->>'$.k' AS BIGINT) END AS k,
            CAST(LENGTH(props) AS BIGINT) AS props_len
     FROM {EVENTS_REL} e
     """,
@@ -195,9 +196,21 @@ def udtf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoders (llm/multimodal.py) build on.
     """
 
+    def parse_k(s):
+        # Defensive parse: malformed/empty/NULL props (or a non-object
+        # JSON document) yield NULL, matching the oracle's JSON_VALID
+        # guard — one bad record must not kill the batch.
+        if not s:
+            return None
+        try:
+            obj = json.loads(s)
+        except ValueError:
+            return None
+        return obj.get("k") if isinstance(obj, dict) else None
+
     def flatten(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = pdf["props"].map(lambda s: json.loads(s).get("k") if s else None)
+            parsed = pdf["props"].map(parse_k)
             yield pd.DataFrame(
                 {
                     "event_id": pdf["event_id"],
