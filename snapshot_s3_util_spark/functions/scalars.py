@@ -768,8 +768,11 @@ _B64_ORACLE = """
 SELECT doc_id,
        to_base64(ENCODE(text)) AS b64,
        LOWER(hex(ENCODE(SUBSTR(text, 1, 16)))) AS hex16,
-       MD5(CAST(from_base64(to_base64(ENCODE(text))) AS VARCHAR)) AS roundtrip_md5,
-       MD5(text) = MD5(CAST(from_base64(to_base64(ENCODE(text))) AS VARCHAR))
+       -- DECODE, not CAST: casting a BLOB to VARCHAR escapes non-ASCII
+       -- bytes (\xC3...) instead of decoding UTF-8, silently failing
+       -- the round-trip on any non-ASCII document.
+       MD5(DECODE(from_base64(to_base64(ENCODE(text))))) AS roundtrip_md5,
+       MD5(text) = MD5(DECODE(from_base64(to_base64(ENCODE(text)))))
          AS roundtrip_ok,
        CAST(LENGTH(to_base64(ENCODE(text))) AS BIGINT) AS b64_len
 FROM documents

@@ -737,9 +737,15 @@ _AHASH_BANDS = 4          # 4 bands x 16 bits
 _AHASH_MAX_HAMMING = 6
 
 _AHASH_CTES = f"""codes AS MATERIALIZED (
+  -- byte i of the UTF-8 payload via a hex slice: ORD(SUBSTR(text,...))
+  -- would read CODE POINTS and diverge from the byte-wise Spark hash
+  -- on any non-ASCII document.
   SELECT doc_id, u.i,
          CASE WHEN u.i <= OCTET_LENGTH(ENCODE(text))
-              THEN ORD(SUBSTR(text, CAST(u.i AS INT), 1)) ELSE 0
+              THEN CAST(('0x' || SUBSTR(HEX(ENCODE(text)),
+                                        CAST(2 * u.i - 1 AS INT), 2))
+                        AS INT)
+              ELSE 0
          END AS v
   FROM documents, UNNEST(range(1, {_AHASH_BYTES} + 1)) AS u(i)
 ),

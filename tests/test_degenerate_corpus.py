@@ -1,4 +1,4 @@
-"""Degenerate-corpus gauntlet: every llm op vs adversarial documents.
+"""Degenerate-corpus gauntlet: every documents-reading op vs adversarial text.
 
 The round-7 ADVICE found that `llm_heaps_law_fit` would CRASH on a
 sub-3-token document in Spark (negative `slice()` length) while the
@@ -7,14 +7,13 @@ fixture whose shortest doc has 10 tokens can never catch. This module
 generalizes that probe: it AUGMENTS the real sf0.001 documents table
 with adversarial rows (empty text, 1/2/3-token docs, a 10k-char single
 token, unicode/CJK/emoji/RTL, whitespace runs, exact + near duplicate
-pairs, a 300x-repeated token) and runs EVERY llm-category operator
-against the augmented directory:
-
-- the Spark side must not raise (the heaps-law bug class), and
-- where the op carries a DuckDB oracle, both engines must still agree
-  (row count + order-insensitive value hash), so a "graceful" Spark
-  path that silently diverges from SQL semantics on weird input is a
-  failure, not a pass.
+pairs, a 300x-repeated token) and runs every llm-category operator PLUS
+every other op whose oracle reads `documents` (hash/array/url/codec
+functions, multimodal decoders, hbase split planners, sinks) against
+the augmented directory, under the shared gauntlet contract
+(gauntlet_common): Spark must not raise, and oracle ops must stay
+hash-exact, so a "graceful" Spark path that silently diverges from SQL
+semantics on weird input is a failure, not a pass.
 
 Augmenting (rather than replacing) keeps every op's statistical
 machinery solvable — group-bys stay populated, OLS fits keep enough
@@ -24,21 +23,19 @@ starved fixture.
 
 from __future__ import annotations
 
-import os
-import shutil
-
-import duckdb
 import pytest
 
 from snapshot_s3_util_spark import REGISTRY
-from snapshot_s3_util_spark.io import TABLES
-from snapshot_s3_util_spark.parity import table_hash
-
-SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+from tests.gauntlet_common import (
+    assert_op_matches,
+    build_augmented_dir,
+    duck_views,
+    ops_reading,
+)
 
 # (doc_id, text, lang, source) — n_chars is derived. Ids far above the
 # fixture range so split/probe id-windows keep their real members.
-_ADVERSARIAL = [
+_ROWS = [
     (900001, "", "en", "src0"),                       # empty text
     (900002, "solo", "en", "src1"),                   # 1 token
     (900003, "two tokens", "de", "src2"),             # 2 tokens
@@ -57,66 +54,38 @@ _ADVERSARIAL = [
     (900016, "123 456 7.89 1e10 -42 0x1f numbers only here", "en", "src13"),
 ]
 
+_ADVERSARIAL = (
+    "SELECT doc_id, text, lang, source,\n"
+    "       CAST(LENGTH(text) AS BIGINT) AS n_chars\n"
+    "FROM (VALUES "
+    + ",\n".join(
+        "({}, '{}', '{}', '{}')".format(
+            d, txt.replace("'", "''"), lang, src
+        )
+        for d, txt, lang, src in _ROWS
+    )
+    + ") v(doc_id, text, lang, source)"
+)
+
 
 @pytest.fixture(scope="module")
 def adv_dir(tmp_path_factory):
     out = str(tmp_path_factory.mktemp("degenerate_sf"))
-    for t in TABLES:
-        if t == "documents":
-            continue
-        shutil.copy(os.path.join(SF_DIR, f"{t}.parquet"),
-                    os.path.join(out, f"{t}.parquet"))
-    con = duckdb.connect()
-    vals = ",\n".join(
-        "({}, {}, '{}', '{}')".format(
-            d, "'" + txt.replace("'", "''") + "'", lang, src
-        )
-        for d, txt, lang, src in _ADVERSARIAL
-    )
-    con.execute(
-        f"""
-        COPY (
-          SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')
-          UNION ALL
-          SELECT doc_id, text, lang, source,
-                 CAST(LENGTH(text) AS BIGINT) AS n_chars
-          FROM (VALUES {vals}) v(doc_id, text, lang, source)
-        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
-        """
-    )
-    con.close()
-    return out
+    return build_augmented_dir(out, "documents", _ADVERSARIAL)
 
 
 @pytest.fixture(scope="module")
 def adv_duck(adv_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{adv_dir}/{t}.parquet')"
-        )
+    con = duck_views(adv_dir)
     yield con
     con.close()
 
 
-def _llm_ops():
-    return sorted(n for n, op in REGISTRY.items() if op.category == "llm")
+def _doc_ops():
+    llm = {n for n, op in REGISTRY.items() if op.category == "llm"}
+    return sorted(llm | set(ops_reading("documents")))
 
 
-@pytest.mark.parametrize("name", _llm_ops())
-def test_llm_op_survives_degenerate_docs(name, spark, adv_dir, adv_duck):
-    op = REGISTRY[name]
-    df = op.fn(spark, adv_dir)  # must not raise at plan OR run time
-    s_cols = df.columns
-    s_rows = [tuple(r) for r in df.collect()]
-    if op.oracle is None:
-        return  # rows-only op: crash-freedom is the contract here
-    tbl = adv_duck.execute(op.oracle).fetch_arrow_table()
-    d_cols = list(tbl.column_names)
-    d_rows = [tuple(rec[c] for c in d_cols) for rec in tbl.to_pylist()]
-    assert sorted(s_cols) == sorted(d_cols)
-    sn, sh = table_hash(s_cols, s_rows)
-    dn, dh = table_hash(d_cols, d_rows)
-    assert sn == dn, f"{name}: {sn} spark rows vs {dn} duckdb rows"
-    assert sh == dh, f"{name}: value hash mismatch on degenerate corpus"
+@pytest.mark.parametrize("name", _doc_ops())
+def test_doc_op_survives_degenerate_text(name, spark, adv_dir, adv_duck):
+    assert_op_matches(REGISTRY[name], spark, adv_dir, adv_duck)
