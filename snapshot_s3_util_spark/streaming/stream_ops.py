@@ -722,12 +722,16 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SSLOJ_ORACLE = f"""
 WITH v AS (
+  -- ts >= epoch mirrors Spark's watermark floor: the stream's initial
+  -- watermark is 1970-01-01T00:00Z, so pre-epoch rows are dropped as
+  -- late before they ever reach the join (documented op contract).
   SELECT user_id, event_id AS view_id, ts FROM {EVENTS_REL} e
-  WHERE event_type = 'view'
+  WHERE event_type = 'view' AND ts >= TIMESTAMP '1970-01-01 00:00:00'
 ),
 p AS (
   SELECT user_id, event_id AS purchase_id, ts FROM {EVENTS_REL} e
   WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '1970-01-01 00:00:00'
 ),
 j AS (
   SELECT v.user_id, v.view_id, p.purchase_id
@@ -766,6 +770,11 @@ def stream_left_outer_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     State is bounded: the time-range condition + 2 h watermark lets
     each side drop buffered rows as the opposite watermark passes.
+
+    Contract: event time must be >= 1970-01-01T00:00Z. A streaming
+    query's watermark initializes at epoch zero, so a pre-epoch row is
+    "late" from the first micro-batch and silently dropped — the
+    oracle applies the same floor explicitly.
     """
     tmp = tempfile.mkdtemp(prefix="s3u_stream_loj_")
     try:

@@ -61,7 +61,12 @@ SELECT * FROM (VALUES
   -- NULL value, unseen event_type, malformed / empty / NULL props
   (900017, TIMESTAMP '2024-01-02 18:00:00', 9005, 'signup', NULL,   '{bad'),
   (900018, TIMESTAMP '2024-01-02 18:01:00', 9005, 'unseen_kind', 42.0, ''),
-  (900019, TIMESTAMP '2024-01-02 18:02:00', 9005, 'click',  42.0,   NULL)
+  (900019, TIMESTAMP '2024-01-02 18:02:00', 9005, 'click',  42.0,   NULL),
+  -- epoch-straddling user: NEGATIVE unix micros (Spark's integer `div`
+  -- truncates toward zero, DuckDB's `//` floors — any grid/bucket
+  -- arithmetic on raw epoch numbers diverges below 1970)
+  (900020, TIMESTAMP '1969-12-31 23:58:00', 9006, 'view',   5.0,    '{"k": 5}'),
+  (900021, TIMESTAMP '1970-01-01 00:02:00', 9006, 'view',   6.0,    '{"k": 5}')
 ) v(event_id, ts, user_id, event_type, value, props)
 """
 
