@@ -93,8 +93,12 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CEIL(l_quantity) AS BIGINT)             AS qty_ceil,
            CAST(FLOOR(l_quantity) AS BIGINT)            AS qty_floor,
            ROUND(POW(l_quantity, 2), 6)                 AS qty_sq,
-           ROUND(LN(l_extendedprice), 6)                AS ln_price,
-           ROUND(LOG10(l_extendedprice), 6)             AS log10_price,
+           -- positive-domain guard: Spark's ln/log10 return NULL on
+           -- x <= 0 where DuckDB raises; NULL is the shared semantics.
+           CASE WHEN l_extendedprice > 0
+                THEN ROUND(LN(l_extendedprice), 6) END    AS ln_price,
+           CASE WHEN l_extendedprice > 0
+                THEN ROUND(LOG10(l_extendedprice), 6) END AS log10_price,
            CAST(l_linenumber % 3 AS BIGINT)             AS line_mod3,
            CAST(SIGN(l_quantity - 25) AS DOUBLE)        AS qty_sign
     FROM lineitem

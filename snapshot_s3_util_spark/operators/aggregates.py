@@ -947,7 +947,11 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BENFORD_ORACLE = """
 WITH dig AS (
-  SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+  -- ABS: Benford reads the first SIGNIFICANT digit, so a credit memo
+  -- (negative total) contributes its magnitude instead of a '-' that
+  -- kills the cast; a zero total yields digit 0 and falls out of the
+  -- 1..9 grid in both engines.
+  SELECT CAST(SUBSTRING(CAST(ABS(CAST(ROUND(o_totalprice * 100) AS BIGINT))
                              AS STRING), 1, 1) AS BIGINT) AS digit
   FROM orders
 ),
@@ -989,7 +993,8 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     dig = o.select(
         F.substring(
-            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            F.abs(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("string"),
             1,
             1,
         )

@@ -32,24 +32,31 @@ from snapshot_s3_util_spark.parity import table_hash
 SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
-def build_augmented_dir(out: str, table: str, union_select: str) -> str:
-    """Copy every sf0.001 parquet into `out`, replacing `table` with
-    (original UNION ALL `union_select`) written by DuckDB."""
+def build_augmented_dir(
+    out: str, table: str | dict[str, str], union_select: str | None = None
+) -> str:
+    """Copy every sf0.001 parquet into `out`, replacing each augmented
+    table with (original UNION ALL adversarial-select) written by
+    DuckDB. Accepts a single (table, union_select) pair or a dict
+    {table: union_select} for coordinated multi-table dirt (e.g.
+    orphan foreign keys need rows on both sides)."""
+    selects = table if isinstance(table, dict) else {table: union_select}
     for t in TABLES:
-        if t == table:
+        if t in selects:
             continue
         shutil.copy(os.path.join(SF_DIR, f"{t}.parquet"),
                     os.path.join(out, f"{t}.parquet"))
     con = duckdb.connect()
-    con.execute(
-        f"""
-        COPY (
-          SELECT * FROM read_parquet('{SF_DIR}/{table}.parquet')
-          UNION ALL
-          {union_select}
-        ) TO '{out}/{table}.parquet' (FORMAT PARQUET)
-        """
-    )
+    for t, sel in selects.items():
+        con.execute(
+            f"""
+            COPY (
+              SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')
+              UNION ALL
+              {sel}
+            ) TO '{out}/{t}.parquet' (FORMAT PARQUET)
+            """
+        )
     con.close()
     return out
 
