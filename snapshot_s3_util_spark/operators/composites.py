@@ -2906,7 +2906,7 @@ ORDER BY block_len
 """
 
 
-@register("ts_hurst_exponent", oracle=_HURST_ORACLE, category="ts")
+@register("ts_hurst_exponent", oracle=_HURST_ORACLE, category="timeseries")
 def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hurst exponent of the hourly event-count series by classic
     rescaled-range (R/S) analysis: split the series into blocks of

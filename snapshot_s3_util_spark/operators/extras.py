@@ -87,7 +87,12 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_ordered",
     oracle="""
     SELECT c_nationkey,
-           STRING_AGG(c_mktsegment, ',' ORDER BY c_mktsegment, c_custkey) AS segments,
+           -- COALESCE to '': Spark's concat_ws skips NULL segments and
+           -- yields '' for an all-NULL group, where STRING_AGG yields
+           -- NULL; '' ("no segments") is the pinned shared semantics.
+           COALESCE(STRING_AGG(c_mktsegment, ','
+                               ORDER BY c_mktsegment, c_custkey), '')
+             AS segments,
            ARRAY_TO_STRING(LIST(c_custkey ORDER BY c_custkey)[1:5], ',') AS first_keys
     FROM customer
     GROUP BY c_nationkey

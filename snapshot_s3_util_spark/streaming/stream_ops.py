@@ -523,7 +523,7 @@ FROM ranked WHERE rnk <= {_TOPK_K}
 """
 
 
-@register("stream_tumbling_topk", oracle=_STREAM_TOPK_ORACLE, category="stream")
+@register("stream_tumbling_topk", oracle=_STREAM_TOPK_ORACLE, category="streaming")
 def stream_tumbling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending top-{_TOPK_K}: per {_TOPK_WIN} tumbling window, the
     most active users — the leaderboard/trending-now query.  The
