@@ -1008,8 +1008,11 @@ def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SOUNDEX_ORACLE = """
 WITH t AS (
+  -- strip BEFORE uppercasing: UPPER('ß') is 'SS' in Spark (full
+  -- Unicode case mapping) but 'ß' in DuckDB, so uppercase-then-strip
+  -- diverges on non-ASCII names; ASCII-strip-first is engine-neutral.
   SELECT p_partkey,
-         regexp_replace(UPPER(p_name), '[^A-Z]', '', 'g') AS cleaned
+         UPPER(regexp_replace(p_name, '[^A-Za-z]', '', 'g')) AS cleaned
   FROM part
 ),
 prep AS (
@@ -1065,7 +1068,9 @@ def fn_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_table(spark, sf_dir, "part").select(
         "p_partkey",
-        F.regexp_replace(F.upper("p_name"), "[^A-Z]", "").alias("cleaned"),
+        # strip-then-upper (not upper-then-strip): Spark's UPPER('ß')
+        # is 'SS' while DuckDB's is 'ß' — see the oracle CTE comment.
+        F.upper(F.regexp_replace("p_name", "[^A-Za-z]", "")).alias("cleaned"),
     )
     coded = t.select("p_partkey", "cleaned", F.soundex("cleaned").alias("sdx"))
     return coded.withColumn(
