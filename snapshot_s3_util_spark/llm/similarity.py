@@ -585,10 +585,13 @@ scored AS (
 ),
 tops AS (
   SELECT probe_id,
-         (LIST(vec_id ORDER BY rawf DESC, vec_id)
-            FILTER (WHERE rawf IS NOT NULL))[1:{_MAT_K}] AS t5f,
-         (LIST(vec_id ORDER BY rawt DESC, vec_id)
-            FILTER (WHERE rawt IS NOT NULL))[1:{_MAT_K}] AS t5t
+         -- COALESCE to []: a probe whose every candidate scores NULL
+         -- (zero-norm probe vector) must rank an EMPTY list, matching
+         -- Spark's collect_list of all-NULL elements, not SQL NULL.
+         COALESCE((LIST(vec_id ORDER BY rawf DESC, vec_id)
+            FILTER (WHERE rawf IS NOT NULL))[1:{_MAT_K}], []) AS t5f,
+         COALESCE((LIST(vec_id ORDER BY rawt DESC, vec_id)
+            FILTER (WHERE rawt IS NOT NULL))[1:{_MAT_K}], []) AS t5t
   FROM scored GROUP BY probe_id
 )
 SELECT probe_id,
@@ -647,9 +650,11 @@ def llm_sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("size(array_intersect(t5f, t5t))")
         .cast("bigint")
         .alias(f"overlap_at_{_MAT_K}"),
-        F.element_at("t5f", 1).cast("bigint").alias("top1_full"),
-        F.element_at("t5t", 1).cast("bigint").alias("top1_trunc"),
-        (F.element_at("t5f", 1) == F.element_at("t5t", 1)).alias(
+        # try_element_at: an all-NULL-scored probe ranks an empty list,
+        # and ANSI element_at would raise on it; NULL matches ([])[1].
+        F.try_element_at("t5f", F.lit(1)).cast("bigint").alias("top1_full"),
+        F.try_element_at("t5t", F.lit(1)).cast("bigint").alias("top1_trunc"),
+        (F.try_element_at("t5f", F.lit(1)) == F.try_element_at("t5t", F.lit(1))).alias(
             "top1_match"
         ),
     )

@@ -1033,7 +1033,7 @@ WITH g AS (
          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
               AS BIGINT) AS nb
   FROM {{EVENTS}} e
-  WHERE event_type IN ('click', 'purchase')
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
   GROUP BY 1
 ),
 ecdf AS (
@@ -1079,8 +1079,11 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     The argmax value (smallest-v tie-break) is a lexicographic
     max(struct(d, -v)) — one aggregate, no full-frame window.
     """
+    # NULL values are unobserved, not rank-able: both engines exclude
+    # them (Spark would rank NULL first, DuckDB last — no shared order).
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
     )
     g = ev.groupBy(
         F.round(F.col("value") * 10000).cast("bigint").alias("v")

@@ -3,19 +3,17 @@ from __future__ import annotations
 import os
 import sys
 
-import duckdb
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import snapshot_s3_util_spark  # noqa: E402
-from snapshot_s3_util_spark.io import TABLES  # noqa: E402
 from snapshot_s3_util_spark.session import get_spark  # noqa: E402
 
 snapshot_s3_util_spark.load_all_operators()
 
-SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+from tests.gauntlet_common import SF_DIR, duck_views  # noqa: E402
 
 
 @pytest.fixture(scope="session")
@@ -30,12 +28,7 @@ def sf_dir() -> str:
 
 @pytest.fixture(scope="session")
 def duck():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
-    return con
+    return duck_views(SF_DIR)
 
 
 @pytest.fixture(scope="session")

@@ -40,7 +40,14 @@ def build_augmented_dir(
     DuckDB. Accepts a single (table, union_select) pair or a dict
     {table: union_select} for coordinated multi-table dirt (e.g.
     orphan foreign keys need rows on both sides)."""
-    selects = table if isinstance(table, dict) else {table: union_select}
+    if isinstance(table, dict):
+        selects = table
+    else:
+        if union_select is None:
+            raise ValueError(
+                "union_select is required when augmenting a single table"
+            )
+        selects = {table: union_select}
     for t in TABLES:
         if t in selects:
             continue

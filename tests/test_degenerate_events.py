@@ -62,9 +62,15 @@ SELECT * FROM (VALUES
   (900017, TIMESTAMP '2024-01-02 18:00:00', 9005, 'signup', NULL,   '{bad'),
   (900018, TIMESTAMP '2024-01-02 18:01:00', 9005, 'unseen_kind', 42.0, ''),
   (900019, TIMESTAMP '2024-01-02 18:02:00', 9005, 'click',  42.0,   NULL),
-  -- epoch-straddling user: NEGATIVE unix micros (Spark's integer `div`
-  -- truncates toward zero, DuckDB's `//` floors — any grid/bucket
-  -- arithmetic on raw epoch numbers diverges below 1970)
+  -- NULL value on a 'purchase': the click/purchase-filtered rank ops
+  -- (agg_ks_test) never see row 900017's signup NULL, so they need
+  -- their own NULL observation to pin the exclusion rule
+  (900022, TIMESTAMP '2024-01-02 18:03:00', 9005, 'purchase', NULL, '{"k": 9}'),
+  -- epoch-straddling user: NEGATIVE unix micros. The real catch here
+  -- was the streaming watermark floor (a watermark initializes at
+  -- epoch zero, so pre-1970 rows are dropped as late); it also keeps
+  -- epoch-sign arithmetic honest in grid/bucket math, though both
+  -- engines' integer division truncates toward zero identically.
   (900020, TIMESTAMP '1969-12-31 23:58:00', 9006, 'view',   5.0,    '{"k": 5}'),
   (900021, TIMESTAMP '1970-01-01 00:02:00', 9006, 'view',   6.0,    '{"k": 5}')
 ) v(event_id, ts, user_id, event_type, value, props)
