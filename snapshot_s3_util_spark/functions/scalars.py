@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.io import load_embeddings, load_table
 from snapshot_s3_util_spark.registry import register
 from snapshot_s3_util_spark.sql_helpers import EVENTS_REL
 
@@ -160,7 +160,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]),
                                   CAST(embedding AS DOUBLE[])), 6) AS self_dot,
            ROUND(LIST_AGGREGATE(CAST(embedding AS DOUBLE[]), 'sum'), 6) AS elem_sum
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
     """,
     category="function",
 )
@@ -170,7 +170,7 @@ def fn_array_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     The float32 elements are cast to double BEFORE arithmetic on both
     engines so the products are bit-identical (SURVEY §7).
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_embeddings(spark, sf_dir)
     vec = F.expr("transform(embedding, x -> cast(x AS double))")
     dot = F.expr(
         "aggregate(zip_with(transform(embedding, x -> cast(x AS double)),"
@@ -226,7 +226,10 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            MD5(text)                 AS text_md5,
            SHA256(text)              AS text_sha256,
-           MD5(CONCAT(source, ':', text)) AS salted_md5
+           -- CONCAT_WS (not CONCAT): both engines SKIP NULL args, so a
+           -- NULL source/text salts identically; CONCAT would keep the
+           -- ':' separator in DuckDB but not in Spark's concat_ws.
+           MD5(CONCAT_WS(':', source, text)) AS salted_md5
     FROM documents
     """,
     category="function",
@@ -324,12 +327,15 @@ SELECT doc_id,
        CAST(LEN(list_filter(LIST_DISTINCT(toks),
                 x -> len(list_filter(toks, y -> y = x)) >= {_MAP_HOT_MIN}))
             AS BIGINT) AS n_hot,
-       COALESCE(ARRAY_TO_STRING(
+       -- NULL text keeps its row with NULL map outputs (matching the
+       -- Spark side); the '' fallback is only for real no-hot-token docs
+       CASE WHEN toks IS NULL THEN NULL
+            ELSE COALESCE(ARRAY_TO_STRING(
          list_transform(
            list_sort(list_filter(LIST_DISTINCT(toks),
                      x -> len(list_filter(toks, y -> y = x)) >= {_MAP_HOT_MIN})),
            x -> x || ':' || CAST(len(list_filter(toks, y -> y = x)) AS VARCHAR)),
-         ','), '') AS hot_serialized
+         ','), '') END AS hot_serialized
 FROM t
 """
 
@@ -836,7 +842,7 @@ _PIP_ORACLE = f"""
 WITH p AS (
   SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
          CAST(embedding[2] AS DOUBLE) AS y
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 )
 SELECT CAST(SUM(CASE WHEN {_PIP_EDGE_SQL} THEN 1 ELSE 0 END) AS BIGINT)
          AS n_inside,
@@ -862,7 +868,7 @@ def fn_geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     polygon JOIN grid-blocks by polygon bounding box first (the
     `join_spatial_grid` pattern), then runs this residual test.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     p = emb.select(
         "vec_id",
         F.col("embedding").getItem(0).cast("double").alias("x"),
@@ -1189,7 +1195,8 @@ WITH t AS (
 )
 SELECT doc_id,
        LIST_HAS_ANY(toks, ['spark', 'table', 'query']) AS mentions_engine,
-       CAST(COALESCE(LIST_POSITION(toks, 'data'), 0) AS BIGINT)
+       CAST(CASE WHEN toks IS NULL THEN NULL
+                 ELSE COALESCE(LIST_POSITION(toks, 'data'), 0) END AS BIGINT)
          AS first_data_pos,
        ARRAY_TO_STRING(FLATTEN([toks[1:2], toks[-2:]]), ',')
          AS head_tail,
@@ -1236,8 +1243,11 @@ def fn_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("head_tail"),
-        F.array_join(
-            F.array_repeat(F.element_at("toks", 1), 3), ","
+        # NULL toks (NULL text) pins first_repeated to NULL in both
+        # engines; array_join alone would skip the NULL elements -> ''.
+        F.when(
+            F.col("toks").isNotNull(),
+            F.array_join(F.array_repeat(F.element_at("toks", 1), 3), ","),
         ).alias("first_repeated"),
         F.expr(
             "cast(size(filter(sequence(1, size(toks)), i -> i % 2 = 1))"

@@ -225,7 +225,12 @@ def hb_size_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS row_count,
            MD5(STRING_AGG(row_md5, '' ORDER BY row_md5)) AS content_fp,
            TIMESTAMP '2024-02-01 00:00:00' AS created_ts
-    FROM (SELECT source, MD5(CONCAT(CAST(doc_id AS VARCHAR), '|', text)) AS row_md5
+    FROM (SELECT source,
+                 -- COALESCE: a NULL cell still participates in the
+                 -- manifest fingerprint (hashed as empty) — skipping it
+                 -- would let a corrupted-to-NULL row pass verification
+                 MD5(CONCAT(CAST(doc_id AS VARCHAR), '|',
+                            COALESCE(text, ''))) AS row_md5
           FROM documents)
     GROUP BY source
     """,
@@ -238,7 +243,14 @@ def hb_snapshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the TTL sweep consume exactly this shape.
     """
     d = load_table(spark, sf_dir, "documents")
-    row_md5 = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text")))
+    # COALESCE mirrors the oracle: NULL cells hash as empty, not skipped.
+    row_md5 = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("|"),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
+    )
     return (
         d.select("source", row_md5.alias("row_md5"))
         .groupBy("source")

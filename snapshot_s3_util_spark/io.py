@@ -98,6 +98,21 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the embeddings table under the engine's vector-ingest
+    contract: rows whose `embedding` is NULL (the encoder row never
+    arrived) are dropped at the scan. Vector math cannot give them a
+    defined score — Spark's zip_with would thread NULL through while
+    DuckDB's list kernels reject NULL lists outright — so exclusion at
+    ingest is the one semantics both engines can state; every oracle
+    mirrors it with `WHERE embedding IS NOT NULL`. (Zero-norm vectors,
+    by contrast, ARE loaded and score NULL via try_divide.) The filter
+    is a pushed-down IsNotNull — free inside the scan."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL-API paths)."""
     for name in TABLES:

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.io import load_embeddings, load_table
 from snapshot_s3_util_spark.registry import register
 
 _K = 4
@@ -33,7 +33,7 @@ _SCORE = (
 _ORACLE_SCORE = "LIST_DOT_PRODUCT(ce, ce) - 2 * LIST_DOT_PRODUCT(e, ce)"
 
 _KMEANS_ORACLE = f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL),
 c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_K}),
 a1 AS (
   SELECT vec_id, e, cid FROM (
@@ -100,7 +100,7 @@ def llm_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Nothing driver-side grows with the corpus — the plan shape is the
     production iterative-ML template.
     """
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = load_embeddings(spark, sf_dir).select(
         "vec_id", F.expr(_E).alias("e")
     )
     c0 = v.filter(F.col("vec_id") < _K).select(

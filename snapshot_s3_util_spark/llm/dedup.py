@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.io import load_embeddings, load_table
 from snapshot_s3_util_spark.params import (
     DEDUP_DF_CAP_FRAC,
     DEDUP_DF_MIN_HITS,
@@ -690,7 +690,7 @@ cand AS (
 
 _EMB_DUP_ORACLE = f"""
 WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL
 ),
 {SRP_CAND_CTES}
 SELECT c.vec_a, c.vec_b,
@@ -726,7 +726,7 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanged per vector); the only data-sized shuffle is the
     (band, sig) self-join.
     """
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = load_embeddings(spark, sf_dir).select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x AS double))").alias("e"),
     )

@@ -94,17 +94,30 @@ def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # None payloads (NULL text) keep their row with NULL features —
+        # the dead-letter shape; the oracle's NULL arithmetic agrees.
         for pdf in batches:
             payloads = pdf["payload"]
-            dims = payloads.map(_fake_decode_dims)
+            dims = payloads.map(
+                lambda b: _fake_decode_dims(b) if b is not None else None
+            )
+            pick = lambda i: dims.map(  # noqa: E731
+                lambda d: d[i] if d is not None else None
+            ).astype("Int64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "checksum": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
-                    "width": dims.map(lambda d: d[0]).astype("int64"),
-                    "height": dims.map(lambda d: d[1]).astype("int64"),
-                    "n_frames": dims.map(lambda d: d[2]).astype("int64"),
+                    "n_bytes": payloads.map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int64"),
+                    "checksum": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                        if b is not None
+                        else None
+                    ),
+                    "width": pick(0),
+                    "height": pick(1),
+                    "n_frames": pick(2),
                 }
             )
 
@@ -146,6 +159,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = {"doc_id": [], "frame_no": [], "frame_key": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL text: no frames (oracle range is empty)
                 _w, _h, n_frames = _fake_decode_dims(payload)
                 for i in range(n_frames):
                     rows["doc_id"].append(doc_id)
@@ -748,6 +763,9 @@ _AHASH_CTES = f"""codes AS MATERIALIZED (
               ELSE 0
          END AS v
   FROM documents, UNNEST(range(1, {_AHASH_BYTES} + 1)) AS u(i)
+  -- NULL text has no signature (Spark emits none); without this filter
+  -- the CASE's ELSE 0 would fabricate an all-zero thumbnail
+  WHERE text IS NOT NULL
 ),
 stats AS MATERIALIZED (
   SELECT doc_id, SUM(v) AS s FROM codes GROUP BY doc_id
@@ -813,6 +831,8 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "band": [], "sig": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL text: no signature, never a candidate
                 thumb = list(payload[:_AHASH_BYTES])
                 thumb += [0] * (_AHASH_BYTES - len(thumb))
                 s = sum(thumb)

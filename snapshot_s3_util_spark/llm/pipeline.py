@@ -849,7 +849,11 @@ WITH q AS (
                          x -> x IN ('the', 'a', 'of', 'and', 'to')))
                          AS DOUBLE) / LEN(toks))
                + 0.2 * LEAST(LEN(toks) / 100.0, 1.0), 6) AS quality
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents
+        -- NULL text has no quality score: it can be neither chosen
+        -- nor rejected, so it leaves the pair universe in both engines
+        WHERE text IS NOT NULL)
 ),
 ranked AS (
   SELECT prompt_id, doc_id, quality,
@@ -890,10 +894,16 @@ def llm_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from snapshot_s3_util_spark.llm.textstats import llm_quality_score
 
-    q = llm_quality_score(spark, sf_dir).select(
-        "doc_id",
-        (F.col("doc_id") % _DPO_GROUPS).alias("prompt_id"),
-        F.col("quality_score").alias("quality"),
+    # NULL-text docs carry a NULL quality score: excluded from the
+    # pair universe in both engines (cannot be chosen or rejected).
+    q = (
+        llm_quality_score(spark, sf_dir)
+        .filter(F.col("quality_score").isNotNull())
+        .select(
+            "doc_id",
+            (F.col("doc_id") % _DPO_GROUPS).alias("prompt_id"),
+            F.col("quality_score").alias("quality"),
+        )
     )
     w_top = Window.partitionBy("prompt_id").orderBy(
         F.col("quality").desc(), F.col("doc_id")
@@ -1019,7 +1029,9 @@ WITH assigned AS (
   SELECT doc_id, text,
          CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT)
            % {_WDS_SHARDS} AS shard,
-         OCTET_LENGTH(ENCODE(text)) AS sz
+         -- NULL text exports as an EMPTY member (same pin as the
+         -- snapshot manifest: absent payloads hash as '', not skipped)
+         OCTET_LENGTH(ENCODE(COALESCE(text, ''))) AS sz
   FROM documents
 )
 SELECT shard,
@@ -1028,7 +1040,8 @@ SELECT shard,
        CAST(CEIL((SUM(512 + CAST(CEIL(sz / 512.0) AS BIGINT) * 512) + 1024)
                  / 10240.0) AS BIGINT) * 10240 AS tar_len,
        MD5(STRING_AGG(LPAD(CAST(doc_id AS STRING), 8, '0') || '.txt:'
-                      || MD5(text), '' ORDER BY doc_id)) AS members_fp
+                      || MD5(COALESCE(text, '')), '' ORDER BY doc_id))
+         AS members_fp
 FROM assigned
 GROUP BY shard
 """
@@ -1079,7 +1092,11 @@ def llm_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
         ) as tf:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                payload = text.encode("utf-8")
+                # NULL text -> empty member (matches the oracle's
+                # COALESCE): the doc keeps its slot in the archive
+                payload = (text if isinstance(text, str) else "").encode(
+                    "utf-8"
+                )
                 info = tarfile.TarInfo(name=f"{doc_id:08d}.txt")
                 info.size = len(payload)
                 info.mtime = 0
@@ -1205,6 +1222,9 @@ WITH m AS (
          CAST(LEN(LIST_DISTINCT(string_split(text, ' '))) AS BIGINT)
            AS n_distinct
   FROM documents
+  -- NULL text has no difficulty score: excluded from the curriculum
+  -- (an unscored doc cannot be placed on the easy->hard ramp)
+  WHERE text IS NOT NULL
 ),
 scored AS (
   SELECT doc_id, source, n_tokens,
@@ -1251,8 +1271,11 @@ def llm_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     npart-row broadcast ledger, no single-partition window at any
     corpus size.
     """
-    d = load_table(spark, sf_dir, "documents").withColumn(
-        "toks", F.split("text", " ")
+    # NULL text has no difficulty score: excluded in both engines.
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("toks", F.split("text", " "))
     )
     m = d.select(
         "doc_id",

@@ -197,12 +197,15 @@ def llm_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     that single row.  No shuffle carries more than the partial-agg
     rows; holds at any corpus size.
     """
+    # when/otherwise (not a bare cast): a NULL-text doc labels as DROP
+    # (0) for both raters in both engines — a bare cast would carry
+    # NULL into the sums while the oracle's CASE yields 0.
     lab = load_table(spark, sf_dir, "documents").select(
-        (F.length("text") >= _KAPPA_A_MIN_CHARS)
-        .cast("int")
+        F.when(F.length("text") >= _KAPPA_A_MIN_CHARS, 1)
+        .otherwise(0)
         .alias("a"),
-        (F.size(F.split("text", " ")) >= _KAPPA_B_MIN_TOKS)
-        .cast("int")
+        F.when(F.size(F.split("text", " ")) >= _KAPPA_B_MIN_TOKS, 1)
+        .otherwise(0)
         .alias("b"),
     )
     m = lab.agg(
@@ -451,7 +454,11 @@ def llm_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_sort in Spark; the oracle's GROUP BY sum differs only at
     ~1e-16, absorbed by the 6dp rounding.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # NULL-text docs have no characters to measure: dropped in both
+    # engines (the oracle's UNNEST drops them implicitly).
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     chars = F.split("text", "")
     n = F.size(chars)
     # per distinct char c: k = occurrences; accumulate -p*log2(p)

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.io import load_embeddings, load_table
 from snapshot_s3_util_spark.params import N_PROBES, SIM_TOPK
 from snapshot_s3_util_spark.registry import register
 
@@ -40,7 +40,7 @@ def _cos(a: str, b: str) -> Column:
 
 
 _SIM_ORACLE = f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL),
 probe AS (SELECT e AS pe FROM v WHERE vec_id = {_PROBE_ID})
 SELECT vec_id,
        ROUND(LIST_DOT_PRODUCT(e, pe) /
@@ -63,7 +63,7 @@ def llm_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one pass, no shuffle of the corpus. This is the exact-recall
     baseline every ANN variant is measured against.
     """
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = load_embeddings(spark, sf_dir).select(
         "vec_id", F.expr(_E).alias("e")
     )
     probe = v.filter(F.col("vec_id") == _PROBE_ID).select(F.col("e").alias("pe"))
@@ -77,7 +77,7 @@ def llm_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_ORACLE = f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL),
 probes AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < {N_PROBES})
 SELECT probe_id, vec_id, cos_sim, rn
 FROM (
@@ -105,7 +105,7 @@ def llm_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     P probes the exchanged data is P x k rows after WindowGroupLimit
     pushdown, not P x corpus.
     """
-    v = load_table(spark, sf_dir, "embeddings").select("vec_id", F.expr(_E).alias("e"))
+    v = load_embeddings(spark, sf_dir).select("vec_id", F.expr(_E).alias("e"))
     probes = v.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
     )
@@ -121,7 +121,7 @@ def llm_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_LABEL_ORACLE = f"""
-WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL),
 probes AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < {N_PROBES})
 SELECT probe_id, label, vec_id, cos_sim
 FROM (
@@ -147,7 +147,7 @@ def llm_sim_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     best match inside EACH cluster. Same broadcast-probes plan as the
     kNN join with a finer window key.
     """
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = load_embeddings(spark, sf_dir).select(
         "vec_id", "label", F.expr(_E).alias("e")
     )
     probes = v.filter(F.col("vec_id") < N_PROBES).select(
@@ -167,7 +167,7 @@ def llm_sim_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CENTROID_ORACLE = """
-WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL),
 ex AS (
   SELECT label, CAST(pos AS INTEGER) AS pos, e[pos] AS x
   FROM v CROSS JOIN (SELECT UNNEST(range(1, 65)) AS pos) p
@@ -186,7 +186,7 @@ def llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     |labels| x dim partial sums thanks to map-side combine — constant
     in corpus size. The UDAF-shaped variant lives in udf/vector_udfs.py.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_embeddings(spark, sf_dir)
     return (
         e.select("label", F.posexplode(F.expr(_E)).alias("pos0", "x"))
         .select("label", (F.col("pos0") + 1).cast("int").alias("pos"), "x")
@@ -201,7 +201,7 @@ def _ann_lsh_oracle() -> str:
     from snapshot_s3_util_spark.llm.dedup import _EMB_DIM, _SRP_BANDS, _SRP_BITS
 
     return f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL),
 w AS (
   SELECT t1.band, t2.bit, t3.j,
          CAST(('0x' || SUBSTR(MD5(t1.band || '_' || t2.bit || '_' || t3.j), 1, 8))
@@ -252,7 +252,7 @@ def llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from snapshot_s3_util_spark.llm.dedup import srp_signatures
 
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = load_embeddings(spark, sf_dir).select(
         "vec_id", F.expr(_E).alias("e")
     )
     sigs = srp_signatures(spark, v)
@@ -275,7 +275,7 @@ def llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_ORACLE = f"""
-WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL),
 probe AS (SELECT e AS pe FROM v WHERE vec_id = {_PROBE_ID}),
 cent AS (
   SELECT label, LIST(c ORDER BY pos) AS ce
@@ -318,7 +318,7 @@ def llm_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters. Recall vs `llm_sim_topk_brute` is asserted in
     tests/test_semantics.py.
     """
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = load_embeddings(spark, sf_dir).select(
         "vec_id", "label", F.expr(_E).alias("e")
     )
     probe = v.filter(F.col("vec_id") == _PROBE_ID).select(F.col("e").alias("pe"))
@@ -352,7 +352,7 @@ _QUANT_ORACLE = f"""
 WITH e AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 m AS (
   SELECT vec_id, v,
@@ -406,7 +406,7 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (SURVEY §1.2). Quantized codes stay in [0, {_QUANT_LEVELS}]
     (`q_min`/`q_max` prove it), ready for a BinaryType pack.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     e = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x AS double))").alias("v"),
@@ -457,7 +457,7 @@ _TRIP_STRIDE = 10  # anchors = every 10th vector
 
 _TRIP_ORACLE = f"""
 WITH v AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL
 ),
 a AS (
   SELECT vec_id AS anchor_id, label AS a_label, e AS ae
@@ -509,7 +509,7 @@ def llm_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (WindowGroupLimit), then a broadcast self-join stitches the
     triplet.
     """
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = load_embeddings(spark, sf_dir).select(
         "vec_id", "label", F.expr(_E).alias("e")
     )
     a = v.filter(F.col("vec_id") % _TRIP_STRIDE == 0).select(
@@ -566,7 +566,7 @@ _MAT_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
          CAST(embedding[1:{_MAT_DIMS}] AS DOUBLE[]) AS et
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 p AS (
   SELECT vec_id AS probe_id, e AS pe, et AS pet
@@ -618,7 +618,7 @@ def llm_sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct collect, sliced) — no window, one exchange of
     |probes|×|corpus| scored rows collapsing to |probes|.
     """
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = load_embeddings(spark, sf_dir).select(
         "vec_id",
         F.expr(_E).alias("e"),
         F.expr(f"transform(slice(embedding, 1, {_MAT_DIMS}),"
@@ -670,7 +670,7 @@ def _sweep_oracle() -> str:
 
     return f"""
 WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL
 ),
 {SRP_CAND_CTES},
 pairs AS (
@@ -726,7 +726,7 @@ def llm_semdedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from snapshot_s3_util_spark.llm.dedup import srp_signatures
 
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = load_embeddings(spark, sf_dir).select(
         "vec_id", F.expr(_E).alias("e")
     )
     sigs = srp_signatures(spark, v)
@@ -766,7 +766,7 @@ def llm_semdedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANISO_ORACLE = """
 WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL
 ),
 per AS (
   SELECT vec_id, LIST_DOT_PRODUCT(e, e) AS sq,
@@ -811,7 +811,7 @@ def llm_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: posexplode → 64-row component-sum combine + one scalar
     reduce; no joins at all.
     """
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = load_embeddings(spark, sf_dir).select(
         "vec_id", F.expr(_E).alias("e")
     )
     per = v.agg(
@@ -845,7 +845,7 @@ _LBL_OUT_K = 5  # flag the K least-central members per label
 
 _LABEL_OUTLIER_ORACLE = f"""
 WITH v AS MATERIALIZED (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL
 ),
 expl AS MATERIALIZED (
   SELECT vec_id, label, u.j, e[u.j] AS x
@@ -891,7 +891,7 @@ def llm_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-partitioned window.  Two |rows|×dim narrow passes, one
     data-sized shuffle each — no pair joins anywhere.
     """
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = load_embeddings(spark, sf_dir).select(
         "vec_id", "label", F.expr(_E).alias("e")
     )
     expl = v.select(
@@ -941,7 +941,7 @@ def _pca_oracle() -> str:
     d0 = f"1.0 / SQRT(64)"
     sql = f"""
 WITH v AS MATERIALIZED (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL
 ),
 expl AS MATERIALIZED (
   SELECT vec_id, u.j, e[u.j] AS x
@@ -1012,7 +1012,7 @@ def llm_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled, lineage stays flat, nothing wider than the component
     stream is ever shuffled.
     """
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = load_embeddings(spark, sf_dir).select(
         "vec_id", F.expr(_E).alias("e")
     )
     expl = v.select(
@@ -1060,7 +1060,7 @@ def llm_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------- retrieval quality (MRR/NDCG)
 _RETR_ORACLE = f"""
-WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL),
 probes AS (
   SELECT vec_id AS probe_id, label AS plabel, e AS pe
   FROM v WHERE vec_id < {N_PROBES}
@@ -1133,7 +1133,7 @@ def llm_retrieval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row closed form, no join. BIGINT hit counts; floats divide
     once and round at the edge.
     """
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = load_embeddings(spark, sf_dir).select(
         "vec_id", "label", F.expr(_E).alias("e")
     )
     probes = v.filter(F.col("vec_id") < N_PROBES).select(
@@ -1218,7 +1218,7 @@ def _ann_recall_oracle() -> str:
         " * SQRT(LIST_DOT_PRODUCT(pe, pe)))"
     )
     return f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL),
 w AS (
   SELECT t1.band, t2.bit, t3.j,
          CAST(('0x' || SUBSTR(MD5(t1.band || '_' || t2.bit || '_' || t3.j), 1, 8))
@@ -1303,7 +1303,7 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from snapshot_s3_util_spark.llm.dedup import srp_signatures
 
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = load_embeddings(spark, sf_dir).select(
         "vec_id", F.expr(_E).alias("e")
     )
     probes = v.filter(F.col("vec_id") < N_PROBES).select(

@@ -1280,7 +1280,10 @@ def llm_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _READABILITY_ORACLE = """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents
+           -- NULL text has no words to read: dropped in both engines
+           WHERE text IS NOT NULL),
 w AS (
   SELECT doc_id,
          UNNEST(toks) AS w,
@@ -1339,8 +1342,11 @@ def llm_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: entirely narrow (zero shuffles) — per-doc higher-order
     array ops inside whole-stage codegen; no explode, no window.
     """
-    d = load_table(spark, sf_dir, "documents").withColumn(
-        "toks", F.split("text", " ")
+    # NULL text has no words to read: dropped in both engines.
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("toks", F.split("text", " "))
     )
     d = d.withColumn(
         "ptext",
@@ -1777,9 +1783,12 @@ SELECT doc_id,
        CAST(LEN(list_filter(regexp_extract_all(text, '{_PRETOK_PATTERN}'),
                             t -> t ~ '^[0-9]+$')) AS BIGINT)
          AS n_number_runs,
-       CAST(COALESCE(LIST_AGGREGATE(list_transform(
+       -- empty text folds to 0 (seeded fold), NULL text to NULL — the
+       -- COALESCE must not erase that distinction
+       CAST(CASE WHEN text IS NULL THEN NULL
+                 ELSE COALESCE(LIST_AGGREGATE(list_transform(
               regexp_extract_all(text, '{_PRETOK_PATTERN}'),
-              t -> CAST(CEIL(LENGTH(t) / 4.0) AS BIGINT)), 'sum'), 0)
+              t -> CAST(CEIL(LENGTH(t) / 4.0) AS BIGINT)), 'sum'), 0) END
             AS BIGINT) AS est_bpe_tokens
 FROM documents
 """

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.io import load_embeddings, load_table
 from snapshot_s3_util_spark.registry import register
 
 _PR_ITERS = 3
@@ -139,7 +139,7 @@ _SPATIAL_ORACLE = f"""
 WITH p AS (
   SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
          CAST(embedding[2] AS DOUBLE) AS y
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(SQRT((a.x - b.x) * (a.x - b.x)
@@ -168,7 +168,7 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic join, result-identical by construction. The exact
     distance test rides the hash join as a residual.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     pts = emb.select(
         "vec_id",
         F.col("embedding").getItem(0).cast("double").alias("x"),

@@ -482,7 +482,10 @@ SELECT lang,
                       ORDER BY CAST(doc_id AS VARCHAR)))
          AS content_fp
 FROM documents
-WHERE lang NOT IN {_POVR_LANGS!r}
+-- lang IS NULL: the hive-default (NULL-lang) partition is not in the
+-- overwrite set, so its original rows survive — NOT IN alone would
+-- evaluate NULL and silently drop that partition from the model
+WHERE (lang IS NULL OR lang NOT IN {_POVR_LANGS!r})
    OR n_chars >= {_POVR_MIN_CHARS}
 GROUP BY lang
 """

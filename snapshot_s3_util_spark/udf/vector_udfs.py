@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType
 
-from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.io import load_embeddings, load_table
 from snapshot_s3_util_spark.registry import register
 from snapshot_s3_util_spark.sql_helpers import EVENTS_REL
 
@@ -66,7 +66,7 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udf_pandas_scalar",
     oracle=f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL),
     probe AS (SELECT e AS pe FROM v WHERE vec_id = {_PROBE_ID})
     SELECT vec_id,
            ROUND(LIST_DOT_PRODUCT(e, pe) /
@@ -83,7 +83,7 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     does the inner loop. ~10-100x the row-at-a-time UDF above, the
     pattern for any vector kernel built-ins can't express.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_embeddings(spark, sf_dir)
     probe = np.array(
         e.filter(F.col("vec_id") == _PROBE_ID).select("embedding").first()[0],
         dtype=np.float64,
@@ -103,7 +103,7 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udaf_pandas_grouped",
     oracle="""
-    WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL)
     SELECT label,
            ROUND(AVG(SQRT(LIST_DOT_PRODUCT(e, e))), 6) AS avg_norm,
            COUNT(*) AS n
@@ -129,7 +129,7 @@ def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     def n_rows(col: pd.Series) -> int:
         return len(col)
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_embeddings(spark, sf_dir)
     return e.groupBy("label").agg(
         F.round(mean_norm(F.col("embedding")), 6).alias("avg_norm"),
         n_rows(F.col("vec_id")).alias("n"),

@@ -52,16 +52,28 @@ _ROWS = [
     (900014, ("tok " * 300).strip(), "en", "src11"),  # 300x same token
     (900015, "UPPER lower MiXeD CASE tokens for case folds", "es", "src12"),
     (900016, "123 456 7.89 1e10 -42 0x1f numbers only here", "en", "src13"),
+    # NULL text (failed scrape) with NULL lang/source metadata
+    (900017, None, None, None),
+    # Deliberately ABSENT: a reused doc_id with conflicting content.
+    # doc_id uniqueness is an ingest contract, not dirt the engine
+    # absorbs: "per document" is undefined under a PK violation (the
+    # engines legitimately disagree on whether two same-id rows are one
+    # doc or two), and enforcing keeper-dedup inside every scan would
+    # tax every op with a shuffle. Duplicate RESOLUTION is a pipeline
+    # stage (llm_dedup_exact / llm_dedup_cluster_keeper), and physical
+    # audits (scan_file_metadata) catch out-of-order id reuse.
 ]
+
+def _sql_str(v: str | None) -> str:
+    return "CAST(NULL AS VARCHAR)" if v is None else "'" + v.replace("'", "''") + "'"
+
 
 _ADVERSARIAL = (
     "SELECT doc_id, text, lang, source,\n"
     "       CAST(LENGTH(text) AS BIGINT) AS n_chars\n"
     "FROM (VALUES "
     + ",\n".join(
-        "({}, '{}', '{}', '{}')".format(
-            d, txt.replace("'", "''"), lang, src
-        )
+        f"({d}, {_sql_str(txt)}, {_sql_str(lang)}, {_sql_str(src)})"
         for d, txt, lang, src in _ROWS
     )
     + ") v(doc_id, text, lang, source)"

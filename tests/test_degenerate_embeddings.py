@@ -60,6 +60,9 @@ SELECT vec_id, embedding, label FROM (
          CAST(list_transform(range(64), x -> CASE WHEN x % 7 = 0
                 THEN -0.5 ELSE 0.125 END) AS FLOAT[]),
          99
+  UNION ALL
+  -- NULL embedding (encoder row never arrived) with a valid label
+  SELECT 9006, CAST(NULL AS FLOAT[]), 7
 )
 """
 
