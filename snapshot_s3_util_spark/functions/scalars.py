@@ -226,10 +226,12 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            MD5(text)                 AS text_md5,
            SHA256(text)              AS text_sha256,
-           -- CONCAT_WS (not CONCAT): both engines SKIP NULL args, so a
-           -- NULL source/text salts identically; CONCAT would keep the
-           -- ':' separator in DuckDB but not in Spark's concat_ws.
-           MD5(CONCAT_WS(':', source, text)) AS salted_md5
+           -- per-field COALESCE (not CONCAT_WS): NULL-skipping would
+           -- drop the separator too, colliding ('a','b') with
+           -- ('a:b',NULL) and ('en',NULL) with (NULL,'en') — a dedup /
+           -- verification key must keep distinguishable rows distinct.
+           MD5(CONCAT(COALESCE(source, ''), ':', COALESCE(text, '')))
+             AS salted_md5
     FROM documents
     """,
     category="function",
@@ -244,7 +246,15 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5("text").alias("text_md5"),
         F.sha2(F.col("text"), 256).alias("text_sha256"),
-        F.md5(F.concat_ws(":", "source", "text")).alias("salted_md5"),
+        # per-field COALESCE keeps the ':' separator when a field is
+        # NULL — concat_ws's NULL-skipping would collide distinct rows
+        F.md5(
+            F.concat(
+                F.coalesce(F.col("source"), F.lit("")),
+                F.lit(":"),
+                F.coalesce(F.col("text"), F.lit("")),
+            )
+        ).alias("salted_md5"),
     )
 
 

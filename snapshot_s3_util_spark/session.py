@@ -25,6 +25,12 @@ _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow for pandas_udf / applyInPandas / toPandas paths.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The engine's NULL semantics are pinned against ANSI mode (the
+    # Spark 4 default): try_* escape hatches, size(NULL) = NULL (legacy
+    # mode returns -1, which would silently diverge from every DuckDB
+    # oracle), error-on-overflow. A harness session with ANSI off would
+    # flip those semantics, so pin it explicitly.
+    "spark.sql.ansi.enabled": "true",
 }
 
 
