@@ -35,18 +35,13 @@ from snapshot_s3_util_spark.registry import REGISTRY, register  # noqa: F401
 # 4. Everything else, oldest-green-round first, so stale verifications
 #    drain; registration order breaks ties (stable sort).
 _WINDOW_CHANGED_THIS_ROUND: list = [
-    # round 8: deliberately EMPTY (r7 verdict ask #1 — drain the
-    # 75-op never-driver-verified backlog; all 50 slots go to it).
-    # The r7 ADVICE fixes are output-neutral at the shipped fixtures:
-    # heaps-law slice clamp (no sub-3-token docs at any SF),
-    # band-config dedup (MINHASH_K=12 ∉ {6,4,3,2,1} literals), and the
-    # mrr_ndcg left-join changes BOTH engines identically (op is in
-    # the backlog, so it gets a first-ever driver row this round or
-    # next anyway) — verified via tools/check.py locally.  Likewise
-    # the degenerate-corpus gauntlet fixes (llm_cooccurrence_pmi
-    # zip_with rewrite, llm_token_count_pretokenizer oracle COALESCE):
-    # both only change behavior on sub-2-token / empty docs, absent
-    # from every driver fixture — sf0.01 parity re-verified.
+    # round 9: the r8 ADVICE NULL-vs-'' fix switched both
+    # verification-key ops to the ND_FIELD length-prefixed encoding
+    # (sql_helpers.py) — salted_md5 / row_md5 values change on every
+    # row, so both need fresh driver rows.  The 25-op never-verified
+    # backlog follows at slots 3-27, still fully inside the window.
+    "fn_hash",
+    "hb_snapshot_manifest",
 ]
 
 

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from snapshot_s3_util_spark.io import load_embeddings, load_table
 from snapshot_s3_util_spark.registry import register
-from snapshot_s3_util_spark.sql_helpers import EVENTS_REL
+from snapshot_s3_util_spark.sql_helpers import EVENTS_REL, ND_FIELD_SQL, nd_field_col
 
 
 @register(
@@ -222,15 +222,18 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fn_hash",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            MD5(text)                 AS text_md5,
            SHA256(text)              AS text_sha256,
-           -- per-field COALESCE (not CONCAT_WS): NULL-skipping would
-           -- drop the separator too, colliding ('a','b') with
-           -- ('a:b',NULL) and ('en',NULL) with (NULL,'en') — a dedup /
-           -- verification key must keep distinguishable rows distinct.
-           MD5(CONCAT(COALESCE(source, ''), ':', COALESCE(text, '')))
+           -- NULL-distinct length-prefixed field encoding (ND_FIELD):
+           -- NULL -> 'N', value -> 'V'||byte_len||':'||value.  Keeps
+           -- NULL distinct from '' AND makes the two-field key
+           -- prefix-free, so no pair of distinguishable rows can
+           -- collide (CONCAT_WS's NULL-skipping and plain COALESCE('')
+           -- both merge distinguishable rows).
+           MD5(CONCAT({ND_FIELD_SQL.format(col='source')}, ':',
+                      {ND_FIELD_SQL.format(col='text')}))
              AS salted_md5
     FROM documents
     """,
@@ -246,13 +249,13 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5("text").alias("text_md5"),
         F.sha2(F.col("text"), 256).alias("text_sha256"),
-        # per-field COALESCE keeps the ':' separator when a field is
-        # NULL — concat_ws's NULL-skipping would collide distinct rows
+        # ND_FIELD encoding (sql_helpers): NULL stays distinct from ''
+        # and the length prefix keeps field boundaries unambiguous
         F.md5(
             F.concat(
-                F.coalesce(F.col("source"), F.lit("")),
+                nd_field_col("source"),
                 F.lit(":"),
-                F.coalesce(F.col("text"), F.lit("")),
+                nd_field_col("text"),
             )
         ).alias("salted_md5"),
     )

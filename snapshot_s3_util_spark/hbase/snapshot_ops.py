@@ -22,7 +22,7 @@ from snapshot_s3_util_spark.params import (
     TTL_CUTOFF,
 )
 from snapshot_s3_util_spark.registry import register
-from snapshot_s3_util_spark.sql_helpers import EVENTS_REL
+from snapshot_s3_util_spark.sql_helpers import EVENTS_REL, ND_FIELD_SQL, nd_field_col
 
 
 @register(
@@ -219,18 +219,19 @@ def hb_size_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hb_snapshot_manifest",
-    oracle="""
+    oracle=f"""
     SELECT 'documents' AS table_name,
            source AS part_key,
            COUNT(*) AS row_count,
            MD5(STRING_AGG(row_md5, '' ORDER BY row_md5)) AS content_fp,
            TIMESTAMP '2024-02-01 00:00:00' AS created_ts
     FROM (SELECT source,
-                 -- COALESCE: a NULL cell still participates in the
-                 -- manifest fingerprint (hashed as empty) — skipping it
-                 -- would let a corrupted-to-NULL row pass verification
+                 -- ND_FIELD encoding: a NULL cell participates in the
+                 -- manifest fingerprint with a digest DISTINCT from the
+                 -- empty string's, so a row corrupted in either
+                 -- direction ('' <-> NULL) cannot pass verification
                  MD5(CONCAT(CAST(doc_id AS VARCHAR), '|',
-                            COALESCE(text, ''))) AS row_md5
+                            {ND_FIELD_SQL.format(col='text')})) AS row_md5
           FROM documents)
     GROUP BY source
     """,
@@ -243,12 +244,13 @@ def hb_snapshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the TTL sweep consume exactly this shape.
     """
     d = load_table(spark, sf_dir, "documents")
-    # COALESCE mirrors the oracle: NULL cells hash as empty, not skipped.
+    # ND_FIELD mirrors the oracle: NULL cells hash under a sentinel
+    # distinct from '', so ''<->NULL corruption changes the fingerprint.
     row_md5 = F.md5(
         F.concat(
             F.col("doc_id").cast("string"),
             F.lit("|"),
-            F.coalesce(F.col("text"), F.lit("")),
+            nd_field_col("text"),
         )
     )
     return (

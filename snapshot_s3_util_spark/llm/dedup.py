@@ -1111,7 +1111,15 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("line_idx", "line"),
     )
-    w = Window.partitionBy("line").orderBy("doc_id", "line_idx")
+    # Window key is (xxhash64(line), line), not bare line: partitioning
+    # is identical (same rows co-group), but the exchange's sort
+    # resolves almost every comparison on the 8-byte hash prefix
+    # instead of walking 60-byte UTF-8 strings — the full line is kept
+    # in the key so a 64-bit collision still CANNOT merge distinct
+    # lines (correctness never rests on the hash).
+    w = Window.partitionBy(F.xxhash64("line"), F.col("line")).orderBy(
+        "doc_id", "line_idx"
+    )
     flagged = lines.withColumn("keep", F.row_number().over(w) == 1)
     kept_sorted = F.expr(
         "array_join(transform(array_sort(collect_list("

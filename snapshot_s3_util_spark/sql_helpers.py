@@ -38,3 +38,40 @@ def keys_fp_col(col: str):
             ),
         )
     )
+
+
+# NULL-distinct field encoding for hash / fingerprint keys
+# (fn_hash salted key, hb_snapshot_manifest row digest).  NULL and ''
+# must produce different digests — a cell corrupted from '' to NULL
+# (or vice versa) has to change the fingerprint.  Encoding:
+#     NULL  -> 'N'
+#     value -> 'V' || utf8_byte_len || ':' || value
+# The byte-length prefix makes the encoding prefix-free, so multi-field
+# concatenations cannot collide across field boundaries either (an
+# embedded separator in one field can no longer masquerade as the
+# boundary).  Byte length (OCTET_LENGTH over UTF-8) is used instead of
+# character length because it is bit-identical between Spark and DuckDB
+# for every Unicode input, astral planes included.
+ND_FIELD_SQL = "COALESCE('V' || CAST(OCTET_LENGTH(ENCODE({col})) AS VARCHAR) || ':' || {col}, 'N')"
+
+
+def nd_field_col(col):
+    """Spark twin of :data:`ND_FIELD_SQL`.
+
+    `concat` is NULL-propagating (any NULL argument nulls the whole
+    result), so `coalesce(concat('V', len, ':', c), 'N')` lands on the
+    'N' branch exactly when the field is NULL.
+    """
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.coalesce(
+        F.concat(
+            F.lit("V"),
+            F.length(F.encode(c, "UTF-8")).cast("string"),
+            F.lit(":"),
+            c,
+        ),
+        F.lit("N"),
+    )

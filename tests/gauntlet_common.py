@@ -80,10 +80,14 @@ def duck_views(adv_dir: str) -> duckdb.DuckDBPyConnection:
 
 def ops_reading(table: str) -> list[str]:
     """Ops whose DuckDB oracle references `table` as a word (catches
-    FROM/JOIN uses, not columns like n_events)."""
+    FROM/JOIN uses, not columns like n_events).  SQL comments are
+    stripped first so a table name mentioned only in a `--` note cannot
+    spuriously enroll an op in an unrelated gauntlet."""
     pat = re.compile(rf"\b{table}\b")
     return sorted(
-        n for n, op in REGISTRY.items() if op.oracle and pat.search(op.oracle)
+        n
+        for n, op in REGISTRY.items()
+        if op.oracle and pat.search(re.sub(r"--[^\n]*", "", op.oracle))
     )
 
 
