@@ -14,8 +14,19 @@ The shape:
 
   1. `repartitionByRange(npart, *keys)` — partition i holds strictly
      smaller sort keys than partition i+1; each partition ~|rows|/npart.
-  2. LOCAL `row_number()` / running sums per range partition (window
-     partitioned by `spark_partition_id()` — bounded frame, no warning).
+  2. LOCAL row numbers / running sums per range partition. Two forms:
+     - FAST (no running sums requested): `sortWithinPartitions(keys)`
+       + `monotonically_increasing_id()` — the local 0-based index is
+       the mid's low 33 bits, assigned in sorted row order. No window
+       over the data AT ALL, and critically no second exchange: a
+       window partitioned by pid would demand
+       ClusteredDistribution(pid), which the range layout does not
+       satisfy, so Catalyst would insert a full hashpartitioning(pid)
+       shuffle (and hash(0..npart-1) into npart buckets leaves ~1/e of
+       the tasks empty while piling 2-3 range partitions onto others).
+     - CUMSUM: running sums need sequential per-partition scans, so the
+       window partitioned by `spark_partition_id()` remains (bounded
+       frame, no warning) and pays that second exchange.
   3. Global value = local value + the partition's count/sum prefix
      offset: `groupBy(pid).agg(...)` (npart rows), prefix-summed by a
      window over those npart rows, broadcast back. Grand totals ride
@@ -49,6 +60,11 @@ ColumnOrName = Union[Column, str]
 
 # Internal column names; prefixed to avoid colliding with caller schemas.
 _PID = "_grn_pid"
+_MID = "_grn_mid"
+
+# monotonically_increasing_id() = partition_id * 2**33 + row index
+# within the partition, assigned in row iteration order.
+_MID_PART_BITS = 33
 
 
 def global_order_stats(
@@ -89,11 +105,40 @@ def global_order_stats(
     # The checkpointed spine: ONE range exchange, ONE partitioner —
     # see the module docstring for why this must not rely on
     # ReuseExchange.
-    part = (
-        df.repartitionByRange(npart, *keys)
-        .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
+    #
+    # FAST PATH (no running sums requested): the local row number comes
+    # from `monotonically_increasing_id()` assigned ABOVE a
+    # `sortWithinPartitions`, not from a window.  A window partitioned
+    # by pid requires ClusteredDistribution(pid), which the
+    # range-partitioned spine does not satisfy, so Catalyst inserts a
+    # SECOND full hashpartitioning(pid) exchange — and hash(0..npart-1)
+    # into npart buckets leaves ~1/e of the tasks empty and piles 2-3
+    # range partitions onto others (measured: the dominant cost of
+    # sort_multi's 30x stress wall).  The mid form keeps the plan at
+    # exactly one data-sized exchange + one local sort, both in the
+    # same stage; the nondeterministic mid is frozen by the
+    # localCheckpoint, so the ledger and the rank side read identical
+    # values.  Local index < 2**33 bounds a range partition at 8.5e9
+    # rows — size npart so partitions stay far under that (they must
+    # fit an executor anyway).
+    fast = not cumsum
+    if fast:
+        part = (
+            df.repartitionByRange(npart, *keys)
+            .sortWithinPartitions(*keys)
+            .withColumn(_MID, F.monotonically_increasing_id())
+            .localCheckpoint(eager=False)
+            .withColumn(
+                _PID,
+                F.shiftrightunsigned(F.col(_MID), _MID_PART_BITS).cast("int"),
+            )
+        )
+    else:
+        part = (
+            df.repartitionByRange(npart, *keys)
+            .withColumn(_PID, F.spark_partition_id())
+            .localCheckpoint(eager=False)
+        )
 
     # npart-row ledger: per-partition row count + per-source sums.
     srcs = sorted(set(cumsum) | set(totals))
@@ -129,16 +174,27 @@ def global_order_stats(
             off_cols.append(F.sum(f"_grn_sum_{s}").over(w_ledger).alias(totals[s]))
     offsets = ledger.select(*off_cols)
 
-    w_local = Window.partitionBy(_PID).orderBy(*keys)
-    w_run = w_local.rowsBetween(Window.unboundedPreceding, 0)
     out = part
     drop = [_PID]
-    if rn is not None:
-        out = out.withColumn("_grn_lrn", F.row_number().over(w_local))
-        drop.append("_grn_lrn")
-    for s in cumsum:
-        out = out.withColumn(f"_grn_lcs_{s}", F.sum(s).over(w_run))
-        drop.append(f"_grn_lcs_{s}")
+    if fast:
+        if rn is not None:
+            # 1-based local row number straight from the frozen mid.
+            out = out.withColumn(
+                "_grn_lrn",
+                F.col(_MID).bitwiseAND(F.lit((1 << _MID_PART_BITS) - 1))
+                + F.lit(1),
+            )
+            drop.append("_grn_lrn")
+        drop.append(_MID)
+    else:
+        w_local = Window.partitionBy(_PID).orderBy(*keys)
+        w_run = w_local.rowsBetween(Window.unboundedPreceding, 0)
+        if rn is not None:
+            out = out.withColumn("_grn_lrn", F.row_number().over(w_local))
+            drop.append("_grn_lrn")
+        for s in cumsum:
+            out = out.withColumn(f"_grn_lcs_{s}", F.sum(s).over(w_run))
+            drop.append(f"_grn_lcs_{s}")
     out = out.join(F.broadcast(offsets), _PID)
     if rn is not None:
         out = out.withColumn(

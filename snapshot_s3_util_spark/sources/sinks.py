@@ -359,6 +359,75 @@ def source_hbase_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# Inclusive rowkey scan range for source_snapshot_keyrange — sized to
+# exist at every SF (event_id is dense from 0) while covering a small
+# slice of the key domain at sf>=0.01, so most "region" files are
+# provably outside it and get planning-time-skipped.
+_SNAP_KR_LO, _SNAP_KR_HI = 150, 449
+
+
+@register(
+    "source_snapshot_keyrange",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(MIN(event_id) AS BIGINT) AS min_key,
+           CAST(MAX(event_id) AS BIGINT) AS max_key
+    FROM {EVENTS_REL} e
+    WHERE event_id BETWEEN {_SNAP_KR_LO} AND {_SNAP_KR_HI}
+    GROUP BY event_type
+    """,
+    category="source",
+)
+def source_snapshot_keyrange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rowkey-range read through the custom snapshot DataSource — the
+    `Scan(startRow, stopRow)` path of the production bridge (SURVEY §4;
+    TableSnapshotInputFormat skips regions outside the scan range).
+
+    Export: the snapshot is range-partitioned on event_id before the
+    partitioned write, so each immutable file carries a tight, disjoint
+    key span — the region-boundary analog. Read: `key_range` prunes
+    non-overlapping files at PLANNING time from footer stats alone
+    (tests/test_plans.py asserts the split count), and the surviving
+    files push the range into the pyarrow scan as a row-group filter.
+    The oracle checks the pruned read against the source of truth over
+    the full key domain.
+    """
+    from snapshot_s3_util_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    root = _scratch("snapkr")
+    out = os.path.join(root, S3_BUCKET, S3_PREFIX, SNAPSHOT_NAME)
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.repartitionByRange(8, "event_id")
+            .sortWithinPartitions("event_id")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+        register_snapshot_source(spark)
+        back = (
+            spark.read.format("hbase_snapshot")
+            .option("path", out)
+            .option("key_range", f"{_SNAP_KR_LO}:{_SNAP_KR_HI}")
+            .load()
+        )
+        return (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("event_id").cast("bigint").alias("min_key"),
+                F.max("event_id").cast("bigint").alias("max_key"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register(
     "sink_s3_layout",
     oracle=f"""

@@ -45,6 +45,17 @@ class HBaseSnapshotDataSource(DataSource):
       partitions  optional comma-separated partition values to keep
                   (pruning happens at planning time — unselected
                   "regions" are never opened)
+      key_range   optional "lo:hi" (inclusive, integers) rowkey scan
+                  range over `key_col`: files whose footer min/max
+                  cannot overlap are dropped at PLANNING time (the
+                  `Scan(startRow, stopRow)` region-skip analog —
+                  SURVEY §4's production-bridge row), and surviving
+                  files push the range into the pyarrow read as a
+                  row-group filter. Footers are KB-sized metadata; a
+                  production bridge would read the ranges from the
+                  snapshot manifest instead of per-file footers, same
+                  planning shape.
+      key_col     rowkey column for `key_range` (default `event_id`)
     """
 
     @classmethod
@@ -70,24 +81,62 @@ class SnapshotReader(DataSourceReader):
             raise ValueError("hbase_snapshot source requires a 'path' option")
         wanted = options.get("partitions")
         self.wanted = set(wanted.split(",")) if wanted else None
+        kr = options.get("key_range")
+        if kr:
+            lo, hi = kr.split(":", 1)
+            self.key_range: tuple | None = (int(lo), int(hi))
+        else:
+            self.key_range = None
+        self.key_col = options.get("key_col", "event_id")
+
+    def _file_overlaps(self, path: str) -> bool:
+        """Planning-time split filter: footer column stats only — no
+        data pages are read for a skipped file. Conservative on
+        missing/NULL-only stats (keep the file; the row-level filter
+        still applies)."""
+        import pyarrow.parquet as pq
+
+        lo, hi = self.key_range
+        md = pq.read_metadata(path)
+        names = md.schema.names
+        if self.key_col not in names:
+            return True
+        ci = names.index(self.key_col)
+        fmin = fmax = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return True  # stats unavailable -> cannot prove skip
+            fmin = st.min if fmin is None else min(fmin, st.min)
+            fmax = st.max if fmax is None else max(fmax, st.max)
+        if fmin is None:
+            return True
+        return not (fmax < lo or fmin > hi)
 
     def partitions(self) -> list[SnapshotPartition]:
         """One split per partition dir — the region/HFile-group analog.
 
-        Pruning: requested partition values never reach the I/O layer,
-        mirroring TableSnapshotInputFormat skipping regions outside the
-        scan's rowkey range.
+        Pruning: requested partition values AND rowkey ranges never
+        reach the I/O layer, mirroring TableSnapshotInputFormat
+        skipping regions outside the scan's rowkey range.
         """
+        dirs = sorted(glob.glob(os.path.join(self.root, "event_type=*")))
+        if not dirs:
+            raise FileNotFoundError(f"no snapshot partitions under {self.root}")
         parts = []
-        for d in sorted(glob.glob(os.path.join(self.root, "event_type=*"))):
+        for d in dirs:
             value = os.path.basename(d).split("=", 1)[1]
             if self.wanted is not None and value not in self.wanted:
                 continue
             files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+            if self.key_range is not None:
+                files = [f for f in files if self._file_overlaps(f)]
             if files:
                 parts.append(SnapshotPartition(value, files))
         if not parts:
-            raise FileNotFoundError(f"no snapshot partitions under {self.root}")
+            # every split pruned: one empty split (a zero-length
+            # partitions list is ambiguous across API versions)
+            parts.append(SnapshotPartition("", []))
         return parts
 
     def read(self, partition: SnapshotPartition) -> Iterator:
@@ -97,8 +146,23 @@ class SnapshotReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         cols = [f.name for f in self.schema.fields if f.name != "event_type"]
+        filters = None
+        if self.key_range is not None:
+            lo, hi = self.key_range
+            # row-group + row-level enforcement of the scan range (the
+            # split skip above is only file-granular); NULL keys are
+            # excluded, matching Scan(start, stop) semantics
+            filters = [(self.key_col, ">=", lo), (self.key_col, "<=", hi)]
+        # hive layout spells a NULL partition value as the default
+        # token; surface it back as SQL NULL exactly like
+        # spark.read.parquet does
+        part_value = (
+            None
+            if partition.part_value == "__HIVE_DEFAULT_PARTITION__"
+            else partition.part_value
+        )
         for path in partition.files:
-            table = pq.read_table(path, columns=cols)
+            table = pq.read_table(path, columns=cols, filters=filters)
             # Spark writes INT96 timestamps which pyarrow surfaces as
             # ns; Spark's Arrow bridge only accepts us — truncate.
             for i, field in enumerate(table.schema):
@@ -110,7 +174,7 @@ class SnapshotReader(DataSourceReader):
             # stores it only in the directory name)
             n = table.num_rows
             table = table.append_column(
-                "event_type", pa.array([partition.part_value] * n, pa.string())
+                "event_type", pa.array([part_value] * n, pa.string())
             )
             yield from table.to_batches(max_chunksize=8192)
 

@@ -1460,3 +1460,60 @@ def test_unicode_normalize_arrow_and_pruned(spark, sf_dir):
     assert shuffle_count(df) == 0, plan
     rs = read_schema(df)
     assert "text" in rs and "lang" not in rs and "n_chars" not in rs, rs
+
+
+def test_snapshot_keyrange_prunes_splits_at_planning_time(spark, sf_dir, tmp_path):
+    """The DSv2 snapshot source's `key_range` must drop non-overlapping
+    files BEFORE any data I/O (SURVEY §4 production-bridge row): with
+    the export range-partitioned on event_id into 8 key spans, a
+    300-key scan range can overlap at most a couple of spans, so the
+    planner must open strictly fewer files than the full snapshot —
+    decided from footer stats alone."""
+    from pyspark.sql import functions as F
+
+    from snapshot_s3_util_spark.io import load_table
+    from snapshot_s3_util_spark.sources.snapshot_source import SnapshotReader
+
+    out = str(tmp_path / "snap")
+    (
+        load_table(spark, sf_dir, "events")
+        .repartitionByRange(8, "event_id")
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    schema = spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, user_id bigint, "
+        "value double, props string, event_type string"
+    ).schema
+
+    def n_files(opts):
+        return sum(
+            len(p.files) for p in SnapshotReader(schema, opts).partitions()
+        )
+
+    total = n_files({"path": out})
+    pruned = n_files({"path": out, "key_range": "150:449"})
+    assert total >= 8, total  # 8 key spans exist (x partition dirs)
+    assert 0 < pruned < total / 2, (pruned, total)
+
+    # and the pruned read returns exactly the in-range rows
+    from snapshot_s3_util_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    got = (
+        spark.read.format("hbase_snapshot")
+        .option("path", out)
+        .option("key_range", "150:449")
+        .load()
+        .count()
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id").between(150, 449))
+        .count()
+    )
+    assert got == want, (got, want)
