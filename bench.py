@@ -23,6 +23,10 @@ each round — bench.py never writes it, so local iteration runs can't
 clobber the round-over-round baseline.
 
 Timing excludes session init (BASELINE.md excludes it too).
+
+Regression gate: tests/test_bench_gate.py fails CI when any
+`vs_prev_normalized` in the committed BENCH_DETAIL.json exceeds 1.25
+without the query being adjudicated by name in SCALE.md.
 """
 
 from __future__ import annotations

@@ -885,3 +885,200 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ham.filter(F.col("hamming") <= _AHASH_MAX_HAMMING)
+
+
+# --- DCT pHash near-dup (round 9: r8 verdict ask #7) -----------------
+#
+# aHash thresholds raw cells against the mean, so a uniform brightness
+# shift flips many bits at once.  pHash thresholds LOW-FREQUENCY DCT
+# coefficients instead: a +c shift moves only the DC term (every AC
+# basis vector sums to zero), so the 63 AC bits are brightness-shift
+# INVARIANT by construction.  Both ops stay registered — aHash is the
+# oracle-parity tier, pHash the robust tier.
+#
+# The DCT here is EXACT INTEGER arithmetic: cos(pi*m/16) scaled by 1e5
+# and rounded once into a shared 32-entry table that is embedded
+# literally in BOTH engines.  A float DCT would hang each bit on
+# `coef > mean` with libm-dependent ulps on either side — the one
+# construction the hash comparison cannot tolerate.  Magnitudes:
+# |coef| <= 255 * 1e10 * 64 ~= 1.6e14, and the threshold product
+# 63*|coef| ~= 1e16 — both comfortably inside int64.
+
+_PHASH_BYTES = 64          # 8x8 "thumbnail" from the payload prefix
+_PHASH_BANDS = 4           # 4 bands x 16 bits
+_PHASH_MAX_HAMMING = 6
+_DCT_SCALE = 100_000
+
+import math as _math
+
+_DCT_T = [round(_DCT_SCALE * _math.cos(_math.pi * m / 16)) for m in range(32)]
+
+_PHASH_CTES = f"""consts AS MATERIALIZED (
+  SELECT {_DCT_T}::BIGINT[] AS t
+),
+px AS MATERIALIZED (
+  SELECT doc_id, u.i - 1 AS idx,
+         CASE WHEN u.i <= OCTET_LENGTH(ENCODE(text))
+              THEN CAST(('0x' || SUBSTR(HEX(ENCODE(text)),
+                                        CAST(2 * u.i - 1 AS INT), 2))
+                        AS BIGINT)
+              ELSE 0
+         END AS v
+  FROM documents, UNNEST(range(1, {_PHASH_BYTES} + 1)) AS u(i)
+  WHERE text IS NOT NULL
+),
+freq AS MATERIALIZED (
+  -- X[u,v] = sum_px v * cosT[(2x+1)u] * cosT[(2y+1)v], x=idx%8 y=idx//8
+  SELECT p.doc_id, f.fu, f.fv,
+         SUM(p.v * c.t[((2 * (p.idx % 8) + 1) * f.fu) % 32 + 1]
+                 * c.t[((2 * (p.idx // 8) + 1) * f.fv) % 32 + 1]) AS coef
+  FROM px p,
+       (SELECT uu.fu, vv.fv
+        FROM UNNEST(range(8)) AS uu(fu), UNNEST(range(8)) AS vv(fv)) f,
+       consts c
+  GROUP BY p.doc_id, f.fu, f.fv
+),
+acsum AS MATERIALIZED (
+  SELECT doc_id,
+         SUM(CASE WHEN fu = 0 AND fv = 0 THEN 0 ELSE coef END) AS s
+  FROM freq GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  -- bitpos = fu*8+fv; DC (bitpos 0) is a constant 0 bit
+  SELECT fr.doc_id, CAST((fr.fu * 8 + fr.fv) // 16 AS INT) AS band,
+         CAST(SUM(CASE WHEN (fr.fu = 0 AND fr.fv = 0) THEN 0
+                       WHEN 63 * fr.coef > a.s THEN 1 ELSE 0 END
+                  * POWER(2, 15 - ((fr.fu * 8 + fr.fv) % 16))) AS BIGINT)
+           AS sig
+  FROM freq fr JOIN acsum a ON a.doc_id = fr.doc_id
+  GROUP BY fr.doc_id, (fr.fu * 8 + fr.fv) // 16
+)"""
+
+_PHASH_ORACLE = f"""
+WITH {_PHASH_CTES},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(SUM(BIT_COUNT(XOR(ba.sig, bb.sig))) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN bands ba ON ba.doc_id = c.doc_a
+  JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band = ba.band
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, hamming
+FROM ham WHERE hamming <= {_PHASH_MAX_HAMMING}
+"""
+
+
+def _phash_matrix():
+    """64x64 int64 matrix M[bitpos, idx] with
+    M = cosT[(2x+1)u] * cosT[(2y+1)v], bitpos = u*8+v, idx = y*8+x —
+    one exact-integer matmul per thumbnail batch."""
+    import numpy as np
+
+    t = _DCT_T
+    m = np.empty((64, 64), dtype=np.int64)
+    for u in range(8):
+        for v in range(8):
+            for y in range(8):
+                for x in range(8):
+                    m[u * 8 + v, y * 8 + x] = (
+                        t[((2 * x + 1) * u) % 32] * t[((2 * y + 1) * v) % 32]
+                    )
+    return m
+
+
+@register("multimodal_phash_dedup", oracle=_PHASH_ORACLE,
+          category="multimodal")
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual-hash near-duplicate detection — the
+    brightness-robust upgrade of `multimodal_ahash_dedup` (see the
+    module comment above: AC bits are shift-invariant because every AC
+    basis vector sums to zero; the DCT runs in exact int64 so both
+    engines compute bit-identical hashes).  Same banded discipline:
+    {_PHASH_BANDS} bands x 16 bits, candidates from ONE (band, sig)
+    equi-join, exact popcount verify on candidates only, pairs kept at
+    Hamming <= {_PHASH_MAX_HAMMING}.  Recall contract matches the
+    simhash/aHash family: lossless below {_PHASH_BANDS} flips,
+    best-effort to the verify threshold.
+
+    Plan: the per-doc transform is one 64x64 int matmul inside
+    Arrow-batched `mapInPandas` (numpy over the whole batch — no
+    per-pixel Python loop); everything after the signature rows is the
+    aHash plan: bucket-bounded band join, candidate-only verify. At
+    100 TB signature storage is 8 bytes/band and the band join is the
+    only data-sized shuffle.
+    """
+    import numpy as np
+
+    mat = _phash_matrix().T  # idx x bitpos for thumbs @ mat
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs, thumbs = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL text: no signature, never a candidate
+                buf = payload[:_PHASH_BYTES]
+                buf = buf + b"\x00" * (_PHASH_BYTES - len(buf))
+                docs.append(doc_id)
+                thumbs.append(np.frombuffer(buf, dtype=np.uint8))
+            if not docs:
+                yield pd.DataFrame({"doc_id": [], "band": [], "sig": []})
+                continue
+            tm = np.stack(thumbs).astype(np.int64)          # n x 64
+            coefs = tm @ mat                                 # n x 64 bitpos
+            ac = coefs.sum(axis=1) - coefs[:, 0]             # DC at bitpos 0
+            bits = (63 * coefs > ac[:, None]).astype(np.int64)
+            bits[:, 0] = 0                                   # DC bit pinned
+            weights = np.int64(1) << (15 - np.arange(64) % 16)
+            out = {"doc_id": [], "band": [], "sig": []}
+            for k in range(_PHASH_BANDS):
+                sl = slice(16 * k, 16 * (k + 1))
+                sigs = (bits[:, sl] * weights[sl]).sum(axis=1)
+                out["doc_id"].extend(docs)
+                out["band"].extend([k] * len(docs))
+                out["sig"].extend(sigs.tolist())
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    bands = d.mapInPandas(phash, schema="doc_id long, band int, sig long")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", F.col("sig").alias("sig_a")
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", F.col("sig").alias("sig_b")
+    )
+    ham = (
+        cand.join(ba, "doc_a")
+        .join(bb, ["doc_b", "band"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            )
+            .cast("bigint")
+            .alias("hamming")
+        )
+    )
+    return ham.filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
