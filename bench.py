@@ -102,9 +102,15 @@ def main() -> None:
 
     calib = _calibration_sec(spark, sf_dir)
 
+    from snapshot_s3_util_spark.session import clear_persistent_rdds
+
     times: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     for q in BENCH_QUERIES:
+        # drop the previous query's checkpoint spines so BlockManager
+        # storage stays flat across the 28-query sweep (each run builds
+        # its own spine; timing semantics are unchanged)
+        clear_persistent_rdds(spark)
         # TWO warm-up runs, then median of _TIMED_RUNS timed runs per
         # query (warming everything first and timing afterwards
         # measures GC debt of the heaviest warm-up, not the query).

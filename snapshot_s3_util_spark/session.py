@@ -74,3 +74,24 @@ def get_spark(app_name: str = "snapshot-s3-util-spark",
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return ensure_conf(spark)
+
+
+def clear_persistent_rdds(spark: SparkSession) -> int:
+    """Unpersist every persisted RDD; returns how many were dropped.
+
+    The rank/dedup helpers pin partitioner decisions with
+    `localCheckpoint(eager=False)` spines (plans/rank.py), and each
+    materialization leaves its block set in the BlockManager until the
+    JVM garbage-collects the plan — measured: +1 persistent RDD per
+    run, unbounded across a 365-op sweep. HARNESS-ONLY: call between
+    queries, after results are materialized; unpersisting a
+    lineage-truncated RDD that a live DataFrame still needs would make
+    that frame unreadable (localCheckpoint cannot recompute)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    rdds = list(jmap.values())
+    for rdd in rdds:
+        try:
+            rdd.unpersist()
+        except Exception:
+            pass  # already cleaned by the ContextCleaner — fine
+    return len(rdds)

@@ -56,7 +56,21 @@ class HBaseSnapshotDataSource(DataSource):
                   snapshot manifest instead of per-file footers, same
                   planning shape.
       key_col     rowkey column for `key_range` (default `event_id`)
+      columns     optional comma-separated column subset — the
+                  column-family projection analog (SURVEY §4's "CF
+                  pruning"): unselected columns never reach the
+                  pyarrow decode, not merely dropped post-scan. The
+                  partition column rides along only if requested.
     """
+
+    _FULL_SCHEMA = (
+        ("event_id", "bigint"),
+        ("ts", "timestamp"),
+        ("user_id", "bigint"),
+        ("value", "double"),
+        ("props", "string"),
+        ("event_type", "string"),
+    )
 
     @classmethod
     def name(cls) -> str:
@@ -64,10 +78,15 @@ class HBaseSnapshotDataSource(DataSource):
 
     def schema(self) -> str:
         # events schema after canonical load, partition column last
-        return (
-            "event_id bigint, ts timestamp, user_id bigint, "
-            "value double, props string, event_type string"
-        )
+        cols = self.options.get("columns")
+        fields = self._FULL_SCHEMA
+        if cols:
+            want = [c.strip() for c in cols.split(",")]
+            bad = [c for c in want if c not in dict(fields)]
+            if bad:
+                raise ValueError(f"unknown snapshot columns: {bad}")
+            fields = [f for f in fields if f[0] in want]
+        return ", ".join(f"{n} {t}" for n, t in fields)
 
     def reader(self, schema: StructType) -> "SnapshotReader":
         return SnapshotReader(schema, self.options)
@@ -146,6 +165,7 @@ class SnapshotReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         cols = [f.name for f in self.schema.fields if f.name != "event_type"]
+        want_part_col = any(f.name == "event_type" for f in self.schema.fields)
         filters = None
         if self.key_range is not None:
             lo, hi = self.key_range
@@ -172,10 +192,11 @@ class SnapshotReader(DataSourceReader):
                     )
             # re-attach the partition value as a column (hive layout
             # stores it only in the directory name)
-            n = table.num_rows
-            table = table.append_column(
-                "event_type", pa.array([part_value] * n, pa.string())
-            )
+            if want_part_col:
+                n = table.num_rows
+                table = table.append_column(
+                    "event_type", pa.array([part_value] * n, pa.string())
+                )
             yield from table.to_batches(max_chunksize=8192)
 
 

@@ -82,6 +82,14 @@ def test_sort_multi_has_no_single_partition_window(spark, sf_dir):
     for line in plan.splitlines():
         if "Window [" in line:
             assert ", [], [" not in line, line
+    # r9 fast path: the main side must carry ZERO post-spine exchanges
+    # — every visible Exchange belongs to the npart-row ledger (keyed
+    # on the helper's internal _grn columns), never to the data rows.
+    # (The one data-sized range exchange lives inside the checkpointed
+    # spine, upstream of the Scan ExistingRDD.)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "_grn_" in line or "_w1" in line, line
 
 
 def test_q3_uses_take_ordered(spark, sf_dir):
@@ -1517,3 +1525,52 @@ def test_snapshot_keyrange_prunes_splits_at_planning_time(spark, sf_dir, tmp_pat
         .count()
     )
     assert got == want, (got, want)
+
+
+def test_snapshot_source_column_projection_never_decodes_unselected(
+    spark, sf_dir, tmp_path
+):
+    """The `columns` option is the CF-projection analog: the narrowed
+    schema reaches the pyarrow read as its column list, so unselected
+    columns are never decoded (not merely dropped post-scan), and the
+    partition column is materialized only when requested."""
+    from pyspark.sql import functions as F
+
+    from snapshot_s3_util_spark.io import load_table
+    from snapshot_s3_util_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    out = str(tmp_path / "snap")
+    (
+        load_table(spark, sf_dir, "events")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    register_snapshot_source(spark)
+    narrow = (
+        spark.read.format("hbase_snapshot")
+        .option("path", out)
+        .option("columns", "event_id,user_id")
+        .load()
+    )
+    assert narrow.columns == ["event_id", "user_id"]
+    want = load_table(spark, sf_dir, "events").count()
+    assert narrow.count() == want
+    got_sum = narrow.agg(F.sum("user_id")).collect()[0][0]
+    want_sum = (
+        load_table(spark, sf_dir, "events").agg(F.sum("user_id")).collect()[0][0]
+    )
+    assert got_sum == want_sum
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unknown snapshot columns"):
+        (
+            spark.read.format("hbase_snapshot")
+            .option("path", out)
+            .option("columns", "event_id,nope")
+            .load()
+            .collect()
+        )

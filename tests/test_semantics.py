@@ -6099,3 +6099,36 @@ def test_band_configs_unique_and_factor_exactly():
     assert len(set(_BAND_CONFIGS)) == len(_BAND_CONFIGS)
     assert len({r for _, r in _BAND_CONFIGS}) == len(_BAND_CONFIGS)
     assert all(b * r == MINHASH_K for b, r in _BAND_CONFIGS)
+
+
+def test_phash_ac_bits_are_brightness_shift_invariant():
+    """The pHash design claim (SCALE.md round 9): a uniform brightness
+    shift moves only the DC coefficient — every AC basis vector sums to
+    zero — so the 63 AC hash bits are identical for thumb and thumb+c
+    (no clipping). aHash, by contrast, flips bits under the same shift
+    whenever cells straddle the moving mean."""
+    import numpy as np
+
+    from snapshot_s3_util_spark.llm.multimodal import _phash_matrix
+
+    mat = _phash_matrix().T
+
+    def sig_bits(thumb):
+        coefs = thumb.astype(np.int64) @ mat
+        ac = coefs.sum() - coefs[0]
+        bits = (63 * coefs > ac).astype(np.int64)
+        bits[0] = 0
+        return bits
+
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        base = rng.randint(0, 200, size=64)  # headroom: +40 cannot clip
+        for c in (1, 17, 40):
+            assert (sig_bits(base) == sig_bits(base + c)).all(), c
+
+    # sanity: the matrix's AC rows really do sum to zero (the invariance
+    # mechanism, not just its consequence)
+    m = _phash_matrix()
+    row_sums = m.sum(axis=1)
+    assert row_sums[0] != 0  # DC row sums to 64 * scale^2
+    assert (row_sums[1:] == 0).all()

@@ -90,8 +90,14 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
         )
 
+    from snapshot_s3_util_spark.session import clear_persistent_rdds
+
     failures = []
     for name in names:
+        # drop the PREVIOUS op's checkpoint spines (results are already
+        # in Python rows) — a 365-op sweep otherwise accumulates one
+        # block set per spine op for the session's lifetime
+        clear_persistent_rdds(spark)
         t0 = time.perf_counter()
         try:
             df = qs[name](spark, args.sf)

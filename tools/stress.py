@@ -223,9 +223,12 @@ def _materialize(df) -> None:
 def measure(spark, ops, sf_dir: str) -> dict[str, dict]:
     import snapshot_s3_util_spark as engine
 
+    from snapshot_s3_util_spark.session import clear_persistent_rdds
+
     app_id = spark.sparkContext.applicationId
     out: dict[str, dict] = {}
     for name in ops:
+        clear_persistent_rdds(spark)  # previous op's checkpoint spines
         fn = engine.REGISTRY[name].fn
         for _ in range(2):  # two warm-ups: Arrow worker-pool ramp (bench.py note)
             _materialize(fn(spark, sf_dir))
