@@ -254,26 +254,10 @@ def measure(spark, ops, sf_dir: str) -> dict[str, dict]:
     return out
 
 
-def _write_report(base_r, stress_r, mult: int, base: str, out_dir: str) -> None:
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STRESS.md"
-    )
+def _tier_section(base_r, stress_r, mult: int):
+    """Markdown lines for one tier's table + its footnotes."""
     lines = [
-        "# STRESS — measured scale growth of the heavy-op set\n",
-        f"\nGenerated by `python tools/stress.py --mult {mult} --report`: "
-        f"sf0.1 (`{base}`) vs a {mult}x tier built by replica union with "
-        "id offsets and per-replica token salting (constant workload "
-        "density — see the tool docstring for why that is the honest "
-        "construction).\n",
-        f"\nPass bar: wall and shuffle growth ≈ {mult}x (linear). "
-        "`max stage shuffle` bounds the biggest single exchange.\n",
-        "\nWall = full JVM-side materialization through the noop sink "
-        "(round-9 methodology fix). Rounds 7-8 timed `.collect()`, "
-        "which at stress scale measured the harness — cPickle of "
-        "millions of result rows into one Python driver process — not "
-        "the engine (sort_multi 30x: ~47 s collect vs ~10 s noop; "
-        "sessionize_batch: ~26 s vs ~1.6 s). Do not compare wall "
-        "columns across that boundary; shuffle bytes are unaffected.\n",
+        f"\n## {mult}x tier\n",
         "\n| op | wall sf0.1 | wall stress | growth | shuffle/run sf0.1 "
         "| shuffle/run stress | growth | max stage shuffle (stress) |\n"
         "|---|---:|---:|---:|---:|---:|---:|---:|\n",
@@ -320,6 +304,61 @@ def _write_report(base_r, stress_r, mult: int, base: str, out_dir: str) -> None:
             "stage rows). The salt is the price of holding duplicate "
             "structure constant across replicas.\n"
         )
+    return lines
+
+
+def _write_report(base_r, tier_results, base: str) -> None:
+    """tier_results: list of (mult, results) ascending by mult."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STRESS.md"
+    )
+    mults = [m for m, _ in tier_results]
+    lines = [
+        "# STRESS — measured scale growth of the heavy-op set\n",
+        f"\nGenerated by `python tools/stress.py --tiers "
+        f"{','.join(map(str, mults))} --report`: sf0.1 (`{base}`) vs "
+        "tiers built by replica union with id offsets and per-replica "
+        "token salting (constant workload density — see the tool "
+        "docstring for why that is the honest construction).\n",
+        "\nPass bar per tier: wall and shuffle growth ≈ mult "
+        "(linear). `max stage shuffle` bounds the biggest single "
+        "exchange.\n",
+        "\nWall = full JVM-side materialization through the noop sink "
+        "(round-9 methodology fix). Rounds 7-8 timed `.collect()`, "
+        "which at stress scale measured the harness — cPickle of "
+        "millions of result rows into one Python driver process — not "
+        "the engine (sort_multi 30x: ~47 s collect vs ~10 s noop; "
+        "sessionize_batch: ~26 s vs ~1.6 s). Do not compare wall "
+        "columns across that boundary; shuffle bytes are unaffected.\n",
+    ]
+    for mult, res in tier_results:
+        lines += _tier_section(base_r, res, mult)
+    if len(tier_results) >= 2:
+        (m_lo, r_lo), (m_hi, r_hi) = tier_results[0], tier_results[-1]
+        ratio = m_hi / m_lo
+        lines += [
+            f"\n## Lever-arm linearity ({m_lo}x → {m_hi}x)\n",
+            "\nThe second lever arm separates linear from quadratic "
+            "growth that a single tier cannot: if shuffle were "
+            "quadratic in data size, this column would read "
+            f"~{ratio * ratio:.0f}x; linear plans read ~{ratio:.0f}x. "
+            "Ops whose small tier rounds to 0 B (broadcast regime) are "
+            "marked n/a.\n",
+            f"\n| op | shuffle/run {m_lo}x | shuffle/run {m_hi}x | "
+            f"ratio (linear ≈ {ratio:.0f}x) |\n|---|---:|---:|---:|\n",
+        ]
+        for name in r_lo:
+            lo = r_lo[name]["shuffle_write_bytes_per_run"]
+            hi = r_hi[name]["shuffle_write_bytes_per_run"]
+            if not lo:
+                rt = "n/a (broadcast at small tier)"
+            else:
+                rt = f"{hi / lo:.1f}x"
+                if hi / lo > ratio * 10:
+                    rt += " (strategy flip between tiers — see [^flip])"
+                elif hi / lo > ratio * 1.25 and name.startswith("llm_dedup"):
+                    rt += " (salt width differs per tier — see [^salt])"
+            lines.append(f"| `{name}` | {lo:,d} B | {hi:,d} B | {rt} |\n")
     with open(path, "w") as fh:
         fh.writelines(lines)
     print(f"wrote {path}")
@@ -337,6 +376,13 @@ def main() -> int:
     )
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("--report", action="store_true", help="write STRESS.md")
+    ap.add_argument(
+        "--tiers",
+        default=None,
+        help="comma-separated tier multipliers (e.g. 10,30); each tier "
+        "lives at <out><mult>/ and the report carries one section per "
+        "tier plus the lever-arm linearity table. Overrides --mult.",
+    )
     ap.add_argument("ops", nargs="*")
     args = ap.parse_args()
 
@@ -346,27 +392,37 @@ def main() -> int:
     engine.load_all_operators()
     ops = args.ops or list(STRESS_OPS)
 
-    if args.rebuild and os.path.exists(args.out):
-        shutil.rmtree(args.out)
-    if not os.path.exists(os.path.join(args.out, "documents.parquet")):
-        print(f"building {args.mult}x tier at {args.out} ...", flush=True)
-        build_tier(spark, args.base, args.out, args.mult)
+    if args.tiers:
+        mults = sorted(int(m) for m in args.tiers.split(","))
+        tier_dirs = [(m, f"{args.out}{m}") for m in mults]
+    else:
+        tier_dirs = [(args.mult, args.out)]
+
+    for mult, out in tier_dirs:
+        if args.rebuild and os.path.exists(out):
+            shutil.rmtree(out)
+        if not os.path.exists(os.path.join(out, "documents.parquet")):
+            print(f"building {mult}x tier at {out} ...", flush=True)
+            build_tier(spark, args.base, out, mult)
 
     base_r = measure(spark, ops, args.base)
-    stress_r = measure(spark, ops, args.out)
+    tier_results = [(mult, measure(spark, ops, out)) for mult, out in tier_dirs]
     if args.report:
-        _write_report(base_r, stress_r, args.mult, args.base, args.out)
+        _write_report(base_r, tier_results, args.base)
 
-    bad = [
-        n
-        for n in ops
-        if stress_r[n]["wall_sec"] > base_r[n]["wall_sec"] * args.mult * 1.5
-    ]
-    if bad:
-        print(f"SUPER-LINEAR growth (> {args.mult}x * 1.5): {bad}")
-        return 1
-    print("all ops within the linear-growth bar")
-    return 0
+    rc = 0
+    for mult, res in tier_results:
+        bad = [
+            n
+            for n in ops
+            if res[n]["wall_sec"] > base_r[n]["wall_sec"] * mult * 1.5
+        ]
+        if bad:
+            print(f"SUPER-LINEAR growth at {mult}x (> {mult}x * 1.5): {bad}")
+            rc = 1
+    if rc == 0:
+        print("all ops within the linear-growth bar")
+    return rc
 
 
 if __name__ == "__main__":
