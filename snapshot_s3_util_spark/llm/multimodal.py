@@ -23,6 +23,7 @@ split honestly by modality:
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -909,9 +910,7 @@ _PHASH_BANDS = 4           # 4 bands x 16 bits
 _PHASH_MAX_HAMMING = 6
 _DCT_SCALE = 100_000
 
-import math as _math
-
-_DCT_T = [round(_DCT_SCALE * _math.cos(_math.pi * m / 16)) for m in range(32)]
+_DCT_T = [round(_DCT_SCALE * math.cos(math.pi * m / 16)) for m in range(32)]
 
 _PHASH_CTES = f"""consts AS MATERIALIZED (
   SELECT {_DCT_T}::BIGINT[] AS t
