@@ -17,7 +17,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -140,4 +142,220 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- transformWithStateInPandas (Spark 4 stateful API) -----------------
+
+_TWS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("top3_sum", DoubleType()),
+        StructField("top_value", DoubleType()),
+    ]
+)
+
+
+class _TopKProcessor(StatefulProcessor):
+    """StatefulProcessor: per-user running top-3 of `value`.
+
+    Demonstrates BOTH state primitives the new API adds over
+    applyInPandasWithState's single opaque tuple: a ValueState row
+    counter and a ListState holding the current top-3 values. NULL
+    values count toward n_events but never enter the top list (the
+    oracle mirrors this: SUM/MAX ignore NULL, NULLS LAST ranks them
+    out of the top-3 window).
+    """
+
+    def init(self, handle) -> None:
+        self._n = handle.getValueState("n", "n BIGINT")
+        self._top = handle.getListState("top", "v DOUBLE")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n = self._n.get()[0] if self._n.exists() else 0
+        top = [t[0] for t in self._top.get()] if self._top.exists() else []
+        for pdf in rows:
+            n += len(pdf)
+            vals = pdf["value"].dropna().tolist()
+            if vals:
+                # keep the 3 LARGEST values seen so far; sum over the
+                # resulting multiset is tie-order invariant
+                top = sorted(top + vals, reverse=True)[:3]
+        self._n.update((n,))
+        self._top.put([(v,) for v in top])
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "top3_sum": [sum(top) if top else None],
+                "top_value": [top[0] if top else None],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def _tws_runtime_available() -> bool:
+    """The TransformWithStateInPySpark runner needs `google.protobuf`
+    (its state-server wire protocol is proto-encoded); the sandbox
+    image ships pyspark without it. Honest guard, same discipline as
+    the PIL codec guard in llm/multimodal.py: the TWS path is the code
+    we'd run in production, the fallback below keeps the identical
+    semantics testable here."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except (ImportError, ModuleNotFoundError, ValueError):
+        return False
+
+
+_TWS_FALLBACK_STATE = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("top", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _topk_update_fallback(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """applyInPandasWithState twin of _TopKProcessor: one state tuple
+    (n_events, top-3 array) instead of two named primitives — the
+    exact same fold, so the emitted rows are bit-identical."""
+    if state.exists:
+        n, top = state.get
+        top = list(top) if top is not None else []
+    else:
+        n, top = 0, []
+    for pdf in pdfs:
+        n += len(pdf)
+        vals = pdf["value"].dropna().tolist()
+        if vals:
+            top = sorted(top + vals, reverse=True)[:3]
+    state.update((n, top))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "top3_sum": [sum(top) if top else None],
+            "top_value": [top[0] if top else None],
+        }
+    )
+
+
+@register(
+    "stream_tws_user_topk",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value) FILTER (WHERE rk <= 3), 4) AS top3_sum,
+           MAX(value) AS top_value
+    FROM (SELECT user_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC NULLS LAST) AS rk
+          FROM events)
+    GROUP BY user_id
+    """,
+    category="streaming",
+)
+def stream_tws_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running top-3 values via `transformWithStateInPandas` —
+    the Spark 4 stateful API (SPARK-49564 "transformWithState"): a
+    StatefulProcessor object with named, independently-evolvable state
+    primitives (ValueState + ListState here) instead of
+    applyInPandasWithState's single state tuple.
+
+    Scale shape: state per key is O(1) (a counter + ≤3 doubles), keyed
+    by user_id, so the state store partitions exactly like the shuffle;
+    at 100 TB the per-key top-k pattern is how leaderboards / extreme-
+    value monitors run without any global sort. TWS requires the
+    RocksDB state store (set around the query, restored after): disk-
+    backed state with changelog checkpointing is also the right
+    production choice once per-executor state outgrows the heap.
+
+    The final emission per user must equal the batch top-3 aggregate,
+    which the oracle asserts (update-mode: max-n_events row wins).
+
+    Sandbox note: the TWS Python runner requires `google.protobuf`,
+    absent from this image (and installs are off-limits). When absent,
+    the op runs `_topk_update_fallback` — the same fold through
+    applyInPandasWithState — so the state semantics stay oracle-
+    verified here while the TWS path stays the production code.
+    """
+    tmp = tempfile.mkdtemp(prefix="s3u_stream_tws_")
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    use_tws = _tws_runtime_available()
+    try:
+        if use_tws:
+            # TWS requires the RocksDB state store provider (restored
+            # in the finally block; captured per-query at start).
+            spark.conf.set(
+                prov_key,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+        ev = load_table(spark, sf_dir, "events")
+        src = f"{tmp}/src"
+        ev.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        grouped = stream.select("user_id", "value").groupBy("user_id")
+        if use_tws:
+            ranked = grouped.transformWithStateInPandas(
+                statefulProcessor=_TopKProcessor(),
+                outputStructType=_TWS_OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+        else:
+            ranked = grouped.applyInPandasWithState(
+                _topk_update_fallback,
+                outputStructType=_TWS_OUTPUT_SCHEMA,
+                stateStructType=_TWS_FALLBACK_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        from snapshot_s3_util_spark.streaming.stream_ops import _counter
+
+        name = f"s3u_stream_{next(_counter)}"
+        q = (
+            ranked.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        return (
+            spark.table(name)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                "n_events",
+                F.round("top3_sum", 4).alias("top3_sum"),
+                "top_value",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        if use_tws:
+            if prev is None:
+                spark.conf.unset(prov_key)
+            else:
+                spark.conf.set(prov_key, prev)
         shutil.rmtree(tmp, ignore_errors=True)

@@ -710,3 +710,92 @@ def test_geohash_closed_form_equals_bisection(lat, lon):
     assert len(got) == _GH_PRECISION and all(c in _GH_CHARS for c in got)
     assume(lat_q == lat_exact and lon_q == lon_exact)
     assert got == _ref_geohash(lat, lon, _GH_PRECISION)
+
+
+# --- ND_FIELD NULL-distinct encoding (fn_hash salted key, ---------------
+# --- hb_snapshot_manifest row digest; round-9 ADVICE fix) ---------------
+#
+# The encoding claims two load-bearing properties:
+#   1. uniquely decodable (hence injective over tuples of nullable
+#      fields) — proven here by an actual decoder roundtrip, which is
+#      strictly stronger than sampling for collisions;
+#   2. bit-identical between the Spark twin (nd_field_col) and the
+#      DuckDB oracle string (ND_FIELD_SQL) for every Unicode input,
+#      astral planes included (both sides count UTF-8 BYTES).
+
+
+def _nd_model(s):
+    return "N" if s is None else f"V{len(s.encode('utf-8'))}:{s}"
+
+
+def _nd_decode(b: bytes):
+    """Inverse of ':'.join(_nd_model(f) for f in fields), over UTF-8
+    bytes (the length prefix counts bytes, not chars)."""
+    fields, i = [], 0
+    while True:
+        tag = b[i : i + 1]
+        if tag == b"N":
+            fields.append(None)
+            i += 1
+        elif tag == b"V":
+            j = b.index(b":", i + 1)
+            n = int(b[i + 1 : j])
+            i = j + 1 + n
+            fields.append(b[j + 1 : i].decode("utf-8"))
+        else:
+            raise ValueError(f"bad tag {tag!r} at {i}")
+        if i == len(b):
+            return tuple(fields)
+        if b[i : i + 1] != b":":
+            raise ValueError(f"missing separator at {i}")
+        i += 1
+
+
+@given(
+    fields=st.lists(
+        st.one_of(st.none(), st.text(max_size=12)), min_size=1, max_size=5
+    )
+)
+@settings(max_examples=300, deadline=None)
+@example(fields=["", None])          # NULL vs '' must stay distinct
+@example(fields=["a:b", "c"])        # embedded separator
+@example(fields=["aV3:bc", "x"])     # embedded fake tag+length
+@example(fields=["ab", "c:d", None]) # boundary-shift attack material
+def test_nd_field_encoding_roundtrips(fields):
+    enc = ":".join(_nd_model(f) for f in fields)
+    assert _nd_decode(enc.encode("utf-8")) == tuple(fields)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.text(max_size=8)), min_size=1, max_size=8
+    )
+)
+@settings(**_SETTINGS)
+@example(vals=[None, "", "é", "𝄞x", "a:b", "N", "V2:ab"])
+def test_nd_field_spark_duckdb_parity(spark, vals):
+    import duckdb
+    import pyarrow as pa
+
+    from snapshot_s3_util_spark.sql_helpers import ND_FIELD_SQL, nd_field_col
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    got_spark = [
+        r[0]
+        for r in spark.createDataFrame(rows, "i long, v string")
+        .orderBy("i")
+        .select(nd_field_col("v"))
+        .collect()
+    ]
+    t = pa.table({"i": [r[0] for r in rows], "v": [r[1] for r in rows]})
+    con = duckdb.connect()
+    con.register("t", t)
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            "SELECT " + ND_FIELD_SQL.format(col="v") + " FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    model = [_nd_model(v) for v in vals]
+    assert got_spark == model
+    assert got_duck == model

@@ -16,7 +16,13 @@ sf0.1 (the property that makes growth-factor ~N the pass bar):
   while NOTHING matches across replicas — duplicate rate, gram
   frequencies (substring-span cap!), and cluster sizes stay constant
   instead of clusters growing x N (which would quadratically inflate
-  LSH bucket pair mass and measure a different workload).
+  LSH bucket pair mass and measure a different workload). The suffix is
+  FIXED-WIDTH (zero-padded to 3 digits, good to 1000x): a variable-width
+  suffix (rounds 8-9a) made salted replicas at the 30x tier wider than
+  at the 10x tier, which inflated the shuffle-byte lever arm for every
+  shingle-string exchange (~4.7x where linear reads 3.0x) and needed a
+  footnote. With a fixed width, per-replica bytes are tier-invariant:
+  tier shuffle = s_base + (mult-1) * s_salted, affine-linear in mult.
 - embeddings: id offset only; probes are id-bounded (vec_id <
   N_PROBES), so probe count stays fixed and ANN candidate work grows
   ~linearly with the corpus.
@@ -111,11 +117,19 @@ def build_tier(spark, base: str, out: str, mult: int) -> None:
     os.makedirs(out, exist_ok=True)
 
     def replicate(table: str, transform):
+        # One plan regardless of mult (a 100-way union of per-replica
+        # transforms bloats Catalyst): broadcast-crossJoin a replica-id
+        # range and express the per-replica transform over the _rk
+        # column. Each source row appears once per replica, exactly as
+        # the old union did.
         src = spark.read.parquet(os.path.join(base, f"{table}.parquet"))
-        parts = [transform(src, k) for k in range(mult)]
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionAll(p)
+        reps = spark.range(mult).select(F.col("id").alias("_rk"))
+        # One output file per replica (what the old union's write tasks
+        # produced): without this the narrow crossJoin plan writes ONE
+        # file per table and the measured scans lose their parallelism.
+        # Before transform() — some table transforms select _rk away.
+        wide = src.crossJoin(F.broadcast(reps)).repartitionByRange(mult, "_rk")
+        df = transform(wide).drop("_rk")
         dst = os.path.join(out, f"{table}.parquet")
         df.write.mode("overwrite").parquet(dst + ".dir")
         # load_table expects a single-path parquet layout; a directory
@@ -126,51 +140,60 @@ def build_tier(spark, base: str, out: str, mult: int) -> None:
             shutil.rmtree(dst) if os.path.isdir(dst) else os.remove(dst)
         os.rename(dst + ".dir", dst)
 
-    n_docs = spark.read.parquet(os.path.join(base, "documents.parquet")).count()
+    rk = F.col("_rk")
+
+    def offset(col: str, stride: int, schema):
+        # Keep the tier schema byte-identical to sf0.1 (int arithmetic
+        # with the bigint _rk promotes; cast back — no id overflows
+        # int32 below mult=1000 at sf0.1 cardinalities).
+        return (F.col(col) + rk * F.lit(stride)).cast(schema[col].dataType).alias(col)
+
+    # Fixed-width salt: tier-invariant per-replica bytes (see module
+    # docstring). Replica 0 stays byte-identical to sf0.1.
+    salt = F.lpad(rk.cast("string"), 3, "0")
+
+    docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
+    n_docs = docs.count()
     replicate(
         "documents",
-        lambda d, k: d.select(
-            (F.col("doc_id") + F.lit(k * n_docs)).alias("doc_id"),
-            (
-                F.col("text")
-                if k == 0
-                else F.array_join(
-                    F.transform(
-                        F.split("text", " "), lambda x: F.concat(x, F.lit(str(k)))
-                    ),
+        lambda d: d.select(
+            offset("doc_id", n_docs, docs.schema),
+            F.when(rk == 0, F.col("text"))
+            .otherwise(
+                F.array_join(
+                    F.transform(F.split("text", " "), lambda x: F.concat(x, salt)),
                     " ",
                 )
-            ).alias("text"),
+            )
+            .alias("text"),
             "lang",
             "source",
             "n_chars",
         ),
     )
-    n_vec = spark.read.parquet(os.path.join(base, "embeddings.parquet")).count()
+    emb = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
+    n_vec = emb.count()
     replicate(
         "embeddings",
-        lambda d, k: d.select(
-            (F.col("vec_id") + F.lit(k * n_vec)).alias("vec_id"),
+        lambda d: d.select(
+            offset("vec_id", n_vec, emb.schema),
             "embedding",
             "label",
         ),
     )
-    n_ord = (
-        spark.read.parquet(os.path.join(base, "orders.parquet"))
-        .agg(F.max("o_orderkey"))
-        .collect()[0][0]
-        + 1
-    )
+    ords = spark.read.parquet(os.path.join(base, "orders.parquet"))
+    n_ord = ords.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    li = spark.read.parquet(os.path.join(base, "lineitem.parquet"))
     replicate(
         "orders",
-        lambda d, k: d.withColumn(
-            "o_orderkey", F.col("o_orderkey") + F.lit(k * n_ord)
+        lambda d: d.withColumn(
+            "o_orderkey", offset("o_orderkey", n_ord, ords.schema)
         ),
     )
     replicate(
         "lineitem",
-        lambda d, k: d.withColumn(
-            "l_orderkey", F.col("l_orderkey") + F.lit(k * n_ord)
+        lambda d: d.withColumn(
+            "l_orderkey", offset("l_orderkey", n_ord, li.schema)
         ),
     )
     # events: offset both ids so each replica is a disjoint user
@@ -182,9 +205,9 @@ def build_tier(spark, base: str, out: str, mult: int) -> None:
     n_usr = ev.agg(F.max("user_id")).collect()[0][0] + 1
     replicate(
         "events",
-        lambda d, k: d.withColumn(
-            "event_id", F.col("event_id") + F.lit(k * n_evt)
-        ).withColumn("user_id", F.col("user_id") + F.lit(k * n_usr)),
+        lambda d: d.withColumn(
+            "event_id", offset("event_id", n_evt, ev.schema)
+        ).withColumn("user_id", offset("user_id", n_usr, ev.schema)),
     )
     for t in _COPY_TABLES:
         shutil.copy(
@@ -270,13 +293,16 @@ def _tier_section(base_r, stress_r, mult: int):
         bs, ss = b["shuffle_write_bytes_per_run"], s["shuffle_write_bytes_per_run"]
         if bs:
             sg_txt = f"{ss / bs:.1f}x"
-            if ss / bs > mult * 2 and wg <= mult:
-                sg_txt += " [^flip]"
-                flagged.append(name)
-            elif ss / bs > mult * 1.5 and name.startswith("llm_dedup"):
+            if ss / bs > mult * 1.5 and name.startswith("llm_dedup"):
                 # known construction artifact of the replica token salt
+                # (checked before [^flip]: the salted shingle exchanges
+                # can overshoot past 2x-per-unit and must not be
+                # misread as a strategy flip)
                 sg_txt += " [^salt]"
                 salted.append(name)
+            elif ss / bs > mult * 2 and wg <= mult:
+                sg_txt += " [^flip]"
+                flagged.append(name)
         else:
             sg_txt = "— (0 B both)" if not ss else f"0 → {ss:,d} B"
         lines.append(
@@ -296,13 +322,15 @@ def _tier_section(base_r, stress_r, mult: int):
         )
     if salted:
         lines.append(
-            f"\n[^salt]: the minhash-family overshoot (~{mult * 1.9:.0f}x/"
-            f"{mult}x ≈ 1.9 per unit) is the replica token salt: at "
-            f"{mult} replicas the suffix is up to two chars on every "
-            "token, so shingle STRINGS are wider than sf0.1's — the row "
-            "COUNT series is exactly linear (verified in the 10x run's "
-            "stage rows). The salt is the price of holding duplicate "
-            "structure constant across replicas.\n"
+            "\n[^salt]: the replica token salt (a fixed-width 3-char "
+            "suffix on every token of replicas k>0 — the construction "
+            "that holds duplicate structure constant across replicas) "
+            "widens shingle STRINGS by a constant factor vs unsalted "
+            "sf0.1, so shuffle growth vs the sf0.1 BASE overshoots mult "
+            "by that same constant for ops that exchange shingle "
+            "strings. The row COUNT series is exactly linear, and the "
+            "tier-to-tier tables below (lever arm, second difference) "
+            "cancel the constant: they read ~linear for these ops.\n"
         )
     return lines
 
@@ -357,8 +385,47 @@ def _write_report(base_r, tier_results, base: str) -> None:
                 if hi / lo > ratio * 10:
                     rt += " (strategy flip between tiers — see [^flip])"
                 elif hi / lo > ratio * 1.25 and name.startswith("llm_dedup"):
-                    rt += " (salt width differs per tier — see [^salt])"
+                    rt += " (unsalted-replica-0 intercept — see [^salt])"
             lines.append(f"| `{name}` | {lo:,d} B | {hi:,d} B | {rt} |\n")
+    if len(tier_results) >= 3:
+        (m1, r1), (m2, r2), (m3, r3) = (
+            tier_results[0],
+            tier_results[1],
+            tier_results[-1],
+        )
+        expect = (m3 - m2) / (m2 - m1)
+        quad = (m3 * m3 - m2 * m2) / (m2 * m2 - m1 * m1)
+        lines += [
+            f"\n## Second-difference linearity ({m1}x, {m2}x, {m3}x)\n",
+            "\nThree tiers allow the sharpest test: the second "
+            f"difference (s{m3} - s{m2}) / (s{m2} - s{m1}) cancels any "
+            "constant intercept (e.g. the unsalted replica 0, or a "
+            "broadcast-regime floor) that the raw growth ratios carry. "
+            f"Linear plans read exactly {expect:.1f}; quadratic plans "
+            f"would read ~{quad:.1f}.\n",
+            f"\n| op | Δ shuffle {m1}x→{m2}x | Δ shuffle {m2}x→{m3}x | "
+            f"second difference (linear = {expect:.1f}) |\n"
+            "|---|---:|---:|---:|\n",
+        ]
+        for name in r1:
+            s1 = r1[name]["shuffle_write_bytes_per_run"]
+            s2 = r2[name]["shuffle_write_bytes_per_run"]
+            s3 = r3[name]["shuffle_write_bytes_per_run"]
+            d_lo, d_hi = s2 - s1, s3 - s2
+            if d_lo <= 0:
+                rt = "n/a (no growth below the mid tier)"
+            elif s1 * m2 < 0.1 * s2 * m1:
+                # per-unit shuffle at the low tier is <10% of the mid
+                # tier's: the low tier sat in a different plan regime
+                # (broadcast), so the low delta is not a linear sample
+                rt = (
+                    f"{d_hi / d_lo:.1f} (low tier pre-flip — linear "
+                    f"segment is {m2}x→{m3}x: "
+                    f"{s3 / s2:.1f}x for {m3 / m2:.1f}x data)"
+                )
+            else:
+                rt = f"{d_hi / d_lo:.1f}"
+            lines.append(f"| `{name}` | {d_lo:,d} B | {d_hi:,d} B | {rt} |\n")
     with open(path, "w") as fh:
         fh.writelines(lines)
     print(f"wrote {path}")
