@@ -799,3 +799,110 @@ def test_nd_field_spark_duckdb_parity(spark, vals):
     model = [_nd_model(v) for v in vals]
     assert got_spark == model
     assert got_duck == model
+
+
+# --- stream_tws_user_topk: the TWS processor path cannot execute in ----
+# --- this sandbox (its runner needs google.protobuf), so pin its     ----
+# --- fold logic directly against the applyInPandasWithState fallback ----
+# --- and a plain-Python reference, multi-micro-batch included.       ----
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeListState(_FakeValueState):
+    def get(self):
+        return iter(self._v)
+
+    def put(self, rows):
+        self._v = list(rows)
+
+
+class _FakeHandle:
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return _FakeValueState()
+
+    def getListState(self, name, schema, ttlDurationMs=None):
+        return _FakeListState()
+
+
+class _FakeGroupState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-1e6, max_value=1e6, allow_nan=False, width=32
+                ),
+            ),
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=100, deadline=None)
+@example(batches=[[None], []])            # all-null then empty batch
+@example(batches=[[1.0, 1.0], [1.0]])     # ties across batches
+def test_tws_processor_equals_fallback_and_reference(batches):
+    import pandas as pd
+
+    from snapshot_s3_util_spark.streaming.stateful import (
+        _TopKProcessor,
+        _topk_update_fallback,
+    )
+
+    pdfs = [
+        pd.DataFrame({"value": pd.Series(b, dtype="float64")}) for b in batches
+    ]
+
+    proc = _TopKProcessor()
+    proc.init(_FakeHandle())
+    for pdf in pdfs:  # one micro-batch per handleInputRows call
+        (tws_out,) = list(proc.handleInputRows((7,), iter([pdf]), None))
+
+    state = _FakeGroupState()
+    for pdf in pdfs:
+        (fb_out,) = list(_topk_update_fallback((7,), iter([pdf]), state))
+
+    flat = [v for b in batches for v in b]
+    top = sorted((v for v in flat if v is not None), reverse=True)[:3]
+    expect = {
+        "n_events": len(flat),
+        "top3_sum": sum(top) if top else None,
+        "top_value": top[0] if top else None,
+    }
+    for out in (tws_out, fb_out):
+        row = out.iloc[0]
+        assert row["n_events"] == expect["n_events"]
+        for k in ("top3_sum", "top_value"):
+            got = row[k]
+            got = None if pd.isna(got) else got
+            assert got == expect[k], (k, got, expect[k])
