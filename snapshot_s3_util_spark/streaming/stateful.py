@@ -359,3 +359,70 @@ def stream_tws_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(prov_key, prev)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- state data source: reading a checkpoint's state store ------------
+
+
+@register(
+    "stream_state_inspect",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM {EVENTS_REL} e
+    GROUP BY user_id
+    """,
+    category="streaming",
+)
+def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline state-store inspection via the Spark 4 state data source
+    (`spark.read.format("statestore")`, SPARK-45511): run a streaming
+    per-user count/sum aggregation to completion, then read the
+    CHECKPOINT's state store back as a DataFrame and return the state
+    contents themselves. The oracle is the batch aggregate — asserting
+    that what the checkpoint physically holds equals what the query
+    semantically computed, which is exactly the production debugging
+    workflow this reader exists for (state corruption triage, state
+    migration audits) without replaying the stream.
+
+    Scale shape: the reader maps one task per state-store shard
+    (`partition_id` column), so inspection parallelism equals the
+    query's shuffle partitioning at any state size; nothing is
+    replayed and no driver-side state walk happens. The value struct's
+    field names (`count`, `sum`) are the aggregation-buffer names laid
+    down by stateStoreSave in Spark 4.1.
+    """
+    tmp = tempfile.mkdtemp(prefix="s3u_stream_ssread_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        src = f"{tmp}/src"
+        ev.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        agg = stream.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        from snapshot_s3_util_spark.streaming.stream_ops import _counter
+
+        name = f"s3u_stream_{next(_counter)}"
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        state = spark.read.format("statestore").load(f"{tmp}/ckpt")
+        return (
+            state.select(
+                F.col("key.user_id").alias("user_id"),
+                F.col("value.count").alias("n_events"),
+                F.round(F.col("value.sum"), 4).alias("sum_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
