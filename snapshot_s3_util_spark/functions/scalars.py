@@ -1780,3 +1780,57 @@ def fn_semver_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "fn_sql_variables",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS sum_price
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    GROUP BY o_orderstatus
+    """,
+    category="fn",
+)
+def fn_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables + EXECUTE IMMEDIATE (Spark 4 SQL
+    scripting surface, SPARK-42849/SPARK-44840): a threshold is
+    computed once into a typed session variable (`DECLARE VARIABLE` +
+    `SET VAR`), then consumed by a dynamically-composed statement via
+    `EXECUTE IMMEDIATE ... USING` — the SQL-only analog of a driver
+    program stitching scalar results into follow-up queries, without a
+    client round-trip per stage.
+
+    Scale note: the variable holds ONE scalar (never data), so this is
+    plan-level plumbing — the aggregate subquery the oracle inlines
+    and the variable read compile to the same two-job shape. Threshold
+    comparisons against an ulp-sensitive double are safe here because
+    o_totalprice is quantized at 0.01 (cross-engine AVG can differ by
+    ~1e-10, far below the grid).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    view = "s3u_sqlvar_orders"
+    orders.createOrReplaceTempView(view)
+    try:
+        spark.sql("DECLARE OR REPLACE VARIABLE s3u_price_floor DOUBLE")
+        spark.sql(
+            f"SET VAR s3u_price_floor = "
+            f"(SELECT AVG(o_totalprice) FROM {view})"
+        )
+        return spark.sql(
+            """
+            EXECUTE IMMEDIATE
+              'SELECT o_orderstatus,
+                      CAST(COUNT(*) AS BIGINT) AS n_orders,
+                      ROUND(SUM(o_totalprice), 4) AS sum_price
+               FROM s3u_sqlvar_orders
+               WHERE o_totalprice > ?
+               GROUP BY o_orderstatus'
+              USING s3u_price_floor
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.sql("DROP TEMPORARY VARIABLE IF EXISTS s3u_price_floor")
+        spark.catalog.dropTempView(view)

@@ -65,6 +65,7 @@ STRESS_OPS = (
     "llm_dedup_components",
     "llm_dedup_substring_spans",
     "llm_sim_ann_lsh",
+    "llm_sim_ann_ivf",
     "sort_multi",
     "graph_label_propagation",
     # ... plus the BASELINE.md flagship set, so the vs-baseline grade
@@ -385,7 +386,7 @@ def _write_report(base_r, tier_results, base: str) -> None:
             lo = r_lo[name]["shuffle_write_bytes_per_run"]
             hi = r_hi[name]["shuffle_write_bytes_per_run"]
             if max(lo, hi) < 1_000_000:
-                rt = "n/a (sub-MB shuffle at every tier — broadcast/scalar regime, ratio is framing noise)"
+                rt = "n/a (sub-MB shuffle at every tier — broadcast/scalar/probe-bounded regime; byte ratios are framing noise, the wall column is the evidence)"
             elif not lo:
                 rt = "n/a (broadcast at small tier)"
             else:
@@ -421,7 +422,7 @@ def _write_report(base_r, tier_results, base: str) -> None:
             s3 = r3[name]["shuffle_write_bytes_per_run"]
             d_lo, d_hi = s2 - s1, s3 - s2
             if max(s1, s2, s3) < 1_000_000:
-                rt = "n/a (sub-MB shuffle at every tier — broadcast/scalar regime, deltas are framing noise)"
+                rt = "n/a (sub-MB shuffle at every tier — broadcast/scalar/probe-bounded regime; byte deltas are framing noise, the wall column is the evidence)"
             elif d_lo <= 0:
                 rt = "n/a (no growth below the mid tier)"
             elif s1 * m2 < 0.1 * s2 * m1:
