@@ -316,3 +316,76 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(score(F.col("value"), F.col("user_id")), 6).alias("scored"),
     )
+
+
+@register(
+    "udtf_table_argument",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(LENGTH(text), 0)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+    category="udf",
+)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF with a TABLE argument (Spark 4,
+    SPARK-44503 TABLE arguments + SPARK-44398 `analyze`): the fourth
+    UDTF capability tier after scalar-arg UDTFs (`udtf_python_table`).
+    The static `analyze()` hook receives the INPUT TABLE'S SCHEMA at
+    plan time and computes the output schema from it (here: the
+    `source` output column inherits whatever type the input's source
+    column has) — the mechanism for schema-polymorphic table functions
+    (pivots, parsers, per-group summarizers over arbitrary tables).
+
+    `PARTITION BY source` routes whole groups through one UDTF
+    instance (eval per row, terminate emits the group row) — the
+    relational contract applyInPandas offers, but reachable from pure
+    SQL and with plan-time schema negotiation. Scale shape: groups
+    hash-partition across executors exactly like a groupBy; state per
+    instance is one accumulator row.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class SourceProfile:
+        @staticmethod
+        def analyze(tbl: AnalyzeArgument) -> AnalyzeResult:
+            (src_field,) = [
+                f for f in tbl.dataType.fields if f.name == "source"
+            ]
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField("source", src_field.dataType),
+                        StructField("n_docs", LongType()),
+                        StructField("total_chars", LongType()),
+                    ]
+                )
+            )
+
+        def __init__(self):
+            self.src = None
+            self.n = 0
+            self.chars = 0
+
+        def eval(self, row):  # noqa: ANN001
+            self.src = row["source"]
+            self.n += 1
+            if row["text"] is not None:
+                self.chars += len(row["text"])
+
+        def terminate(self):
+            if self.n:
+                yield self.src, self.n, self.chars
+
+    spark.udtf.register("s3u_source_profile", udtf(SourceProfile))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "s3u_udtf_tablearg_docs"
+    )
+    return spark.sql(
+        "SELECT * FROM s3u_source_profile("
+        "TABLE(s3u_udtf_tablearg_docs) PARTITION BY source)"
+    )
