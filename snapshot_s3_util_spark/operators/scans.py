@@ -736,3 +736,67 @@ def scan_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "col string, expected_type string, present boolean,"
         " status string"
     )
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(source) AS BIGINT) AS n_with_source
+    FROM documents
+    GROUP BY lang
+    """,
+    category="source",
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in XML data source round-trip (Spark 4 ships the former
+    spark-xml connector natively, SPARK-44265): the documents catalog
+    columns are written as XML (`rowTag` sharded one file per
+    partition, like every distributed writer) and read back with an
+    EXPLICIT schema — no inference pass, which at 100 TB is the
+    difference between one scan and two. NULL fields are omitted
+    elements on write and must come back as SQL NULLs under the
+    declared schema (`n_with_source` counts them, so a NULL↔''
+    corruption in the codec would flip the hash).
+
+    Text bodies are deliberately NOT round-tripped: XML 1.0 cannot
+    represent some control characters and readers legally normalize
+    surrounding whitespace, so raw-corpus fidelity is a parquet job
+    (every other sink here); XML earns its place for
+    metadata/catalog interchange with XML-consuming systems.
+    """
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="s3u_xml_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        path = f"{tmp}/docs_xml"
+        (
+            docs.write.format("xml")
+            .option("rowTag", "doc")
+            .option("rootTag", "docs")
+            .mode("overwrite")
+            .save(path)
+        )
+        back = (
+            spark.read.format("xml")
+            .option("rowTag", "doc")
+            .schema("doc_id bigint, lang string, source string, n_chars bigint")
+            .load(path)
+        )
+        return (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                F.count("source").cast("bigint").alias("n_with_source"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
