@@ -1081,3 +1081,126 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ham.filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+
+
+# --- binaryFile source: the raw-file ingestion loop --------------------
+
+
+def _bmp_export_stage(out_dir: str):
+    """mapInPandas stage: write one .bmp FILE per doc (the shape of a
+    real image-export job — on a cluster out_dir is shared storage),
+    emitting a (doc_id, path, n_bytes) manifest. Deterministic bytes,
+    so task retries are idempotent overwrites."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            paths, sizes = [], []
+            for doc_id in pdf["doc_id"]:
+                payload = synth_bmp(int(doc_id))
+                p = os.path.join(out_dir, f"img_{int(doc_id):09d}.bmp")
+                with open(p, "wb") as fh:
+                    fh.write(payload)
+                paths.append(p)
+                sizes.append(len(payload))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "path": paths, "n_bytes": sizes}
+            )
+
+    return stage
+
+
+@register(
+    "source_binary_files",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+      FROM documents
+    ),
+    grid AS (
+      SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+      FROM dims, UNNEST(range(w)) AS xs(x), UNNEST(range(h)) AS ys(y)
+    )
+    SELECT doc_id,
+           CAST(54 + h * ((3 * w + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(SUM((x * y + doc_id) % 256) AS BIGINT) AS sum_r,
+           TRUE AS len_ok
+    FROM grid
+    GROUP BY doc_id, w, h
+    """,
+    category="source",
+)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` data source: the ingestion half of a multimodal
+    pipeline — a directory of raw image FILES scanned distributedly
+    into (path, modificationTime, length, content) rows, globbed with
+    `pathGlobFilter`. The export half runs first (one .bmp per doc via
+    an Arrow stage — on a cluster the directory is shared storage),
+    then the read-back content is REALLY decoded (stdlib struct BMP
+    parse, decode_bmp above) and checked against the closed-form pixel
+    oracle; `len_ok` pins the scanner's `length` column to the decoded
+    byte count, so a truncated or concatenated file flips the hash.
+
+    Scale shape: binaryFile lists and splits by FILE (one row each,
+    content never splits), so parallelism = file count and executor
+    memory bounds per-file size — the right source for the many-small-
+    objects layout (image shards), with `spark.sql.files.
+    maxPartitionBytes` packing small files per task. doc_id recovers
+    from the file NAME JVM-side (regexp_extract), not from content.
+    """
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="s3u_binsrc_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        manifest = docs.mapInPandas(
+            _bmp_export_stage(f"{tmp}/imgs"),
+            schema="doc_id long, path string, n_bytes long",
+        )
+        n_files = manifest.count()  # materialize the export
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bmp")
+            .load(f"{tmp}/imgs")
+            .select(
+                F.regexp_extract(F.col("path"), r"img_(\d+)\.bmp$", 1)
+                .cast("bigint")
+                .alias("doc_id"),
+                "length",
+                "content",
+            )
+        )
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                feats = pdf["content"].map(decode_bmp)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_bytes": feats.map(lambda d: d["n_bytes"]).astype(
+                            "int64"
+                        ),
+                        "width": feats.map(lambda d: d["width"]).astype("int64"),
+                        "height": feats.map(lambda d: d["height"]).astype(
+                            "int64"
+                        ),
+                        "sum_r": feats.map(lambda d: d["sum_r"]).astype("int64"),
+                        "len_ok": feats.map(lambda d: d["n_bytes"])
+                        == pdf["length"],
+                    }
+                )
+
+        out = files.mapInPandas(
+            decode,
+            schema="doc_id long, n_bytes long, width long, height long,"
+            " sum_r long, len_ok boolean",
+        ).localCheckpoint(eager=True)
+        assert out.count() == n_files
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
