@@ -30,6 +30,7 @@ from pyspark.sql.types import (
 from snapshot_s3_util_spark.io import load_table
 from snapshot_s3_util_spark.registry import register
 from snapshot_s3_util_spark.sql_helpers import EVENTS_REL
+from snapshot_s3_util_spark.streaming.stream_ops import _run_to_table, _stage
 
 _STATE_SCHEMA = StructType(
     [
@@ -98,10 +99,7 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tmp = tempfile.mkdtemp(prefix="s3u_stream_state_")
     try:
-        ev = load_table(spark, sf_dir, "events")
-        src = f"{tmp}/src"
-        ev.write.mode("overwrite").parquet(src)
-        stream = spark.readStream.schema(ev.schema).parquet(src)
+        stream = _stage(spark, sf_dir, tmp)
         profiled = (
             stream.select("user_id", "ts", "value")
             .groupBy("user_id")
@@ -113,25 +111,14 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout,
             )
         )
-        from snapshot_s3_util_spark.streaming.stream_ops import _counter
-
-        name = f"s3u_stream_{next(_counter)}"
-        q = (
-            profiled.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
+        table, _ = _run_to_table(profiled, "update")
         # update mode may emit a row per micro-batch per key; keep the
         # final (max n_events) emission per user
         from pyspark.sql import Window
 
         w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
         return (
-            spark.table(name)
-            .withColumn("rn", F.row_number().over(w))
+            table.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(
                 "user_id",
@@ -165,7 +152,9 @@ class _TopKProcessor(StatefulProcessor):
     counter and a ListState holding the current top-3 values. NULL
     values count toward n_events but never enter the top list (the
     oracle mirrors this: SUM/MAX ignore NULL, NULLS LAST ranks them
-    out of the top-3 window).
+    out of the top-3 window). NaN ≡ NULL by declaration — pandas
+    `dropna()` cannot tell them apart post-Arrow, and the oracle
+    NULLs NaN before ranking (see the op docstring).
     """
 
     def init(self, handle) -> None:
@@ -258,12 +247,14 @@ def _topk_update_fallback(
     oracle="""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value) FILTER (WHERE rk <= 3), 4) AS top3_sum,
-           MAX(value) AS top_value
-    FROM (SELECT user_id, value,
+           ROUND(SUM(v) FILTER (WHERE rk <= 3), 4) AS top3_sum,
+           MAX(v) AS top_value
+    FROM (SELECT user_id, v,
                  ROW_NUMBER() OVER (PARTITION BY user_id
-                                    ORDER BY value DESC NULLS LAST) AS rk
-          FROM events)
+                                    ORDER BY v DESC NULLS LAST) AS rk
+          FROM (SELECT user_id,
+                       CASE WHEN isnan(value) THEN NULL ELSE value END AS v
+                FROM events))
     GROUP BY user_id
     """,
     category="streaming",
@@ -291,6 +282,13 @@ def stream_tws_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the op runs `_topk_update_fallback` — the same fold through
     applyInPandasWithState — so the state semantics stay oracle-
     verified here while the TWS path stays the production code.
+
+    NaN pin: a float64 crossing the Arrow boundary into pandas cannot
+    distinguish NaN from NULL (both arrive as NaN), so the op defines
+    NaN ≡ NULL — counted in n_events, never in the top list — and the
+    oracle mirrors it (`CASE WHEN isnan(value) THEN NULL END`).
+    Without the pin, DuckDB would rank NaN ABOVE every real value
+    (NaN sorts greatest) while the fold dropped it.
     """
     tmp = tempfile.mkdtemp(prefix="s3u_stream_tws_")
     prov_key = "spark.sql.streaming.stateStore.providerClass"
@@ -305,10 +303,7 @@ def stream_tws_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "org.apache.spark.sql.execution.streaming.state."
                 "RocksDBStateStoreProvider",
             )
-        ev = load_table(spark, sf_dir, "events")
-        src = f"{tmp}/src"
-        ev.write.mode("overwrite").parquet(src)
-        stream = spark.readStream.schema(ev.schema).parquet(src)
+        stream = _stage(spark, sf_dir, tmp)
         grouped = stream.select("user_id", "value").groupBy("user_id")
         if use_tws:
             ranked = grouped.transformWithStateInPandas(
@@ -325,24 +320,14 @@ def stream_tws_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             )
-        from snapshot_s3_util_spark.streaming.stream_ops import _counter
-
-        name = f"s3u_stream_{next(_counter)}"
-        q = (
-            ranked.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .start()
+        table, _ = _run_to_table(
+            ranked, "update", checkpoint_location=f"{tmp}/ckpt"
         )
-        q.processAllAvailable()
-        q.stop()
         from pyspark.sql import Window
 
         w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
         return (
-            spark.table(name)
-            .withColumn("rn", F.row_number().over(w))
+            table.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(
                 "user_id",
@@ -395,26 +380,12 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tmp = tempfile.mkdtemp(prefix="s3u_stream_ssread_")
     try:
-        ev = load_table(spark, sf_dir, "events")
-        src = f"{tmp}/src"
-        ev.write.mode("overwrite").parquet(src)
-        stream = spark.readStream.schema(ev.schema).parquet(src)
+        stream = _stage(spark, sf_dir, tmp)
         agg = stream.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("sum_value"),
         )
-        from snapshot_s3_util_spark.streaming.stream_ops import _counter
-
-        name = f"s3u_stream_{next(_counter)}"
-        q = (
-            agg.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
+        _run_to_table(agg, "update", checkpoint_location=f"{tmp}/ckpt")
         state = spark.read.format("statestore").load(f"{tmp}/ckpt")
         return (
             state.select(

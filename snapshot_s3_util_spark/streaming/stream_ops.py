@@ -40,14 +40,20 @@ def _stage(spark: SparkSession, sf_dir: str, tmp: str) -> DataFrame:
     return spark.readStream.schema(ev.schema).parquet(src)
 
 
-def _run_to_table(stream_df: DataFrame, mode: str) -> tuple[DataFrame, str]:
+def _run_to_table(
+    stream_df: DataFrame, mode: str, checkpoint_location: str | None = None
+) -> tuple[DataFrame, str]:
     name = f"s3u_stream_{next(_counter)}"
-    q = (
+    writer = (
         stream_df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
-        .start()
     )
+    if checkpoint_location is not None:
+        # needed when the checkpoint itself is the artifact under test
+        # (stream_state_inspect) or must live inside the op's tmp dir
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    q = writer.start()
     q.processAllAvailable()
     q.stop()
     spark = stream_df.sparkSession

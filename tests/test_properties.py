@@ -871,7 +871,10 @@ class _FakeGroupState:
 @settings(max_examples=100, deadline=None)
 @example(batches=[[None], []])            # all-null then empty batch
 @example(batches=[[1.0, 1.0], [1.0]])     # ties across batches
+@example(batches=[[float("nan"), 2.0]])   # NaN ≡ NULL pin (op docstring)
 def test_tws_processor_equals_fallback_and_reference(batches):
+    import math
+
     import pandas as pd
 
     from snapshot_s3_util_spark.streaming.stateful import (
@@ -893,7 +896,10 @@ def test_tws_processor_equals_fallback_and_reference(batches):
         (fb_out,) = list(_topk_update_fallback((7,), iter([pdf]), state))
 
     flat = [v for b in batches for v in b]
-    top = sorted((v for v in flat if v is not None), reverse=True)[:3]
+    top = sorted(
+        (v for v in flat if v is not None and not math.isnan(v)),
+        reverse=True,
+    )[:3]
     expect = {
         "n_events": len(flat),
         "top3_sum": sum(top) if top else None,
