@@ -912,3 +912,47 @@ def test_tws_processor_equals_fallback_and_reference(batches):
             got = row[k]
             got = None if pd.isna(got) else got
             assert got == expect[k], (k, got, expect[k])
+
+
+# --- stream_python_source: the ledger stream reader's offset/tiling ----
+# --- arithmetic must deliver every row exactly once, any geometry.   ----
+
+
+@given(
+    n_total=st.integers(min_value=0, max_value=400),
+    stride=st.integers(min_value=1, max_value=150),
+    n_parts=st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=150, deadline=None)
+@example(n_total=103, stride=40, n_parts=4)   # 3 uneven batches
+@example(n_total=7, stride=100, n_parts=8)    # one batch, parts > rows
+@example(n_total=0, stride=1, n_parts=1)      # empty feed
+def test_ledger_stream_reader_exactly_once(n_total, stride, n_parts):
+    from snapshot_s3_util_spark.sources.stream_source import (
+        _LedgerStreamReader,
+    )
+
+    r = _LedgerStreamReader(
+        {"n_total": str(n_total), "stride": str(stride), "n_parts": str(n_parts)}
+    )
+    start = r.initialOffset()
+    seen: list[int] = []
+    batches = 0
+    while start["pos"] < n_total:
+        end = r.latestOffset()
+        parts = r.partitions(start, end)
+        spans = sorted((p.lo, p.hi) for p in parts)
+        # contiguous tiling of (start, end], no gap, no overlap
+        pos = start["pos"]
+        for lo, hi in spans:
+            assert lo == pos and hi >= lo
+            pos = hi
+        assert pos == end["pos"]
+        for p in parts:
+            seen.extend(row[0] for row in r.read(p))
+        start = end
+        batches += 1
+        assert batches <= n_total + 1  # progress guard
+    assert seen == list(range(n_total))
+    if n_total:
+        assert batches == -(-n_total // stride)  # ceil: real multi-batch
