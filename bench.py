@@ -18,9 +18,10 @@ driver's bounded tail capture and BENCH_r07 parsed as null):
 
 BENCH_PREV.json maintenance: it holds the PREVIOUS round's official
 queries_normalized (from the driver's bench run, i.e. the committed
-BENCH_DETAIL.json of that round) and is updated by hand at the START of
-each round — bench.py never writes it, so local iteration runs can't
-clobber the round-over-round baseline.
+BENCH_DETAIL.json of that round) plus queries_raw (the raw medians,
+used by the mechanical min-of-5 adjudication below) and is updated by
+hand at the START of each round — bench.py never writes it, so local
+iteration runs can't clobber the round-over-round baseline.
 
 Timing excludes session init (BASELINE.md excludes it too).
 
@@ -139,11 +140,14 @@ def main() -> None:
     # the previous round's calibration-normalized ratios. >1.5 on any
     # query needs a named cause in the round notes.
     vs_prev: dict[str, float] = {}
+    prev_raw: dict[str, float] = {}
     prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_PREV.json")
     try:
         with open(prev_path) as fh:
-            prev = json.load(fh).get("queries_normalized", {})
+            prev_doc = json.load(fh)
+        prev = prev_doc.get("queries_normalized", {})
+        prev_raw = prev_doc.get("queries_raw", {})
         vs_prev = {
             q: round(normalized[q] / prev[q], 2)
             for q in normalized
@@ -152,6 +156,26 @@ def main() -> None:
     except (OSError, ValueError):
         pass
 
+    # Mechanical min-of-N adjudication (r9 verdict ask #6). SCALE.md's
+    # rule of thumb — "compare RAW walls, min-of-5, before bisecting a
+    # vs_prev drift" — was prose; encode it. For every query whose
+    # calibration-normalized drift exceeds the 1.25 gate, take 2 extra
+    # timed runs (3 already recorded → 5 total) and emit the MIN raw
+    # wall. The gate test auto-clears a drifted query when its best-of-5
+    # raw wall is within 1.25x of the previous round's raw median (pure
+    # host noise by construction — the engine can run the query at the
+    # old speed); anything slower still needs a by-name SCALE.md note.
+    raw_min5: dict[str, float] = {}
+    for q, ratio in vs_prev.items():
+        if ratio > 1.25:
+            extra = []
+            clear_persistent_rdds(spark)
+            for _ in range(2):
+                t0 = time.perf_counter()
+                engine.REGISTRY[q].fn(spark, sf_dir).collect()
+                extra.append(time.perf_counter() - t0)
+            raw_min5[q] = round(min(raw_runs[q] + extra), 3)
+
     detail = {
         "runs": raw_runs,
         # host-drift disambiguation (r6 verdict ask #3): raw median of
@@ -159,6 +183,9 @@ def main() -> None:
         # — compare THESE across rounds, not wall seconds.
         "queries_normalized": normalized,
         "vs_prev_normalized": vs_prev,
+        "raw_min5": raw_min5,
+        "prev_raw_median": {q: prev_raw[q] for q in raw_min5
+                            if q in prev_raw},
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as fh:

@@ -1,13 +1,23 @@
-"""Bench-regression CI gate (r8 verdict ask #8).
+"""Bench-regression CI gate (r8 verdict ask #8; r9 asks #1/#6).
 
 The bench harness records `vs_prev_normalized` — each flagship query's
 calibration-normalized wall as a ratio of the PREVIOUS round's official
 number (BENCH_PREV.json, rolled forward by hand at round start). A
 ratio drifting past 1.25 is either a real regression or measured noise;
-either way it must be ADJUDICATED by name in SCALE.md (the round-drift
-notes) before the round ships. This test is the pin: an unexplained
->1.25 regression fails CI in-round instead of surfacing in the next
-round's verdict.
+either way it must be ADJUDICATED before the round ships. Two ways a
+drifted query clears the gate:
+
+1. MECHANICAL (r9 verdict ask #6): bench.py takes 2 extra timed runs
+   for any >1.25 drift and emits `raw_min5` — the best-of-5 RAW wall.
+   If that min is within 1.25x of the previous round's raw median
+   (`prev_raw_median`, snapshotted from BENCH_PREV.json's queries_raw),
+   the engine demonstrably still runs the query at the old speed and
+   the drift is host noise by construction — auto-cleared.
+2. BY NAME in SCALE.md: the query's name must appear as a
+   backtick-quoted token (`` `name` ``) in SCALE.md's drift notes.
+   The r9 ADVICE fix: a raw substring match let a regressed query hide
+   inside another query's name or an unrelated historical note; the
+   backtick anchor requires a deliberate mention.
 
 The gate reads the committed BENCH_DETAIL.json (written by every
 bench.py run, locally or by the driver); if the file or the vs-prev
@@ -27,22 +37,37 @@ _GATE = 1.25
 def test_bench_regressions_are_adjudicated_in_scale_md():
     try:
         with open(os.path.join(_REPO, "BENCH_DETAIL.json")) as fh:
-            vs_prev = json.load(fh).get("vs_prev_normalized", {})
+            detail = json.load(fh)
     except (OSError, ValueError):
         return  # no bench artifact yet — nothing to gate
+    vs_prev = detail.get("vs_prev_normalized", {})
+    raw_min5 = detail.get("raw_min5", {})
+    prev_raw = detail.get("prev_raw_median", {})
     try:
         with open(os.path.join(_REPO, "SCALE.md")) as fh:
             scale = fh.read()
     except OSError:
         scale = ""
+
+    def _cleared(q: str) -> bool:
+        # mechanical min-of-5 clearance: best raw wall within the gate
+        # of the previous round's raw median
+        m5, pr = raw_min5.get(q), prev_raw.get(q)
+        if m5 is not None and pr:
+            if m5 <= pr * _GATE:
+                return True
+        # by-name adjudication: backtick-anchored token in SCALE.md
+        return f"`{q}`" in scale
+
     unexplained = {
         q: r
         for q, r in vs_prev.items()
-        if r is not None and r > _GATE and q not in scale
+        if r is not None and r > _GATE and not _cleared(q)
     }
     assert not unexplained, (
-        f"bench queries regressed >{_GATE}x vs the previous round with no "
-        f"adjudication in SCALE.md: {unexplained} — measure min-of-N at "
-        "sf0.1, then either fix the regression or record the measured-"
-        "noise verdict in SCALE.md (the query name must appear there)."
+        f"bench queries regressed >{_GATE}x vs the previous round and "
+        f"neither the min-of-5 raw wall clears them nor does SCALE.md "
+        f"adjudicate them by backtick-quoted name: {unexplained} — "
+        "measure min-of-5 at sf0.1, then either fix the regression or "
+        "record the measured-noise verdict in SCALE.md as `<query>`."
     )
