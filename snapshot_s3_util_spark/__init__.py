@@ -35,13 +35,12 @@ from snapshot_s3_util_spark.registry import REGISTRY, register  # noqa: F401
 # 4. Everything else, oldest-green-round first, so stale verifications
 #    drain; registration order breaks ties (stable sort).
 _WINDOW_CHANGED_THIS_ROUND: list = [
-    # round 9: the r8 ADVICE NULL-vs-'' fix switched both
-    # verification-key ops to the ND_FIELD length-prefixed encoding
-    # (sql_helpers.py) — salted_md5 / row_md5 values change on every
-    # row, so both need fresh driver rows.  The 25-op never-verified
-    # backlog follows at slots 3-27, still fully inside the window.
-    "fn_hash",
-    "hb_snapshot_manifest",
+    # round 10: no behavior changes pending at round start (backlog is
+    # 0 after r9), so the window deliberately drains the OLDEST-green
+    # tier — the r2/r3 rows (streaming §2B ops, the UDF surface,
+    # llm_centroids/text_stats/lang_profile, the early sinks) that are
+    # 7+ rounds stale (r9 verdict ask #2).  New round-10 ops, if any,
+    # are appended here as they land.
 ]
 
 

@@ -999,11 +999,11 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     module comment above: AC bits are shift-invariant because every AC
     basis vector sums to zero; the DCT runs in exact int64 so both
     engines compute bit-identical hashes).  Same banded discipline:
-    {_PHASH_BANDS} bands x 16 bits, candidates from ONE (band, sig)
+    4 bands (_PHASH_BANDS) x 16 bits, candidates from ONE (band, sig)
     equi-join, exact popcount verify on candidates only, pairs kept at
-    Hamming <= {_PHASH_MAX_HAMMING}.  Recall contract matches the
-    simhash/aHash family: lossless below {_PHASH_BANDS} flips,
-    best-effort to the verify threshold.
+    Hamming <= 6 (_PHASH_MAX_HAMMING).  Recall contract matches the
+    simhash/aHash family: lossless below 4 bit-flips, best-effort to
+    the verify threshold.
 
     Plan: the per-doc transform is one 64x64 int matmul inside
     Arrow-batched `mapInPandas` (numpy over the whole batch — no

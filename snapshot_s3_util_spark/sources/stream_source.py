@@ -60,6 +60,14 @@ class _LedgerStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["pos"]), int(end["pos"])
+        # Checkpoint-restart seed (r9 ADVICE #3): on a resume Spark
+        # replans from the committed offset while this fresh driver
+        # instance's cursor is back at 0, so latestOffset() would lag
+        # the committed position for several empty planning cycles
+        # (hi<=lo keeps it gapless, just stalled).  Fold every observed
+        # range end into the cursor so progress resumes monotonically
+        # from the checkpoint on the very next planning call.
+        self._pos = max(self._pos, hi)
         if hi <= lo:
             return [_RangePartition(lo, lo)]
         step = max(1, (hi - lo + self.n_parts - 1) // self.n_parts)
