@@ -41,6 +41,8 @@ _WINDOW_CHANGED_THIS_ROUND: list = [
     # llm_centroids/text_stats/lang_profile, the early sinks) that are
     # 7+ rounds stale (r9 verdict ask #2).  New round-10 ops, if any,
     # are appended here as they land.
+    "llm_sim_ann_ivf_kmeans",  # new op: learned-quantizer IVF ANN
+    "multimodal_png_codec",    # new op: pure-stdlib PNG encode/decode
 ]
 
 

@@ -15,7 +15,7 @@ vector and drops out of the argmin, saving a dot product per pair.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from snapshot_s3_util_spark.io import load_embeddings, load_table
@@ -65,14 +65,43 @@ GROUP BY cid
 
 
 def _assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
-    """One Lloyd assignment step: nearest centroid per vector."""
-    w = Window.partitionBy("vec_id").orderBy(F.col("score"), F.col("cid"))
+    """One Lloyd assignment step: nearest centroid per vector.
+
+    NARROW since round 10: the K centroids collapse to a single-row
+    array (broadcast), and the argmin is `array_min` over a
+    `transform` of that array — struct comparison (score, cid) is
+    lexicographic, exactly the old window's ORDER BY score, cid.  The
+    previous formulation cross-joined K rows per vector and ran
+    row_number() over Window.partitionBy(vec_id): a full shuffle of a
+    K-times-inflated corpus PER ITERATION (measured 164 MB/run at the
+    100x stress tier for k=16).  Assignment is now a zero-exchange
+    map; only the centroid-update groupBy shuffles, and that one is
+    map-side combined.  ||c||^2 is precomputed once per centroid in
+    the broadcast array — same double arithmetic, same values.
+    """
+    cent_arr = centroids.agg(
+        F.collect_list(
+            F.struct(
+                F.col("cid"),
+                F.col("ce"),
+                F.expr(
+                    "aggregate(zip_with(ce, ce, (x, y) -> x * y), 0D,"
+                    " (a, b) -> a + b)"
+                ).alias("cc"),
+            )
+        ).alias("cents")
+    )
     return (
-        v.crossJoin(F.broadcast(centroids))
-        .withColumn("score", F.expr(_SCORE))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "e", "cid")
+        v.crossJoin(F.broadcast(cent_arr))
+        .withColumn(
+            "best",
+            F.expr(
+                "array_min(transform(cents, c -> struct("
+                "c.cc - 2 * aggregate(zip_with(e, c.ce, (x, y) -> x * y),"
+                " 0D, (a, b) -> a + b) AS score, c.cid AS cid)))"
+            ),
+        )
+        .select("vec_id", "e", F.col("best.cid").alias("cid"))
     )
 
 

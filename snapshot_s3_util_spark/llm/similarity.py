@@ -1378,3 +1378,118 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+# --------------------------------------- learned-centroid IVF (k-means)
+# r9 verdict ask #3: the label-quantizer IVF above assumes labeled
+# data; a real 100 TB corpus is unlabeled. This variant LEARNS the
+# coarse quantizer with the same unrolled-Lloyd discipline as
+# llm_kmeans_iter (clustering.py): md5-deterministic seeds, one update
+# step, final assignment — then probes exactly like llm_sim_ann_ivf.
+_IVFK_K = 16       # coarse clusters (≈ sqrt(n) at these SFs)
+_IVFK_NPROBE = 4   # clusters probed per query
+
+
+def _ivf_kmeans_oracle() -> str:
+    from snapshot_s3_util_spark.llm.clustering import _DIM, _ORACLE_SCORE
+
+    cos = (
+        "LIST_DOT_PRODUCT(e, pe) / (SQRT(LIST_DOT_PRODUCT(e, e))"
+        " * SQRT(LIST_DOT_PRODUCT(pe, pe)))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL),
+c0 AS (SELECT vec_id AS cid, e AS ce FROM v
+       ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVFK_K}),
+a1 AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c0.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_ORACLE_SCORE}, c0.cid) AS rn
+    FROM v CROSS JOIN c0) WHERE rn = 1
+),
+c1 AS (
+  SELECT cid, LIST(c ORDER BY pos) AS ce FROM (
+    SELECT cid, pos, AVG(e[pos]) AS c
+    FROM a1 CROSS JOIN (SELECT UNNEST(range(1, {_DIM} + 1)) AS pos) p
+    GROUP BY cid, pos)
+  GROUP BY cid
+),
+a2 AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c1.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_ORACLE_SCORE}, c1.cid) AS rn
+    FROM v CROSS JOIN c1) WHERE rn = 1
+),
+probe AS (SELECT e AS pe FROM v WHERE vec_id = {_PROBE_ID}),
+near AS (
+  SELECT cid FROM c1 CROSS JOIN probe
+  ORDER BY LIST_DOT_PRODUCT(ce, pe) /
+           (SQRT(LIST_DOT_PRODUCT(ce, ce)) * SQRT(LIST_DOT_PRODUCT(pe, pe)))
+           DESC, cid
+  LIMIT {_IVFK_NPROBE}
+)
+SELECT vec_id, cid AS cluster_id, ROUND({cos}, 6) AS cos_sim
+FROM a2 CROSS JOIN probe
+WHERE cid IN (SELECT cid FROM near)
+ORDER BY {cos} DESC, vec_id
+LIMIT {SIM_TOPK}
+"""
+
+
+@register("llm_sim_ann_ivf_kmeans", oracle=_ivf_kmeans_oracle(),
+          category="llm")
+def llm_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k with a LEARNED coarse quantizer — no
+    labels anywhere: k={_IVFK_K} Lloyd centroids (md5-deterministic
+    seeds, one unrolled update, exactly the llm_kmeans_iter recipe),
+    nprobe={_IVFK_NPROBE} nearest clusters by centroid cosine, exact
+    cosine inside them. `llm_sim_ann_ivf` (the label quantizer) stays
+    as the parity tier; this is the variant an unlabeled 100 TB corpus
+    actually runs.
+
+    Plan shape: the quantizer build touches the corpus twice (one
+    K-way broadcast-scored window per assignment + one map-side-
+    combined per-dim mean); the index is K x dim doubles — broadcast-
+    sized forever. The probe ranks K centroids (driver-trivial) and
+    scans ONLY the nprobe member clusters, so query cost is
+    ~nprobe/K of the corpus regardless of corpus size; at 100 TB the
+    assignment is computed once, written as a `cluster_id` partition
+    column, and queries prune to nprobe partitions at planning time.
+    """
+    from snapshot_s3_util_spark.llm.clustering import _assign, _update
+
+    v = load_embeddings(spark, sf_dir).select(
+        "vec_id", F.expr(_E).alias("e")
+    )
+    c0 = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_IVFK_K)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    )
+    a1 = _assign(v, c0)
+    c1 = _update(a1)
+    a2 = _assign(v, c1)
+    probe = v.filter(F.col("vec_id") == _PROBE_ID).select(
+        F.col("e").alias("pe")
+    )
+    near = (
+        c1.crossJoin(F.broadcast(probe))
+        .withColumn("craw", _cos("ce", "pe"))
+        .orderBy(F.col("craw").desc(), F.col("cid"))
+        .limit(_IVFK_NPROBE)
+        .select("cid")
+    )
+    return (
+        a2.join(F.broadcast(near), "cid")
+        .crossJoin(F.broadcast(probe))
+        .withColumn("raw", _cos("e", "pe"))
+        .orderBy(F.col("raw").desc(), F.col("vec_id"))
+        .limit(SIM_TOPK)
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            F.round("raw", 6).alias("cos_sim"),
+        )
+    )

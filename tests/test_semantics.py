@@ -6132,3 +6132,27 @@ def test_phash_ac_bits_are_brightness_shift_invariant():
     row_sums = m.sum(axis=1)
     assert row_sums[0] != 0  # DC row sums to 64 * scale^2
     assert (row_sums[1:] == 0).all()
+
+
+def test_ann_ivf_kmeans_recall_and_shape(spark, sf_dir):
+    """Recall@k audit for the LEARNED-quantizer IVF (r9 verdict ask
+    #3): measured against the brute-force top-k, with the structural
+    invariants that hold at any data distribution — the probe itself
+    must rank first at cos 1.0, scores must be non-increasing, and the
+    candidate set must span at most nprobe clusters."""
+    from snapshot_s3_util_spark.llm.similarity import _IVFK_NPROBE
+
+    ivf = REGISTRY["llm_sim_ann_ivf_kmeans"].fn(spark, sf_dir).collect()
+    brute = REGISTRY["llm_sim_topk_brute"].fn(spark, sf_dir).collect()
+    assert len(ivf) == len(brute) == 10
+    # probe vec_id=0 lands in a probed cluster by construction
+    assert ivf[0]["vec_id"] == 0 and ivf[0]["cos_sim"] == 1.0
+    sims = [r["cos_sim"] for r in ivf]
+    assert sims == sorted(sims, reverse=True)
+    assert len({r["cluster_id"] for r in ivf}) <= _IVFK_NPROBE
+    recall = len({r["vec_id"] for r in ivf}
+                 & {r["vec_id"] for r in brute}) / len(brute)
+    # synthetic embeddings are near-uniform so absolute recall is
+    # data-limited (same caveat as the label-IVF test above); the
+    # probe guarantees 0.1, measured ~0.5+ at sf0.001/sf0.01
+    assert recall >= 0.2, f"ivf_kmeans recall@10 collapsed: {recall}"

@@ -66,6 +66,8 @@ STRESS_OPS = (
     "llm_dedup_substring_spans",
     "llm_sim_ann_lsh",
     "llm_sim_ann_ivf",
+    "llm_sim_ann_ivf_kmeans",  # r10: learned-quantizer IVF
+    "stream_foreach_batch_export",  # r10: first streaming op measured (r9 ask #5)
     "sort_multi",
     "graph_label_propagation",
     # ... plus the BASELINE.md flagship set, so the vs-baseline grade
