@@ -77,6 +77,7 @@ BENCH_QUERIES = (
     "graph_label_propagation",# iterative heavy: fixpoint label rounds (round 7)
     "llm_dedup_substring_spans",  # gram-index pair join + islands (round 7)
     "multimodal_ahash_dedup",     # mapInPandas sigs + banded Hamming (round 7)
+    "llm_sim_ann_ivf_kmeans",     # learned-quantizer IVF ANN (round 10)
 )
 
 
