@@ -43,6 +43,7 @@ _WINDOW_CHANGED_THIS_ROUND: list = [
     # are appended here as they land.
     "llm_sim_ann_ivf_kmeans",  # new op: learned-quantizer IVF ANN
     "multimodal_png_codec",    # new op: pure-stdlib PNG encode/decode
+    "llm_ann_recall_ivf_kmeans",  # new op: recall audit for the learned IVF
 ]
 
 

@@ -1493,3 +1493,199 @@ def llm_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("raw", 6).alias("cos_sim"),
         )
     )
+
+
+# ------------------------- recall audit for the learned-quantizer IVF
+def _ivfk_recall_oracle() -> str:
+    from snapshot_s3_util_spark.llm.clustering import _DIM, _ORACLE_SCORE
+
+    cos = (
+        "LIST_DOT_PRODUCT(e, pe) / (SQRT(LIST_DOT_PRODUCT(e, e))"
+        " * SQRT(LIST_DOT_PRODUCT(pe, pe)))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL),
+c0 AS (SELECT vec_id AS cid, e AS ce FROM v
+       ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVFK_K}),
+a1 AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c0.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_ORACLE_SCORE}, c0.cid) AS rn
+    FROM v CROSS JOIN c0) WHERE rn = 1
+),
+c1 AS (
+  SELECT cid, LIST(c ORDER BY pos) AS ce FROM (
+    SELECT cid, pos, AVG(e[pos]) AS c
+    FROM a1 CROSS JOIN (SELECT UNNEST(range(1, {_DIM} + 1)) AS pos) p
+    GROUP BY cid, pos)
+  GROUP BY cid
+),
+a2 AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c1.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_ORACLE_SCORE}, c1.cid) AS rn
+    FROM v CROSS JOIN c1) WHERE rn = 1
+),
+probes AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < {N_PROBES}),
+near AS (
+  SELECT probe_id, cid FROM (
+    SELECT p.probe_id, c1.cid,
+           ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                              ORDER BY LIST_DOT_PRODUCT(ce, pe) /
+                                       (SQRT(LIST_DOT_PRODUCT(ce, ce)) *
+                                        SQRT(LIST_DOT_PRODUCT(pe, pe)))
+                                       DESC, cid) AS rn
+    FROM c1 CROSS JOIN probes p) WHERE rn <= {_IVFK_NPROBE}
+),
+cand AS (
+  SELECT n.probe_id, a2.vec_id, a2.e
+  FROM a2 JOIN near n ON a2.cid = n.cid
+  WHERE a2.vec_id <> n.probe_id
+),
+exact AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT p.probe_id, v.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                              ORDER BY {cos} DESC, v.vec_id) AS rn
+    FROM v CROSS JOIN probes p WHERE v.vec_id <> p.probe_id)
+  WHERE rn <= {SIM_TOPK}
+),
+annr AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT c.probe_id, c.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY c.probe_id
+                              ORDER BY {cos} DESC, c.vec_id) AS rn
+    FROM (SELECT cand.probe_id, cand.vec_id, cand.e, p.pe
+          FROM cand JOIN probes p ON p.probe_id = cand.probe_id) c)
+  WHERE rn <= {SIM_TOPK}
+),
+nc AS (SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+       FROM cand GROUP BY 1),
+hits AS (
+  SELECT e.probe_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM exact e JOIN annr a ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+  GROUP BY 1
+),
+per AS (
+  SELECT p.probe_id,
+         COALESCE(nc.n_candidates, 0) AS n_candidates,
+         COALESCE(hits.n_hits, 0) AS n_hits,
+         CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / {SIM_TOPK} AS recall
+  FROM probes p
+  LEFT JOIN nc ON nc.probe_id = p.probe_id
+  LEFT JOIN hits ON hits.probe_id = p.probe_id
+),
+m AS (SELECT AVG(recall) AS mean_recall FROM per)
+SELECT per.probe_id, per.n_candidates, per.n_hits,
+       ROUND(per.recall, 6) AS recall_at_k,
+       ROUND(m.mean_recall, 6) AS mean_recall
+FROM per, m ORDER BY per.probe_id
+"""
+
+
+@register("llm_ann_recall_ivf_kmeans", oracle=_ivfk_recall_oracle(),
+          category="llm")
+def llm_ann_recall_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{SIM_TOPK} of the LEARNED-quantizer IVF index
+    (`llm_sim_ann_ivf_kmeans`) against exact brute force, per probe
+    and corpus-mean — extends `llm_ann_recall_eval`'s audit (which
+    scores the SRP-LSH index) to the k-means IVF path, so BOTH ANN
+    indexes ship a driver-verified quality dashboard, not just a test
+    assertion. Also reports per-probe candidate-set size: with a
+    k={_IVFK_K} quantizer and nprobe={_IVFK_NPROBE}, candidates ≈
+    nprobe/k of the corpus — recall per scanned-fraction is the
+    speed/quality trade a 100 TB deployment tunes.
+
+    Plan: quantizer build = the shared zero-shuffle narrow assignment
+    + one map-side-combined update (clustering.py); cluster probing
+    broadcasts a |probes| x nprobe frame; candidate scoring keeps `e`
+    riding on the assignment frame (no second corpus join) and ranks
+    inside a per-probe window; exact ranking reuses the recall_eval
+    broadcast+window shape. Probe count bounds every post-assignment
+    exchange.
+    """
+    from snapshot_s3_util_spark.llm.clustering import _assign, _update
+
+    v = load_embeddings(spark, sf_dir).select(
+        "vec_id", F.expr(_E).alias("e")
+    )
+    c0 = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_IVFK_K)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    )
+    c1 = _update(_assign(v, c0))
+    a2 = _assign(v, c1)
+    probes = v.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    wnear = Window.partitionBy("probe_id").orderBy(
+        F.col("craw").desc(), F.col("cid")
+    )
+    near = (
+        c1.crossJoin(F.broadcast(probes))
+        .withColumn("craw", _cos("ce", "pe"))
+        .withColumn("rn", F.row_number().over(wnear))
+        .filter(F.col("rn") <= _IVFK_NPROBE)
+        .select("probe_id", "cid")
+    )
+    cand = (
+        a2.join(F.broadcast(near), "cid")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", "e")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("raw").desc(), F.col("vec_id")
+    )
+    annr = (
+        cand.join(F.broadcast(probes), "probe_id")
+        .withColumn("raw", _cos("e", "pe"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SIM_TOPK)
+        .select("probe_id", "vec_id")
+    )
+    exact = (
+        v.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("raw", _cos("e", "pe"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SIM_TOPK)
+        .select("probe_id", "vec_id")
+    )
+    nc = cand.groupBy("probe_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    hits = (
+        exact.join(F.broadcast(annr), ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    per = (
+        probes.select("probe_id")
+        .join(F.broadcast(nc), "probe_id", "left")
+        .join(F.broadcast(hits), "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / SIM_TOPK
+            ).alias("recall"),
+        )
+    )
+    m = per.agg(F.avg("recall").alias("mean_recall"))
+    return (
+        per.crossJoin(F.broadcast(m))
+        .select(
+            "probe_id",
+            "n_candidates",
+            "n_hits",
+            F.round("recall", 6).alias("recall_at_k"),
+            F.round("mean_recall", 6).alias("mean_recall"),
+        )
+        .orderBy("probe_id")
+    )
