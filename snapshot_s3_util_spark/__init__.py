@@ -44,6 +44,13 @@ _WINDOW_CHANGED_THIS_ROUND: list = [
     "llm_sim_ann_ivf_kmeans",  # new op: learned-quantizer IVF ANN
     "multimodal_png_codec",    # new op: pure-stdlib PNG encode/decode
     "llm_ann_recall_ivf_kmeans",  # new op: recall audit for the learned IVF
+    # behavior change: candidate-bucket cap added to the banded
+    # perceptual-hash pair ops (the 30x stress tier measured a 1.14 B
+    # candidate-pair / 76 GB spill quadratic blow-up in the uncapped
+    # aHash band join; oracle mirrors the cap — results identical at
+    # sf0.001/0.01, aHash pairs change at sf0.1)
+    "multimodal_ahash_dedup",
+    "multimodal_phash_dedup",
 ]
 
 

@@ -751,6 +751,23 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AHASH_BYTES = 64
 _AHASH_BANDS = 4          # 4 bands x 16 bits
 _AHASH_MAX_HAMMING = 6
+# Candidate-generation bucket cap (round 10). A 16-bit band has only
+# 65,536 possible signatures, so by pigeonhole the band join is
+# asymptotically QUADRATIC in corpus size no matter how good the hash:
+# bucket size >= N/65536 once N >> 2^16.  Text-derived thumbnails hit
+# the wall much earlier — the threshold bits of ASCII text are mostly a
+# space-position mask, and the 30x stress tier measured 1.14 BILLION
+# aHash candidate pairs (max bucket 13,224 docs; 99.98% of pairs from
+# buckets > 64) — a 76 GB sort spill that killed the run.  The fix is
+# the same discipline as DEDUP_DF_CAP_FRAC / _SPAN_MAXOCC: buckets
+# larger than this cap are boilerplate masks that carry no blocking
+# information and are SKIPPED for candidate generation (the verify
+# stage still sees every doc's full signature).  Candidate volume is
+# then <= bands * cap * N — linear by construction.  Recall trade:
+# a pair whose EVERY matching band is over-cap is missed; at 100 TB
+# the right knob is wider bands (32-bit bands push the pigeonhole
+# wall to N ~ 4e9 * cap), not a bigger cap.
+_BAND_BUCKET_CAP = 64
 
 _AHASH_CTES = f"""codes AS MATERIALIZED (
   -- byte i of the UTF-8 payload via a hex slice: ORD(SUBSTR(text,...))
@@ -781,9 +798,16 @@ bands AS MATERIALIZED (
 
 _AHASH_ORACLE = f"""
 WITH {_AHASH_CTES},
+-- candidate generation skips over-cap buckets (boilerplate masks);
+-- the verify stage below still reads the full `bands`
+blk AS MATERIALIZED (
+  SELECT doc_id, band, sig FROM (
+    SELECT doc_id, band, sig, COUNT(*) OVER (PARTITION BY band, sig) AS bn
+    FROM bands) WHERE bn <= {_BAND_BUCKET_CAP}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM blk a JOIN blk b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
 ham AS (
@@ -797,6 +821,57 @@ ham AS (
 SELECT doc_a, doc_b, hamming
 FROM ham WHERE hamming <= {_AHASH_MAX_HAMMING}
 """
+
+
+def _capped_banded_pairs(bands: DataFrame, max_hamming: int) -> DataFrame:
+    """Shared candidate/verify tail of the banded perceptual-hash ops.
+
+    Candidates come from ONE (band, sig) self-join restricted to
+    buckets of at most _BAND_BUCKET_CAP docs (bucket sizes via a
+    map-side-combined count on the SAME key as the join, so the
+    exchange is reused); the Hamming verify joins only candidate pairs
+    back to their full signatures.  See the _BAND_BUCKET_CAP comment
+    for the measured quadratic blow-up this bounds."""
+    small = (
+        bands.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= _BAND_BUCKET_CAP)
+        .select("band", "sig")
+    )
+    blk = bands.join(small, ["band", "sig"])
+    cand = (
+        blk.alias("a")
+        .join(
+            blk.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", F.col("sig").alias("sig_a")
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", F.col("sig").alias("sig_b")
+    )
+    ham = (
+        cand.join(ba, "doc_a")
+        .join(bb, ["doc_b", "band"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            )
+            .cast("bigint")
+            .alias("hamming")
+        )
+    )
+    return ham.filter(F.col("hamming") <= max_hamming)
 
 
 @register("multimodal_ahash_dedup", oracle=_AHASH_ORACLE,
@@ -813,7 +888,12 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     best-effort (they surface only when the flips cluster away from
     one band) — the same banded-recall trade `llm_dedup_simhash`
     documents, here with the looser verify threshold kept because
-    perceptual hashes degrade gracefully.
+    perceptual hashes degrade gracefully.  Round 10: buckets larger
+    than {_BAND_BUCKET_CAP} docs no longer generate candidates (the
+    df-cap discipline — see _BAND_BUCKET_CAP for the measured 1.14 B
+    pair / 76 GB spill the uncapped join produced at the 30x stress
+    tier), so a pair whose EVERY matching band is a boilerplate mask
+    is missed; candidate volume is ≤ bands·cap·N, linear.
     The thumbnail step uses the payload's first {_AHASH_BYTES} bytes
     (PIL-gated stub boundary, like every image op above); the hash
     computation runs in Arrow-batched Python over genuine BinaryType
@@ -851,41 +931,7 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     bands = d.mapInPandas(ahash, schema="doc_id long, band int, sig long")
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    ba = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", F.col("sig").alias("sig_a")
-    )
-    bb = bands.select(
-        F.col("doc_id").alias("doc_b"), "band", F.col("sig").alias("sig_b")
-    )
-    ham = (
-        cand.join(ba, "doc_a")
-        .join(bb, ["doc_b", "band"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(
-                F.bit_count(
-                    F.col("sig_a").bitwiseXOR(F.col("sig_b"))
-                )
-            )
-            .cast("bigint")
-            .alias("hamming")
-        )
-    )
-    return ham.filter(F.col("hamming") <= _AHASH_MAX_HAMMING)
+    return _capped_banded_pairs(bands, _AHASH_MAX_HAMMING)
 
 
 # --- DCT pHash near-dup (round 9: r8 verdict ask #7) -----------------
@@ -955,9 +1001,15 @@ bands AS MATERIALIZED (
 
 _PHASH_ORACLE = f"""
 WITH {_PHASH_CTES},
+-- candidate generation skips over-cap buckets (see _BAND_BUCKET_CAP)
+blk AS MATERIALIZED (
+  SELECT doc_id, band, sig FROM (
+    SELECT doc_id, band, sig, COUNT(*) OVER (PARTITION BY band, sig) AS bn
+    FROM bands) WHERE bn <= {_BAND_BUCKET_CAP}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM blk a JOIN blk b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
 ham AS (
@@ -1003,7 +1055,10 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join, exact popcount verify on candidates only, pairs kept at
     Hamming <= 6 (_PHASH_MAX_HAMMING).  Recall contract matches the
     simhash/aHash family: lossless below 4 bit-flips, best-effort to
-    the verify threshold.
+    the verify threshold; over-cap buckets are skipped for candidate
+    generation (_BAND_BUCKET_CAP — no effect at any testdata SF for
+    pHash, whose max bucket is 433 docs even at the 30x stress tier,
+    but the same 16-bit pigeonhole bound applies at corpus scale).
 
     Plan: the per-doc transform is one 64x64 int matmul inside
     Arrow-batched `mapInPandas` (numpy over the whole batch — no
@@ -1048,39 +1103,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     bands = d.mapInPandas(phash, schema="doc_id long, band int, sig long")
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    ba = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", F.col("sig").alias("sig_a")
-    )
-    bb = bands.select(
-        F.col("doc_id").alias("doc_b"), "band", F.col("sig").alias("sig_b")
-    )
-    ham = (
-        cand.join(ba, "doc_a")
-        .join(bb, ["doc_b", "band"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(
-                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-            )
-            .cast("bigint")
-            .alias("hamming")
-        )
-    )
-    return ham.filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+    return _capped_banded_pairs(bands, _PHASH_MAX_HAMMING)
 
 
 # --- binaryFile source: the raw-file ingestion loop --------------------

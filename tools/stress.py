@@ -77,6 +77,31 @@ STRESS_OPS = (
     "llm_dedup_exact",
     "llm_sim_topk_brute",
     "sessionize_batch",
+    # ... r10: the REST of the bench flagship set, so every query the
+    # driver benches carries measured 10x/30x/100x growth evidence, not
+    # just a plan-shape argument
+    "topk_per_group",
+    "join_range_bucketed",
+    "join_bloom_prefilter",
+    "hb_wal_replay_merge",
+    "graph_pagerank",
+    "agg_ks_test",
+    "agg_gini_coefficient",
+    "llm_kmeans_iter",
+    "llm_bm25_retrieval",
+    "llm_contamination_ngram",
+    "llm_doc_chunking",
+    "llm_line_dedup",
+    "llm_url_dedup",
+    "llm_pipeline_curate",
+    "llm_pipeline_export",
+    "multimodal_ahash_dedup",
+    # ... r10: the banded perceptual-hash siblings — ahash's uncapped
+    # band join measured QUADRATIC here (1.14 B candidate pairs / 76 GB
+    # spill at 30x, killed the run) and earned _BAND_BUCKET_CAP; these
+    # rows prove the capped formulation linear and watch the siblings
+    "multimodal_phash_dedup",
+    "llm_dedup_simhash",
 )
 
 _COPY_TABLES = ("customer", "supplier", "nation", "region", "part")
