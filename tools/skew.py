@@ -168,8 +168,17 @@ _NOTES = {
         "collapses the hot user's rows map-side"
     ),
     "join_sortmerge": (
-        "hot l_orderkey concentrates one reducer — AQE "
-        "skewJoin splits the oversized partition at runtime"
+        "hot l_orderkey concentrates one reducer. AQE's skew split "
+        "does NOT fire here, for two measured reasons: the hot "
+        "partition (~90 MB) is under the 256 MB "
+        "skewedPartitionThresholdInBytes default, and the join feeds "
+        "a groupBy on the SAME key, so a split would break the reused "
+        "partitioning and add a shuffle (AQE declines unless "
+        "forceOptimizeSkewedJoin). With threshold 16 MB + force, the "
+        "reducer splits (32 → 35 tasks) and the skewed wall drops "
+        "3.21 s → 2.29 s; at 100 TB a hot key clears the default "
+        "threshold on its own, and the ratio here is the absorbed "
+        "single-reducer cost below it"
     ),
     "join_inner_hash": (
         "hot o_custkey on the probe side; build side (customer) is "
