@@ -51,6 +51,12 @@ _WINDOW_CHANGED_THIS_ROUND: list = [
     # sf0.001/0.01, aHash pairs change at sf0.1)
     "multimodal_ahash_dedup",
     "multimodal_phash_dedup",
+    # behavior change: simhash widened 16 -> 60 bits (4-bit band keys
+    # made banded blocking a 16-way partition: 3.2 B candidate pairs
+    # measured at the 30x tier; 15-bit keys are the Manku et al.
+    # production design) + the same bucket cap as the perceptual ops
+    "llm_dedup_simhash",
+    "llm_dedup_simhash_pairs",
 ]
 
 

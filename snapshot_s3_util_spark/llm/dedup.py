@@ -381,7 +381,19 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- simhash
 
-_SIMHASH_BITS = 16
+# 60 bits = 15 md5 hex chars, the widest value both engines can carry
+# in an UNSIGNED-safe BIGINT (16 chars could set the sign bit).
+# Round 10 widened this from 16: a 16-bit fingerprint banded 4 ways
+# leaves FOUR-bit band keys — 16 possible values per band — so banded
+# blocking degenerated into a 16-way partition and the candidate join
+# measured 13.9 M pairs at sf0.1 → 409 M at 10x → 3.2 BILLION at 30x
+# (pure N²/32; a bucket cap cannot help when the whole key space is
+# 16).  At 60 bits the 15-bit band keys give 32,768 values per band —
+# the production simhash design (64-bit fingerprints, 4 bands,
+# Hamming <= 3: Manku, Jain & Sarma, WWW'07) — and the same measured
+# series reads 101 K → 1.13 M → 3.86 M with the bucket cap (linear
+# tier-to-tier, bounded by bands·cap·N by construction).
+_SIMHASH_BITS = 60
 
 _SIMHASH_ORACLE = f"""
 WITH tok AS (
@@ -389,13 +401,14 @@ WITH tok AS (
 ),
 bits AS (
   SELECT doc_id, b.bit,
-         SUM(CASE WHEN (CAST(('0x' || SUBSTR(MD5(tk), 1, 8)) AS BIGINT)
+         SUM(CASE WHEN (CAST(('0x' || SUBSTR(MD5(tk), 1, 15)) AS BIGINT)
                         >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
   FROM tok CROSS JOIN (SELECT UNNEST(range({_SIMHASH_BITS})) AS bit) b
   GROUP BY doc_id, b.bit
 )
 SELECT doc_id,
-       CAST(SUM(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM bits
 GROUP BY doc_id
 """
@@ -419,7 +432,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "vote",
             F.expr(
-                "CASE WHEN (shiftright(cast(conv(substring(md5(tk), 1, 8), 16, 10) "
+                "CASE WHEN (shiftright(cast(conv(substring(md5(tk), 1, 15), 16, 10) "
                 "AS bigint), bit) & 1) = 1 THEN 1 ELSE -1 END"
             ),
         )
@@ -429,7 +442,12 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         voted.groupBy("doc_id")
         .agg(
-            F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(1, bit) ELSE 0 END"))
+            F.sum(
+                F.expr(
+                    "CASE WHEN s > 0 THEN shiftleft(cast(1 AS bigint), bit) "
+                    "ELSE cast(0 AS bigint) END"
+                )
+            )
             .cast("bigint")
             .alias("simhash")
         )
@@ -445,6 +463,12 @@ _SIMHASH_BAND_MASK = (1 << _SIMHASH_BAND_BITS) - 1
 # most bands-1 bit positions, so at least one of the `bands` disjoint
 # bit-blocks is identical -> every qualifying pair collides in >= 1 band
 _SIMHASH_HAM_MAX = _SIMHASH_PAIR_BANDS - 1
+# over-cap band buckets are skipped for candidate generation — the
+# same boilerplate-mask discipline as multimodal._BAND_BUCKET_CAP
+# (pigeonhole makes any fixed-width banding Ω(N²) once N >> key
+# space; the cap bounds candidates to bands·cap·N).  Never binds at
+# the testdata SFs with 15-bit band keys.
+_SIMHASH_BUCKET_CAP = 64
 
 _SIMHASH_PAIRS_ORACLE = f"""
 WITH fp AS ({_SIMHASH_ORACLE}),
@@ -453,9 +477,14 @@ bands AS (
          (simhash >> (b.band * {_SIMHASH_BAND_BITS})) & {_SIMHASH_BAND_MASK} AS key
   FROM fp CROSS JOIN (SELECT UNNEST(range({_SIMHASH_PAIR_BANDS})) AS band) b
 ),
+blk AS (
+  SELECT doc_id, band, key FROM (
+    SELECT doc_id, band, key, COUNT(*) OVER (PARTITION BY band, key) AS bn
+    FROM bands) WHERE bn <= {_SIMHASH_BUCKET_CAP}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM blk a JOIN blk b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b,
@@ -476,8 +505,15 @@ def llm_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_SIMHASH_BAND_BITS}-bit blocks; candidates are formed ONLY inside a
     (band, block-value) bucket, then verified with the exact popcount
     Hamming distance <= {_SIMHASH_HAM_MAX}. The pigeonhole guarantee
-    makes blocking lossless at that radius, and pair cost is
-    sum(bucket^2) per band — never |docs|^2. Fingerprints are
+    makes blocking lossless at that radius for pairs whose shared band
+    is under the {_SIMHASH_BUCKET_CAP}-doc bucket cap (over-cap
+    buckets are boilerplate keys and generate no candidates — see
+    _SIMHASH_BUCKET_CAP; the cap never binds at the testdata SFs), and
+    pair cost is bounded by bands·cap·|docs| — never |docs|^2.
+    Round 10 widened the fingerprint 16 → {_SIMHASH_BITS} bits after
+    measurement: 4-bit band keys made blocking a 16-way partition
+    (3.2 B candidate pairs at the 30x stress tier); 15-bit keys are
+    the production design (Manku et al., WWW'07). Fingerprints are
     checkpointed once so the bucket join and both verify probes read the
     materialized |docs|-row table instead of re-running the voting
     pipeline three times (at 100 TB the fingerprint table is the thing
@@ -491,8 +527,15 @@ def llm_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = fp.select(
         "doc_id", F.expr(f"stack({_SIMHASH_PAIR_BANDS}, {stack_args}) AS (band, key)")
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    small = (
+        bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= _SIMHASH_BUCKET_CAP)
+        .select("band", "key")
+    )
+    blk = bands.join(small, ["band", "key"])
+    a = blk.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = blk.select(F.col("doc_id").alias("doc_b"), "band", "key")
     cand = (
         a.join(b, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -295,13 +295,18 @@ def test_exact_dedup_idempotent(spark, sf_dir):
 
 def test_simhash_near_dups_close(spark, sf_dir):
     """Pairs flagged by jaccard >= 0.5 should sit at small simhash
-    Hamming distance (the property that makes simhash a blocking key)."""
+    Hamming distance (the property that makes simhash a blocking key).
+    The bound scales with the fingerprint width (6/16 of the bits, the
+    ratio the original 16-bit pin asserted)."""
+    from snapshot_s3_util_spark.llm.dedup import _SIMHASH_BITS
+
     sim = {r["doc_id"]: r["simhash"] for r in REGISTRY["llm_dedup_simhash"].fn(spark, sf_dir).collect()}
     pairs = REGISTRY["llm_dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
     if not pairs:
         pytest.skip("no near-dup pairs at this sf")
+    bound = 6 * _SIMHASH_BITS // 16
     dists = [bin(sim[p["doc_a"]] ^ sim[p["doc_b"]]).count("1") for p in pairs]
-    assert sum(d <= 6 for d in dists) / len(dists) >= 0.8, dists
+    assert sum(d <= bound for d in dists) / len(dists) >= 0.8, dists
 
 
 def test_domain_mixture_weights_normalized_and_temperature_flattens(spark, sf_dir):
