@@ -27,10 +27,11 @@ import math
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snapshot_s3_util_spark.io import load_table
+from snapshot_s3_util_spark.params import BAND_BUCKET_CAP
 from snapshot_s3_util_spark.registry import register
 
 try:  # the real decoder path — absent in this container
@@ -760,14 +761,23 @@ _AHASH_MAX_HAMMING = 6
 # aHash candidate pairs (max bucket 13,224 docs; 99.98% of pairs from
 # buckets > 64) — a 76 GB sort spill that killed the run.  The fix is
 # the same discipline as DEDUP_DF_CAP_FRAC / _SPAN_MAXOCC: buckets
-# larger than this cap are boilerplate masks that carry no blocking
-# information and are SKIPPED for candidate generation (the verify
-# stage still sees every doc's full signature).  Candidate volume is
-# then <= bands * cap * N — linear by construction.  Recall trade:
-# a pair whose EVERY matching band is over-cap is missed; at 100 TB
-# the right knob is wider bands (32-bit bands push the pigeonhole
-# wall to N ~ 4e9 * cap), not a bigger cap.
-_BAND_BUCKET_CAP = 64
+# larger than this cap carry little blocking information, so candidate
+# generation keeps only a deterministic hash-ordered SAMPLE of `cap`
+# docs per over-cap bucket (round 11 — the round-10 version skipped
+# over-cap buckets entirely, which silently dropped the LARGEST
+# near-dup clusters, the highest-value dedup targets; a sampled
+# bucket still yields representative in-cluster pairs, so a giant
+# cluster surfaces even when every one of its bands is over-cap).
+# The verify stage still sees every doc's full signature.  Candidate
+# volume is <= bands * (cap*N + cap^2/2 * N/cap) = O(bands*cap*N) —
+# linear by construction.  Recall trade: over-cap buckets report only
+# sample-internal pairs; at 100 TB the right knob is wider bands
+# (32-bit bands push the pigeonhole wall to N ~ 4e9 * cap), not a
+# bigger cap.  The value lives in params.BAND_BUCKET_CAP (shared with
+# llm/dedup.py's simhash bands so the two oracle-generating copies
+# cannot drift); this module-local alias keeps the f-string call
+# sites below readable.
+_BAND_BUCKET_CAP = BAND_BUCKET_CAP
 
 _AHASH_CTES = f"""codes AS MATERIALIZED (
   -- byte i of the UTF-8 payload via a hex slice: ORD(SUBSTR(text,...))
@@ -798,12 +808,15 @@ bands AS MATERIALIZED (
 
 _AHASH_ORACLE = f"""
 WITH {_AHASH_CTES},
--- candidate generation skips over-cap buckets (boilerplate masks);
--- the verify stage below still reads the full `bands`
+-- candidate generation samples over-cap buckets down to the cap by
+-- deterministic md5(doc_id) order (see _BAND_BUCKET_CAP); the verify
+-- stage below still reads the full `bands`
 blk AS MATERIALIZED (
   SELECT doc_id, band, sig FROM (
-    SELECT doc_id, band, sig, COUNT(*) OVER (PARTITION BY band, sig) AS bn
-    FROM bands) WHERE bn <= {_BAND_BUCKET_CAP}
+    SELECT doc_id, band, sig,
+           ROW_NUMBER() OVER (PARTITION BY band, sig
+                              ORDER BY MD5(CAST(doc_id AS VARCHAR))) AS rn
+    FROM bands) WHERE rn <= {_BAND_BUCKET_CAP}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -826,19 +839,24 @@ FROM ham WHERE hamming <= {_AHASH_MAX_HAMMING}
 def _capped_banded_pairs(bands: DataFrame, max_hamming: int) -> DataFrame:
     """Shared candidate/verify tail of the banded perceptual-hash ops.
 
-    Candidates come from ONE (band, sig) self-join restricted to
-    buckets of at most _BAND_BUCKET_CAP docs (bucket sizes via a
-    map-side-combined count on the SAME key as the join, so the
-    exchange is reused); the Hamming verify joins only candidate pairs
-    back to their full signatures.  See the _BAND_BUCKET_CAP comment
-    for the measured quadratic blow-up this bounds."""
-    small = (
-        bands.groupBy("band", "sig")
-        .agg(F.count(F.lit(1)).alias("bn"))
-        .filter(F.col("bn") <= _BAND_BUCKET_CAP)
-        .select("band", "sig")
+    Candidates come from ONE (band, sig) self-join over buckets
+    SAMPLED down to _BAND_BUCKET_CAP docs by deterministic
+    md5(doc_id) order (a row_number window on the SAME key as the
+    join, so its exchange is reused); the Hamming verify joins only
+    candidate pairs back to their full signatures.  See the
+    _BAND_BUCKET_CAP comment for the measured quadratic blow-up this
+    bounds and why over-cap buckets are sampled rather than skipped
+    (round 11: a skipped bucket silently lost the biggest clusters)."""
+    rn = F.row_number().over(
+        Window.partitionBy("band", "sig").orderBy(
+            F.md5(F.col("doc_id").cast("string"))
+        )
     )
-    blk = bands.join(small, ["band", "sig"])
+    blk = (
+        bands.withColumn("rn", rn)
+        .filter(F.col("rn") <= _BAND_BUCKET_CAP)
+        .drop("rn")
+    )
     cand = (
         blk.alias("a")
         .join(
@@ -888,12 +906,13 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     best-effort (they surface only when the flips cluster away from
     one band) — the same banded-recall trade `llm_dedup_simhash`
     documents, here with the looser verify threshold kept because
-    perceptual hashes degrade gracefully.  Round 10: buckets larger
-    than {_BAND_BUCKET_CAP} docs no longer generate candidates (the
-    df-cap discipline — see _BAND_BUCKET_CAP for the measured 1.14 B
-    pair / 76 GB spill the uncapped join produced at the 30x stress
-    tier), so a pair whose EVERY matching band is a boilerplate mask
-    is missed; candidate volume is ≤ bands·cap·N, linear.
+    perceptual hashes degrade gracefully.  Round 10 capped candidate
+    buckets at {_BAND_BUCKET_CAP} docs (see _BAND_BUCKET_CAP for the
+    measured 1.14 B pair / 76 GB spill the uncapped join produced at
+    the 30x stress tier); round 11 turned the cap from skip into a
+    deterministic md5-ordered SAMPLE so the largest clusters still
+    yield representative pairs; candidate volume stays O(bands·cap·N),
+    linear.
     The thumbnail step uses the payload's first {_AHASH_BYTES} bytes
     (PIL-gated stub boundary, like every image op above); the hash
     computation runs in Arrow-batched Python over genuine BinaryType
@@ -1001,11 +1020,14 @@ bands AS MATERIALIZED (
 
 _PHASH_ORACLE = f"""
 WITH {_PHASH_CTES},
--- candidate generation skips over-cap buckets (see _BAND_BUCKET_CAP)
+-- candidate generation samples over-cap buckets to the cap by
+-- deterministic md5(doc_id) order (see _BAND_BUCKET_CAP)
 blk AS MATERIALIZED (
   SELECT doc_id, band, sig FROM (
-    SELECT doc_id, band, sig, COUNT(*) OVER (PARTITION BY band, sig) AS bn
-    FROM bands) WHERE bn <= {_BAND_BUCKET_CAP}
+    SELECT doc_id, band, sig,
+           ROW_NUMBER() OVER (PARTITION BY band, sig
+                              ORDER BY MD5(CAST(doc_id AS VARCHAR))) AS rn
+    FROM bands) WHERE rn <= {_BAND_BUCKET_CAP}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1055,10 +1077,10 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join, exact popcount verify on candidates only, pairs kept at
     Hamming <= 6 (_PHASH_MAX_HAMMING).  Recall contract matches the
     simhash/aHash family: lossless below 4 bit-flips, best-effort to
-    the verify threshold; over-cap buckets are skipped for candidate
-    generation (_BAND_BUCKET_CAP — no effect at any testdata SF for
-    pHash, whose max bucket is 433 docs even at the 30x stress tier,
-    but the same 16-bit pigeonhole bound applies at corpus scale).
+    the verify threshold; over-cap buckets are sampled down to the cap
+    for candidate generation (_BAND_BUCKET_CAP — binds only above the
+    cap, e.g. pHash's max bucket is 433 docs at the 30x stress tier,
+    and the same 16-bit pigeonhole bound applies at corpus scale).
 
     Plan: the per-doc transform is one 64x64 int matmul inside
     Arrow-batched `mapInPandas` (numpy over the whole batch — no

@@ -61,6 +61,19 @@ DEDUP_DF_CAP_FRAC = 0.2
 DEDUP_DF_SAMPLE_MOD = 8
 DEDUP_DF_MIN_HITS = 3
 
+# Banded-blocking candidate-generation bucket cap, shared by every
+# fixed-width band join (simhash pairs in llm/dedup.py, aHash/pHash in
+# llm/multimodal.py).  Pigeonhole makes ANY fixed-width banding
+# asymptotically quadratic once N >> band-key space; buckets larger
+# than this cap are boilerplate keys that carry no blocking signal and
+# are skipped for candidate generation (verify stages still read every
+# doc's full signature), bounding candidates to bands·cap·N.  Defined
+# ONCE here because each module's DuckDB oracle is generated from its
+# own f-string — two copies of the literal could drift silently
+# (round-11 ADVICE).  See multimodal's _BAND_BUCKET_CAP alias comment
+# for the measured 1.14 B-pair / 76 GB-spill blow-up this bounds.
+BAND_BUCKET_CAP = 64
+
 # Float canonicalization (SURVEY.md §7): round to this many digits on
 # both engines before hashing.
 ROUND_DIGITS = 6

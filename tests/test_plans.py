@@ -214,7 +214,10 @@ def test_q1_is_two_phase_aggregate(spark, sf_dir):
         # shuffle (per-doc dedup is array_distinct, a narrow map)
         ("llm_contamination_ngram", 2),
         # band bucket self-join + pair distinct + popcount-verify joins
-        # over the checkpointed fingerprint table
+        # over the checkpointed fingerprint table; the round-10 bucket
+        # cap adds a (band, key) count aggregation + under-cap filter
+        # join whose exchange is REUSED with the band self-join (same
+        # key), so the budget stays at 5
         ("llm_dedup_simhash_pairs", 5),
         # one corpus groupBy(source); normalizer windows run over the
         # |sources|-row aggregate (single corpus scan — see docstring)
