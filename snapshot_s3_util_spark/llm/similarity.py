@@ -1384,54 +1384,98 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r9 verdict ask #3: the label-quantizer IVF above assumes labeled
 # data; a real 100 TB corpus is unlabeled. This variant LEARNS the
 # coarse quantizer with the same unrolled-Lloyd discipline as
-# llm_kmeans_iter (clustering.py): md5-deterministic seeds, one update
-# step, final assignment — then probes exactly like llm_sim_ann_ivf.
+# llm_kmeans_iter (clustering.py): md5-deterministic seeds,
+# _IVFK_ROUNDS update steps, final assignment — then probes exactly
+# like llm_sim_ann_ivf.
 _IVFK_K = 16       # coarse clusters (≈ sqrt(n) at these SFs)
-_IVFK_NPROBE = 4   # clusters probed per query
+# Round-11 retune, measured on the (rounds × nprobe) recall grid via
+# the llm_ann_recall_ivf_kmeans harness (SCALE.md has the full grid):
+# at FIXED nprobe=4, extra Lloyd rounds were NON-MONOTONE — recall
+# 0.61 → 0.58 → 0.54 at sf0.1 for 1/2/3 rounds — because a
+# lower-distortion quantizer splits a probe's true neighbors across
+# MORE cells, and a fixed probe budget then covers less of the
+# neighborhood.  nprobe is the dominant knob: at nprobe=6 the grid
+# reads 0.72/0.75/0.72 (sf0.1) and 0.67/0.70/0.71 (sf0.01), so
+# rounds=2 + nprobe=6 dominates the old rounds=1 + nprobe=4 config
+# (0.47 sf0.01 / 0.61 sf0.1) at both scales.  Scanned fraction rises
+# 0.25 → 0.37 of the corpus at K=16 — at production K ≈ sqrt(N) the
+# same nprobe is a vanishing fraction, which is the IVF contract.
+_IVFK_ROUNDS = 2   # Lloyd update rounds for the quantizer build
+_IVFK_NPROBE = 6   # clusters probed per query
+
+
+def _ivfk_quantizer_ctes() -> tuple[str, str, str]:
+    """DuckDB CTE chain for the learned quantizer, unrolled to
+    _IVFK_ROUNDS Lloyd updates: c0 (md5-seeded) -> a1 -> c1 -> ... ->
+    c{{R}} -> afin.  Returns (ctes_sql, final_centroid_cte,
+    final_assign_cte); both ivf-kmeans oracles are generated from this
+    ONE builder so the ANN op and its recall audit can never drift."""
+    from snapshot_s3_util_spark.llm.clustering import _DIM, _ORACLE_SCORE
+
+    parts = [
+        f"""c0 AS (SELECT vec_id AS cid, e AS ce FROM v
+       ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVFK_K})"""
+    ]
+    for i in range(1, _IVFK_ROUNDS + 1):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c{i - 1}.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_ORACLE_SCORE}, c{i - 1}.cid) AS rn
+    FROM v CROSS JOIN c{i - 1}) WHERE rn = 1
+)""")
+        parts.append(f"""c{i} AS (
+  SELECT cid, LIST(c ORDER BY pos) AS ce FROM (
+    SELECT cid, pos, AVG(e[pos]) AS c
+    FROM a{i} CROSS JOIN (SELECT UNNEST(range(1, {_DIM} + 1)) AS pos) p
+    GROUP BY cid, pos)
+  GROUP BY cid
+)""")
+    fin = f"c{_IVFK_ROUNDS}"
+    parts.append(f"""afin AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, {fin}.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_ORACLE_SCORE}, {fin}.cid) AS rn
+    FROM v CROSS JOIN {fin}) WHERE rn = 1
+)""")
+    return ",\n".join(parts), fin, "afin"
+
+
+def _ivfk_quantizer(v: DataFrame):
+    """Spark side of the same chain: returns (final_centroids,
+    final_assignment) after _IVFK_ROUNDS Lloyd updates."""
+    from snapshot_s3_util_spark.llm.clustering import _assign, _update
+
+    c = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_IVFK_K)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    )
+    for _ in range(_IVFK_ROUNDS):
+        c = _update(_assign(v, c))
+    return c, _assign(v, c)
 
 
 def _ivf_kmeans_oracle() -> str:
-    from snapshot_s3_util_spark.llm.clustering import _DIM, _ORACLE_SCORE
-
+    ctes, cfin, afin = _ivfk_quantizer_ctes()
     cos = (
         "LIST_DOT_PRODUCT(e, pe) / (SQRT(LIST_DOT_PRODUCT(e, e))"
         " * SQRT(LIST_DOT_PRODUCT(pe, pe)))"
     )
     return f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL),
-c0 AS (SELECT vec_id AS cid, e AS ce FROM v
-       ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVFK_K}),
-a1 AS (
-  SELECT vec_id, e, cid FROM (
-    SELECT v.vec_id, v.e, c0.cid,
-           ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                              ORDER BY {_ORACLE_SCORE}, c0.cid) AS rn
-    FROM v CROSS JOIN c0) WHERE rn = 1
-),
-c1 AS (
-  SELECT cid, LIST(c ORDER BY pos) AS ce FROM (
-    SELECT cid, pos, AVG(e[pos]) AS c
-    FROM a1 CROSS JOIN (SELECT UNNEST(range(1, {_DIM} + 1)) AS pos) p
-    GROUP BY cid, pos)
-  GROUP BY cid
-),
-a2 AS (
-  SELECT vec_id, e, cid FROM (
-    SELECT v.vec_id, v.e, c1.cid,
-           ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                              ORDER BY {_ORACLE_SCORE}, c1.cid) AS rn
-    FROM v CROSS JOIN c1) WHERE rn = 1
-),
+{ctes},
 probe AS (SELECT e AS pe FROM v WHERE vec_id = {_PROBE_ID}),
 near AS (
-  SELECT cid FROM c1 CROSS JOIN probe
+  SELECT cid FROM {cfin} CROSS JOIN probe
   ORDER BY LIST_DOT_PRODUCT(ce, pe) /
            (SQRT(LIST_DOT_PRODUCT(ce, ce)) * SQRT(LIST_DOT_PRODUCT(pe, pe)))
            DESC, cid
   LIMIT {_IVFK_NPROBE}
 )
 SELECT vec_id, cid AS cluster_id, ROUND({cos}, 6) AS cos_sim
-FROM a2 CROSS JOIN probe
+FROM {afin} CROSS JOIN probe
 WHERE cid IN (SELECT cid FROM near)
 ORDER BY {cos} DESC, vec_id
 LIMIT {SIM_TOPK}
@@ -1443,34 +1487,29 @@ LIMIT {SIM_TOPK}
 def llm_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k with a LEARNED coarse quantizer — no
     labels anywhere: k={_IVFK_K} Lloyd centroids (md5-deterministic
-    seeds, one unrolled update, exactly the llm_kmeans_iter recipe),
-    nprobe={_IVFK_NPROBE} nearest clusters by centroid cosine, exact
-    cosine inside them. `llm_sim_ann_ivf` (the label quantizer) stays
-    as the parity tier; this is the variant an unlabeled 100 TB corpus
-    actually runs.
+    seeds, {_IVFK_ROUNDS} unrolled update rounds, exactly the
+    llm_kmeans_iter recipe), nprobe={_IVFK_NPROBE} nearest clusters by
+    centroid cosine, exact cosine inside them. `llm_sim_ann_ivf` (the
+    label quantizer) stays as the parity tier; this is the variant an
+    unlabeled 100 TB corpus actually runs.  Round 11 retuned
+    (rounds, nprobe) on a measured recall grid — see the
+    _IVFK_ROUNDS comment for why extra Lloyd rounds at FIXED nprobe
+    were non-monotone and nprobe is the dominant knob.
 
-    Plan shape: the quantizer build touches the corpus twice (one
-    K-way broadcast-scored window per assignment + one map-side-
-    combined per-dim mean); the index is K x dim doubles — broadcast-
-    sized forever. The probe ranks K centroids (driver-trivial) and
-    scans ONLY the nprobe member clusters, so query cost is
-    ~nprobe/K of the corpus regardless of corpus size; at 100 TB the
-    assignment is computed once, written as a `cluster_id` partition
-    column, and queries prune to nprobe partitions at planning time.
+    Plan shape: the quantizer build touches the corpus once per Lloyd
+    round (one K-way broadcast-scored narrow assignment + one
+    map-side-combined per-dim mean each); the index is K x dim
+    doubles — broadcast-sized forever. The probe ranks K centroids
+    (driver-trivial) and scans ONLY the nprobe member clusters, so
+    query cost is ~nprobe/K of the corpus regardless of corpus size;
+    at 100 TB the assignment is computed once, written as a
+    `cluster_id` partition column, and queries prune to nprobe
+    partitions at planning time.
     """
-    from snapshot_s3_util_spark.llm.clustering import _assign, _update
-
     v = load_embeddings(spark, sf_dir).select(
         "vec_id", F.expr(_E).alias("e")
     )
-    c0 = (
-        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(_IVFK_K)
-        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
-    )
-    a1 = _assign(v, c0)
-    c1 = _update(a1)
-    a2 = _assign(v, c1)
+    c1, a2 = _ivfk_quantizer(v)
     probe = v.filter(F.col("vec_id") == _PROBE_ID).select(
         F.col("e").alias("pe")
     )
@@ -1497,52 +1536,29 @@ def llm_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------- recall audit for the learned-quantizer IVF
 def _ivfk_recall_oracle() -> str:
-    from snapshot_s3_util_spark.llm.clustering import _DIM, _ORACLE_SCORE
-
+    ctes, cfin, afin = _ivfk_quantizer_ctes()
     cos = (
         "LIST_DOT_PRODUCT(e, pe) / (SQRT(LIST_DOT_PRODUCT(e, e))"
         " * SQRT(LIST_DOT_PRODUCT(pe, pe)))"
     )
     return f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL),
-c0 AS (SELECT vec_id AS cid, e AS ce FROM v
-       ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVFK_K}),
-a1 AS (
-  SELECT vec_id, e, cid FROM (
-    SELECT v.vec_id, v.e, c0.cid,
-           ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                              ORDER BY {_ORACLE_SCORE}, c0.cid) AS rn
-    FROM v CROSS JOIN c0) WHERE rn = 1
-),
-c1 AS (
-  SELECT cid, LIST(c ORDER BY pos) AS ce FROM (
-    SELECT cid, pos, AVG(e[pos]) AS c
-    FROM a1 CROSS JOIN (SELECT UNNEST(range(1, {_DIM} + 1)) AS pos) p
-    GROUP BY cid, pos)
-  GROUP BY cid
-),
-a2 AS (
-  SELECT vec_id, e, cid FROM (
-    SELECT v.vec_id, v.e, c1.cid,
-           ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                              ORDER BY {_ORACLE_SCORE}, c1.cid) AS rn
-    FROM v CROSS JOIN c1) WHERE rn = 1
-),
+{ctes},
 probes AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < {N_PROBES}),
 near AS (
   SELECT probe_id, cid FROM (
-    SELECT p.probe_id, c1.cid,
+    SELECT p.probe_id, {cfin}.cid,
            ROW_NUMBER() OVER (PARTITION BY p.probe_id
                               ORDER BY LIST_DOT_PRODUCT(ce, pe) /
                                        (SQRT(LIST_DOT_PRODUCT(ce, ce)) *
                                         SQRT(LIST_DOT_PRODUCT(pe, pe)))
                                        DESC, cid) AS rn
-    FROM c1 CROSS JOIN probes p) WHERE rn <= {_IVFK_NPROBE}
+    FROM {cfin} CROSS JOIN probes p) WHERE rn <= {_IVFK_NPROBE}
 ),
 cand AS (
-  SELECT n.probe_id, a2.vec_id, a2.e
-  FROM a2 JOIN near n ON a2.cid = n.cid
-  WHERE a2.vec_id <> n.probe_id
+  SELECT n.probe_id, {afin}.vec_id, {afin}.e
+  FROM {afin} JOIN near n ON {afin}.cid = n.cid
+  WHERE {afin}.vec_id <> n.probe_id
 ),
 exact AS (
   SELECT probe_id, vec_id FROM (
@@ -1606,18 +1622,10 @@ def llm_ann_recall_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast+window shape. Probe count bounds every post-assignment
     exchange.
     """
-    from snapshot_s3_util_spark.llm.clustering import _assign, _update
-
     v = load_embeddings(spark, sf_dir).select(
         "vec_id", F.expr(_E).alias("e")
     )
-    c0 = (
-        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(_IVFK_K)
-        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
-    )
-    c1 = _update(_assign(v, c0))
-    a2 = _assign(v, c1)
+    c1, a2 = _ivfk_quantizer(v)
     probes = v.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
     )
