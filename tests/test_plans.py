@@ -1530,6 +1530,60 @@ def test_snapshot_keyrange_prunes_splits_at_planning_time(spark, sf_dir, tmp_pat
     assert got == want, (got, want)
 
 
+def test_snapshot_keyrange_planned_splits_flat_as_regions_grow(
+    spark, sf_dir, tmp_path
+):
+    """The 100x-scale property behind STRESS.md's snapshot-pruning
+    section: with region-SIZE held constant (span count grows with the
+    table), a fixed rowkey range must open a ~CONSTANT number of files
+    no matter how many exist — planned fraction -> 0 as the snapshot
+    grows.  Measured at the stress tiers as 5 planned files from 40
+    through 4,000 total; this pins the invariant in CI at two span
+    counts."""
+    from snapshot_s3_util_spark.io import load_table
+    from snapshot_s3_util_spark.sources.snapshot_source import SnapshotReader
+
+    from pyspark.sql import functions as F
+
+    schema = spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, user_id bigint, "
+        "value double, props string, event_type string"
+    ).schema
+    ev = load_table(spark, sf_dir, "events")
+    # a ~5% slice of the key DOMAIN (the stress tool's 150:449 is 5%
+    # of sf0.1's domain; at the tiny test SF that literal range would
+    # cover half the keys and prove nothing)
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    lo, hi = int(max_id * 0.25), int(max_id * 0.30)
+    counts = {}
+    for spans in (8, 32):
+        out = str(tmp_path / f"snap{spans}")
+        (
+            ev.repartitionByRange(spans, "event_id")
+            .sortWithinPartitions("event_id")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+
+        def n_files(opts):
+            return sum(
+                len(p.files) for p in SnapshotReader(schema, opts).partitions()
+            )
+
+        counts[spans] = (
+            n_files({"path": out, "key_range": f"{lo}:{hi}"}),
+            n_files({"path": out}),
+        )
+    (p8, t8), (p32, t32) = counts[8], counts[32]
+    assert t32 >= 3 * t8, counts  # total files really grew with spans
+    # planned stays ~constant: a 5% key slice overlaps 1-2 spans of 8
+    # and 2-3 spans of 32 — per partition dir — never proportionally
+    # to the span count
+    assert 0 < p32 <= 2 * p8, counts
+    assert p32 / t32 < p8 / t8, counts  # planned fraction shrank
+
+
 def test_snapshot_source_column_projection_never_decodes_unselected(
     spark, sf_dir, tmp_path
 ):

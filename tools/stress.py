@@ -262,6 +262,107 @@ def _shuffle_snapshot(app_id: str) -> dict[tuple[int, int], int]:
     }
 
 
+def measure_snapshot_pruning(spark, label: str, sf_dir: str, mult: int) -> dict:
+    """Planning-time split pruning of the DSv2 snapshot source at a
+    stress tier (r10 verdict ask #6).
+
+    Layout discipline: span count scales WITH the tier (8 * mult range
+    partitions on event_id) — the region analog, where region SIZE is
+    constant and region COUNT grows with the table.  A fixed
+    `key_range` scan then overlaps a ~constant number of spans, so the
+    proof of "pruning holds at 100x" is planned-file count staying
+    flat while total files grow ~mult (planned fraction -> 0), decided
+    from KB-sized footer stats alone — no data pages are opened for a
+    skipped split.  Walls compare the pruned read against the
+    full-snapshot read through the same DataSource."""
+    from snapshot_s3_util_spark.io import load_table
+    from snapshot_s3_util_spark.sources.sinks import _SNAP_KR_HI, _SNAP_KR_LO
+    from snapshot_s3_util_spark.sources.snapshot_source import (
+        SnapshotReader,
+        register_snapshot_source,
+    )
+
+    out = os.path.join("/tmp", f"s3u_spark_snapprune_{label}")
+    shutil.rmtree(out, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.repartitionByRange(8 * mult, "event_id")
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    try:
+        schema = spark.createDataFrame(
+            [], "event_id bigint, ts timestamp, user_id bigint, "
+            "value double, props string, event_type string"
+        ).schema
+        kr = f"{_SNAP_KR_LO}:{_SNAP_KR_HI}"
+        t0 = time.perf_counter()
+        planned = sum(
+            len(p.files)
+            for p in SnapshotReader(schema, {"path": out, "key_range": kr}).partitions()
+        )
+        plan_wall = time.perf_counter() - t0
+        total = sum(
+            len(p.files) for p in SnapshotReader(schema, {"path": out}).partitions()
+        )
+        register_snapshot_source(spark)
+
+        def read_wall(opts: dict) -> float:
+            reader = spark.read.format("hbase_snapshot").option("path", out)
+            for k, v in opts.items():
+                reader = reader.option(k, v)
+            reader.load().count()  # warm-up
+            t0 = time.perf_counter()
+            reader.load().count()
+            return time.perf_counter() - t0
+
+        pruned_wall = read_wall({"key_range": kr})
+        full_wall = read_wall({})
+        res = {
+            "total_files": total,
+            "planned_files": planned,
+            "planned_frac": round(planned / total, 4) if total else None,
+            "planning_wall_sec": round(plan_wall, 3),
+            "pruned_read_wall_sec": round(pruned_wall, 3),
+            "full_read_wall_sec": round(full_wall, 3),
+        }
+        print(
+            f"{label:>10s} snapshot-pruning planned={planned}/{total} "
+            f"files ({res['planned_frac']}) pruned-read "
+            f"{pruned_wall:.2f}s vs full {full_wall:.2f}s",
+            flush=True,
+        )
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _snap_prune_section(snap: dict) -> list:
+    lines = [
+        "\n## Snapshot DataSource planning-time pruning "
+        "(key_range 150:449)\n",
+        "\nThe DSv2 snapshot source's region analog: range-partitioned "
+        "spans of constant SIZE, so span count grows with the tier "
+        "(8 per sf0.1-equivalent). A fixed rowkey scan range must then "
+        "keep planned-file count ~flat while total files grow ~mult — "
+        "the footer-stat split skip (`snapshot_source.py`) deciding "
+        "from KB-sized metadata only. `planning wall` is the whole "
+        "driver-side partition-planning pass including footer reads.\n",
+        "\n| tier | total files | planned files | planned frac | "
+        "planning wall | pruned read | full read |\n"
+        "|---|---:|---:|---:|---:|---:|---:|\n",
+    ]
+    for label, r in snap.items():
+        lines.append(
+            f"| {label} | {r['total_files']} | {r['planned_files']} | "
+            f"{r['planned_frac']} | {r['planning_wall_sec']}s | "
+            f"{r['pruned_read_wall_sec']}s | {r['full_read_wall_sec']}s |\n"
+        )
+    return lines
+
+
 def _materialize(df) -> None:
     """Full JVM-side materialization: every output row is computed and
     delivered to the sink, but nothing crosses into the Python driver.
@@ -375,7 +476,7 @@ def _tier_section(base_r, stress_r, mult: int):
     return lines
 
 
-def _write_report(base_r, tier_results, base: str) -> None:
+def _write_report(base_r, tier_results, base: str, snap: dict | None = None) -> None:
     """tier_results: list of (mult, results) ascending by mult."""
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STRESS.md"
@@ -481,6 +582,8 @@ def _write_report(base_r, tier_results, base: str) -> None:
             else:
                 rt = f"{d_hi / d_lo:.1f}"
             lines.append(f"| `{name}` | {d_lo:,d} B | {d_hi:,d} B | {rt} |\n")
+    if snap:
+        lines += _snap_prune_section(snap)
     with open(path, "w") as fh:
         fh.writelines(lines)
     print(f"wrote {path}")
@@ -504,6 +607,14 @@ def main() -> int:
         help="comma-separated tier multipliers (e.g. 10,30); each tier "
         "lives at <out><mult>/ and the report carries one section per "
         "tier plus the lever-arm linearity table. Overrides --mult.",
+    )
+    ap.add_argument(
+        "--snapshot-pruning",
+        action="store_true",
+        help="measure the DSv2 snapshot source's planning-time split "
+        "pruning (planned vs total files) at base + each tier instead "
+        "of the op set; merges into the cache and (with --report) "
+        "renders its STRESS.md section",
     )
     ap.add_argument(
         "--report-only",
@@ -537,6 +648,7 @@ def main() -> int:
             cached["base"],
             [(m, r) for m, r in cached["tiers"]],
             cached["base_dir"],
+            cached.get("snapshot_pruning"),
         )
         return 0
 
@@ -559,6 +671,36 @@ def main() -> int:
             print(f"building {mult}x tier at {out} ...", flush=True)
             build_tier(spark, args.base, out, mult)
 
+    prev_snap = None
+    if os.path.exists(cache_path):
+        try:
+            with open(cache_path) as fh:
+                prev_snap = json.load(fh).get("snapshot_pruning")
+        except (OSError, ValueError):
+            prev_snap = None
+
+    if args.snapshot_pruning:
+        # standalone planning-time-pruning measurement over base + the
+        # (already built) tiers; merges into the cache so --report-only
+        # keeps rendering it alongside the op tables
+        snap = {"1x (sf0.1)": measure_snapshot_pruning(spark, "base", args.base, 1)}
+        for mult, out in tier_dirs:
+            snap[f"{mult}x"] = measure_snapshot_pruning(spark, str(mult), out, mult)
+        if os.path.exists(cache_path):
+            with open(cache_path) as fh:
+                cached = json.load(fh)
+            cached["snapshot_pruning"] = snap
+            with open(cache_path, "w") as fh:
+                json.dump(cached, fh)
+            if args.report:
+                _write_report(
+                    cached["base"],
+                    [(m, r) for m, r in cached["tiers"]],
+                    cached["base_dir"],
+                    snap,
+                )
+        return 0
+
     base_r = measure(spark, ops, args.base)
     tier_results = [(mult, measure(spark, ops, out)) for mult, out in tier_dirs]
     # only a full multi-tier run of the canonical set may replace the
@@ -571,11 +713,12 @@ def main() -> int:
                     "base": base_r,
                     "tiers": tier_results,
                     "base_dir": args.base,
+                    "snapshot_pruning": prev_snap,
                 },
                 fh,
             )
     if args.report:
-        _write_report(base_r, tier_results, args.base)
+        _write_report(base_r, tier_results, args.base, prev_snap)
 
     rc = 0
     for mult, res in tier_results:
