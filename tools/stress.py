@@ -470,6 +470,99 @@ def _capfill_section(capfill: dict) -> list:
     return lines
 
 
+def measure_streaming_rate(spark, label: str, sf_dir: str) -> dict:
+    """Micro-batch latency/throughput of the streaming export path
+    (r10 verdict ask #7: the streaming surface was verified
+    batch-equivalent but carried no measured rate).
+
+    Drives `stream_foreach_batch_export`'s exact pipeline shape —
+    file-source readStream -> foreachBatch partitioned parquet sink —
+    but staged into MANY source files with maxFilesPerTrigger, so the
+    run is a genuine multi-batch stream, then reads the engine's own
+    StreamingQueryProgress: per-trigger input rows and execution
+    times.  Throughput = total rows / sum(trigger walls); latency =
+    median trigger execution.  At 100 TB/day these numbers scale with
+    executor count (each micro-batch is an ordinary partitioned batch
+    write); the per-trigger fixed overhead measured here is the
+    driver-side floor that sets the minimum useful trigger interval."""
+    import tempfile
+
+    from snapshot_s3_util_spark.io import load_table
+
+    tmp = tempfile.mkdtemp(prefix="s3u_stream_rate_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartition(16).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+
+        def write_batch(batch_df, epoch_id):
+            (
+                batch_df.write.mode("append")
+                .partitionBy("event_type")
+                .parquet(out)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        progress = []
+        for p in q.recentProgress:
+            progress.append(json.loads(p.json) if hasattr(p, "json") else p)
+        q.stop()
+        rows = [p for p in progress if p.get("numInputRows", 0) > 0]
+        total = sum(p["numInputRows"] for p in rows)
+        walls_ms = [p["durationMs"]["triggerExecution"] for p in rows]
+        res = {
+            "events": total,
+            "micro_batches": len(rows),
+            "median_trigger_ms": int(statistics.median(walls_ms)),
+            "p_max_trigger_ms": max(walls_ms),
+            "events_per_sec": int(total / (sum(walls_ms) / 1000.0)),
+        }
+        print(
+            f"{label:>10s} streaming-rate {total:,d} events / "
+            f"{len(rows)} batches, median trigger "
+            f"{res['median_trigger_ms']} ms, "
+            f"{res['events_per_sec']:,d} events/s",
+            flush=True,
+        )
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _stream_rate_section(rate: dict) -> list:
+    lines = [
+        "\n## Streaming micro-batch rate (stream_foreach_batch_export "
+        "shape)\n",
+        "\nA genuine multi-batch run (16 source files, "
+        "maxFilesPerTrigger=2 → 8 triggers) of the streaming export "
+        "pipeline, measured from the engine's own "
+        "StreamingQueryProgress. Throughput = rows / Σ trigger "
+        "execution; the median trigger is the per-micro-batch latency "
+        "floor on this hardware — at cluster scale each trigger is an "
+        "ordinary partitioned parquet write and scales with "
+        "executors.\n",
+        "\n| tier | events | micro-batches | median trigger | max "
+        "trigger | throughput |\n|---|---:|---:|---:|---:|---:|\n",
+    ]
+    for label, r in rate.items():
+        lines.append(
+            f"| {label} | {r['events']:,d} | {r['micro_batches']} | "
+            f"{r['median_trigger_ms']} ms | {r['p_max_trigger_ms']} ms "
+            f"| {r['events_per_sec']:,d} events/s |\n"
+        )
+    return lines
+
+
 def _materialize(df) -> None:
     """Full JVM-side materialization: every output row is computed and
     delivered to the sink, but nothing crosses into the Python driver.
@@ -589,6 +682,7 @@ def _write_report(
     base: str,
     snap: dict | None = None,
     capfill: dict | None = None,
+    stream_rate: dict | None = None,
 ) -> None:
     """tier_results: list of (mult, results) ascending by mult."""
     path = os.path.join(
@@ -699,6 +793,8 @@ def _write_report(
         lines += _snap_prune_section(snap)
     if capfill:
         lines += _capfill_section(capfill)
+    if stream_rate:
+        lines += _stream_rate_section(stream_rate)
     with open(path, "w") as fh:
         fh.writelines(lines)
     print(f"wrote {path}")
@@ -740,6 +836,14 @@ def main() -> int:
         "--report) renders its STRESS.md section",
     )
     ap.add_argument(
+        "--streaming-rate",
+        action="store_true",
+        help="measure micro-batch latency/throughput of the streaming "
+        "export pipeline at base + each tier instead of the op set; "
+        "merges into the cache and (with --report) renders its "
+        "STRESS.md section",
+    )
+    ap.add_argument(
         "--report-only",
         action="store_true",
         help="re-render STRESS.md from the cached measurements of the "
@@ -773,6 +877,7 @@ def main() -> int:
             cached["base_dir"],
             cached.get("snapshot_pruning"),
             cached.get("simhash_capfill"),
+            cached.get("streaming_rate"),
         )
         return 0
 
@@ -795,15 +900,37 @@ def main() -> int:
             print(f"building {mult}x tier at {out} ...", flush=True)
             build_tier(spark, args.base, out, mult)
 
-    prev_snap = prev_capfill = None
+    prev_snap = prev_capfill = prev_rate = None
     if os.path.exists(cache_path):
         try:
             with open(cache_path) as fh:
                 _c = json.load(fh)
             prev_snap = _c.get("snapshot_pruning")
             prev_capfill = _c.get("simhash_capfill")
+            prev_rate = _c.get("streaming_rate")
         except (OSError, ValueError):
-            prev_snap = prev_capfill = None
+            prev_snap = prev_capfill = prev_rate = None
+
+    if args.streaming_rate:
+        rate = {"1x (sf0.1)": measure_streaming_rate(spark, "base", args.base)}
+        for mult, out in tier_dirs:
+            rate[f"{mult}x"] = measure_streaming_rate(spark, str(mult), out)
+        if os.path.exists(cache_path):
+            with open(cache_path) as fh:
+                cached = json.load(fh)
+            cached["streaming_rate"] = rate
+            with open(cache_path, "w") as fh:
+                json.dump(cached, fh)
+            if args.report:
+                _write_report(
+                    cached["base"],
+                    [(m, r) for m, r in cached["tiers"]],
+                    cached["base_dir"],
+                    cached.get("snapshot_pruning"),
+                    cached.get("simhash_capfill"),
+                    rate,
+                )
+        return 0
 
     if args.simhash_capfill:
         capfill = measure_simhash_capfill(spark, args.base)
@@ -843,6 +970,7 @@ def main() -> int:
                     cached["base_dir"],
                     snap,
                     cached.get("simhash_capfill"),
+                    cached.get("streaming_rate"),
                 )
         return 0
 
@@ -860,11 +988,14 @@ def main() -> int:
                     "base_dir": args.base,
                     "snapshot_pruning": prev_snap,
                     "simhash_capfill": prev_capfill,
+                    "streaming_rate": prev_rate,
                 },
                 fh,
             )
     if args.report:
-        _write_report(base_r, tier_results, args.base, prev_snap, prev_capfill)
+        _write_report(
+            base_r, tier_results, args.base, prev_snap, prev_capfill, prev_rate
+        )
 
     rc = 0
     for mult, res in tier_results:
