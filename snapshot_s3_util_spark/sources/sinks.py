@@ -428,6 +428,170 @@ def source_snapshot_keyrange(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# Region count for the faithful snapshot layout below — fixed and
+# arithmetic (region i covers [i*rs, (i+1)*rs), rs = floor(max/4)+1) so
+# the DuckDB oracle can reproduce the region map exactly; Spark's
+# repartitionByRange boundaries are sampled and could not be mirrored.
+_LAYOUT_REGIONS = 4
+
+
+@register(
+    "hb_snapshot_layout_roundtrip",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(FLOOR(COALESCE(MAX(event_id), 0) / {_LAYOUT_REGIONS}) + 1
+                  AS BIGINT) AS rs
+      FROM {EVENTS_REL} e
+    ),
+    reg AS (
+      SELECT CAST(FLOOR(event_id / m.rs) AS BIGINT) AS region,
+             MIN(event_id) AS mn, MAX(event_id) AS mx
+      FROM {EVENTS_REL} e, m
+      GROUP BY 1
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_files FROM reg),
+    planned AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_planned FROM reg
+      WHERE mx >= {_SNAP_KR_LO} AND mn <= {_SNAP_KR_HI}
+    ),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n_rows,
+             CAST(SUM(user_id) AS BIGINT) AS sum_user
+      FROM {EVENTS_REL} e
+      WHERE event_id BETWEEN {_SNAP_KR_LO} AND {_SNAP_KR_HI}
+      GROUP BY event_type
+    )
+    SELECT a.event_type, a.n_rows, a.sum_user,
+           t.n_files AS n_files_total, p.n_planned AS n_files_planned,
+           TRUE AS manifest_ok
+    FROM agg a, total t, planned p
+    """,
+    category="hbase",
+)
+def hb_snapshot_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2→A4 round trip through a FAITHFUL on-disk snapshot layout
+    (r10 verdict ask #8): the create side writes the reference's
+    directory shape —
+
+        <root>/hbase/.hbase-snapshot/<name>/.snapshotinfo
+        <root>/hbase/.hbase-snapshot/<name>/data.manifest
+        <root>/hbase/archive/data/default/events/region=<i>/part-*.parquet
+
+    — where `data.manifest` lists every store file with its region,
+    size in bytes, row count and rowkey min/max (the SnapshotManifest
+    protobuf's content, emulated as JSON lines), and `.snapshotinfo`
+    carries the SnapshotDescription fields.  The restore side then
+    plans ENTIRELY from the manifest: it verifies each listed file
+    exists with the listed byte size (`manifest_ok`), prunes files
+    whose manifest key range cannot overlap the scan (the
+    TableSnapshotInputFormat region skip, but O(manifest) instead of
+    per-file footer reads — the production-bridge planning shape
+    STRESS.md's pruning section motivates), reads ONLY the surviving
+    files, and aggregates.  Region boundaries are arithmetic
+    (region = event_id div rs, rs = floor(max/4)+1) so the oracle
+    reproduces the region map and independently checks BOTH the
+    restored content and the manifest-pruning plan (planned/total file
+    counts).  NULL rowkeys land in the hive NULL region with NULL
+    manifest bounds and are never planned for a keyed scan —
+    Scan(start, stop) semantics.
+
+    Scale: one |events| write + one pruned read; the manifest is
+    KB-sized metadata (rows ∝ regions) built from parquet footers at
+    snapshot-create time and read once at plan time.  The driver-side
+    max(event_id) is a single-row aggregate scalar.
+    """
+    import glob as _glob
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    root = _scratch("snaplayout")
+    snapdir = os.path.join(root, "hbase", ".hbase-snapshot", SNAPSHOT_NAME)
+    archive = os.path.join(root, "hbase", "archive", "data", "default", "events")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        mx = ev.agg(F.max("event_id")).collect()[0][0]
+        rs = (mx or 0) // _LAYOUT_REGIONS + 1
+        # ---- A2: create snapshot (archive files + manifest) ----
+        (
+            ev.withColumn(
+                "region", F.floor(F.col("event_id") / F.lit(rs)).cast("bigint")
+            )
+            .repartition("region")
+            .write.mode("overwrite")
+            .partitionBy("region")
+            .parquet(archive)
+        )
+        entries = []
+        for d in sorted(_glob.glob(os.path.join(archive, "region=*"))):
+            region = os.path.basename(d).split("=", 1)[1]
+            for f in sorted(_glob.glob(os.path.join(d, "*.parquet"))):
+                md = _pq.read_metadata(f)
+                names = md.schema.names
+                kmin = kmax = None
+                if "event_id" in names:
+                    ci = names.index("event_id")
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            kmin = kmax = None
+                            break
+                        kmin = st.min if kmin is None else min(kmin, st.min)
+                        kmax = st.max if kmax is None else max(kmax, st.max)
+                entries.append(
+                    {
+                        "region": region,
+                        "family": "d",
+                        "path": os.path.relpath(f, root),
+                        "bytes": os.path.getsize(f),
+                        "rows": md.num_rows,
+                        "min_key": kmin,
+                        "max_key": kmax,
+                    }
+                )
+        os.makedirs(snapdir, exist_ok=True)
+        with open(os.path.join(snapdir, "data.manifest"), "w") as fh:
+            for ent in entries:
+                fh.write(_json.dumps(ent) + "\n")
+        with open(os.path.join(snapdir, ".snapshotinfo"), "w") as fh:
+            _json.dump(
+                {"name": SNAPSHOT_NAME, "table": "default:events",
+                 "type": "FLUSH", "version": 2},
+                fh,
+            )
+        # ---- A4: restore, planning from the manifest alone ----
+        with open(os.path.join(snapdir, "data.manifest")) as fh:
+            listed = [_json.loads(line) for line in fh]
+        manifest_ok = all(
+            os.path.exists(os.path.join(root, ent["path"]))
+            and os.path.getsize(os.path.join(root, ent["path"])) == ent["bytes"]
+            for ent in listed
+        )
+        planned = [
+            ent
+            for ent in listed
+            if ent["min_key"] is not None
+            and ent["max_key"] >= _SNAP_KR_LO
+            and ent["min_key"] <= _SNAP_KR_HI
+        ]
+        back = spark.read.parquet(
+            *[os.path.join(root, ent["path"]) for ent in planned]
+        ).filter(F.col("event_id").between(_SNAP_KR_LO, _SNAP_KR_HI))
+        return (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("user_id").cast("bigint").alias("sum_user"),
+            )
+            .withColumn("n_files_total", F.lit(len(listed)).cast("bigint"))
+            .withColumn("n_files_planned", F.lit(len(planned)).cast("bigint"))
+            .withColumn("manifest_ok", F.lit(manifest_ok))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register(
     "sink_s3_layout",
     oracle=f"""
