@@ -35,28 +35,25 @@ from snapshot_s3_util_spark.registry import REGISTRY, register  # noqa: F401
 # 4. Everything else, oldest-green-round first, so stale verifications
 #    drain; registration order breaks ties (stable sort).
 _WINDOW_CHANGED_THIS_ROUND: list = [
-    # round 10: no behavior changes pending at round start (backlog is
-    # 0 after r9), so the window deliberately drains the OLDEST-green
-    # tier — the r2/r3 rows (streaming §2B ops, the UDF surface,
-    # llm_centroids/text_stats/lang_profile, the early sinks) that are
-    # 7+ rounds stale (r9 verdict ask #2).  New round-10 ops, if any,
-    # are appended here as they land.
-    "llm_sim_ann_ivf_kmeans",  # new op: learned-quantizer IVF ANN
-    "multimodal_png_codec",    # new op: pure-stdlib PNG encode/decode
-    "llm_ann_recall_ivf_kmeans",  # new op: recall audit for the learned IVF
-    # behavior change: candidate-bucket cap added to the banded
-    # perceptual-hash pair ops (the 30x stress tier measured a 1.14 B
-    # candidate-pair / 76 GB spill quadratic blow-up in the uncapped
-    # aHash band join; oracle mirrors the cap — results identical at
-    # sf0.001/0.01, aHash pairs change at sf0.1)
+    # round 11 changed/new set (7 slots; the other 43 drain the
+    # oldest-green tier — the 78-op r3/r4 tail the r10 verdict ask #3
+    # targets for retirement across the r11+r12 windows):
+    "llm_simhash_recall_bucket_cap",  # new op: oracle-checked recall
+    #   audit of the simhash bucket cap (r10 verdict ask #2)
+    "hb_snapshot_layout_roundtrip",   # new op: faithful
+    #   .hbase-snapshot manifest+archive layout roundtrip (r10 ask #8)
+    # behavior change: over-cap band buckets are now SAMPLED to the
+    # cap by deterministic md5(doc_id) order instead of skipped (the
+    # r11 ADVICE recall fix) — pair results change wherever the cap
+    # binds (sf0.1+)
+    "llm_dedup_simhash_pairs",
     "multimodal_ahash_dedup",
     "multimodal_phash_dedup",
-    # behavior change: simhash widened 16 -> 60 bits (4-bit band keys
-    # made banded blocking a 16-way partition: 3.2 B candidate pairs
-    # measured at the 30x tier; 15-bit keys are the Manku et al.
-    # production design) + the same bucket cap as the perceptual ops
-    "llm_dedup_simhash",
-    "llm_dedup_simhash_pairs",
+    # behavior change: learned-quantizer IVF retuned on the measured
+    # (Lloyd rounds x nprobe) recall grid — rounds 1 -> 2, nprobe
+    # 4 -> 6 (recall 0.47/0.61 -> 0.70/0.75 at sf0.01/sf0.1)
+    "llm_sim_ann_ivf_kmeans",
+    "llm_ann_recall_ivf_kmeans",
 ]
 
 
