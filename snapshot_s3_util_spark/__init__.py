@@ -40,6 +40,8 @@ _WINDOW_CHANGED_THIS_ROUND: list = [
     # targets for retirement across the r11+r12 windows):
     "llm_simhash_recall_bucket_cap",  # new op: oracle-checked recall
     #   audit of the simhash bucket cap (r10 verdict ask #2)
+    "multimodal_ahash_recall_bucket_cap",  # new op: same audit for the
+    "multimodal_phash_recall_bucket_cap",  # perceptual-hash family
     "hb_snapshot_layout_roundtrip",   # new op: faithful
     #   .hbase-snapshot manifest+archive layout roundtrip (r10 ask #8)
     # behavior change: over-cap band buckets are now SAMPLED to the

@@ -836,7 +836,9 @@ FROM ham WHERE hamming <= {_AHASH_MAX_HAMMING}
 """
 
 
-def _capped_banded_pairs(bands: DataFrame, max_hamming: int) -> DataFrame:
+def _capped_banded_pairs(
+    bands: DataFrame, max_hamming: int, cap: int | None = _BAND_BUCKET_CAP
+) -> DataFrame:
     """Shared candidate/verify tail of the banded perceptual-hash ops.
 
     Candidates come from ONE (band, sig) self-join over buckets
@@ -846,17 +848,18 @@ def _capped_banded_pairs(bands: DataFrame, max_hamming: int) -> DataFrame:
     candidate pairs back to their full signatures.  See the
     _BAND_BUCKET_CAP comment for the measured quadratic blow-up this
     bounds and why over-cap buckets are sampled rather than skipped
-    (round 11: a skipped bucket silently lost the biggest clusters)."""
-    rn = F.row_number().over(
-        Window.partitionBy("band", "sig").orderBy(
-            F.md5(F.col("doc_id").cast("string"))
+    (round 11: a skipped bucket silently lost the biggest clusters).
+    `cap=None` disables the sample — the UNCAPPED truth side of the
+    recall audit ops below; never use it in a production pipeline."""
+    if cap is None:
+        blk = bands
+    else:
+        rn = F.row_number().over(
+            Window.partitionBy("band", "sig").orderBy(
+                F.md5(F.col("doc_id").cast("string"))
+            )
         )
-    )
-    blk = (
-        bands.withColumn("rn", rn)
-        .filter(F.col("rn") <= _BAND_BUCKET_CAP)
-        .drop("rn")
-    )
+        blk = bands.withColumn("rn", rn).filter(F.col("rn") <= cap).drop("rn")
     cand = (
         blk.alias("a")
         .join(
@@ -927,6 +930,16 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature storage is 8 bytes/band.
     """
 
+    return _capped_banded_pairs(
+        _ahash_band_frame(spark, sf_dir), _AHASH_MAX_HAMMING
+    )
+
+
+def _ahash_band_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, sig) aHash signature rows — the Arrow-batched
+    thumbnail/threshold stage shared by the dedup op and its recall
+    audit."""
+
     def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "band": [], "sig": []}
@@ -949,8 +962,7 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    bands = d.mapInPandas(ahash, schema="doc_id long, band int, sig long")
-    return _capped_banded_pairs(bands, _AHASH_MAX_HAMMING)
+    return d.mapInPandas(ahash, schema="doc_id long, band int, sig long")
 
 
 # --- DCT pHash near-dup (round 9: r8 verdict ask #7) -----------------
@@ -1089,6 +1101,14 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB signature storage is 8 bytes/band and the band join is the
     only data-sized shuffle.
     """
+    return _capped_banded_pairs(
+        _phash_band_frame(spark, sf_dir), _PHASH_MAX_HAMMING
+    )
+
+
+def _phash_band_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, sig) pHash signature rows — the exact-integer
+    DCT stage shared by the dedup op and its recall audit."""
     import numpy as np
 
     mat = _phash_matrix().T  # idx x bitpos for thumbs @ mat
@@ -1124,8 +1144,153 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    bands = d.mapInPandas(phash, schema="doc_id long, band int, sig long")
-    return _capped_banded_pairs(bands, _PHASH_MAX_HAMMING)
+    return d.mapInPandas(phash, schema="doc_id long, band int, sig long")
+
+
+# --- bucket-cap recall audits for the perceptual-hash family ---------
+# The same oracle-checked audit llm_simhash_recall_bucket_cap ships for
+# the simhash bands (llm/dedup.py): truth = the UNCAPPED band join
+# (complete w.r.t. what banding can see), kept = the production
+# cap-sampled pipeline; kept ⊆ true, recall exact.  NOTE the truth
+# baseline here is BANDED-recall: banding itself is pigeonhole-lossless
+# only below `bands` bit flips (distance ≤ 3), while these ops verify
+# to Hamming ≤ 6, so "true pairs" means pairs the uncapped band join
+# surfaces — the cap's own cost, isolated from the banding trade the
+# dedup docstrings already state.
+
+
+def _banded_recall_oracle(ctes: str, max_hamming: int) -> str:
+    return f"""
+WITH {ctes},
+blk AS MATERIALIZED (
+  SELECT doc_id, band, sig FROM (
+    SELECT doc_id, band, sig,
+           ROW_NUMBER() OVER (PARTITION BY band, sig
+                              ORDER BY MD5(CAST(doc_id AS VARCHAR))) AS rn
+    FROM bands) WHERE rn <= {_BAND_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blk a JOIN blk b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+kept AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN bands ba ON ba.doc_id = c.doc_a
+  JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band = ba.band
+  GROUP BY c.doc_a, c.doc_b
+  HAVING SUM(BIT_COUNT(XOR(ba.sig, bb.sig))) <= {max_hamming}
+),
+t_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+truth AS (
+  SELECT c.doc_a, c.doc_b
+  FROM t_cand c
+  JOIN bands ba ON ba.doc_id = c.doc_a
+  JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band = ba.band
+  GROUP BY c.doc_a, c.doc_b
+  HAVING SUM(BIT_COUNT(XOR(ba.sig, bb.sig))) <= {max_hamming}
+),
+bsz AS (SELECT band, sig, COUNT(*) AS bn FROM bands GROUP BY band, sig),
+agg AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM bsz) AS n_buckets,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM bsz
+      WHERE bn > {_BAND_BUCKET_CAP}) AS n_overcap_buckets,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS true_pairs,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS kept_pairs
+)
+SELECT n_buckets, n_overcap_buckets, true_pairs, kept_pairs,
+       CAST(true_pairs - kept_pairs AS BIGINT) AS dropped_pairs,
+       ROUND(CASE WHEN true_pairs = 0 THEN 1.0
+                  ELSE CAST(kept_pairs AS DOUBLE) / true_pairs END,
+             6) AS recall
+FROM agg
+"""
+
+
+def _banded_cap_recall(bands: DataFrame, max_hamming: int) -> DataFrame:
+    """Spark twin of :func:`_banded_recall_oracle` — one audit row.
+
+    The truth side runs the band join UNCAPPED, so this audit carries
+    the quadratic exposure the cap exists to prevent; run it at audit
+    SFs or on a doc-sampled partition at deployment scale (the recall
+    estimate is unbiased under doc sampling), exactly like
+    `llm_simhash_recall_bucket_cap`."""
+    bands = bands.localCheckpoint(eager=True)
+    kept = _capped_banded_pairs(bands, max_hamming)
+    true = _capped_banded_pairs(bands, max_hamming, cap=None)
+    bsz = bands.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("bn"))
+    b = bsz.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(
+            F.when(F.col("bn") > _BAND_BUCKET_CAP, 1).otherwise(0)
+        ).cast("bigint").alias("n_overcap_buckets"),
+    )
+    t = true.agg(F.count(F.lit(1)).cast("bigint").alias("true_pairs"))
+    k = kept.agg(F.count(F.lit(1)).cast("bigint").alias("kept_pairs"))
+    return (
+        b.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(k))
+        .select(
+            "n_buckets",
+            "n_overcap_buckets",
+            "true_pairs",
+            "kept_pairs",
+            (F.col("true_pairs") - F.col("kept_pairs"))
+            .cast("bigint")
+            .alias("dropped_pairs"),
+            F.round(
+                F.when(F.col("true_pairs") == 0, F.lit(1.0)).otherwise(
+                    F.col("kept_pairs").cast("double") / F.col("true_pairs")
+                ),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+@register(
+    "multimodal_ahash_recall_bucket_cap",
+    oracle=_banded_recall_oracle(_AHASH_CTES, _AHASH_MAX_HAMMING),
+    category="multimodal",
+)
+def multimodal_ahash_recall_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-cap recall audit for `multimodal_ahash_dedup` — extends
+    the `llm_simhash_recall_bucket_cap` discipline to the perceptual
+    family whose 30x stress tier FOUND the quadratic bomb (1.14 B
+    uncapped candidates): one oracle-checked row with bucket totals,
+    over-cap count, and the exact kept/true pair recall of the
+    cap-sample against the uncapped band join.  aHash is the family's
+    worst case (text-derived threshold masks concentrate into few
+    signatures), so this row is the honest upper bound on what the cap
+    costs the perceptual ops at each SF.
+    """
+    return _banded_cap_recall(
+        _ahash_band_frame(spark, sf_dir), _AHASH_MAX_HAMMING
+    )
+
+
+@register(
+    "multimodal_phash_recall_bucket_cap",
+    oracle=_banded_recall_oracle(_PHASH_CTES, _PHASH_MAX_HAMMING),
+    category="multimodal",
+)
+def multimodal_phash_recall_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-cap recall audit for `multimodal_phash_dedup` (see the
+    aHash audit above; same contract).  pHash's DCT signatures spread
+    far better than aHash's raw-threshold masks (max bucket 433 docs
+    at the 30x stress tier), so its recall stays at 1.0 until much
+    deeper occupancy — this row is the measured proof, paired with the
+    aHash row as the family's bounds.
+    """
+    return _banded_cap_recall(
+        _phash_band_frame(spark, sf_dir), _PHASH_MAX_HAMMING
+    )
 
 
 # --- binaryFile source: the raw-file ingestion loop --------------------
