@@ -428,32 +428,48 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     |docs| x BITS rows of (doc, bit, ±1) — linear in corpus size.
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
-    bits = spark.range(_SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
-    voted = (
-        tok.crossJoin(F.broadcast(bits))
-        .withColumn(
-            "vote",
-            F.expr(
-                "CASE WHEN (shiftright(cast(conv(substring(md5(tk), 1, 15), 16, 10) "
-                "AS bigint), bit) & 1) = 1 THEN 1 ELSE -1 END"
-            ),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("s"))
+    # Bit-packed majority vote (round 11). The textbook formulation —
+    # explode each token into 60 (doc, bit, ±1) rows and groupBy
+    # (doc, bit) — pushes |tokens| x 60 rows through the hash
+    # aggregate (30 M rows at sf0.1) and THAT, not the md5, was the
+    # measured wall (hoisting md5 out of the fan-out changed nothing).
+    # Instead each token's 60 bit-indicators are packed into 20 bigint
+    # accumulators of three 16-bit lanes (lane shift <= 32 keeps the
+    # per-row value < 2^49: no signed overflow, no cross-lane carry
+    # below 65,536 tokens/doc — orders of magnitude above any corpus
+    # doc), so ONE groupBy(doc_id) with 20 map-side-combined sums does
+    # the whole vote; the fingerprint decodes per doc from the lane
+    # counts (bit set iff 2*cnt > n_tokens ⟺ the old sum-of-±1 > 0 —
+    # same math, same ties, oracle unchanged and hash-identical).
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tk")
+    ).select(
+        "doc_id",
+        F.expr(
+            "cast(conv(substring(md5(tk), 1, 15), 16, 10) AS bigint)"
+        ).alias("h"),
     )
-    return (
-        voted.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr(
-                    "CASE WHEN s > 0 THEN shiftleft(cast(1 AS bigint), bit) "
-                    "ELSE cast(0 AS bigint) END"
-                )
-            )
-            .cast("bigint")
-            .alias("simhash")
+    n_acc = (_SIMHASH_BITS + 2) // 3
+    packs = []
+    for k in range(n_acc):
+        terms = [
+            f"shiftleft(shiftright(h, {3 * k + lane}) & 1, {16 * lane})"
+            for lane in range(3)
+            if 3 * k + lane < _SIMHASH_BITS
+        ]
+        packs.append(F.sum(F.expr(" + ".join(terms))).alias(f"a{k}"))
+    counts = tok.groupBy("doc_id").agg(*packs, F.count(F.lit(1)).alias("n"))
+    fp_terms = []
+    for b in range(_SIMHASH_BITS):
+        k, lane = divmod(b, 3)
+        cnt = f"(shiftright(a{k}, {16 * lane}) & 65535)"
+        fp_terms.append(
+            f"CASE WHEN 2 * {cnt} > n THEN shiftleft(cast(1 AS bigint), {b}) "
+            "ELSE cast(0 AS bigint) END"
         )
+    return counts.select(
+        "doc_id",
+        F.expr(" + ".join(fp_terms)).cast("bigint").alias("simhash"),
     )
 
 

@@ -574,9 +574,16 @@ def hb_snapshot_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             and ent["max_key"] >= _SNAP_KR_LO
             and ent["min_key"] <= _SNAP_KR_HI
         ]
-        back = spark.read.parquet(
-            *[os.path.join(root, ent["path"]) for ent in planned]
-        ).filter(F.col("event_id").between(_SNAP_KR_LO, _SNAP_KR_HI))
+        if planned:
+            back = spark.read.parquet(
+                *[os.path.join(root, ent["path"]) for ent in planned]
+            )
+        else:
+            # every store file pruned (a scan range outside the key
+            # domain): zero planned splits is a valid plan, not an
+            # error — mirror an empty read
+            back = spark.createDataFrame([], ev.schema)
+        back = back.filter(F.col("event_id").between(_SNAP_KR_LO, _SNAP_KR_HI))
         return (
             back.groupBy("event_type")
             .agg(
