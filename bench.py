@@ -78,6 +78,9 @@ BENCH_QUERIES = (
     "llm_dedup_substring_spans",  # gram-index pair join + islands (round 7)
     "multimodal_ahash_dedup",     # mapInPandas sigs + banded Hamming (round 7)
     "llm_sim_ann_ivf_kmeans",     # learned-quantizer IVF ANN (round 10)
+    "llm_dedup_simhash_pairs",    # banded Hamming pair finding over the
+                                  # de-exploded fingerprint pass (round 11 —
+                                  # benchable since the 11x vote fix)
 )
 
 
