@@ -433,14 +433,18 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc, bit) — pushes |tokens| x 60 rows through the hash
     # aggregate (30 M rows at sf0.1) and THAT, not the md5, was the
     # measured wall (hoisting md5 out of the fan-out changed nothing).
-    # Instead each token's 60 bit-indicators are packed into 20 bigint
-    # accumulators of three 16-bit lanes (lane shift <= 32 keeps the
-    # per-row value < 2^49: no signed overflow, no cross-lane carry
-    # below 65,536 tokens/doc — orders of magnitude above any corpus
-    # doc), so ONE groupBy(doc_id) with 20 map-side-combined sums does
-    # the whole vote; the fingerprint decodes per doc from the lane
-    # counts (bit set iff 2*cnt > n_tokens ⟺ the old sum-of-±1 > 0 —
-    # same math, same ties, oracle unchanged and hash-identical).
+    # Instead each token's 60 bit-indicators are packed into 30 bigint
+    # accumulators of two 32-bit lanes, so ONE groupBy(doc_id) with 30
+    # map-side-combined sums does the whole vote; the fingerprint
+    # decodes per doc from the lane counts (bit set iff 2*cnt >
+    # n_tokens ⟺ the old sum-of-±1 > 0 — same math, same ties, oracle
+    # unchanged and hash-identical).  Lane arithmetic bound: per-row
+    # packed value < 2^33, so the int64 sum is safe (and lane 0 cannot
+    # carry into lane 1) for any document under 2^31 tokens — a 16-bit
+    # lane layout would have silently corrupted fingerprints past
+    # 65,535 tokens/doc, a size real web corpora DO contain
+    # (tests/test_semantics.py pins the >65k-token case against a
+    # pure-Python naive vote).
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tk")
     ).select(
@@ -449,20 +453,20 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(conv(substring(md5(tk), 1, 15), 16, 10) AS bigint)"
         ).alias("h"),
     )
-    n_acc = (_SIMHASH_BITS + 2) // 3
+    n_acc = (_SIMHASH_BITS + 1) // 2
     packs = []
     for k in range(n_acc):
         terms = [
-            f"shiftleft(shiftright(h, {3 * k + lane}) & 1, {16 * lane})"
-            for lane in range(3)
-            if 3 * k + lane < _SIMHASH_BITS
+            f"shiftleft(shiftright(h, {2 * k + lane}) & 1, {32 * lane})"
+            for lane in range(2)
+            if 2 * k + lane < _SIMHASH_BITS
         ]
         packs.append(F.sum(F.expr(" + ".join(terms))).alias(f"a{k}"))
     counts = tok.groupBy("doc_id").agg(*packs, F.count(F.lit(1)).alias("n"))
     fp_terms = []
     for b in range(_SIMHASH_BITS):
-        k, lane = divmod(b, 3)
-        cnt = f"(shiftright(a{k}, {16 * lane}) & 65535)"
+        k, lane = divmod(b, 2)
+        cnt = f"(shiftright(a{k}, {32 * lane}) & 4294967295)"
         fp_terms.append(
             f"CASE WHEN 2 * {cnt} > n THEN shiftleft(cast(1 AS bigint), {b}) "
             "ELSE cast(0 AS bigint) END"

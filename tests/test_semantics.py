@@ -6161,3 +6161,38 @@ def test_ann_ivf_kmeans_recall_and_shape(spark, sf_dir):
     # data-limited (same caveat as the label-IVF test above); the
     # probe guarantees 0.1, measured ~0.5+ at sf0.001/sf0.01
     assert recall >= 0.2, f"ivf_kmeans recall@10 collapsed: {recall}"
+
+
+def test_simhash_packed_lanes_survive_huge_docs(spark, tmp_path):
+    """The bit-packed majority vote (round 11) must stay exact past
+    65,535 tokens per document — the capacity at which a 16-bit lane
+    layout would silently carry between lanes and corrupt the
+    fingerprint (real web corpora contain million-token documents).
+    Pins the shipped 2x32-bit-lane layout against a pure-Python naive
+    ±1 vote on a 70,000-token doc, and the small-doc path alongside."""
+    import hashlib
+
+    from snapshot_s3_util_spark.llm.dedup import _SIMHASH_BITS
+
+    def naive_fp(tokens):
+        votes = [0] * _SIMHASH_BITS
+        for tk in tokens:
+            h = int(hashlib.md5(tk.encode()).hexdigest()[:15], 16)
+            for b in range(_SIMHASH_BITS):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(_SIMHASH_BITS) if votes[b] > 0)
+
+    big = [f"t{i % 997}" for i in range(70_000)]  # 70k > 2^16 - 1
+    small = ["alpha", "beta", "gamma", "alpha"]
+    df = spark.createDataFrame(
+        [(1, " ".join(big), "en", "web", len(" ".join(big))),
+         (2, " ".join(small), "en", "web", 22)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in REGISTRY["llm_dedup_simhash"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == naive_fp(big), "packed vote diverged on a >65k-token doc"
+    assert got[2] == naive_fp(small)
