@@ -86,8 +86,10 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROWS_PER_BAND = MINHASH_K // MINHASH_BANDS
 _MINHASH_P = 4294967311  # smallest prime > 2^32
 
-_MINHASH_ORACLE = f"""
-WITH toks AS (
+# Shared CTE chain (tokenize -> shingles -> df-cap -> KM minima ->
+# band signatures); both the candidate oracle and the recall-audit
+# oracle are generated from this ONE string.
+_MINHASH_CTES = f"""toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
 shingles AS (
@@ -132,39 +134,25 @@ band_sigs AS (
       )
       for b in range(MINHASH_BANDS)
   )}
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM band_sigs a JOIN band_sigs b
-  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band_sigs a JOIN band_sigs b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_CTES}
+SELECT doc_a, doc_b FROM cand
 """
 
 
-@register("llm_dedup_near_minhash", oracle=_MINHASH_ORACLE, category="llm")
-def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs via MinHash + LSH banding.
-
-    Pipeline: shingle explode (narrow) -> ONE md5 per shingle split into
-    32-bit halves (h1, h2) -> groupBy(doc) computing all K
-    Kirsch–Mitzenmacher minima min((h1 + k*h2) mod P) in ONE pass [the
-    only keyed shuffle] -> band signatures as a narrow stack()
-    projection -> self-join on (band,sig). The self-join only pairs
-    docs INSIDE a bucket, so cost is sum(bucket^2), not |docs|^2 — the
-    property that makes this the scale path for 100 TB dedup. Hash cost
-    is ONE digest + K multiply-adds per shingle (vs K digests), and the
-    shuffled minima are 8-byte bigints. K={MINHASH_K},
-    bands={MINHASH_BANDS} (rows/band={_ROWS_PER_BAND}): P(candidate) =
-    1-(1-j^3)^4 for true shingle-jaccard j.
-
-    Skew insurance (the df-cap): shingles whose document frequency
-    exceeds DEDUP_DF_CAP_FRAC of the corpus are dropped before hashing —
-    stopword-like shingles dominate every signature AND form the hottest
-    LSH buckets. Document frequency is ESTIMATED on a deterministic
-    1-in-{DEDUP_DF_SAMPLE_MOD} hash-sample of documents (md5(doc_id),
-    reproduced by the oracle), so the df pass aggregates ~1/8 of the
-    shingle stream; the hot tail is broadcast to an anti-join and the
-    main stream is never re-shuffled for it. DEDUP_DF_MIN_HITS floors
-    the threshold against sampling noise on tiny corpora.
-    """
+def _minhash_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) shingle stream after the df-cap — the exact
+    universe the minhash signatures are computed on, shared by
+    `llm_dedup_near_minhash` and the recall audit below (the audit's
+    ground truth must be Jaccard over THESE sets, or it would score
+    the df-cap, not the banding)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= MINHASH_SHINGLE
@@ -199,7 +187,15 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("sh")
     )
-    kept = shingles.join(F.broadcast(hot), "sh", "left_anti")
+    return shingles.join(F.broadcast(hot), "sh", "left_anti")
+
+
+def _minhash_band_sigs(kept: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH band signatures over the kept shingle
+    stream: ONE md5 per shingle split into 32-bit halves, all K
+    Kirsch-Mitzenmacher minima in ONE aggregation pass, band sigs as
+    a narrow stack() projection — see the op docstring for the plan
+    rationale."""
     hashed = kept.select(
         "doc_id",
         F.expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) AS bigint)").alias("h1"),
@@ -232,9 +228,13 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=MINHASH_BANDS,
         args=", ".join(f"{b}, sig{b}" for b in range(MINHASH_BANDS)),
     )
-    band_sigs = minhashes.select("doc_id", *sig_cols).select(
+    return minhashes.select("doc_id", *sig_cols).select(
         "doc_id", F.expr(stack_expr)
     )
+
+
+def _minhash_cand(band_sigs: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from the (band, sig) self-join."""
     a = band_sigs.select(
         F.col("doc_id").alias("doc_a"), "band", "sig"
     )
@@ -245,6 +245,37 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+@register("llm_dedup_near_minhash", oracle=_MINHASH_ORACLE, category="llm")
+def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via MinHash + LSH banding.
+
+    Pipeline: shingle explode (narrow) -> ONE md5 per shingle split into
+    32-bit halves (h1, h2) -> groupBy(doc) computing all K
+    Kirsch–Mitzenmacher minima min((h1 + k*h2) mod P) in ONE pass [the
+    only keyed shuffle] -> band signatures as a narrow stack()
+    projection -> self-join on (band,sig). The self-join only pairs
+    docs INSIDE a bucket, so cost is sum(bucket^2), not |docs|^2 — the
+    property that makes this the scale path for 100 TB dedup. Hash cost
+    is ONE digest + K multiply-adds per shingle (vs K digests), and the
+    shuffled minima are 8-byte bigints. K={MINHASH_K},
+    bands={MINHASH_BANDS} (rows/band={_ROWS_PER_BAND}): P(candidate) =
+    1-(1-j^3)^4 for true shingle-jaccard j.
+
+    Skew insurance (the df-cap): shingles whose document frequency
+    exceeds DEDUP_DF_CAP_FRAC of the corpus are dropped before hashing —
+    stopword-like shingles dominate every signature AND form the hottest
+    LSH buckets. Document frequency is ESTIMATED on a deterministic
+    1-in-{DEDUP_DF_SAMPLE_MOD} hash-sample of documents (md5(doc_id),
+    reproduced by the oracle), so the df pass aggregates ~1/8 of the
+    shingle stream; the hot tail is broadcast to an anti-join and the
+    main stream is never re-shuffled for it. DEDUP_DF_MIN_HITS floors
+    the threshold against sampling noise on tiny corpora.
+    """
+    return _minhash_cand(_minhash_band_sigs(_minhash_kept(spark, sf_dir)))
+
+
 
 
 # ---------------------------------------- dedup-cluster resolution (CC)
@@ -807,6 +838,125 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .filter(jac >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------- minhash LSH recall/precision audit
+# Completes the blocking-audit family (simhash / aHash / pHash audits
+# measure a deterministic cap; THIS one measures the probabilistic
+# banding itself): unlike simhash's pigeonhole guarantee, minhash
+# banding is lossy by design — P(candidate) = 1-(1-j^r)^b for true
+# shingle-Jaccard j (r rows/band, b bands), so recall at the Jaccard
+# threshold is a NUMBER the deployment should know, not a formula.
+# Lives after the jaccard section because the truth threshold is
+# shared with llm_dedup_ngram_jaccard (_JACCARD_THRESHOLD).
+
+_MINHASH_RECALL_ORACLE = f"""
+WITH {_MINHASH_CTES},
+ksets AS (SELECT DISTINCT doc_id, sh FROM kept),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ksets GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM ksets a JOIN ksets b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared)
+        >= {_JACCARD_THRESHOLD}
+),
+hits AS (
+  SELECT t.doc_a, t.doc_b FROM truth t
+  JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+),
+agg AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS true_pairs,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS cand_pairs,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS hit_pairs
+)
+SELECT true_pairs, cand_pairs, hit_pairs,
+       ROUND(CASE WHEN true_pairs = 0 THEN 1.0
+                  ELSE CAST(hit_pairs AS DOUBLE) / true_pairs END,
+             6) AS recall,
+       ROUND(CASE WHEN cand_pairs = 0 THEN 1.0
+                  ELSE CAST(hit_pairs AS DOUBLE) / cand_pairs END,
+             6) AS precision_at_j
+FROM agg
+"""
+
+
+@register("llm_minhash_recall_audit", oracle=_MINHASH_RECALL_ORACLE,
+          category="llm")
+def llm_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall AND precision of the MinHash-LSH banding at
+    Jaccard >= {_JACCARD_THRESHOLD} — the probabilistic analog of the
+    bucket-cap audits.  Theory says P(candidate) = 1-(1-j^{_ROWS_PER_BAND})^{MINHASH_BANDS}
+    per pair (0.41 at j exactly 0.5, rising fast above it); this op
+    replaces the formula with the corpus's actual numbers.
+
+    Ground truth is EXACT set-Jaccard computed on the SAME df-capped
+    shingle universe the signatures hash (so the audit scores the
+    banding alone, not the df-cap), found via shared-shingle blocking
+    — only pairs sharing >= 1 kept shingle can have J > 0, so no
+    |docs|^2 join exists anywhere; the blocking cost is sum(df^2)
+    over kept shingles, which is exactly what the df-cap bounds.
+    Precision is reported too: candidates below the threshold are the
+    verify stage's wasted work — the other side of the banding trade.
+    At 100 TB run it on a doc-sampled partition (the estimates are
+    unbiased under doc sampling), like every audit in this family.
+    """
+    kept = _minhash_kept(spark, sf_dir).localCheckpoint(eager=True)
+    cand = _minhash_cand(_minhash_band_sigs(kept))
+    ksets = kept.distinct()
+    sizes = ksets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ksets.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = ksets.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    truth = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared"))
+            >= _JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+    hits = truth.join(cand, ["doc_a", "doc_b"])
+    t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("true_pairs"))
+    c = cand.agg(F.count(F.lit(1)).cast("bigint").alias("cand_pairs"))
+    h = hits.agg(F.count(F.lit(1)).cast("bigint").alias("hit_pairs"))
+    return (
+        t.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(h))
+        .select(
+            "true_pairs",
+            "cand_pairs",
+            "hit_pairs",
+            F.round(
+                F.when(F.col("true_pairs") == 0, F.lit(1.0)).otherwise(
+                    F.col("hit_pairs").cast("double") / F.col("true_pairs")
+                ),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.when(F.col("cand_pairs") == 0, F.lit(1.0)).otherwise(
+                    F.col("hit_pairs").cast("double") / F.col("cand_pairs")
+                ),
+                6,
+            ).alias("precision_at_j"),
+        )
     )
 
 
