@@ -35,9 +35,11 @@ from snapshot_s3_util_spark.registry import REGISTRY, register  # noqa: F401
 # 4. Everything else, oldest-green-round first, so stale verifications
 #    drain; registration order breaks ties (stable sort).
 _WINDOW_CHANGED_THIS_ROUND: list = [
-    # round 11 changed/new set (7 slots; the other 43 drain the
-    # oldest-green tier — the 78-op r3/r4 tail the r10 verdict ask #3
-    # targets for retirement across the r11+r12 windows):
+    # round 11 changed/new set (9 listed + llm_minhash_recall_audit,
+    # which enters via the never-verified tier automatically = 10 of
+    # the 50 slots; the other 40 drain the oldest-green tier — the
+    # 78-op r3/r4 tail the r10 verdict ask #3 targets for retirement
+    # across the r11+r12 windows):
     "llm_simhash_recall_bucket_cap",  # new op: oracle-checked recall
     #   audit of the simhash bucket cap (r10 verdict ask #2)
     "multimodal_ahash_recall_bucket_cap",  # new op: same audit for the

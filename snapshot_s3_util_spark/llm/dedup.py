@@ -712,37 +712,14 @@ def llm_simhash_recall_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus.  The three single-row aggregates meet in broadcast
     cross-joins — no data-sized shuffle beyond the band joins.
     """
+    from snapshot_s3_util_spark.llm.audit import cap_recall_row
+
     fp = llm_dedup_simhash(spark, sf_dir).localCheckpoint(eager=True)
     bands = _simhash_bands(fp).localCheckpoint(eager=True)
     kept = _simhash_verify(_simhash_cand(_simhash_blk(bands)), fp)
     true = _simhash_verify(_simhash_cand(bands), fp)
-    bsz = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bn"))
-    b = bsz.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
-        F.sum(
-            F.when(F.col("bn") > _SIMHASH_BUCKET_CAP, 1).otherwise(0)
-        ).cast("bigint").alias("n_overcap_buckets"),
-    )
-    t = true.agg(F.count(F.lit(1)).cast("bigint").alias("true_pairs"))
-    k = kept.agg(F.count(F.lit(1)).cast("bigint").alias("kept_pairs"))
-    return (
-        b.crossJoin(F.broadcast(t))
-        .crossJoin(F.broadcast(k))
-        .select(
-            "n_buckets",
-            "n_overcap_buckets",
-            "true_pairs",
-            "kept_pairs",
-            (F.col("true_pairs") - F.col("kept_pairs"))
-            .cast("bigint")
-            .alias("dropped_pairs"),
-            F.round(
-                F.when(F.col("true_pairs") == 0, F.lit(1.0)).otherwise(
-                    F.col("kept_pairs").cast("double") / F.col("true_pairs")
-                ),
-                6,
-            ).alias("recall"),
-        )
+    return cap_recall_row(
+        bands, ["band", "key"], _SIMHASH_BUCKET_CAP, true, kept
     )
 
 

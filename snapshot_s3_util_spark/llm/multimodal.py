@@ -1221,36 +1221,13 @@ def _banded_cap_recall(bands: DataFrame, max_hamming: int) -> DataFrame:
     SFs or on a doc-sampled partition at deployment scale (the recall
     estimate is unbiased under doc sampling), exactly like
     `llm_simhash_recall_bucket_cap`."""
+    from snapshot_s3_util_spark.llm.audit import cap_recall_row
+
     bands = bands.localCheckpoint(eager=True)
     kept = _capped_banded_pairs(bands, max_hamming)
     true = _capped_banded_pairs(bands, max_hamming, cap=None)
-    bsz = bands.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("bn"))
-    b = bsz.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
-        F.sum(
-            F.when(F.col("bn") > _BAND_BUCKET_CAP, 1).otherwise(0)
-        ).cast("bigint").alias("n_overcap_buckets"),
-    )
-    t = true.agg(F.count(F.lit(1)).cast("bigint").alias("true_pairs"))
-    k = kept.agg(F.count(F.lit(1)).cast("bigint").alias("kept_pairs"))
-    return (
-        b.crossJoin(F.broadcast(t))
-        .crossJoin(F.broadcast(k))
-        .select(
-            "n_buckets",
-            "n_overcap_buckets",
-            "true_pairs",
-            "kept_pairs",
-            (F.col("true_pairs") - F.col("kept_pairs"))
-            .cast("bigint")
-            .alias("dropped_pairs"),
-            F.round(
-                F.when(F.col("true_pairs") == 0, F.lit(1.0)).otherwise(
-                    F.col("kept_pairs").cast("double") / F.col("true_pairs")
-                ),
-                6,
-            ).alias("recall"),
-        )
+    return cap_recall_row(
+        bands, ["band", "sig"], _BAND_BUCKET_CAP, true, kept
     )
 
 

@@ -214,10 +214,11 @@ def test_q1_is_two_phase_aggregate(spark, sf_dir):
         # shuffle (per-doc dedup is array_distinct, a narrow map)
         ("llm_contamination_ngram", 2),
         # band bucket self-join + pair distinct + popcount-verify joins
-        # over the checkpointed fingerprint table; the round-10 bucket
-        # cap adds a (band, key) count aggregation + under-cap filter
-        # join whose exchange is REUSED with the band self-join (same
-        # key), so the budget stays at 5
+        # over the checkpointed fingerprint table; the round-11 bucket
+        # cap SAMPLE is a row_number window partitioned on the SAME
+        # (band, key) the self-join uses, so its exchange is reused and
+        # the budget holds (measured sh=3 — the 5 is headroom from the
+        # pre-window formulation)
         ("llm_dedup_simhash_pairs", 5),
         # one corpus groupBy(source); normalizer windows run over the
         # |sources|-row aggregate (single corpus scan — see docstring)
@@ -1552,9 +1553,13 @@ def test_snapshot_keyrange_planned_splits_flat_as_regions_grow(
     ev = load_table(spark, sf_dir, "events")
     # a ~5% slice of the key DOMAIN (the stress tool's 150:449 is 5%
     # of sf0.1's domain; at the tiny test SF that literal range would
-    # cover half the keys and prove nothing)
+    # cover half the keys and prove nothing).  0.27..0.32 deliberately
+    # avoids the nominal span boundaries of BOTH layouts (25% for the
+    # 8-way, 31.25% only brushes the top edge): repartitionByRange
+    # boundaries are sample-estimated, and a slice starting exactly on
+    # a boundary would make the overlap count jitter with the sample
     max_id = ev.agg(F.max("event_id")).collect()[0][0]
-    lo, hi = int(max_id * 0.25), int(max_id * 0.30)
+    lo, hi = int(max_id * 0.27), int(max_id * 0.32)
     counts = {}
     for spans in (8, 32):
         out = str(tmp_path / f"snap{spans}")
@@ -1579,8 +1584,9 @@ def test_snapshot_keyrange_planned_splits_flat_as_regions_grow(
     assert t32 >= 3 * t8, counts  # total files really grew with spans
     # planned stays ~constant: a 5% key slice overlaps 1-2 spans of 8
     # and 2-3 spans of 32 — per partition dir — never proportionally
-    # to the span count
-    assert 0 < p32 <= 2 * p8, counts
+    # to the span count (3x allows the worst sampled-boundary case of
+    # 1-of-8 vs 3-of-32 without weakening the shrinking-fraction pin)
+    assert 0 < p32 <= 3 * p8, counts
     assert p32 / t32 < p8 / t8, counts  # planned fraction shrank
 
 

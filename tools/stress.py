@@ -947,6 +947,7 @@ def main() -> int:
                     cached["base_dir"],
                     cached.get("snapshot_pruning"),
                     capfill,
+                    cached.get("streaming_rate"),
                 )
         return 0
 
