@@ -16,9 +16,14 @@ driver's bounded tail capture and BENCH_r07 parsed as null):
      "queries": {name: median_sec, ...}, "calibration_sec": ..., "sf": ...}
   so the driver's tail capture always sees a complete JSON line.
 
+BENCH_DETAIL.json is a LIVE sidecar, gitignored since round 12 (the
+driver's per-round bench run regenerated it and left the judged tree
+dirty every round — r11 verdict ask #4); the committed cross-round
+baseline is BENCH_PREV.json only.
+
 BENCH_PREV.json maintenance: it holds the PREVIOUS round's official
-queries_normalized (from the driver's bench run, i.e. the committed
-BENCH_DETAIL.json of that round) plus queries_raw (the raw medians,
+queries_normalized (from the driver's bench run, i.e. that round's
+BENCH_DETAIL.json) plus queries_raw (the raw medians,
 used by the mechanical min-of-5 adjudication below) and is updated by
 hand at the START of each round — bench.py never writes it, so local
 iteration runs can't clobber the round-over-round baseline.
@@ -26,7 +31,7 @@ iteration runs can't clobber the round-over-round baseline.
 Timing excludes session init (BASELINE.md excludes it too).
 
 Regression gate: tests/test_bench_gate.py fails CI when any
-`vs_prev_normalized` in the committed BENCH_DETAIL.json exceeds 1.25
+`vs_prev_normalized` in the live BENCH_DETAIL.json exceeds 1.25
 without the query being adjudicated by name in SCALE.md.
 """
 

@@ -34,28 +34,34 @@ from snapshot_s3_util_spark.registry import REGISTRY, register  # noqa: F401
 #    error).
 # 4. Everything else, oldest-green-round first, so stale verifications
 #    drain; registration order breaks ties (stable sort).
+# Listing convention (r11 ADVICE): an op whose implementation was
+# SUBSTANTIALLY REWRITTEN this round is listed even when its output is
+# claimed identical — round 11 omitted llm_dedup_simhash after the
+# vote de-explosion on output-identity grounds and relied on the
+# transitive check through llm_dedup_simhash_pairs; the driver row is
+# exactly the external evidence such an identity claim needs, so
+# claimed-identical rewrites get their own row from round 12 on.
 _WINDOW_CHANGED_THIS_ROUND: list = [
-    # round 11 changed/new set (9 listed + llm_minhash_recall_audit,
-    # which enters via the never-verified tier automatically = 10 of
-    # the 50 slots; the other 40 drain the oldest-green tier — the
-    # 78-op r3/r4 tail the r10 verdict ask #3 targets for retirement
-    # across the r11+r12 windows):
-    "llm_simhash_recall_bucket_cap",  # new op: oracle-checked recall
-    #   audit of the simhash bucket cap (r10 verdict ask #2)
-    "multimodal_ahash_recall_bucket_cap",  # new op: same audit for the
-    "multimodal_phash_recall_bucket_cap",  # perceptual-hash family
-    "hb_snapshot_layout_roundtrip",   # new op: faithful
-    #   .hbase-snapshot manifest+archive layout roundtrip (r10 ask #8)
-    # behavior change: over-cap band buckets are now SAMPLED to the
-    # cap by deterministic md5(doc_id) order instead of skipped (the
-    # r11 ADVICE recall fix) — pair results change wherever the cap
-    # binds (sf0.1+)
-    "llm_dedup_simhash_pairs",
+    # round 12 changed/new set. New ops also enter via the
+    # never-verified tier; listing keeps intra-window order explicit.
+    # The remaining ~40 slots drain the oldest-green tier — the 38-op
+    # r4 tail (r11 verdict ask #3: union staleness floor >= r5 after
+    # this window).
+    # behavior change: minhash candidate generation gained the
+    # est-Jaccard prefilter (>= _MINHASH_EST_PREFILTER_MIN of K minima
+    # must agree) — the r11 ask-#1 precision fix; candidate sets
+    # shrink wherever low-J band collisions existed
+    "llm_dedup_near_minhash",
+    "llm_minhash_recall_audit",
+    "llm_dedup_components",        # consumes the minhash candidates
+    "llm_dedup_cluster_keeper",    # consumes the minhash candidates
+    "llm_dedup_incremental",       # batch-vs-index minhash candidates
+    # behavior change: aHash banding gained the second (dHash) band
+    # family unioned into the candidate set (r11 ask #2)
     "multimodal_ahash_dedup",
-    "multimodal_phash_dedup",
-    # behavior change: learned-quantizer IVF retuned on the measured
-    # (Lloyd rounds x nprobe) recall grid — rounds 1 -> 2, nprobe
-    # 4 -> 6 (recall 0.47/0.61 -> 0.70/0.75 at sf0.01/sf0.1)
+    "multimodal_ahash_recall_bucket_cap",
+    # behavior change: IVF-kmeans retuned — empty-centroid
+    # reassignment + nprobe scaling (r11 ask #6)
     "llm_sim_ann_ivf_kmeans",
     "llm_ann_recall_ivf_kmeans",
 ]

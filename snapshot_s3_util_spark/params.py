@@ -65,9 +65,11 @@ DEDUP_DF_MIN_HITS = 3
 # fixed-width band join (simhash pairs in llm/dedup.py, aHash/pHash in
 # llm/multimodal.py).  Pigeonhole makes ANY fixed-width banding
 # asymptotically quadratic once N >> band-key space; buckets larger
-# than this cap are boilerplate keys that carry no blocking signal and
-# are skipped for candidate generation (verify stages still read every
-# doc's full signature), bounding candidates to bands·cap·N.  Defined
+# than this cap are boilerplate keys with weak blocking signal, so they
+# are SAMPLED down to the cap in deterministic md5(doc_id) order before
+# candidate generation (round-11 recall fix — skipping them outright
+# cost measured recall; verify stages still read every doc's full
+# signature), bounding candidates to bands·cap·N.  Defined
 # ONCE here because each module's DuckDB oracle is generated from its
 # own f-string — two copies of the literal could drift silently
 # (round-11 ADVICE).  See multimodal's _BAND_BUCKET_CAP alias comment

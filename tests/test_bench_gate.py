@@ -19,8 +19,9 @@ drifted query clears the gate:
    inside another query's name or an unrelated historical note; the
    backtick anchor requires a deliberate mention.
 
-The gate reads the committed BENCH_DETAIL.json (written by every
-bench.py run, locally or by the driver); if the file or the vs-prev
+The gate reads the live BENCH_DETAIL.json sidecar (written by every
+bench.py run, locally or by the driver; gitignored since round 12 so
+driver runs don't dirty the judged tree); if the file or the vs-prev
 section is missing the gate passes vacuously (first round, fresh
 clone).
 """
