@@ -47,15 +47,19 @@ _WINDOW_CHANGED_THIS_ROUND: list = [
     # The remaining ~40 slots drain the oldest-green tier — the 38-op
     # r4 tail (r11 verdict ask #3: union staleness floor >= r5 after
     # this window).
-    # behavior change: minhash candidate generation gained the
-    # est-Jaccard prefilter (>= _MINHASH_EST_PREFILTER_MIN of K minima
-    # must agree) — the r11 ask-#1 precision fix; candidate sets
-    # shrink wherever low-J band collisions existed
+    # behavior change (r11 ask #1): the minhash stack was split into a
+    # recall stage + precision stage — (a) per-k affine rehash family
+    # replacing Kirsch-Mitzenmacher (whose correlated minima-runs
+    # missed J 0.92-0.99 pairs at the 10x stress tier), (b) banding
+    # retuned 4x3 -> 6x2 (pigeonhole recall guarantee), (c) est-Jaccard
+    # prefilter >= _MINHASH_EST_MIN of K minima (precision 0.76 -> 1.0
+    # at sf0.1, recall 1.0 flat through the 10x tier — STRESS.md)
     "llm_dedup_near_minhash",
     "llm_minhash_recall_audit",
     "llm_dedup_components",        # consumes the minhash candidates
     "llm_dedup_cluster_keeper",    # consumes the minhash candidates
-    "llm_dedup_incremental",       # batch-vs-index minhash candidates
+    "llm_minhash_jaccard_est",     # same hash family (own CTE chain)
+    "llm_minhash_band_tuning",     # same hash family (own CTE chain)
     # behavior change: aHash banding gained the second (dHash) band
     # family unioned into the candidate set (r11 ask #2)
     "multimodal_ahash_dedup",

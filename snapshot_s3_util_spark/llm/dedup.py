@@ -13,11 +13,16 @@ Scale design: every op is shuffle-bounded by |docs| x K (minhash) or by
 bucket size (LSH band join) — never by |docs|^2. The only pairwise
 steps run INSIDE an LSH/blocking bucket, which is the point of LSH: at
 100 TB you block first, verify second. Min-hash derives its K hash
-functions from ONE md5 per shingle via Kirsch–Mitzenmacher double
-hashing over bigints — engine-portable by construction.
+functions from ONE md5 per shingle via K independent affine rehashes
+over bigints (per-k md5-derived coefficients; see the round-12 family
+note above _mh_coeffs for why plain Kirsch–Mitzenmacher double hashing
+is NOT rank-independent enough for minhash) — engine-portable by
+construction.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -75,16 +80,86 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # shingles(doc) = {tokens[i..i+S-1] joined by ' '}  (duplicates kept —
 #   they cannot change a minimum)
-# Double hashing (Kirsch–Mitzenmacher): ONE md5 per shingle, split into
-# two 32-bit halves h1/h2; hash family k is (h1 + k*h2) mod P for a
-# prime P > 2^32. K minima cost K multiply-adds per shingle instead of
-# K md5s, and the minima shuffle as 8-byte bigints, not 32-char hex.
+# Hash family: ONE md5 per shingle, split into two 32-bit halves
+# h1/h2; hash k is (a_k*h1 + b_k*h2 + c_k) mod P for a prime P > 2^32
+# and per-k constants derived from md5(f"mh{k}") — K independent
+# affine transforms of one strong base hash (the standard
+# "hash-once, K universal rehashes" minhash). K minima cost 2K
+# multiply-adds per shingle instead of K md5s, and the minima shuffle
+# as 8-byte bigints, not 32-char hex.
+#
+# Round-12 NOTE (why affine-per-k, not Kirsch–Mitzenmacher): rounds
+# 4-11 used KM double hashing, (h1 + k*h2) mod P. KM is proven for
+# Bloom filters, where only MEMBERSHIP matters — for minhash the K
+# estimators need independent ORDERINGS, and under KM consecutive k
+# share their argmin: a single unique shingle whose h1 is small (or
+# wraps small) owns an arithmetic RUN of minima with step h2. The 10x
+# stress tier caught it red-handed — a doc pair with TRUE Jaccard
+# 0.9167 agreed on only 5/12 minima (mh3..mh6 of one doc read 11.4M,
+# 32.3M, 53.2M, 74.2M: one unique shingle, step h2 = 20.9M), and
+# pairs at J 0.96-0.99 missed ALL FOUR bands the same way (bands are
+# consecutive-k ranges, so one correlated run kills whole bands).
+# Distinct odd multipliers a_k scramble each k's ordering
+# independently, restoring the per-k coin-flip the banding math
+# assumes. a_k, b_k < 2^28 keep every term under 2^60 — no signed-64
+# overflow on either engine.
+#
 # band(k) = k DIV (K / BANDS)
 # band_sig(doc, band) = md5(mh_i || ',' || mh_j || ...)
 # candidates = distinct (a < b) sharing any (band, band_sig)
 
 _ROWS_PER_BAND = MINHASH_K // MINHASH_BANDS
 _MINHASH_P = 4294967311  # smallest prime > 2^32
+
+
+def _mh_coeffs(k: int) -> tuple[int, int, int]:
+    """(a_k, b_k, c_k) for hash k — md5-derived so BOTH engines embed
+    the identical literals (the SQL below is generated from these same
+    ints). a/b are odd 28-bit, c is 32-bit."""
+    import hashlib
+
+    d = hashlib.md5(f"mh{k}".encode()).hexdigest()
+    return int(d[0:7], 16) | 1, int(d[7:14], 16) | 1, int(d[14:22], 16)
+
+
+_MH_ABC = [_mh_coeffs(k) for k in range(MINHASH_K)]
+
+# The K MIN(...) aggregate expressions, one string per engine, both
+# generated from _MH_ABC so the families cannot drift.
+_MH_MIN_SQL = ", ".join(
+    f"MIN(({a} * h1 + {b} * h2 + {c}) % {_MINHASH_P}) AS mh{k}"
+    for k, (a, b, c) in enumerate(_MH_ABC)
+)
+
+
+def _mh_min_aggs() -> list:
+    """Spark-side twins of _MH_MIN_SQL."""
+    return [
+        F.min(
+            (
+                F.lit(a) * F.col("h1") + F.lit(b) * F.col("h2") + F.lit(c)
+            )
+            % F.lit(_MINHASH_P)
+        ).alias(f"mh{k}")
+        for k, (a, b, c) in enumerate(_MH_ABC)
+    ]
+
+# The near-dup threshold the banding targets (shared with the exact
+# n-gram Jaccard verify op and the recall audit below).
+_JACCARD_THRESHOLD = 0.5
+
+# Candidate est-Jaccard prefilter (round-12: the r11 audit measured
+# banding precision decaying 0.93 -> 0.76 from sf0.01 -> sf0.1 — low-J
+# pairs colliding in ONE band grow with corpus and become wasted verify
+# work). A banding candidate survives only if its minhash Jaccard
+# ESTIMATE — matching minima / K over the ALREADY-COMPUTED signature —
+# clears the threshold the banding targets: ceil(K * J*) of K minima.
+# The estimate costs K integer compares per candidate (no shingle
+# re-read), and the audit's measured separation is wide: every true
+# pair at sf0.01/sf0.1 agrees on >= 8/12 minima while every false
+# candidate agrees on <= 7/12 (the falsest, J <= 0.06, on <= 5) — so
+# measured recall stays 1.0 while precision goes 0.76 -> ~1.0 at sf0.1.
+_MINHASH_EST_MIN = math.ceil(MINHASH_K * _JACCARD_THRESHOLD)
 
 # Shared CTE chain (tokenize -> shingles -> df-cap -> KM minima ->
 # band signatures); both the candidate oracle and the recall-audit
@@ -123,7 +198,7 @@ hashed AS (
 ),
 minhashes AS (
   SELECT doc_id,
-         {', '.join(f'MIN((h1 + {k} * h2) % {_MINHASH_P}) AS mh{k}' for k in range(MINHASH_K))}
+         {_MH_MIN_SQL}
   FROM hashed GROUP BY doc_id
 ),
 band_sigs AS (
@@ -135,10 +210,18 @@ band_sigs AS (
       for b in range(MINHASH_BANDS)
   )}
 ),
-cand AS (
+cand_raw AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM band_sigs a JOIN band_sigs b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+cand AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand_raw c
+  JOIN minhashes ma ON ma.doc_id = c.doc_a
+  JOIN minhashes mb ON mb.doc_id = c.doc_b
+  WHERE ({' + '.join(f'CASE WHEN ma.mh{k} = mb.mh{k} THEN 1 ELSE 0 END'
+                     for k in range(MINHASH_K))}) >= {_MINHASH_EST_MIN}
 )"""
 
 _MINHASH_ORACLE = f"""
@@ -190,12 +273,11 @@ def _minhash_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingles.join(F.broadcast(hot), "sh", "left_anti")
 
 
-def _minhash_band_sigs(kept: DataFrame) -> DataFrame:
-    """(doc_id, band, sig) LSH band signatures over the kept shingle
+def _minhash_minhashes(kept: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{{K-1}}) signature frame over the kept shingle
     stream: ONE md5 per shingle split into 32-bit halves, all K
-    Kirsch-Mitzenmacher minima in ONE aggregation pass, band sigs as
-    a narrow stack() projection — see the op docstring for the plan
-    rationale."""
+    affine-rehash minima in ONE aggregation pass — the only keyed
+    shuffle of the minhash pipeline."""
     hashed = kept.select(
         "doc_id",
         F.expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) AS bigint)").alias("h1"),
@@ -205,16 +287,13 @@ def _minhash_band_sigs(kept: DataFrame) -> DataFrame:
     # the shingle stream instead of a K-way seed explode — the shuffle
     # carries |docs| x K partial minima, and the pre-shuffle row count
     # stays |shingles| (not |shingles| x K).
-    minhashes = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("h1") + F.lit(k) * F.col("h2")) % F.lit(_MINHASH_P)).alias(
-                f"mh{k}"
-            )
-            for k in range(MINHASH_K)
-        ]
-    )
-    # band signatures are a narrow projection over the K columns; the
-    # (doc, band, sig) long form comes from stack() — no extra shuffle
+    return hashed.groupBy("doc_id").agg(*_mh_min_aggs())
+
+
+def _minhash_band_sigs(minhashes: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH band signatures — a narrow projection
+    over the K signature columns; the (doc, band, sig) long form comes
+    from stack(), so no extra shuffle."""
     sig_cols = [
         F.md5(
             F.concat_ws(
@@ -233,11 +312,11 @@ def _minhash_band_sigs(kept: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_cand(band_sigs: DataFrame) -> DataFrame:
-    """Distinct candidate pairs from the (band, sig) self-join."""
-    a = band_sigs.select(
-        F.col("doc_id").alias("doc_a"), "band", "sig"
-    )
+def _minhash_cand_raw(band_sigs: DataFrame) -> DataFrame:
+    """Distinct banding-only candidate pairs (no est prefilter) — the
+    pre-round-12 candidate policy, kept callable so the stress tool can
+    measure the prefilter's precision lift as a counterfactual."""
+    a = band_sigs.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = band_sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     return (
         a.join(b, ["band", "sig"])
@@ -247,13 +326,47 @@ def _minhash_cand(band_sigs: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_cand(band_sigs: DataFrame, minhashes: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from the (band, sig) self-join, kept
+    only when the minhash Jaccard ESTIMATE clears the banding's target
+    threshold (matching minima >= _MINHASH_EST_MIN of K — see the
+    constant's comment for the measured precision rationale).
+
+    Cost: the raw pair set is bounded by the banding (sum of
+    bucket^2); the prefilter is two doc-keyed joins back to the
+    signature frame — the minhashes side is already partitioned by
+    doc_id from its aggregation, so each join exchanges only the
+    (small) candidate side — plus K integer compares per pair. No
+    shingle data is re-read.
+    """
+    cand_raw = _minhash_cand_raw(band_sigs)
+    ma = minhashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(MINHASH_K)],
+    )
+    mb = minhashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(MINHASH_K)],
+    )
+    nmatch = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(MINHASH_K)
+    )
+    return (
+        cand_raw.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .filter(nmatch >= _MINHASH_EST_MIN)
+        .select("doc_a", "doc_b")
+    )
+
+
 @register("llm_dedup_near_minhash", oracle=_MINHASH_ORACLE, category="llm")
 def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via MinHash + LSH banding.
 
     Pipeline: shingle explode (narrow) -> ONE md5 per shingle split into
-    32-bit halves (h1, h2) -> groupBy(doc) computing all K
-    Kirsch–Mitzenmacher minima min((h1 + k*h2) mod P) in ONE pass [the
+    32-bit halves (h1, h2) -> groupBy(doc) computing all K affine
+    minima min((a_k*h1 + b_k*h2 + c_k) mod P) in ONE pass [the
     only keyed shuffle] -> band signatures as a narrow stack()
     projection -> self-join on (band,sig). The self-join only pairs
     docs INSIDE a bucket, so cost is sum(bucket^2), not |docs|^2 — the
@@ -261,7 +374,11 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ONE digest + K multiply-adds per shingle (vs K digests), and the
     shuffled minima are 8-byte bigints. K={MINHASH_K},
     bands={MINHASH_BANDS} (rows/band={_ROWS_PER_BAND}): P(candidate) =
-    1-(1-j^3)^4 for true shingle-jaccard j.
+    1-(1-j^{_ROWS_PER_BAND})^{MINHASH_BANDS} for true shingle-jaccard
+    j — and DETERMINISTIC capture whenever mismatching minima <=
+    bands-1 (pigeonhole over 2-row bands; round 12 moved from 4x3 to
+    6x2 for exactly this guarantee, with the est prefilter carrying
+    the precision the wider bands used to).
 
     Skew insurance (the df-cap): shingles whose document frequency
     exceeds DEDUP_DF_CAP_FRAC of the corpus are dropped before hashing —
@@ -272,8 +389,25 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle stream; the hot tail is broadcast to an anti-join and the
     main stream is never re-shuffled for it. DEDUP_DF_MIN_HITS floors
     the threshold against sampling noise on tiny corpora.
+
+    Two-stage design (round 12): the BANDING is tuned for recall
+    alone — {MINHASH_BANDS} bands x {_ROWS_PER_BAND} rows, which
+    pigeonhole-guarantees capture of any pair with fewer mismatching
+    minima than bands — and the est-Jaccard PREFILTER carries
+    precision: a candidate must also have matching minima / K >= the
+    target threshold ({_MINHASH_EST_MIN} of {MINHASH_K}), K integer
+    compares per candidate over the already-computed signatures, no
+    shingle re-read. The r11 audit had measured banding-only precision
+    decaying with corpus (0.93 -> 0.76 from sf0.01 -> sf0.1);
+    measured after the split (STRESS.md): recall 1.0 AND precision
+    1.0 flat from sf0.01 through the 10x tier (500 -> 50,000 docs),
+    with the deliberately-loose recall stage bounded by the df-cap
+    and the prefilter's O(K) per-pair cost — see
+    llm_minhash_recall_audit for the driver-checked numbers.
     """
-    return _minhash_cand(_minhash_band_sigs(_minhash_kept(spark, sf_dir)))
+    kept = _minhash_kept(spark, sf_dir)
+    minhashes = _minhash_minhashes(kept)
+    return _minhash_cand(_minhash_band_sigs(minhashes), minhashes)
 
 
 
@@ -724,8 +858,10 @@ def llm_simhash_recall_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ------------------------------------------------- n-gram jaccard pairs
+# (_JACCARD_THRESHOLD is defined with the minhash constants up top —
+# the banding, its est prefilter, and this exact verify op all target
+# the same near-dup threshold.)
 
-_JACCARD_THRESHOLD = 0.5
 _NGRAM = 3
 
 _JACCARD_ORACLE = f"""
@@ -887,7 +1023,8 @@ def llm_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbiased under doc sampling), like every audit in this family.
     """
     kept = _minhash_kept(spark, sf_dir).localCheckpoint(eager=True)
-    cand = _minhash_cand(_minhash_band_sigs(kept))
+    minhashes = _minhash_minhashes(kept)
+    cand = _minhash_cand(_minhash_band_sigs(minhashes), minhashes)
     ksets = kept.distinct()
     sizes = ksets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ksets.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -1195,7 +1332,7 @@ hashed AS (
 ),
 minhashes AS (
   SELECT doc_id,
-         {', '.join(f'MIN((h1 + {k} * h2) % {_MINHASH_P}) AS mh{k}' for k in range(MINHASH_K))}
+         {_MH_MIN_SQL}
   FROM hashed GROUP BY doc_id
 ),
 sizes AS (
@@ -1288,14 +1425,7 @@ def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) AS bigint)").alias("h1"),
         F.expr("cast(conv(substring(md5(sh), 9, 8), 16, 10) AS bigint)").alias("h2"),
     )
-    minhashes = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("h1") + F.lit(k) * F.col("h2")) % F.lit(_MINHASH_P)).alias(
-                f"mh{k}"
-            )
-            for k in range(MINHASH_K)
-        ]
-    ).localCheckpoint(eager=False)
+    minhashes = hashed.groupBy("doc_id").agg(*_mh_min_aggs()).localCheckpoint(eager=False)
     sizes = shingles.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sh")
     )
@@ -2314,7 +2444,7 @@ hashed AS (
 ),
 minhashes AS (
   SELECT doc_id,
-         {', '.join(f'MIN((h1 + {k} * h2) % {_MINHASH_P}) AS mh{k}' for k in range(MINHASH_K))}
+         {_MH_MIN_SQL}
   FROM hashed GROUP BY doc_id
 )"""
 
@@ -2358,7 +2488,7 @@ def llm_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bands={MINHASH_BANDS}) config was chosen; rerun on a new corpus
     before trusting it.
 
-    Signatures here are the PLAIN Kirsch-Mitzenmacher minima (no
+    Signatures here are the PLAIN affine-rehash minima (no
     df-cap) so the table isolates banding effects. One shingle pass
     builds all {MINHASH_K} minima; all configs' band signatures explode
     from that one |docs|-row frame (sum over configs of b = 28 structs
@@ -2386,14 +2516,7 @@ def llm_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) AS bigint)").alias("h1"),
         F.expr("cast(conv(substring(md5(sh), 9, 8), 16, 10) AS bigint)").alias("h2"),
     )
-    minhashes = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("h1") + F.lit(k) * F.col("h2")) % F.lit(_MINHASH_P)).alias(
-                f"mh{k}"
-            )
-            for k in range(MINHASH_K)
-        ]
-    )
+    minhashes = hashed.groupBy("doc_id").agg(*_mh_min_aggs())
     entries = [
         F.struct(
             F.lit(bc).alias("bands"),

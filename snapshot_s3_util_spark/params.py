@@ -46,7 +46,16 @@ N_PROBES = 10
 # MinHash LSH
 MINHASH_SHINGLE = 3  # word-shingle width
 MINHASH_K = 12       # number of hash functions
-MINHASH_BANDS = 4    # bands (rows per band = K / BANDS)
+# Bands: 6 bands x 2 rows (round 12; was 4 x 3). With the est-Jaccard
+# prefilter carrying precision, the banding's only job is RECALL, and
+# 2-row bands buy a pigeonhole guarantee: a pair with <= K - ceil(K*J*)
+# - 1 = 5 mismatching minima can break at most 5 of the 6 bands, so
+# every pair the prefilter would accept (>= 6/12 matching) with <= 5
+# mismatches is caught DETERMINISTICALLY (the 4x3 layout missed a
+# measured J=0.8 pair whose 4 scattered mismatches broke all four
+# bands). S-curve at the J*=0.5 threshold: 1-(1-j^2)^6 = 0.82 vs 0.41
+# for 4x3.
+MINHASH_BANDS = 6    # bands (rows per band = K / BANDS)
 
 # Dedup document-frequency cap: a shingle/gram present in more than this
 # fraction of the corpus is stopword-like — it carries no near-dup signal

@@ -929,19 +929,27 @@ def test_minhash_jaccard_estimate_quality(spark, sf_dir):
     them), and the stated tolerance verdict holds for every pair."""
     rows = REGISTRY["llm_minhash_jaccard_est"].fn(spark, sf_dir).collect()
     assert rows, "no LSH candidates at this sf"
+    from snapshot_s3_util_spark.llm.dedup import _ROWS_PER_BAND
+    from snapshot_s3_util_spark.params import MINHASH_K
+
     for r in rows:
         assert 0.0 <= r["exact_jaccard"] <= 1.0
         assert 0.0 <= r["est_jaccard"] <= 1.0
-        # every candidate matched at least one 3-row band, so at least
-        # 3 of the 12 minhashes agree — the LSH selection invariant
-        assert r["est_jaccard"] >= round(3 / 12, 6) - 1e-9
+        # every candidate matched at least one band, so at least
+        # rows-per-band of the K minhashes agree — the LSH selection
+        # invariant (band width from the shipped constants, not a
+        # pinned literal: round 12 moved 4x3 -> 6x2)
+        assert (
+            r["est_jaccard"]
+            >= round(_ROWS_PER_BAND / MINHASH_K, 6) - 1e-9
+        )
         # genuine near-dups are where the estimator is concentrated;
         # out-of-tolerance rows are exactly the LSH false positives the
         # verify stage exists to drop
         if r["exact_jaccard"] >= 0.5:
             assert r["within_tol"], r
-    # banding with 3 rows/band targets high-j pairs: the best candidate
-    # must be a genuine near-duplicate
+    # the banding targets high-j pairs: the best candidate must be a
+    # genuine near-duplicate
     assert max(r["exact_jaccard"] for r in rows) > 0.5
     # and the audit should pass the bulk of candidates
     assert sum(r["within_tol"] for r in rows) >= 0.8 * len(rows)

@@ -86,8 +86,15 @@ def main() -> int:
     spark = get_spark("parity-check")
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata is one file per table; stress tiers are
+        # directories of part files under the same <table>.parquet name
+        # (tools/stress.py build_tier) — glob the parts in that case so
+        # parity can run against a tier too
+        path = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     from snapshot_s3_util_spark.session import clear_persistent_rdds
