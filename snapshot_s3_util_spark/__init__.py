@@ -60,8 +60,10 @@ _WINDOW_CHANGED_THIS_ROUND: list = [
     "llm_dedup_cluster_keeper",    # consumes the minhash candidates
     "llm_minhash_jaccard_est",     # same hash family (own CTE chain)
     "llm_minhash_band_tuning",     # same hash family (own CTE chain)
-    # behavior change: aHash banding gained the second (dHash) band
-    # family unioned into the candidate set (r11 ask #2)
+    # behavior change (r11 ask #2): aHash over-cap sample widened to
+    # 2x the shared cap (params.AHASH_BUCKET_SAMPLE) — measured recall
+    # 0.800 -> 0.943 at sf0.1; the suggested second band family was
+    # measured useless on threshold masks and refuted instead
     "multimodal_ahash_dedup",
     "multimodal_ahash_recall_bucket_cap",
     # behavior change: IVF-kmeans retuned — empty-centroid

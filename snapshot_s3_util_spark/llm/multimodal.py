@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snapshot_s3_util_spark.io import load_table
-from snapshot_s3_util_spark.params import BAND_BUCKET_CAP
+from snapshot_s3_util_spark.params import AHASH_BUCKET_SAMPLE, BAND_BUCKET_CAP
 from snapshot_s3_util_spark.registry import register
 
 try:  # the real decoder path — absent in this container
@@ -778,6 +778,11 @@ _AHASH_MAX_HAMMING = 6
 # cannot drift); this module-local alias keeps the f-string call
 # sites below readable.
 _BAND_BUCKET_CAP = BAND_BUCKET_CAP
+# aHash-only wider over-cap sample (round 12): the measured fix for the
+# 0.800 cap recall — see params.AHASH_BUCKET_SAMPLE for the numbers and
+# for why the r11-suggested second band family was measured useless on
+# this signature type (dropped pairs share zero gradient bands).
+_AHASH_SAMPLE = AHASH_BUCKET_SAMPLE
 
 _AHASH_CTES = f"""codes AS MATERIALIZED (
   -- byte i of the UTF-8 payload via a hex slice: ORD(SUBSTR(text,...))
@@ -808,15 +813,16 @@ bands AS MATERIALIZED (
 
 _AHASH_ORACLE = f"""
 WITH {_AHASH_CTES},
--- candidate generation samples over-cap buckets down to the cap by
--- deterministic md5(doc_id) order (see _BAND_BUCKET_CAP); the verify
--- stage below still reads the full `bands`
+-- candidate generation samples over-cap buckets down to the aHash
+-- sample width by deterministic md5(doc_id) order (see _AHASH_SAMPLE /
+-- params.AHASH_BUCKET_SAMPLE); the verify stage below still reads the
+-- full `bands`
 blk AS MATERIALIZED (
   SELECT doc_id, band, sig FROM (
     SELECT doc_id, band, sig,
            ROW_NUMBER() OVER (PARTITION BY band, sig
                               ORDER BY MD5(CAST(doc_id AS VARCHAR))) AS rn
-    FROM bands) WHERE rn <= {_BAND_BUCKET_CAP}
+    FROM bands) WHERE rn <= {_AHASH_SAMPLE}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -910,12 +916,16 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one band) — the same banded-recall trade `llm_dedup_simhash`
     documents, here with the looser verify threshold kept because
     perceptual hashes degrade gracefully.  Round 10 capped candidate
-    buckets at {_BAND_BUCKET_CAP} docs (see _BAND_BUCKET_CAP for the
-    measured 1.14 B pair / 76 GB spill the uncapped join produced at
-    the 30x stress tier); round 11 turned the cap from skip into a
-    deterministic md5-ordered SAMPLE so the largest clusters still
-    yield representative pairs; candidate volume stays O(bands·cap·N),
-    linear.
+    buckets (see _BAND_BUCKET_CAP for the measured 1.14 B pair / 76 GB
+    spill the uncapped join produced at the 30x stress tier); round 11
+    turned the cap from skip into a deterministic md5-ordered SAMPLE
+    so the largest clusters still yield representative pairs; round 12
+    widened the aHash sample to {_AHASH_SAMPLE} docs (2x the shared
+    cap) after the recall audit measured 0.800 at sf0.1 — the measured
+    fix, chosen over the dual-band-family alternative the audit proved
+    useless on threshold masks (params.AHASH_BUCKET_SAMPLE has the
+    numbers); measured recall 0.943 at sf0.1, candidate volume still
+    O(bands·sample·N), linear.
     The thumbnail step uses the payload's first {_AHASH_BYTES} bytes
     (PIL-gated stub boundary, like every image op above); the hash
     computation runs in Arrow-batched Python over genuine BinaryType
@@ -931,7 +941,8 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     return _capped_banded_pairs(
-        _ahash_band_frame(spark, sf_dir), _AHASH_MAX_HAMMING
+        _ahash_band_frame(spark, sf_dir), _AHASH_MAX_HAMMING,
+        cap=_AHASH_SAMPLE,
     )
 
 
@@ -1159,7 +1170,9 @@ def _phash_band_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup docstrings already state.
 
 
-def _banded_recall_oracle(ctes: str, max_hamming: int) -> str:
+def _banded_recall_oracle(
+    ctes: str, max_hamming: int, cap: int = _BAND_BUCKET_CAP
+) -> str:
     return f"""
 WITH {ctes},
 blk AS MATERIALIZED (
@@ -1167,7 +1180,7 @@ blk AS MATERIALIZED (
     SELECT doc_id, band, sig,
            ROW_NUMBER() OVER (PARTITION BY band, sig
                               ORDER BY MD5(CAST(doc_id AS VARCHAR))) AS rn
-    FROM bands) WHERE rn <= {_BAND_BUCKET_CAP}
+    FROM bands) WHERE rn <= {cap}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1200,7 +1213,7 @@ agg AS (
   SELECT
     (SELECT CAST(COUNT(*) AS BIGINT) FROM bsz) AS n_buckets,
     (SELECT CAST(COUNT(*) AS BIGINT) FROM bsz
-      WHERE bn > {_BAND_BUCKET_CAP}) AS n_overcap_buckets,
+      WHERE bn > {cap}) AS n_overcap_buckets,
     (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS true_pairs,
     (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS kept_pairs
 )
@@ -1213,7 +1226,9 @@ FROM agg
 """
 
 
-def _banded_cap_recall(bands: DataFrame, max_hamming: int) -> DataFrame:
+def _banded_cap_recall(
+    bands: DataFrame, max_hamming: int, cap: int = _BAND_BUCKET_CAP
+) -> DataFrame:
     """Spark twin of :func:`_banded_recall_oracle` — one audit row.
 
     The truth side runs the band join UNCAPPED, so this audit carries
@@ -1224,16 +1239,16 @@ def _banded_cap_recall(bands: DataFrame, max_hamming: int) -> DataFrame:
     from snapshot_s3_util_spark.llm.audit import cap_recall_row
 
     bands = bands.localCheckpoint(eager=True)
-    kept = _capped_banded_pairs(bands, max_hamming)
+    kept = _capped_banded_pairs(bands, max_hamming, cap=cap)
     true = _capped_banded_pairs(bands, max_hamming, cap=None)
-    return cap_recall_row(
-        bands, ["band", "sig"], _BAND_BUCKET_CAP, true, kept
-    )
+    return cap_recall_row(bands, ["band", "sig"], cap, true, kept)
 
 
 @register(
     "multimodal_ahash_recall_bucket_cap",
-    oracle=_banded_recall_oracle(_AHASH_CTES, _AHASH_MAX_HAMMING),
+    oracle=_banded_recall_oracle(
+        _AHASH_CTES, _AHASH_MAX_HAMMING, cap=AHASH_BUCKET_SAMPLE
+    ),
     category="multimodal",
 )
 def multimodal_ahash_recall_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1245,10 +1260,16 @@ def multimodal_ahash_recall_bucket_cap(spark: SparkSession, sf_dir: str) -> Data
     cap-sample against the uncapped band join.  aHash is the family's
     worst case (text-derived threshold masks concentrate into few
     signatures), so this row is the honest upper bound on what the cap
-    costs the perceptual ops at each SF.
+    costs the perceptual ops at each SF.  Round 12: the audit drove
+    the sample width to {_AHASH_SAMPLE} (recall 0.800 -> 0.943 at
+    sf0.1) and refuted the second-band-family alternative — the 694
+    pairs dropped at the old width share ZERO dHash gradient-band
+    buckets, so a dual-family union rescued 3 pairs for ~10k extra
+    candidates (measured, sf0.1).
     """
     return _banded_cap_recall(
-        _ahash_band_frame(spark, sf_dir), _AHASH_MAX_HAMMING
+        _ahash_band_frame(spark, sf_dir), _AHASH_MAX_HAMMING,
+        cap=_AHASH_SAMPLE,
     )
 
 

@@ -84,6 +84,21 @@ DEDUP_DF_MIN_HITS = 3
 # (round-11 ADVICE).  See multimodal's _BAND_BUCKET_CAP alias comment
 # for the measured 1.14 B-pair / 76 GB-spill blow-up this bounds.
 BAND_BUCKET_CAP = 64
+# aHash over-cap SAMPLE width (round 12, r11 ask #2). The aHash audit
+# measured cap recall 0.800 at sf0.1 — text-derived threshold masks
+# form dense Hamming clusters (buckets to 349 docs, 329 DISTINCT
+# signatures: no identity collapse available), and the r11 verdict's
+# suggested second band family was MEASURED USELESS here: the 694
+# dropped pairs share ZERO gradient(dHash)-band buckets (equal
+# threshold masks over different bytes), so a dual-family union added
+# ~10k candidates and rescued 3 pairs. The binding lever is the
+# sample width: 2x the shared cap lifts measured recall 0.80 -> 0.94
+# at sf0.1 for +42% candidates (326k -> 463k), still linear
+# (candidates <= bands * C(sample,2) per bucket = O(bands*2cap*N)).
+# pHash/simhash keep the tighter shared cap — their signatures spread
+# (pHash: zero over-cap buckets at sf0.1, recall already 1.0) so the
+# wider sample buys nothing there.
+AHASH_BUCKET_SAMPLE = 2 * BAND_BUCKET_CAP
 
 # Float canonicalization (SURVEY.md §7): round to this many digits on
 # both engines before hashing.
