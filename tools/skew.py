@@ -56,8 +56,10 @@ _MULT = 30
 SKEW_OPS = (
     # window-partitioned family (hot events.user_id)
     "sessionize_batch",
+    "sessionize_segmented",   # r12 mitigation twin: segmented prefix-sum
     "topk_per_group",
     "win_fill_forward",
+    "win_fill_forward_segmented",  # r12 mitigation twin: segmented LOCF
     "agg_distinct",
     # join family (hot lineitem.l_orderkey / orders.o_custkey)
     "join_sortmerge",
@@ -154,6 +156,12 @@ _NOTES = {
         "are inherently sequential per key; the absorbed cost bounds "
         "what a 100 TB celebrity key would add"
     ),
+    "sessionize_segmented": (
+        "the r12 mitigation twin: within-chunk gap flags + per-user "
+        "chunk-summary boundary flags and session-id offsets "
+        "(parallel-prefix sessionize) — identical output, hot-key-flat "
+        "by construction"
+    ),
     "topk_per_group": (
         "WindowGroupLimit keeps only k rows per group BEFORE the "
         "shuffle, so the hot partition ships k rows, not its share of "
@@ -162,6 +170,12 @@ _NOTES = {
     "win_fill_forward": (
         "LOCF window over the hot user is sequential per key — same "
         "exposure class as sessionize"
+    ),
+    "win_fill_forward_segmented": (
+        "the r12 mitigation twin: 1-day timeline chunks bound the "
+        "longest sequential run, a per-user summary window stitches "
+        "carry-ins (parallel-prefix LOCF) — identical output, "
+        "hot-key-flat by construction"
     ),
     "agg_distinct": (
         "two-level agg: partial distinct on (event_type, user_id) "
