@@ -685,6 +685,129 @@ def _minhash_precision_section(prec: dict) -> list:
     return lines
 
 
+def measure_perceptual_capfill(spark, base: str) -> dict:
+    """aHash/pHash bucket-saturation curves (r11 verdict stretch ask:
+    replicate the simhash unsalted-replica methodology for the
+    perceptual family, so all three banded families have measured
+    at-cap plateaus).
+
+    Same construction as measure_simhash_capfill: compute the sf0.1
+    band frames ONCE, union UNSALTED replicas with doc_id offsets so
+    (band, sig) occupancy grows ∝ mult through each family's cap, and
+    count capped candidates.  Expected shape: candidates/doc rises
+    while buckets fill, then FALLS once the md5-ordered sample pins
+    per-bucket candidates at C(cap,2) — the plateau that bounds any
+    corpus size.  aHash runs at its widened r12 sample
+    (params.AHASH_BUCKET_SAMPLE); pHash at the shared cap."""
+    from pyspark.sql import functions as F
+
+    from snapshot_s3_util_spark.llm.multimodal import (
+        _AHASH_MAX_HAMMING,
+        _AHASH_SAMPLE,
+        _BAND_BUCKET_CAP,
+        _PHASH_MAX_HAMMING,
+        _ahash_band_frame,
+        _capped_banded_pairs,
+        _phash_band_frame,
+    )
+
+    stride = 10_000_000
+    out: dict[str, dict] = {}
+    for fam, frame_fn, cap, max_ham in (
+        ("ahash", _ahash_band_frame, _AHASH_SAMPLE, _AHASH_MAX_HAMMING),
+        ("phash", _phash_band_frame, _BAND_BUCKET_CAP, _PHASH_MAX_HAMMING),
+    ):
+        b0 = frame_fn(spark, base).localCheckpoint(eager=True)
+        n0 = b0.select("doc_id").distinct().count()
+        rows: dict[str, dict] = {}
+        # deeper tiers than the simhash section: the perceptual
+        # signatures spread wider (pHash mean occupancy is only 37 at
+        # 32x, still under the cap), so the at-cap plateau only
+        # becomes visible past ~64x
+        for mult in (1, 4, 16, 64, 128):
+            b = b0
+            for k in range(1, mult):
+                b = b.union(
+                    b0.select(
+                        (F.col("doc_id") + k * stride).alias("doc_id"),
+                        "band",
+                        "sig",
+                    )
+                )
+            b = b.localCheckpoint(eager=True)
+            occ = b.groupBy("band", "sig").agg(
+                F.count(F.lit(1)).alias("bn")
+            )
+            stats = occ.agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.round(F.avg("bn"), 1).alias("mean_occ"),
+                F.max("bn").alias("max_occ"),
+                F.sum(F.when(F.col("bn") > cap, 1).otherwise(0)).alias(
+                    "n_overcap"
+                ),
+            ).collect()[0]
+            t0 = time.perf_counter()
+            n_cand = _capped_banded_pairs(b, max_ham, cap=cap).count()
+            wall = time.perf_counter() - t0
+            row = {
+                "docs": n0 * mult,
+                "n_buckets": int(stats["n_buckets"]),
+                "mean_occupancy": float(stats["mean_occ"]),
+                "max_occupancy": int(stats["max_occ"]),
+                "overcap_buckets": int(stats["n_overcap"]),
+                "candidates": int(n_cand),
+                "cand_per_doc": round(n_cand / (n0 * mult), 2),
+                "wall_sec": round(wall, 2),
+            }
+            rows[f"{mult}x"] = row
+            print(
+                f"{fam}-capfill {mult:>3d}x docs={row['docs']:>7,d} "
+                f"mean_occ={row['mean_occupancy']:>6.1f} "
+                f"overcap={row['overcap_buckets']:>6,d} "
+                f"cand={row['candidates']:>12,d} "
+                f"cand/doc={row['cand_per_doc']:>8.2f}",
+                flush=True,
+            )
+        out[fam] = rows
+    return out
+
+
+def _perceptual_capfill_section(capfill: dict) -> list:
+    from snapshot_s3_util_spark.llm.multimodal import (
+        _AHASH_SAMPLE,
+        _BAND_BUCKET_CAP,
+    )
+
+    lines = [
+        "\n## Perceptual-hash bucket-cap saturation curves (unsalted "
+        "replicas)\n",
+        "\nThe simhash section above measures its family's at-cap "
+        "plateau; these are the aHash/pHash twins (same unsalted "
+        "doc_id-offset replica construction, occupancy ∝ mult). "
+        f"aHash samples over-cap buckets to {_AHASH_SAMPLE} (its "
+        "widened r12 sample), pHash to the shared cap "
+        f"{_BAND_BUCKET_CAP}. Note the capped candidate verify here "
+        "counts Hamming-verified pairs, so the column tracks the "
+        "candidate JOIN's bound; cand/doc flattening (or falling) "
+        "past the cap is the plateau the design guarantees.\n",
+    ]
+    for fam, rows in capfill.items():
+        lines += [
+            f"\n### {fam}\n",
+            "\n| mult | docs | mean bucket occ | max occ | over-cap "
+            "buckets | verified pairs | pairs/doc | wall |\n"
+            "|---|---:|---:|---:|---:|---:|---:|---:|\n",
+        ]
+        for label, r in rows.items():
+            lines.append(
+                f"| {label} | {r['docs']:,d} | {r['mean_occupancy']} | "
+                f"{r['max_occupancy']:,d} | {r['overcap_buckets']:,d} | "
+                f"{r['candidates']:,d} | {r['cand_per_doc']} | "
+                f"{r['wall_sec']}s |\n"
+            )
+    return lines
+
+
 def _materialize(df) -> None:
     """Full JVM-side materialization: every output row is computed and
     delivered to the sink, but nothing crosses into the Python driver.
@@ -806,6 +929,7 @@ def _write_report(
     capfill: dict | None = None,
     stream_rate: dict | None = None,
     minhash_prec: dict | None = None,
+    perceptual_cf: dict | None = None,
 ) -> None:
     """tier_results: list of (mult, results) ascending by mult."""
     path = os.path.join(
@@ -920,6 +1044,8 @@ def _write_report(
         lines += _stream_rate_section(stream_rate)
     if minhash_prec:
         lines += _minhash_precision_section(minhash_prec)
+    if perceptual_cf:
+        lines += _perceptual_capfill_section(perceptual_cf)
     with open(path, "w") as fh:
         fh.writelines(lines)
     print(f"wrote {path}")
@@ -969,6 +1095,14 @@ def main() -> int:
         "STRESS.md section",
     )
     ap.add_argument(
+        "--perceptual-capfill",
+        action="store_true",
+        help="measure the aHash/pHash bucket-cap saturation curves "
+        "(unsalted band-frame replicas, occupancy grows through each "
+        "family's cap) instead of the op set; merges into the cache "
+        "and (with --report) renders its STRESS.md section",
+    )
+    ap.add_argument(
         "--minhash-precision",
         action="store_true",
         help="measure MinHash banding recall/precision vs exact "
@@ -1014,6 +1148,7 @@ def main() -> int:
             cached.get("simhash_capfill"),
             cached.get("streaming_rate"),
             cached.get("minhash_precision"),
+            cached.get("perceptual_capfill"),
         )
         return 0
 
@@ -1036,7 +1171,7 @@ def main() -> int:
             print(f"building {mult}x tier at {out} ...", flush=True)
             build_tier(spark, args.base, out, mult)
 
-    prev_snap = prev_capfill = prev_rate = prev_mh = None
+    prev_snap = prev_capfill = prev_rate = prev_mh = prev_pcf = None
     if os.path.exists(cache_path):
         try:
             with open(cache_path) as fh:
@@ -1046,7 +1181,7 @@ def main() -> int:
             prev_rate = _c.get("streaming_rate")
             prev_mh = _c.get("minhash_precision")
         except (OSError, ValueError):
-            prev_snap = prev_capfill = prev_rate = prev_mh = None
+            prev_snap = prev_capfill = prev_rate = prev_mh = prev_pcf = None
 
     def _merge_section(key: str, value) -> dict:
         """Merge ONE standalone-section measurement into the cache.
@@ -1076,6 +1211,7 @@ def main() -> int:
                 "simhash_capfill": None,
                 "streaming_rate": None,
                 "minhash_precision": None,
+                "perceptual_capfill": None,
             }
         cached[key] = value
         with open(cache_path, "w") as fh:
@@ -1104,6 +1240,7 @@ def main() -> int:
             cached.get("simhash_capfill"),
             cached.get("streaming_rate"),
             cached.get("minhash_precision"),
+            cached.get("perceptual_capfill"),
         )
 
     if args.streaming_rate:
@@ -1116,6 +1253,11 @@ def main() -> int:
     if args.simhash_capfill:
         capfill = measure_simhash_capfill(spark, args.base)
         _report_if_complete(_merge_section("simhash_capfill", capfill))
+        return 0
+
+    if args.perceptual_capfill:
+        pcf = measure_perceptual_capfill(spark, args.base)
+        _report_if_complete(_merge_section("perceptual_capfill", pcf))
         return 0
 
     if args.snapshot_pruning:
@@ -1162,13 +1304,14 @@ def main() -> int:
                     "simhash_capfill": prev_capfill,
                     "streaming_rate": prev_rate,
                     "minhash_precision": prev_mh,
+                    "perceptual_capfill": prev_pcf,
                 },
                 fh,
             )
     if args.report:
         _write_report(
             base_r, tier_results, args.base, prev_snap, prev_capfill,
-            prev_rate, prev_mh,
+            prev_rate, prev_mh, prev_pcf,
         )
 
     rc = 0
