@@ -86,6 +86,8 @@ BENCH_QUERIES = (
     "llm_dedup_simhash_pairs",    # banded Hamming pair finding over the
                                   # de-exploded fingerprint pass (round 11 —
                                   # benchable since the 11x vote fix)
+    "sessionize_segmented",       # skew-bounded parallel-prefix sessionize
+                                  # (round 12 — the SKEW.md mitigation twin)
 )
 
 
