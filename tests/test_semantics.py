@@ -5688,7 +5688,11 @@ def test_band_tuning_matches_python(spark, sf_dir):
     minhash recompute, and the S-curve columns the closed form."""
     import hashlib
 
-    from snapshot_s3_util_spark.llm.dedup import _BAND_CONFIGS, _MINHASH_P
+    from snapshot_s3_util_spark.llm.dedup import (
+        _BAND_CONFIGS,
+        _MH_ABC,
+        _MINHASH_P,
+    )
     from snapshot_s3_util_spark.params import MINHASH_K, MINHASH_SHINGLE
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
@@ -5702,8 +5706,11 @@ def test_band_tuning_matches_python(spark, sf_dir):
             sh = " ".join(t[i : i + MINHASH_SHINGLE])
             dig = hashlib.md5(sh.encode()).hexdigest()
             h1, h2 = int(dig[:8], 16), int(dig[8:16], 16)
-            for k in range(MINHASH_K):
-                v = (h1 + k * h2) % _MINHASH_P
+            # the round-12 per-k affine family (independent orderings
+            # per k — see llm/dedup.py's family note), not the retired
+            # Kirsch-Mitzenmacher (h1 + k*h2)
+            for k, (a, b, c) in enumerate(_MH_ABC):
+                v = (a * h1 + b * h2 + c) % _MINHASH_P
                 if mins[k] is None or v < mins[k]:
                     mins[k] = v
         sigs[r["doc_id"]] = mins
