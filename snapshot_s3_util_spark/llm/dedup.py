@@ -985,11 +985,33 @@ hits AS (
   SELECT t.doc_a, t.doc_b FROM truth t
   JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
 ),
+nm_true AS (
+  SELECT MIN({' + '.join(f'CASE WHEN ma.mh{k} = mb.mh{k} THEN 1 ELSE 0 END'
+                         for k in range(MINHASH_K))}) AS v
+  FROM truth t
+  JOIN minhashes ma ON ma.doc_id = t.doc_a
+  JOIN minhashes mb ON mb.doc_id = t.doc_b
+),
+false_raw AS (
+  SELECT c.doc_a, c.doc_b FROM cand_raw c
+  ANTI JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+),
+nm_false AS (
+  SELECT MAX({' + '.join(f'CASE WHEN ma.mh{k} = mb.mh{k} THEN 1 ELSE 0 END'
+                         for k in range(MINHASH_K))}) AS v
+  FROM false_raw f
+  JOIN minhashes ma ON ma.doc_id = f.doc_a
+  JOIN minhashes mb ON mb.doc_id = f.doc_b
+),
 agg AS (
   SELECT
     (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS true_pairs,
     (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS cand_pairs,
-    (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS hit_pairs
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS hit_pairs,
+    (SELECT CAST(COALESCE(MIN(v), -1) AS BIGINT) FROM nm_true)
+      AS min_true_nmatch,
+    (SELECT CAST(COALESCE(MAX(v), -1) AS BIGINT) FROM nm_false)
+      AS max_false_nmatch
 )
 SELECT true_pairs, cand_pairs, hit_pairs,
        ROUND(CASE WHEN true_pairs = 0 THEN 1.0
@@ -997,7 +1019,9 @@ SELECT true_pairs, cand_pairs, hit_pairs,
              6) AS recall,
        ROUND(CASE WHEN cand_pairs = 0 THEN 1.0
                   ELSE CAST(hit_pairs AS DOUBLE) / cand_pairs END,
-             6) AS precision_at_j
+             6) AS precision_at_j,
+       CAST({_MINHASH_EST_MIN} AS BIGINT) AS est_min,
+       min_true_nmatch, max_false_nmatch
 FROM agg
 """
 
@@ -1019,12 +1043,23 @@ def llm_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     over kept shingles, which is exactly what the df-cap bounds.
     Precision is reported too: candidates below the threshold are the
     verify stage's wasted work — the other side of the banding trade.
+
+    Round 12 added the SEPARATION MARGIN the est prefilter rides on:
+    `min_true_nmatch` (fewest matching minima among TRUE pairs) vs
+    `max_false_nmatch` (most among sub-threshold banding candidates),
+    alongside the shipped cutoff `est_min`. The prefilter is safe
+    while min_true_nmatch >= est_min > (ideally) max_false_nmatch;
+    a closing margin is the early warning to raise K before recall
+    or precision actually degrades — measured with the affine family:
+    8 > 6 > 5 at sf0.1 and 10 > 6 > 2 at sf0.01.
     At 100 TB run it on a doc-sampled partition (the estimates are
     unbiased under doc sampling), like every audit in this family.
     """
     kept = _minhash_kept(spark, sf_dir).localCheckpoint(eager=True)
-    minhashes = _minhash_minhashes(kept)
-    cand = _minhash_cand(_minhash_band_sigs(minhashes), minhashes)
+    minhashes = _minhash_minhashes(kept).localCheckpoint(eager=True)
+    band_sigs = _minhash_band_sigs(minhashes)
+    cand = _minhash_cand(band_sigs, minhashes)
+    cand_raw = _minhash_cand_raw(band_sigs)
     ksets = kept.distinct()
     sizes = ksets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ksets.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -1048,12 +1083,45 @@ def llm_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     hits = truth.join(cand, ["doc_a", "doc_b"])
+    ma = minhashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(MINHASH_K)],
+    )
+    mb = minhashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(MINHASH_K)],
+    )
+    nmatch = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(MINHASH_K)
+    )
+    nm_true = (
+        truth.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .agg(
+            F.coalesce(F.min(nmatch), F.lit(-1))
+            .cast("bigint")
+            .alias("min_true_nmatch")
+        )
+    )
+    nm_false = (
+        cand_raw.join(truth, ["doc_a", "doc_b"], "left_anti")
+        .join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .agg(
+            F.coalesce(F.max(nmatch), F.lit(-1))
+            .cast("bigint")
+            .alias("max_false_nmatch")
+        )
+    )
     t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("true_pairs"))
     c = cand.agg(F.count(F.lit(1)).cast("bigint").alias("cand_pairs"))
     h = hits.agg(F.count(F.lit(1)).cast("bigint").alias("hit_pairs"))
     return (
         t.crossJoin(F.broadcast(c))
         .crossJoin(F.broadcast(h))
+        .crossJoin(F.broadcast(nm_true))
+        .crossJoin(F.broadcast(nm_false))
         .select(
             "true_pairs",
             "cand_pairs",
@@ -1070,6 +1138,9 @@ def llm_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("precision_at_j"),
+            F.lit(_MINHASH_EST_MIN).cast("bigint").alias("est_min"),
+            "min_true_nmatch",
+            "max_false_nmatch",
         )
     )
 
