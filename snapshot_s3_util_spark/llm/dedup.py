@@ -326,20 +326,13 @@ def _minhash_cand_raw(band_sigs: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_cand(band_sigs: DataFrame, minhashes: DataFrame) -> DataFrame:
-    """Distinct candidate pairs from the (band, sig) self-join, kept
-    only when the minhash Jaccard ESTIMATE clears the banding's target
-    threshold (matching minima >= _MINHASH_EST_MIN of K — see the
-    constant's comment for the measured precision rationale).
-
-    Cost: the raw pair set is bounded by the banding (sum of
-    bucket^2); the prefilter is two doc-keyed joins back to the
-    signature frame — the minhashes side is already partitioned by
-    doc_id from its aggregation, so each join exchanges only the
-    (small) candidate side — plus K integer compares per pair. No
-    shingle data is re-read.
-    """
-    cand_raw = _minhash_cand_raw(band_sigs)
+def _mh_pair_frames(minhashes: DataFrame):
+    """(ma, mb, nmatch): the doc_a/doc_b-keyed renamed signature
+    frames and the matching-minima count over them — the ONE source
+    for every consumer that scores a candidate pair against the K
+    signatures (the est prefilter and the audit's margin columns), so
+    a K or naming change cannot silently diverge between them (r12
+    review: three verbatim copies had accumulated)."""
     ma = minhashes.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{k}").alias(f"a{k}") for k in range(MINHASH_K)],
@@ -352,6 +345,34 @@ def _minhash_cand(band_sigs: DataFrame, minhashes: DataFrame) -> DataFrame:
         F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
         for k in range(MINHASH_K)
     )
+    return ma, mb, nmatch
+
+
+def _minhash_cand(
+    band_sigs: DataFrame,
+    minhashes: DataFrame,
+    cand_raw: DataFrame | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs from the (band, sig) self-join, kept
+    only when the minhash Jaccard ESTIMATE clears the banding's target
+    threshold (matching minima >= _MINHASH_EST_MIN of K — see the
+    constant's comment for the measured precision rationale).
+
+    Cost: the raw pair set is bounded by the banding (sum of
+    bucket^2); the prefilter is two doc-keyed joins back to the
+    signature frame — the minhashes side is already partitioned by
+    doc_id from its aggregation, so each join exchanges only the
+    (small) candidate side — plus K integer compares per pair. No
+    shingle data is re-read.
+
+    `cand_raw`: pass an (optionally checkpointed) raw candidate frame
+    to reuse — the audits build it anyway for their counterfactual
+    side, and without the handoff the expensive bucket self-join would
+    execute twice (r12 review).
+    """
+    if cand_raw is None:
+        cand_raw = _minhash_cand_raw(band_sigs)
+    ma, mb, nmatch = _mh_pair_frames(minhashes)
     return (
         cand_raw.join(ma, "doc_a")
         .join(mb, "doc_b")
@@ -1058,8 +1079,11 @@ def llm_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = _minhash_kept(spark, sf_dir).localCheckpoint(eager=True)
     minhashes = _minhash_minhashes(kept).localCheckpoint(eager=True)
     band_sigs = _minhash_band_sigs(minhashes)
-    cand = _minhash_cand(band_sigs, minhashes)
-    cand_raw = _minhash_cand_raw(band_sigs)
+    # materialize the raw banding pairs ONCE: the prefiltered set, the
+    # hits join, and the false-margin column all derive from it, and
+    # the bucket self-join is the audit's dominant cost (r12 review)
+    cand_raw = _minhash_cand_raw(band_sigs).localCheckpoint(eager=True)
+    cand = _minhash_cand(band_sigs, minhashes, cand_raw=cand_raw)
     ksets = kept.distinct()
     sizes = ksets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ksets.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -1083,18 +1107,7 @@ def llm_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     hits = truth.join(cand, ["doc_a", "doc_b"])
-    ma = minhashes.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(MINHASH_K)],
-    )
-    mb = minhashes.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(MINHASH_K)],
-    )
-    nmatch = sum(
-        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
-        for k in range(MINHASH_K)
-    )
+    ma, mb, nmatch = _mh_pair_frames(minhashes)
     nm_true = (
         truth.join(ma, "doc_a")
         .join(mb, "doc_b")
@@ -1469,7 +1482,8 @@ def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is bit-reproducible. `within_tol` reports
     |est − exact| <= _JEST_TOL (0.35, ~2.5σ for K=12); note the
     estimator is selection-biased on candidates (a band match forces
-    est >= 3/12), so a FALSE here is precisely an LSH false positive —
+    est >= {_ROWS_PER_BAND}/{MINHASH_K}), so a FALSE here is precisely
+    an LSH false positive —
     the pairs this verify stage exists to drop.
     Scale shape: signatures come from the one keyed shuffle every
     minhash op pays; the exact-overlap join touches ONLY candidate
@@ -1537,25 +1551,14 @@ def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
     )
-    ma = minhashes.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{k}").alias(f"a_mh{k}") for k in range(MINHASH_K)],
-    )
-    mb = minhashes.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{k}").alias(f"b_mh{k}") for k in range(MINHASH_K)],
-    )
-    matches = sum(
-        F.when(F.col(f"a_mh{k}") == F.col(f"b_mh{k}"), 1).otherwise(0)
-        for k in range(MINHASH_K)
-    )
+    ma, mb, nmatch = _mh_pair_frames(minhashes)
     est = (
         pairs.join(ma, "doc_a")
         .join(mb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (matches.cast("double") / MINHASH_K).alias("est_raw"),
+            (nmatch.cast("double") / MINHASH_K).alias("est_raw"),
         )
     )
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))

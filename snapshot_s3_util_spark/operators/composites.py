@@ -242,10 +242,14 @@ def sessionize_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "chunk", "first_flag", "offset")
     )
     sessions = (
-        # broadcast: bsum is one row per (user, chunk) — summary-sized
-        # — and broadcasting keeps the event-sized side's (user_id,
-        # chunk) partitioning intact for the cumsum window right after
-        loc.join(F.broadcast(bsum), ["user_id", "chunk"])
+        # plain co-partitioned join: bsum is one row per (user, chunk),
+        # which at celebrity-key scale is |users| x chunks — summary-
+        # sized relative to events but NOT broadcast-sized (r12 review:
+        # a broadcast here is a driver-memory cliff at exactly the
+        # 100 TB scale this op exists for). The event side already
+        # hashes on (user_id, chunk) from pass 1, so only the summary
+        # frame exchanges — same shape as the LOCF twin's carry join.
+        loc.join(bsum, ["user_id", "chunk"])
         .withColumn(
             "flag",
             F.when(F.col("lag_us").isNull(), F.col("first_flag")).otherwise(

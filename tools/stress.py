@@ -591,7 +591,9 @@ def measure_minhash_precision(spark, label: str, sf_dir: str) -> dict:
     minhashes = _minhash_minhashes(kept).localCheckpoint(eager=True)
     band_sigs = _minhash_band_sigs(minhashes)
     cand_raw = _minhash_cand_raw(band_sigs).localCheckpoint(eager=True)
-    cand = _minhash_cand(band_sigs, minhashes).localCheckpoint(eager=True)
+    cand = _minhash_cand(
+        band_sigs, minhashes, cand_raw=cand_raw
+    ).localCheckpoint(eager=True)
 
     ksets = kept.distinct()
     sizes = ksets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -1180,6 +1182,7 @@ def main() -> int:
             prev_capfill = _c.get("simhash_capfill")
             prev_rate = _c.get("streaming_rate")
             prev_mh = _c.get("minhash_precision")
+            prev_pcf = _c.get("perceptual_capfill")
         except (OSError, ValueError):
             prev_snap = prev_capfill = prev_rate = prev_mh = prev_pcf = None
 
@@ -1271,18 +1274,27 @@ def main() -> int:
         return 0
 
     if args.minhash_precision:
+        # label the base row by its actual directory name — a
+        # non-default --base must not be reported as sf0.1 (r12 review)
+        base_name = os.path.basename(args.base.rstrip("/"))
         prec = {
-            "1x (sf0.1)": measure_minhash_precision(spark, "1x (sf0.1)", args.base)
+            f"1x ({base_name})": measure_minhash_precision(
+                spark, f"1x ({base_name})", args.base
+            )
         }
-        # the sf0.01 point anchors the decay curve's left end
-        sf001 = args.base.replace("sf0.1", "sf0.01")
-        if os.path.exists(sf001) and sf001 != args.base:
-            prec = {
-                "0.1x (sf0.01)": measure_minhash_precision(
-                    spark, "0.1x (sf0.01)", sf001
-                ),
-                **prec,
-            }
+        # the sf0.01 point anchors the decay curve's left end — only
+        # for the default sf0.1 base (deriving an anchor by substring
+        # surgery on an arbitrary path mislabels what was measured)
+        if base_name == "sf0.1":
+            sf001 = os.path.join(os.path.dirname(args.base.rstrip("/")),
+                                 "sf0.01")
+            if os.path.exists(sf001):
+                prec = {
+                    "0.1x (sf0.01)": measure_minhash_precision(
+                        spark, "0.1x (sf0.01)", sf001
+                    ),
+                    **prec,
+                }
         for mult, out in tier_dirs:
             prec[f"{mult}x"] = measure_minhash_precision(spark, f"{mult}x", out)
         _report_if_complete(_merge_section("minhash_precision", prec))
