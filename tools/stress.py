@@ -579,6 +579,7 @@ def measure_minhash_precision(spark, label: str, sf_dir: str) -> dict:
 
     from snapshot_s3_util_spark.llm.dedup import (
         _JACCARD_THRESHOLD,
+        _mh_pair_frames,
         _minhash_band_sigs,
         _minhash_cand,
         _minhash_cand_raw,
@@ -626,6 +627,21 @@ def measure_minhash_precision(spark, label: str, sf_dir: str) -> dict:
     n_pref = cand.count()
     hits_raw = truth.join(cand_raw, ["doc_a", "doc_b"]).count()
     hits_pref = truth.join(cand, ["doc_a", "doc_b"]).count()
+    # the prefilter's separation margin at this tier (the audit op's
+    # margin columns, measured against corpus growth): fewest matching
+    # minima among TRUE pairs vs most among sub-threshold candidates
+    ma, mb, nmatch = _mh_pair_frames(minhashes)
+    nm_true = (
+        truth.join(ma, "doc_a").join(mb, "doc_b")
+        .agg(F.coalesce(F.min(nmatch), F.lit(-1)).alias("v"))
+        .collect()[0]["v"]
+    )
+    nm_false = (
+        cand_raw.join(truth, ["doc_a", "doc_b"], "left_anti")
+        .join(ma, "doc_a").join(mb, "doc_b")
+        .agg(F.coalesce(F.max(nmatch), F.lit(-1)).alias("v"))
+        .collect()[0]["v"]
+    )
     row = {
         "docs": n_docs,
         "true_pairs": n_true,
@@ -635,12 +651,15 @@ def measure_minhash_precision(spark, label: str, sf_dir: str) -> dict:
         "recall": round(hits_pref / n_true, 4) if n_true else 1.0,
         "precision_banding": round(hits_raw / n_raw, 4) if n_raw else 1.0,
         "precision": round(hits_pref / n_pref, 4) if n_pref else 1.0,
+        "min_true_nmatch": int(nm_true),
+        "max_false_nmatch": int(nm_false),
         "wall_sec": round(time.perf_counter() - t0, 2),
     }
     print(
         f"minhash-precision {label}: docs={n_docs:,d} true={n_true:,d} "
         f"cand {n_raw:,d}->{n_pref:,d} recall={row['recall']} "
-        f"precision {row['precision_banding']}->{row['precision']}",
+        f"precision {row['precision_banding']}->{row['precision']} "
+        f"margin {nm_true}>{nm_false}",
         flush=True,
     )
     return row
@@ -675,14 +694,21 @@ def _minhash_precision_section(prec: dict) -> list:
         "arrested.\n",
         "\n| tier | docs | true pairs | banding cand | prefiltered "
         "cand | recall | precision (banding only) | precision "
-        "(shipped) |\n|---|---:|---:|---:|---:|---:|---:|---:|\n",
+        "(shipped) | margin (min-true / cutoff / max-false) |\n"
+        "|---|---:|---:|---:|---:|---:|---:|---:|---:|\n",
     ]
     for label, r in prec.items():
+        margin = (
+            f"{r['min_true_nmatch']} / {_MINHASH_EST_MIN} / "
+            f"{r['max_false_nmatch']}"
+            if "min_true_nmatch" in r
+            else "—"
+        )
         lines.append(
             f"| {label} | {r['docs']:,d} | {r['true_pairs']:,d} | "
             f"{r['cand_banding']:,d} | {r['cand_prefiltered']:,d} | "
             f"{r['recall']} | {r['precision_banding']} | "
-            f"{r['precision']} |\n"
+            f"{r['precision']} | {margin} |\n"
         )
     return lines
 
