@@ -51,9 +51,11 @@ _WINDOW_CHANGED_THIS_ROUND: list = [
     # recall stage + precision stage — (a) per-k affine rehash family
     # replacing Kirsch-Mitzenmacher (whose correlated minima-runs
     # missed J 0.92-0.99 pairs at the 10x stress tier), (b) banding
-    # retuned 4x3 -> 6x2 (pigeonhole recall guarantee), (c) est-Jaccard
-    # prefilter >= _MINHASH_EST_MIN of K minima (precision 0.76 -> 1.0
-    # at sf0.1, recall 1.0 flat through the 10x tier — STRESS.md)
+    # retuned 4x3 -> Kx2 (pigeonhole recall guarantee), (c) est-Jaccard
+    # prefilter >= _MINHASH_EST_MIN of K minima, (d) K raised 12 -> 16
+    # after the measured margin collapse at the 30x tier (6/6/6; now
+    # 9/8/7 — STRESS.md margin column); recall AND precision 1.0 at
+    # every measured tier
     "llm_dedup_near_minhash",
     "llm_minhash_recall_audit",
     "llm_dedup_components",        # consumes the minhash candidates
@@ -66,8 +68,10 @@ _WINDOW_CHANGED_THIS_ROUND: list = [
     # measured useless on threshold masks and refuted instead
     "multimodal_ahash_dedup",
     "multimodal_ahash_recall_bucket_cap",
-    # behavior change: IVF-kmeans retuned — empty-centroid
-    # reassignment + nprobe scaling (r11 ask #6)
+    # behavior change (r11 ask #6): IVF-kmeans retuned on the measured
+    # (K x rounds x nprobe) grid — K=32/rounds=1/nprobe=12, recall@10
+    # 0.75 -> 0.81 at unchanged ~0.375 scan fraction; the suggested
+    # empty/tiny-centroid reassignment was measured targetless
     "llm_sim_ann_ivf_kmeans",
     "llm_ann_recall_ivf_kmeans",
 ]

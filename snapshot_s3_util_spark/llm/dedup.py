@@ -1071,8 +1071,10 @@ def llm_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside the shipped cutoff `est_min`. The prefilter is safe
     while min_true_nmatch >= est_min > (ideally) max_false_nmatch;
     a closing margin is the early warning to raise K before recall
-    or precision actually degrades — measured with the affine family:
-    8 > 6 > 5 at sf0.1 and 10 > 6 > 2 at sf0.01.
+    or precision actually degrades — and round 12 measured exactly
+    that: at K=12 the margin collapsed to 6/6/6 at the 30x stress
+    tier (two sub-threshold pairs through), so K rose to 16; the
+    margins now read 14/8/2 (sf0.01), 11/8/5 (sf0.1), 9/8/7 (30x).
     At 100 TB run it on a doc-sampled partition (the estimates are
     unbiased under doc sampling), like every audit in this family.
     """
@@ -1480,7 +1482,7 @@ def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = |A∩B| / |A∪B|. Both are DETERMINISTIC — the md5-derived
     hash family is shared with the oracle, so even the "approximate"
     column is bit-reproducible. `within_tol` reports
-    |est − exact| <= _JEST_TOL (0.35, ~2.5σ for K=12); note the
+    |est − exact| <= _JEST_TOL (0.35, ~2.8σ for K=16); note the
     estimator is selection-biased on candidates (a band match forces
     est >= {_ROWS_PER_BAND}/{MINHASH_K}), so a FALSE here is precisely
     an LSH false positive —

@@ -45,17 +45,22 @@ N_PROBES = 10
 
 # MinHash LSH
 MINHASH_SHINGLE = 3  # word-shingle width
-MINHASH_K = 12       # number of hash functions
-# Bands: 6 bands x 2 rows (round 12; was 4 x 3). With the est-Jaccard
-# prefilter carrying precision, the banding's only job is RECALL, and
-# 2-row bands buy a pigeonhole guarantee: a pair with <= K - ceil(K*J*)
-# - 1 = 5 mismatching minima can break at most 5 of the 6 bands, so
-# every pair the prefilter would accept (>= 6/12 matching) with <= 5
-# mismatches is caught DETERMINISTICALLY (the 4x3 layout missed a
-# measured J=0.8 pair whose 4 scattered mismatches broke all four
-# bands). S-curve at the J*=0.5 threshold: 1-(1-j^2)^6 = 0.82 vs 0.41
-# for 4x3.
-MINHASH_BANDS = 6    # bands (rows per band = K / BANDS)
+MINHASH_K = 16       # number of hash functions
+# K and bands (round 12, two steps). Step 1 split the stack into a
+# recall stage + precision stage: bands retuned 4x3 -> Kx2 (2-row
+# bands buy a pigeonhole guarantee — a pair with fewer mismatching
+# minima than bands is caught DETERMINISTICALLY; the 4x3 layout missed
+# a measured J=0.8 pair whose 4 scattered mismatches broke all four
+# 3-row bands), with the est-Jaccard prefilter (>= ceil(K*J*) matching
+# minima) carrying precision. Step 2 raised K 12 -> 16 after the
+# stress tiers measured the prefilter's separation margin COLLAPSING
+# with corpus at K=12 (min-true/cutoff/max-false: 10/6/2 at sf0.01 ->
+# 8/6/5 -> 7/6/5 -> 6/6/6 at 30x, where two sub-threshold pairs
+# slipped through). At K=16 the margin re-opens and holds: 14/8/2 ->
+# 11/8/5 -> 9/8/6 -> 9/8/7 at 30x, recall AND precision 1.0 at every
+# tier. More minima = more estimator samples = wider separation, at
+# +K/3 multiply-adds per shingle and unchanged asymptotics.
+MINHASH_BANDS = 8    # bands (rows per band = K / BANDS)
 
 # Dedup document-frequency cap: a shingle/gram present in more than this
 # fraction of the corpus is stopword-like — it carries no near-dup signal
