@@ -155,13 +155,14 @@ _JACCARD_THRESHOLD = 0.5
 # ESTIMATE — matching minima / K over the ALREADY-COMPUTED signature —
 # clears the threshold the banding targets: ceil(K * J*) of K minima.
 # The estimate costs K integer compares per candidate (no shingle
-# re-read), and the audit's measured separation is wide: every true
-# pair at sf0.01/sf0.1 agrees on >= 8/12 minima while every false
-# candidate agrees on <= 7/12 (the falsest, J <= 0.06, on <= 5) — so
-# measured recall stays 1.0 while precision goes 0.76 -> ~1.0 at sf0.1.
+# re-read), and the audit's margin columns measure the separation it
+# rides on: min-true / cutoff / max-false = 11/8/5 at sf0.1 (14/8/2 at
+# sf0.01, 9/8/7 at the 30x stress tier — the K=12 margin collapse at
+# 30x is what drove K to 16, see params.MINHASH_K) — recall stays 1.0
+# while precision goes 0.76 -> 1.0 at sf0.1.
 _MINHASH_EST_MIN = math.ceil(MINHASH_K * _JACCARD_THRESHOLD)
 
-# Shared CTE chain (tokenize -> shingles -> df-cap -> KM minima ->
+# Shared CTE chain (tokenize -> shingles -> df-cap -> affine minima ->
 # band signatures); both the candidate oracle and the recall-audit
 # oracle are generated from this ONE string.
 _MINHASH_CTES = f"""toks AS (
@@ -1396,7 +1397,7 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keeper.join(index, "digest", "left_anti").select("doc_id", "digest")
 
 
-_JEST_TOL = 0.35  # ~2.5 sigma of a K=12 minhash estimator at j=0.5
+_JEST_TOL = 0.35  # ~2.8 sigma of a K=16 minhash estimator at j=0.5
 
 _JEST_ORACLE = f"""
 WITH toks AS (
