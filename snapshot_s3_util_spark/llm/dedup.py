@@ -399,8 +399,9 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-(1-j^{_ROWS_PER_BAND})^{MINHASH_BANDS} for true shingle-jaccard
     j — and DETERMINISTIC capture whenever mismatching minima <=
     bands-1 (pigeonhole over 2-row bands; round 12 moved from 4x3 to
-    6x2 for exactly this guarantee, with the est prefilter carrying
-    the precision the wider bands used to).
+    the Kx2 layout — {MINHASH_BANDS}x{_ROWS_PER_BAND} as shipped — for
+    exactly this guarantee, with the est prefilter carrying the
+    precision the wider bands used to).
 
     Skew insurance (the df-cap): shingles whose document frequency
     exceeds DEDUP_DF_CAP_FRAC of the corpus are dropped before hashing —
@@ -2501,6 +2502,11 @@ _BAND_CONFIGS = tuple(
     for r in sorted({MINHASH_K, 6, 4, 3, 2, 1}, reverse=True)
     if MINHASH_K % r == 0
 )
+# total band structs per doc across the sweep (sum of b over configs)
+# — derived, not pinned, so a K change can't strand the docstring's
+# cost claim (r12 ADVICE: the K=12 literal '28' survived the K=16
+# raise, whose divisor-derived configs sum to 29)
+_BAND_TUNE_STRUCTS = sum(bc for bc, _ in _BAND_CONFIGS)
 
 _PLAIN_MINHASH_CTE = f"""
 toks AS (
@@ -2568,8 +2574,8 @@ def llm_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signatures here are the PLAIN affine-rehash minima (no
     df-cap) so the table isolates banding effects. One shingle pass
     builds all {MINHASH_K} minima; all configs' band signatures explode
-    from that one |docs|-row frame (sum over configs of b = 28 structs
-    per doc), so
+    from that one |docs|-row frame (sum over configs of b =
+    {_BAND_TUNE_STRUCTS} structs per doc), so
     the whole sweep costs ONE extra |docs| x sum(b) shuffle — never a
     per-config rescan, never a pair join (bucket sizes give the pair
     count arithmetically).

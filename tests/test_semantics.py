@@ -938,7 +938,8 @@ def test_minhash_jaccard_estimate_quality(spark, sf_dir):
         # every candidate matched at least one band, so at least
         # rows-per-band of the K minhashes agree — the LSH selection
         # invariant (band width from the shipped constants, not a
-        # pinned literal: round 12 moved 4x3 -> 6x2)
+        # pinned literal: round 12 moved 4x3 -> the Kx2 family, and
+        # the shipped width is whatever params.MINHASH_K/BANDS say)
         assert (
             r["est_jaccard"]
             >= round(_ROWS_PER_BAND / MINHASH_K, 6) - 1e-9

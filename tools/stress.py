@@ -669,7 +669,7 @@ def _minhash_precision_section(prec: dict) -> list:
     from snapshot_s3_util_spark.llm.dedup import (
         _MINHASH_EST_MIN,
     )
-    from snapshot_s3_util_spark.params import MINHASH_K
+    from snapshot_s3_util_spark.params import MINHASH_BANDS, MINHASH_K
 
     lines = [
         "\n## MinHash banding precision vs corpus size (est-Jaccard "
@@ -678,8 +678,10 @@ def _minhash_precision_section(prec: dict) -> list:
         "corpus (0.93 at sf0.01 -> 0.76 at sf0.1): low-J pairs that "
         "collide in one band grow with N and become wasted verify "
         "work. Round 12 split the two jobs: the banding is now tuned "
-        "for RECALL alone (6 bands x 2 rows — pigeonhole-guaranteed "
-        "capture for any pair with <= 5 mismatching minima, plus the "
+        f"for RECALL alone ({MINHASH_BANDS} bands x "
+        f"{MINHASH_K // MINHASH_BANDS} rows — pigeonhole-guaranteed "
+        f"capture for any pair with <= {MINHASH_BANDS - 1} mismatching "
+        "minima, plus the "
         "affine per-k rehash family that fixed the KM correlated-run "
         "misses this tool caught at J 0.92-0.99), and a new "
         "est-Jaccard prefilter carries PRECISION (candidates must "
