@@ -159,11 +159,16 @@ def main() -> None:
             prev_doc = json.load(fh)
         prev = prev_doc.get("queries_normalized", {})
         prev_raw = prev_doc.get("queries_raw", {})
-        vs_prev = {
-            q: round(normalized[q] / prev[q], 2)
-            for q in normalized
-            if prev.get(q)
-        }
+        # calibration normalization cancels HOST speed, not data
+        # volume — a local run at a different SF must not write
+        # vs-prev ratios the gate would read as regressions (official
+        # rounds run sf0.1; BENCH_PREV records its sf from r13 on)
+        if abs(sf - float(prev_doc.get("sf", 0.1))) < 1e-9:
+            vs_prev = {
+                q: round(normalized[q] / prev[q], 2)
+                for q in normalized
+                if prev.get(q)
+            }
     except (OSError, ValueError):
         pass
 
@@ -204,18 +209,34 @@ def main() -> None:
     print(json.dumps(detail))
 
     # Headline LAST and compact — the line the driver parses.
-    print(
-        json.dumps(
-            {
-                "metric": "flagship_query_wall_sec",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "calibration_sec": round(calib, 3),
-                "sf": sf,
-            }
-        )
-    )
+    # r12 verdict ask #6: carry the calibration-normalized per-query
+    # ratios IN the headline so BENCH_r{N}.json itself holds both
+    # columns (raw walls + host-normalized ratios) and cross-host
+    # round-over-round comparison needs no manual adjudication. The
+    # derived columns are ARRAYS aligned with `queries` key order —
+    # repeating the 31 query names would outgrow the driver's bounded
+    # tail capture (the r7 failure mode); the length guard below
+    # drops the derived columns before ever risking a truncated line.
+    headline = {
+        "metric": "flagship_query_wall_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        # normalized[q] aligned with `queries` key order
+        "queries_norm": [normalized[q] for q in times],
+        # norm_now / norm_prev per query (None when BENCH_PREV.json
+        # lacks the query), same alignment
+        "vs_prev_norm": [vs_prev.get(q) for q in times],
+        "calibration_sec": round(calib, 3),
+        "sf": sf,
+    }
+    line = json.dumps(headline)
+    for drop in ("vs_prev_norm", "queries_norm"):
+        if len(line) <= 1900:
+            break
+        headline.pop(drop)
+        line = json.dumps(headline)
+    print(line)
 
 
 if __name__ == "__main__":

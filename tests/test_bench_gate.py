@@ -21,26 +21,61 @@ drifted query clears the gate:
 
 The gate reads the live BENCH_DETAIL.json sidecar (written by every
 bench.py run, locally or by the driver; gitignored since round 12 so
-driver runs don't dirty the judged tree); if the file or the vs-prev
-section is missing the gate passes vacuously (first round, fresh
-clone).
+driver runs don't dirty the judged tree). Round 13 (r12 ADVICE): the
+gate can no longer no-op silently in a tree where bench hasn't run —
+when BENCH_DETAIL.json is absent but the committed BENCH_PREV.json
+baseline exists, the gate RUNS bench.py itself (one subprocess, ~3
+min at sf0.1) and then enforces; it only skips — visibly, with a
+reason in the pytest report — when the bench data directory isn't
+present in the environment at all. A tree with no BENCH_PREV.json is
+genuinely round-one and has nothing to compare against.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
+
+import pytest
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _GATE = 1.25
 
 
-def test_bench_regressions_are_adjudicated_in_scale_md():
+def _load_detail():
     try:
         with open(os.path.join(_REPO, "BENCH_DETAIL.json")) as fh:
-            detail = json.load(fh)
+            return json.load(fh)
     except (OSError, ValueError):
-        return  # no bench artifact yet — nothing to gate
+        return None
+
+
+def test_bench_regressions_are_adjudicated_in_scale_md():
+    detail = _load_detail()
+    if detail is None:
+        if not os.path.exists(os.path.join(_REPO, "BENCH_PREV.json")):
+            return  # round one: no baseline exists, nothing to gate
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
+                                "/root/testdata/sf0.1")
+        if not os.path.isdir(sf_dir):
+            pytest.skip(
+                f"bench data dir {sf_dir} not present — regression "
+                "gate cannot run here (run bench.py where it is)"
+            )
+        # fresh tree with a committed baseline: run the bench so the
+        # gate enforces instead of silently no-opping (r12 ADVICE)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(_REPO, "bench.py")],
+            cwd=_REPO, capture_output=True, text=True, timeout=1800,
+        )
+        assert proc.returncode == 0, (
+            "bench.py self-run for the regression gate failed:\n"
+            + proc.stdout[-2000:] + proc.stderr[-2000:]
+        )
+        detail = _load_detail()
+        assert detail is not None, "bench.py ran but wrote no BENCH_DETAIL.json"
     vs_prev = detail.get("vs_prev_normalized", {})
     raw_min5 = detail.get("raw_min5", {})
     prev_raw = detail.get("prev_raw_median", {})
