@@ -249,6 +249,25 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
     assert pairs > 0, "LSH found no candidate pairs despite planted near-dups"
 
 
+def test_minhash_prefilter_margin_holds(spark, sf_dir):
+    """r12 ADVICE: the est-Jaccard prefilter has no verify backstop,
+    so a true pair whose estimate dips to est_min - 1 is silently
+    dropped. This gate requires STRICT slack at the test SF —
+    min_true_nmatch > est_min, i.e. the weakest true pair clears the
+    cutoff with at least one estimator sample to spare. The stress
+    tool enforces the same inequality at every 10x/30x/100x tier when
+    the precision section regenerates (tools/stress.py
+    --minhash-precision exits nonzero on a collapse); the remedy is
+    raising MINHASH_K, the K=12->16 precedent."""
+    row = REGISTRY["llm_minhash_recall_audit"].fn(spark, sf_dir).collect()[0]
+    assert row["true_pairs"] > 0, "audit found no true pairs to measure"
+    assert row["min_true_nmatch"] > row["est_min"], (
+        f"prefilter margin collapsed: weakest true pair matches only "
+        f"{row['min_true_nmatch']}/{row['est_min']} required minima — "
+        "raise MINHASH_K (see params.MINHASH_K history)"
+    )
+
+
 def test_jaccard_pairs_are_actually_similar(spark, sf_dir):
     rows = REGISTRY["llm_dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
     assert rows, "no jaccard pairs found"

@@ -1326,6 +1326,32 @@ def main() -> int:
         for mult, out in tier_dirs:
             prec[f"{mult}x"] = measure_minhash_precision(spark, f"{mult}x", out)
         _report_if_complete(_merge_section("minhash_precision", prec))
+        # r12 ADVICE gate: the prefilter cutoff must sit strictly
+        # BELOW every tier's weakest true pair — recall has no verify
+        # backstop past the prefilter, so a tier measuring
+        # min_true_nmatch <= est_min means a true pair is one
+        # estimator-sample from being dropped. Fail the run loudly;
+        # the fix is raising MINHASH_K (the K=12->16 raise is the
+        # precedent), never shipping the collapsed margin.
+        from snapshot_s3_util_spark.llm.dedup import _MINHASH_EST_MIN
+
+        collapsed = {
+            label: r["min_true_nmatch"]
+            for label, r in prec.items()
+            if r.get("true_pairs") and r["min_true_nmatch"] <= _MINHASH_EST_MIN
+        }
+        if collapsed:
+            print(
+                f"MARGIN GATE FAILED: min_true_nmatch <= est_min "
+                f"({_MINHASH_EST_MIN}) at {collapsed} — raise MINHASH_K "
+                "before shipping (see params.MINHASH_K history)",
+                flush=True,
+            )
+            return 1
+        print(
+            f"margin gate OK: min true nmatch > est_min "
+            f"({_MINHASH_EST_MIN}) at every measured tier", flush=True,
+        )
         return 0
 
     base_r = measure(spark, ops, args.base)
