@@ -95,6 +95,75 @@ def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Salt width for the skew-safe sort-merge twin. Sized like
+# extras._JOIN_SALT (the shuffled-hash salting recipe): wide enough to
+# spread a 30%-hot key over most of a 32-slot stage, narrow enough
+# that the replicated side stays ~S x |orders keys| rows.
+_SMJ_SALT = 8
+
+
+@register(
+    "join_sortmerge_skewsafe",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_quantity), 4) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_orderstatus
+    """,
+    category="join",
+)
+def join_sortmerge_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`join_sortmerge` with explicit hot-key insurance — the r12
+    SKEW.md row measured the base plan at 2.32x under a 30%-hot
+    l_orderkey because AQE's skew split declines twice over (the hot
+    partition sits under the 256 MB threshold, and the downstream
+    groupBy reuses the join partitioning, so a split would add an
+    exchange). Same oracle as the base op: the salting is provably
+    output-identical.
+
+    Recipe: lineitem (the side carrying the hot key's mass) takes a
+    deterministic salt in [0, {_SMJ_SALT}) hashed from columns
+    uncorrelated with the join key; orders is replicated {_SMJ_SALT}
+    ways with explode(sequence(...)); the merge join keys on
+    (orderkey, salt), so ONE hot orderkey's rows sort-merge across
+    {_SMJ_SALT} reducers instead of one. The groupBy that follows
+    re-aggregates per (o_orderkey, o_orderstatus): its partial
+    (map-side) aggregate runs on the join's (key, salt) partitioning
+    and ships at most {_SMJ_SALT} partial rows per group, so the hot
+    key never re-concentrates — the exact two-stage shape of
+    `agg_salted_skew`.
+
+    The premium on UNIFORM data is the {_SMJ_SALT}x replicated orders
+    scan + the extra partial-agg rows (SKEW.md measures it alongside
+    the hot-key win); at 100 TB prefer AQE's runtime split when the
+    hot partition clears the skew threshold on its own and this twin
+    when it hides under it — SKEW.md's join_sortmerge note records
+    the measured threshold arithmetic.
+    """
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        # hash of two columns, not l_linenumber alone: linenumber is
+        # 1..7, so pmod of it would leave salt buckets nearly empty
+        "l_salt",
+        F.pmod(F.hash("l_linenumber", "l_partkey"), F.lit(_SMJ_SALT)),
+    )
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_salt", F.explode(F.sequence(F.lit(0), F.lit(_SMJ_SALT - 1)))
+    )
+    return (
+        o.hint("merge")
+        .join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (o.o_salt == li.l_salt),
+        )
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
 @register(
     "join_left_outer",
     oracle="""
