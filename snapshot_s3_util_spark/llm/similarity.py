@@ -1716,3 +1716,83 @@ def llm_ann_recall_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+# ------------------- cluster-partitioned IVF probe (planning-time prune)
+def _ivfk_partitioned_layout(spark: SparkSession, sf_dir: str, out: str):
+    """Build the 100 TB IVF layout: the Lloyd assignment written as
+    parquet PARTITIONED BY cluster_id, plus the probe's nprobe nearest
+    cluster ids as planning-time literals. Returns (cids, pruned
+    read-back frame, broadcastable probe frame). Factored out so
+    tests/test_plans.py can assert the pruning on the live layout
+    before the op's scratch dir is cleaned."""
+    v = load_embeddings(spark, sf_dir).select("vec_id", F.expr(_E).alias("e"))
+    c1, a2 = _ivfk_quantizer(v)
+    a2.write.mode("overwrite").partitionBy("cid").parquet(out)
+    probe = v.filter(F.col("vec_id") == _PROBE_ID).select(
+        F.col("e").alias("pe")
+    )
+    near = (
+        c1.crossJoin(F.broadcast(probe))
+        .withColumn("craw", _cos("ce", "pe"))
+        .orderBy(F.col("craw").desc(), F.col("cid"))
+        .limit(_IVFK_NPROBE)
+        .select("cid")
+    )
+    # |collect| = _IVFK_NPROBE rows (12): partition pruning needs the
+    # cluster ids as PLANNING-TIME literals — an IN-list the catalog
+    # resolves against the partition directory listing, so the scan
+    # never opens the other K - nprobe partitions' files. This is the
+    # one deliberate driver-side step, bounded by nprobe forever.
+    cids = [r["cid"] for r in near.collect()]
+    back = spark.read.parquet(out).filter(F.col("cid").isin(cids))
+    return cids, back, probe
+
+
+@register("llm_sim_ann_ivf_partitioned", oracle=_ivf_kmeans_oracle(),
+          category="llm")
+def llm_sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`llm_sim_ann_ivf_kmeans` with its 100 TB storage claim made
+    REAL instead of docstring-only (r12 verdict ask #2): the cluster
+    assignment is WRITTEN as a `cid` partition column, and the probe
+    reads back through the catalog with a literal IN-list over the
+    nprobe nearest clusters — so the scan prunes to nprobe/{_IVFK_K}
+    of the partitions at PLANNING time (PartitionFilters on the
+    FileScan; tests/test_plans.py asserts directories touched ==
+    nprobe). Same quantizer, same probe, same oracle SQL as the
+    in-memory op: the layout changes where the pruning happens, not
+    what is computed.
+
+    At 100 TB the write is the one-time index build (rewritten only
+    when the quantizer retrains); every query then costs a listing
+    lookup + nprobe partition scans, with NO per-query pass over the
+    assignment frame — the property the in-memory variant's
+    broadcast-join probe cannot give you once the corpus outgrows a
+    single job's scan budget. Scratch-dir scoped here for
+    re-runnability; a deployment writes the layout once to shared
+    storage.
+    """
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="s3u_spark_ivfpart_")
+    try:
+        cids, back, probe = _ivfk_partitioned_layout(spark, sf_dir, out)
+        return (
+            back.crossJoin(F.broadcast(probe))
+            .withColumn("raw", _cos("e", "pe"))
+            .orderBy(F.col("raw").desc(), F.col("vec_id"))
+            .limit(SIM_TOPK)
+            .select(
+                "vec_id",
+                # partition-column read-back infers int; restore the
+                # assignment frame's long so the schema matches the
+                # in-memory twin and the shared oracle
+                F.col("cid").cast("long").alias("cluster_id"),
+                F.round("raw", 6).alias("cos_sim"),
+            )
+            # materialize before the scratch layout disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

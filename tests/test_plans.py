@@ -447,6 +447,49 @@ def test_partitioned_export_reads_get_partition_pruning(spark, sf_dir, tmp_path)
     assert "dynamicpruning" in physical_plan(j).lower(), physical_plan(j)
 
 
+def test_ivf_partitioned_probe_prunes_to_nprobe_partitions(spark, sf_dir, tmp_path):
+    """llm_sim_ann_ivf_partitioned's contract (r12 verdict ask #2): the
+    cluster-partitioned layout must hold one directory per quantizer
+    cell, the probe's IN-list must land in the scan's PartitionFilters
+    (planning-time pruning, not a post-scan filter), and the files the
+    probe actually touches must come from exactly nprobe directories —
+    the nprobe/K scan fraction the IVF docstrings promise at 100 TB."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from snapshot_s3_util_spark.llm.similarity import (
+        _IVFK_K,
+        _IVFK_NPROBE,
+        _ivfk_partitioned_layout,
+    )
+
+    out = str(tmp_path / "ivf_layout")
+    cids, back, _probe = _ivfk_partitioned_layout(spark, sf_dir, out)
+    assert len(cids) == _IVFK_NPROBE
+
+    # layout: one partition directory per occupied quantizer cell
+    # (measured occupancy at this K is all-cells-occupied; see the
+    # similarity.py retune grid note)
+    n_dirs = len(glob.glob(os.path.join(out, "cid=*")))
+    assert n_dirs == _IVFK_K, f"expected {_IVFK_K} cid= dirs, got {n_dirs}"
+
+    # planning time: the IN-list is a PartitionFilter on the FileScan
+    plan = physical_plan(back.groupBy().count())
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("cid" in ln for ln in pf), plan
+
+    # runtime: files actually opened come from exactly the nprobe
+    # pruned directories — the other K - nprobe partitions are never
+    # listed into the scan
+    touched = {
+        os.path.basename(os.path.dirname(r[0]))
+        for r in back.select(F.input_file_name()).distinct().collect()
+    }
+    assert touched == {f"cid={c}" for c in cids}, (touched, cids)
+
+
 def test_version_compaction_prunes_topn_inside_sort(spark, sf_dir):
     """VERSIONS=N retention must ride WindowGroupLimit (top-N pruned in
     the sort) and push its TTL predicate to the scan."""
