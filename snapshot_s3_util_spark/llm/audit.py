@@ -16,12 +16,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _recall_of(kept_col: str) -> "F.Column":
+    return F.round(
+        F.when(F.col("true_pairs") == 0, F.lit(1.0)).otherwise(
+            F.col(kept_col).cast("double") / F.col("true_pairs")
+        ),
+        6,
+    )
+
+
 def cap_recall_row(
     bands: DataFrame,
     key_cols: list,
     cap: int,
     true: DataFrame,
     kept: DataFrame,
+    margins: "tuple | None" = None,
 ) -> DataFrame:
     """One audit row from a band frame and the true/kept pair frames.
 
@@ -29,8 +39,18 @@ def cap_recall_row(
     construction (cap-sampled blocks ⊆ full blocks, identical verify),
     which is what makes recall = kept/true exact rather than an
     estimate.  Empty truth reports recall 1.0 (nothing to lose).  The
-    three single-row aggregates meet in broadcast cross-joins — no
-    data-sized shuffle beyond what the inputs already did."""
+    single-row aggregates meet in broadcast cross-joins — no
+    data-sized shuffle beyond what the inputs already did.
+
+    `margins`, when given, is ((cap_lo, kept_lo), (cap_hi, kept_hi)) —
+    the same pipeline run at half and double the shipped sample width
+    (r12 verdict ask #4: the one sub-1.0 audited recall reported a
+    point estimate only). The extra columns turn the point into a
+    local recall-vs-width CURVE: a large recall - recall_lo gap says
+    the shipped width sits just past a saturation cliff, and
+    recall_hi - recall says what the next doubling would buy — the
+    instrument that catches the next saturation regime before a
+    dropped pair does, exactly like the minhash margin columns."""
     bsz = bands.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("bn"))
     b = bsz.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
@@ -40,22 +60,30 @@ def cap_recall_row(
     )
     t = true.agg(F.count(F.lit(1)).cast("bigint").alias("true_pairs"))
     k = kept.agg(F.count(F.lit(1)).cast("bigint").alias("kept_pairs"))
-    return (
-        b.crossJoin(F.broadcast(t))
-        .crossJoin(F.broadcast(k))
-        .select(
-            "n_buckets",
-            "n_overcap_buckets",
-            "true_pairs",
-            "kept_pairs",
-            (F.col("true_pairs") - F.col("kept_pairs"))
-            .cast("bigint")
-            .alias("dropped_pairs"),
-            F.round(
-                F.when(F.col("true_pairs") == 0, F.lit(1.0)).otherwise(
-                    F.col("kept_pairs").cast("double") / F.col("true_pairs")
-                ),
-                6,
-            ).alias("recall"),
+    row = b.crossJoin(F.broadcast(t)).crossJoin(F.broadcast(k))
+    cols = [
+        F.col("n_buckets"),
+        F.col("n_overcap_buckets"),
+        F.col("true_pairs"),
+        F.col("kept_pairs"),
+        (F.col("true_pairs") - F.col("kept_pairs"))
+        .cast("bigint")
+        .alias("dropped_pairs"),
+        _recall_of("kept_pairs").alias("recall"),
+    ]
+    if margins is not None:
+        (cap_lo, kept_lo), (cap_hi, kept_hi) = margins
+        klo = kept_lo.agg(
+            F.count(F.lit(1)).cast("bigint").alias("kept_lo")
         )
-    )
+        khi = kept_hi.agg(
+            F.count(F.lit(1)).cast("bigint").alias("kept_hi")
+        )
+        row = row.crossJoin(F.broadcast(klo)).crossJoin(F.broadcast(khi))
+        cols += [
+            F.lit(cap_lo).cast("bigint").alias("cap_lo"),
+            _recall_of("kept_lo").alias("recall_lo"),
+            F.lit(cap_hi).cast("bigint").alias("cap_hi"),
+            _recall_of("kept_hi").alias("recall_hi"),
+        ]
+    return row.select(*cols)

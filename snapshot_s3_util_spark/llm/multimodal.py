@@ -1170,32 +1170,59 @@ def _phash_band_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup docstrings already state.
 
 
-def _banded_recall_oracle(
-    ctes: str, max_hamming: int, cap: int = _BAND_BUCKET_CAP
-) -> str:
-    return f"""
-WITH {ctes},
-blk AS MATERIALIZED (
+def _kept_at_cap_ctes(suffix: str, cap: int, max_hamming: int) -> str:
+    """The blk->cand->kept chain at one sample width; suffixed so the
+    margin widths (r12 ask #4) reuse it verbatim inside one query."""
+    return f"""blk{suffix} AS MATERIALIZED (
   SELECT doc_id, band, sig FROM (
     SELECT doc_id, band, sig,
            ROW_NUMBER() OVER (PARTITION BY band, sig
                               ORDER BY MD5(CAST(doc_id AS VARCHAR))) AS rn
     FROM bands) WHERE rn <= {cap}
 ),
-cand AS (
+cand{suffix} AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM blk a JOIN blk b
+  FROM blk{suffix} a JOIN blk{suffix} b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
-kept AS (
+kept{suffix} AS (
   SELECT c.doc_a, c.doc_b
-  FROM cand c
+  FROM cand{suffix} c
   JOIN bands ba ON ba.doc_id = c.doc_a
   JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band = ba.band
   GROUP BY c.doc_a, c.doc_b
   HAVING SUM(BIT_COUNT(XOR(ba.sig, bb.sig))) <= {max_hamming}
-),
-t_cand AS (
+)"""
+
+
+def _banded_recall_oracle(
+    ctes: str, max_hamming: int, cap: int = _BAND_BUCKET_CAP,
+    margins: bool = False,
+) -> str:
+    margin_ctes = margin_cols = ""
+    if margins:
+        margin_ctes = (
+            _kept_at_cap_ctes("_lo", cap // 2, max_hamming) + ",\n"
+            + _kept_at_cap_ctes("_hi", cap * 2, max_hamming) + ",\n"
+        )
+        margin_cols = f""",
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM kept_lo) AS kept_lo,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM kept_hi) AS kept_hi"""
+    margin_sel = ""
+    if margins:
+        margin_sel = f""",
+       CAST({cap // 2} AS BIGINT) AS cap_lo,
+       ROUND(CASE WHEN true_pairs = 0 THEN 1.0
+                  ELSE CAST(kept_lo AS DOUBLE) / true_pairs END,
+             6) AS recall_lo,
+       CAST({cap * 2} AS BIGINT) AS cap_hi,
+       ROUND(CASE WHEN true_pairs = 0 THEN 1.0
+                  ELSE CAST(kept_hi AS DOUBLE) / true_pairs END,
+             6) AS recall_hi"""
+    return f"""
+WITH {ctes},
+{_kept_at_cap_ctes("", cap, max_hamming)},
+{margin_ctes}t_cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -1215,19 +1242,20 @@ agg AS (
     (SELECT CAST(COUNT(*) AS BIGINT) FROM bsz
       WHERE bn > {cap}) AS n_overcap_buckets,
     (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS true_pairs,
-    (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS kept_pairs
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS kept_pairs{margin_cols}
 )
 SELECT n_buckets, n_overcap_buckets, true_pairs, kept_pairs,
        CAST(true_pairs - kept_pairs AS BIGINT) AS dropped_pairs,
        ROUND(CASE WHEN true_pairs = 0 THEN 1.0
                   ELSE CAST(kept_pairs AS DOUBLE) / true_pairs END,
-             6) AS recall
+             6) AS recall{margin_sel}
 FROM agg
 """
 
 
 def _banded_cap_recall(
-    bands: DataFrame, max_hamming: int, cap: int = _BAND_BUCKET_CAP
+    bands: DataFrame, max_hamming: int, cap: int = _BAND_BUCKET_CAP,
+    margins: bool = False,
 ) -> DataFrame:
     """Spark twin of :func:`_banded_recall_oracle` — one audit row.
 
@@ -1235,19 +1263,28 @@ def _banded_cap_recall(
     the quadratic exposure the cap exists to prevent; run it at audit
     SFs or on a doc-sampled partition at deployment scale (the recall
     estimate is unbiased under doc sampling), exactly like
-    `llm_simhash_recall_bucket_cap`."""
+    `llm_simhash_recall_bucket_cap`.  ``margins=True`` adds the
+    half/double sample-width recall endpoints (see
+    audit.cap_recall_row) — the aHash dial."""
     from snapshot_s3_util_spark.llm.audit import cap_recall_row
 
     bands = bands.localCheckpoint(eager=True)
     kept = _capped_banded_pairs(bands, max_hamming, cap=cap)
     true = _capped_banded_pairs(bands, max_hamming, cap=None)
-    return cap_recall_row(bands, ["band", "sig"], cap, true, kept)
+    m = None
+    if margins:
+        m = (
+            (cap // 2, _capped_banded_pairs(bands, max_hamming, cap=cap // 2)),
+            (cap * 2, _capped_banded_pairs(bands, max_hamming, cap=cap * 2)),
+        )
+    return cap_recall_row(bands, ["band", "sig"], cap, true, kept, margins=m)
 
 
 @register(
     "multimodal_ahash_recall_bucket_cap",
     oracle=_banded_recall_oracle(
-        _AHASH_CTES, _AHASH_MAX_HAMMING, cap=AHASH_BUCKET_SAMPLE
+        _AHASH_CTES, _AHASH_MAX_HAMMING, cap=AHASH_BUCKET_SAMPLE,
+        margins=True,
     ),
     category="multimodal",
 )
@@ -1265,11 +1302,17 @@ def multimodal_ahash_recall_bucket_cap(spark: SparkSession, sf_dir: str) -> Data
     sf0.1) and refuted the second-band-family alternative — the 694
     pairs dropped at the old width share ZERO dHash gradient-band
     buckets, so a dual-family union rescued 3 pairs for ~10k extra
-    candidates (measured, sf0.1).
+    candidates (measured, sf0.1).  Round 13 (r12 ask #4): since this
+    is the family's one sub-1.0 recall, the row now carries the
+    MARGIN DIAL — recall_lo/recall_hi at half/double the shipped
+    sample width — so the point estimate becomes a local
+    recall-vs-width curve and the next saturation regime shows up as
+    a widening recall - recall_lo gap in the audit, not as a dropped
+    pair in production (the minhash margin-column discipline).
     """
     return _banded_cap_recall(
         _ahash_band_frame(spark, sf_dir), _AHASH_MAX_HAMMING,
-        cap=_AHASH_SAMPLE,
+        cap=_AHASH_SAMPLE, margins=True,
     )
 
 

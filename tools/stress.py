@@ -799,6 +799,23 @@ def measure_perceptual_capfill(spark, base: str) -> dict:
                 flush=True,
             )
         out[fam] = rows
+    # the aHash margin dial (r12 ask #4): read the oracle-checked
+    # audit row at the base SF so the report can show the local
+    # recall-vs-width curve next to the saturation tiers
+    from snapshot_s3_util_spark.registry import REGISTRY
+
+    mrow = (
+        REGISTRY["multimodal_ahash_recall_bucket_cap"]
+        .fn(spark, base)
+        .collect()[0]
+        .asDict()
+    )
+    out["_ahash_margins"] = {
+        k: mrow[k]
+        for k in ("true_pairs", "recall", "cap_lo", "recall_lo",
+                  "cap_hi", "recall_hi")
+    }
+    print(f"ahash margin dial: {out['_ahash_margins']}", flush=True)
     return out
 
 
@@ -822,6 +839,8 @@ def _perceptual_capfill_section(capfill: dict) -> list:
         "past the cap is the plateau the design guarantees.\n",
     ]
     for fam, rows in capfill.items():
+        if fam.startswith("_"):
+            continue  # side-channel entries (margin dial below)
         lines += [
             f"\n### {fam}\n",
             "\n| mult | docs | mean bucket occ | max occ | over-cap "
@@ -835,6 +854,21 @@ def _perceptual_capfill_section(capfill: dict) -> list:
                 f"{r['candidates']:,d} | {r['cand_per_doc']} | "
                 f"{r['wall_sec']}s |\n"
             )
+    m = capfill.get("_ahash_margins")
+    if m:
+        lines.append(
+            f"\naHash margin dial (r12 ask #4, read from the "
+            f"oracle-checked audit row at sf0.1): recall "
+            f"{m['recall_lo']} at width {m['cap_lo']} -> "
+            f"{m['recall']} at the shipped {_AHASH_SAMPLE} -> "
+            f"{m['recall_hi']} at {m['cap_hi']}, over "
+            f"{m['true_pairs']:,d} true pairs. The lo->shipped gap "
+            "is what the r12 widening bought; the shipped->hi gap is "
+            "what the NEXT doubling would buy — when the lo gap "
+            "widens tier-over-tier the family is saturating and the "
+            "width (or a second band family) needs revisiting BEFORE "
+            "recall moves.\n"
+        )
     return lines
 
 
