@@ -2167,7 +2167,8 @@ _SUBSTR_SPAN_CTES = f"""toks AS MATERIALIZED (
 ),
 grams AS MATERIALIZED (
   SELECT doc_id, i AS pos,
-         MD5(array_to_string(t[i : i + {_SPAN_K} - 1], ' ')) AS h
+         CAST(('0x' || SUBSTR(MD5(array_to_string(
+             t[i : i + {_SPAN_K} - 1], ' ')), 1, 15)) AS BIGINT) AS h
   FROM toks, UNNEST(range(1, len(t) - {_SPAN_K} + 2)) AS u(i)
   WHERE len(t) >= {_SPAN_K}
 ),
@@ -2223,13 +2224,25 @@ def _substring_spans_from(d: DataFrame) -> DataFrame:
     applied.  Factored out so tests can drive it with synthetic
     corpora (tests/test_properties.py pits it against a naive
     all-pairs reference)."""
+    # The gram key is the md5 truncated to 15 hex chars = a 60-bit
+    # bigint, NOT the 32-char hex string (round 13): the gram stream
+    # is this operator family's dominant exchange (the occ window and
+    # the pair join share one hash-partitioning on h), and an 8-byte
+    # key cuts that shuffle roughly in half vs the 50-byte string row
+    # — measured at the 10x stress tier, see STRESS.md. BOTH engines
+    # truncate identically (the oracle CTE above uses the same 15-char
+    # prefix), so the candidate sets stay in lockstep by construction;
+    # a 60-bit collision would need >= _SPAN_MIN - _SPAN_K + 1
+    # consecutive colliding grams on one diagonal to mint a span, and
+    # span_md5 still certifies the text of every reported span.
     grams = d.filter(F.size("t") >= _SPAN_K).select(
         "doc_id",
         F.explode(
             F.expr(
                 f"transform(sequence(1, size(t) - {_SPAN_K} + 1),"
                 f" i -> struct(i AS pos,"
-                f" md5(array_join(slice(t, i, {_SPAN_K}), ' ')) AS h))"
+                f" cast(conv(substring(md5(array_join(slice(t, i, {_SPAN_K}), ' ')),"
+                f" 1, 15), 16, 10) AS bigint) AS h))"
             )
         ).alias("g"),
     ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
