@@ -63,6 +63,7 @@ SKEW_OPS = (
     "agg_distinct",
     # join family (hot lineitem.l_orderkey / orders.o_custkey)
     "join_sortmerge",
+    "join_sortmerge_skewsafe",  # r13 mitigation twin: salted merge join
     "join_inner_hash",
     "join_salted_skew",  # the mitigation twin — should read ~flat
     "agg_hash_groupby",  # control: partial-agg on 2 low-card keys is
@@ -194,6 +195,25 @@ _NOTES = {
         "threshold on its own, and the ratio here is the absorbed "
         "single-reducer cost below it"
     ),
+    "join_sortmerge_skewsafe": (
+        "the r13 mitigation twin: SELECTIVE salting — a 1-in-16 "
+        "sampled per-key count flags keys over 2x a reducer's fair "
+        "share (bounded to <= partitions/2 keys), only those salt 8 "
+        "ways and only their orders rows replicate. Measured against "
+        "the alternatives at this tier: BLANKET salting (every orders "
+        "row x8) read 5.82s uniform / 3.46s skewed — a 3.6x uniform "
+        "premium for the flat ratio; AQE threshold 16 MB + force "
+        "reads 2.29s skewed = 1.41x of the 1.62s base. Selective "
+        "salting's uniform premium is the one narrow 3-column "
+        "detection scan (~0.9s here; a deployment amortizes it into "
+        "table stats), its skewed wall retires the single-reducer "
+        "sort, and unlike the AQE split it keeps working when the "
+        "hot key hides under any byte threshold. The ratio floor at "
+        "this tier is ~1.4-1.5 for EVERY recipe — the skewed data "
+        "itself changes the work — so the twin's claim is the "
+        "asymptote: detection stays O(narrow scan) while the base's "
+        "single-reducer cost grows with the hot key's mass"
+    ),
     "join_inner_hash": (
         "hot o_custkey on the probe side; build side (customer) is "
         "broadcast-sized here, so the hot key never concentrates a "
@@ -255,9 +275,23 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--report", action="store_true")
+    ap.add_argument(
+        "--report-only",
+        action="store_true",
+        help="re-render SKEW.md from the cached .skew_results.json "
+        "(note-text edits) without re-measuring",
+    )
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("ops", nargs="*")
     args = ap.parse_args()
+
+    repo_early = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if args.report_only:
+        with open(os.path.join(repo_early, ".skew_results.json")) as fh:
+            cached = json.load(fh)
+        _write_report(cached["uniform"], cached["skewed"],
+                      cached["hot_counts"])
+        return 0
 
     import stress as stress_tool
 
