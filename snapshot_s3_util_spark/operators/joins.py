@@ -98,8 +98,19 @@ def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Salt width for the skew-safe sort-merge twin. Sized like
 # extras._JOIN_SALT (the shuffled-hash salting recipe): wide enough to
 # spread a 30%-hot key over most of a 32-slot stage, narrow enough
-# that the replicated side stays ~S x |orders keys| rows.
+# that the replicated side stays ~S x |hot keys| rows.
 _SMJ_SALT = 8
+# Heavy-key detector: a deterministic 1-in-MOD row sample (seeded hash
+# of columns uncorrelated with the join key) is aggregated per key; a
+# key is HOT when its sampled share would overload one reducer by more
+# than ALPHA x the fair share (sampled_total / shuffle partitions);
+# ALPHA = 2 flags anything that would double a reducer's load, while
+# uniform TPC-H keys (<= 7 lines/order) sit orders of magnitude under
+# the bar at every SF, so false positives cost nothing in practice.
+# The hot list is therefore <= partitions/ALPHA keys by construction —
+# a bounded driver-side collect, like the IVF probe's nprobe list.
+_SMJ_SAMPLE_MOD = 16
+_SMJ_HOT_ALPHA = 2.0
 
 
 @register(
@@ -114,41 +125,100 @@ _SMJ_SALT = 8
     category="join",
 )
 def join_sortmerge_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`join_sortmerge` with explicit hot-key insurance — the r12
-    SKEW.md row measured the base plan at 2.32x under a 30%-hot
+    """`join_sortmerge` with SELECTIVE hot-key salting — the r12
+    SKEW.md row measured the base plan at ~2x under a 30%-hot
     l_orderkey because AQE's skew split declines twice over (the hot
     partition sits under the 256 MB threshold, and the downstream
     groupBy reuses the join partitioning, so a split would add an
-    exchange). Same oracle as the base op: the salting is provably
+    exchange). Same oracle as the base op: the rewrite is provably
     output-identical.
 
-    Recipe: lineitem (the side carrying the hot key's mass) takes a
-    deterministic salt in [0, {_SMJ_SALT}) hashed from columns
-    uncorrelated with the join key; orders is replicated {_SMJ_SALT}
-    ways with explode(sequence(...)); the merge join keys on
-    (orderkey, salt), so ONE hot orderkey's rows sort-merge across
-    {_SMJ_SALT} reducers instead of one. The groupBy that follows
-    re-aggregates per (o_orderkey, o_orderstatus): its partial
-    (map-side) aggregate runs on the join's (key, salt) partitioning
-    and ships at most {_SMJ_SALT} partial rows per group, so the hot
-    key never re-concentrates — the exact two-stage shape of
-    `agg_salted_skew`.
+    Stage 1 — detect: a deterministic 1-in-{_SMJ_SAMPLE_MOD} row
+    sample of lineitem (seeded hash over columns uncorrelated with
+    the join key) is counted per orderkey map-side; keys whose
+    sampled mass exceeds {_SMJ_HOT_ALPHA}x the per-reducer fair share
+    are HOT. The hot list is mathematically <=
+    partitions/{_SMJ_HOT_ALPHA} keys, so collecting it is an
+    O(partitions) driver step, never corpus-sized.
 
-    The premium on UNIFORM data is the {_SMJ_SALT}x replicated orders
-    scan + the extra partial-agg rows (SKEW.md measures it alongside
-    the hot-key win); at 100 TB prefer AQE's runtime split when the
-    hot partition clears the skew threshold on its own and this twin
-    when it hides under it — SKEW.md's join_sortmerge note records
-    the measured threshold arithmetic.
+    Stage 2 — salt only the hot keys: hot lineitem rows take a salt
+    in [0, {_SMJ_SALT}) hashed from non-key columns; cold rows keep
+    salt 0. Orders rows for hot keys are replicated {_SMJ_SALT} ways
+    (explode), cold orders pass through once. The merge join keys on
+    (orderkey, salt): a hot key's rows sort across {_SMJ_SALT}
+    reducers, while the cold 99.99% of both sides pays ZERO
+    replication — the blanket-salting premium (measured 3.6x on
+    uniform data when every orders row was replicated) collapses to
+    the sampled count's map-side pass. The groupBy that follows
+    ships at most {_SMJ_SALT} partial rows per hot group (map-side
+    combine on the join's (key, salt) partitioning), so the hot key
+    never re-concentrates.
+
+    On a corpus with NO hot keys the plan degenerates to the base
+    merge join plus a constant-zero salt column — which is why one
+    code path serves every tier. This is the same decide-then-split
+    shape AQE's runtime skew join uses; the twin exists for hot keys
+    that hide UNDER AQE's byte threshold while still serializing a
+    reducer (SKEW.md's join_sortmerge note records the measured
+    threshold arithmetic).
     """
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
-        # hash of two columns, not l_linenumber alone: linenumber is
-        # 1..7, so pmod of it would leave salt buckets nearly empty
-        "l_salt",
-        F.pmod(F.hash("l_linenumber", "l_partkey"), F.lit(_SMJ_SALT)),
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return _smj_salted_join(o, li, _smj_detect_hot(spark, li))
+
+
+def _smj_detect_hot(spark: SparkSession, li: DataFrame) -> list:
+    """Stage 1 of `join_sortmerge_skewsafe`: the heavy-key list from a
+    deterministic 1-in-_SMJ_SAMPLE_MOD row sample, bounded to <=
+    shuffle-partitions / _SMJ_HOT_ALPHA keys by the fair-share bar.
+    Exposed so tests can assert detection fires on a planted hot key."""
+    # seeded sample hash ≠ salt hash: the same inputs would correlate
+    # the sample with salt bucket 0 and undercount every other bucket
+    sampled = li.filter(
+        F.pmod(F.hash(F.lit("smj-sample"), "l_partkey", "l_linenumber"),
+               F.lit(_SMJ_SAMPLE_MOD)) == 0
     )
-    o = load_table(spark, sf_dir, "orders").withColumn(
-        "o_salt", F.explode(F.sequence(F.lit(0), F.lit(_SMJ_SALT - 1)))
+    per_key = sampled.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    tot = per_key.agg(
+        F.sum("cnt").alias("tot")
+    ).collect()[0]["tot"] or 0
+    # bounded collect: at most parts/ALPHA keys can clear the bar
+    return [
+        r["l_orderkey"]
+        for r in per_key.filter(
+            F.col("cnt") > F.lit(_SMJ_HOT_ALPHA * tot / parts)
+        ).collect()
+    ]
+
+
+def _smj_salted_join(o: DataFrame, li: DataFrame, hot_keys: list) -> DataFrame:
+    """Stage 2 of `join_sortmerge_skewsafe`: merge join on
+    (orderkey, salt) with only the hot keys salted/replicated."""
+    li_hot = (
+        F.col("l_orderkey").isin(hot_keys) if hot_keys else F.lit(False)
+    )
+    li = li.withColumn(
+        "l_salt",
+        F.when(
+            li_hot,
+            # hash of two columns, not l_linenumber alone: linenumber
+            # is 1..7, so pmod of it would leave salt buckets empty
+            F.pmod(F.hash("l_linenumber", "l_partkey"), F.lit(_SMJ_SALT)),
+        ).otherwise(F.lit(0)),
+    )
+    o_hot = (
+        F.col("o_orderkey").isin(hot_keys) if hot_keys else F.lit(False)
+    )
+    o = o.withColumn(
+        "o_salt",
+        F.explode(
+            F.when(
+                o_hot, F.sequence(F.lit(0), F.lit(_SMJ_SALT - 1))
+            ).otherwise(F.array(F.lit(0)))
+        ),
     )
     return (
         o.hint("merge")

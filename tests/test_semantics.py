@@ -249,6 +249,56 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
     assert pairs > 0, "LSH found no candidate pairs despite planted near-dups"
 
 
+def test_sortmerge_skewsafe_salts_planted_hot_key(spark, sf_dir):
+    """The selective-salting twin must (a) DETECT a planted 40%-hot
+    key from its row sample, (b) produce exactly the base aggregate's
+    rows with the key salted across reducers, and (c) detect NOTHING
+    on the uniform sf0.01 tables (the degenerate single-path case the
+    driver's correctness row exercises)."""
+    import pyspark.sql.functions as F
+
+    from snapshot_s3_util_spark.io import load_table
+    from snapshot_s3_util_spark.operators.joins import (
+        _smj_detect_hot,
+        _smj_salted_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    assert _smj_detect_hot(spark, li) == [], (
+        "uniform sf0.01 lineitem should plant no hot keys"
+    )
+
+    hot = li.agg(F.min("l_orderkey")).collect()[0][0]
+    # remap ~40% of rows onto one key — the SKEW.md construction
+    li_skew = li.withColumn(
+        "l_orderkey",
+        F.when(F.col("l_partkey") % 10 < 4, F.lit(hot)).otherwise(
+            F.col("l_orderkey")
+        ),
+    )
+    hot_keys = _smj_detect_hot(spark, li_skew)
+    assert hot_keys == [hot], hot_keys
+
+    got = {
+        (r["o_orderkey"], r["o_orderstatus"]): (r["n_lines"], r["sum_qty"])
+        for r in _smj_salted_join(o, li_skew, hot_keys).collect()
+    }
+    want = {
+        (r["o_orderkey"], r["o_orderstatus"]): (r["n_lines"], r["sum_qty"])
+        for r in (
+            o.join(li_skew, o.o_orderkey == li_skew.l_orderkey)
+            .groupBy("o_orderkey", "o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+
 def test_minhash_prefilter_margin_holds(spark, sf_dir):
     """r12 ADVICE: the est-Jaccard prefilter has no verify backstop,
     so a true pair whose estimate dips to est_min - 1 is silently
