@@ -88,6 +88,10 @@ BENCH_QUERIES = (
                                   # benchable since the 11x vote fix)
     "sessionize_segmented",       # skew-bounded parallel-prefix sessionize
                                   # (round 12 — the SKEW.md mitigation twin)
+    "llm_sim_ann_ivf_partitioned",  # cluster-partitioned IVF probe with
+                                    # planning-time pruning (round 13 —
+                                    # includes the layout write, i.e. the
+                                    # one-time index-build cost, per run)
 )
 
 

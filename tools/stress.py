@@ -77,6 +77,11 @@ STRESS_OPS = (
     "llm_dedup_exact",
     "llm_sim_topk_brute",
     "sessionize_batch",
+    # ... r13 (r12 verdict ask #7): the skew-mitigation twins join the
+    # 3-tier matrix — their chunk-summary stitch has its own growth
+    # axis (chunks x users) that SKEW.md's single-tier rows can't see
+    "sessionize_segmented",
+    "win_fill_forward_segmented",
     # ... r10: the REST of the bench flagship set, so every query the
     # driver benches carries measured 10x/30x/100x growth evidence, not
     # just a plan-shape argument
