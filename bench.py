@@ -167,7 +167,7 @@ def main() -> None:
         # volume — a local run at a different SF must not write
         # vs-prev ratios the gate would read as regressions (official
         # rounds run sf0.1; BENCH_PREV records its sf from r13 on)
-        if abs(sf - float(prev_doc.get("sf", 0.1))) < 1e-9:
+        if abs(sf - float(prev_doc.get("sf") or 0.1)) < 1e-9:
             vs_prev = {
                 q: round(normalized[q] / prev[q], 2)
                 for q in normalized
@@ -197,6 +197,7 @@ def main() -> None:
             raw_min5[q] = round(min(raw_runs[q] + extra), 3)
 
     detail = {
+        "sf": sf,  # lets the gate name an SF-mismatch skip precisely
         "runs": raw_runs,
         # host-drift disambiguation (r6 verdict ask #3): raw median of
         # the fixed lineitem count(*) + each query as a multiple of it
@@ -240,6 +241,16 @@ def main() -> None:
             break
         headline.pop(drop)
         line = json.dumps(headline)
+    if len(line) > 1900:
+        # the BASE object outgrew the driver's bounded tail capture —
+        # the r7 truncated-JSON failure is imminent. Loud, on an
+        # earlier line (everything before the last line is free), so
+        # the round that adds the query crossing the limit sees it.
+        print(
+            f"WARNING: bench headline is {len(line)} chars with both "
+            "derived columns dropped; the driver tail captures 2000 — "
+            "trim BENCH_QUERIES or shorten names before it truncates"
+        )
     print(line)
 
 

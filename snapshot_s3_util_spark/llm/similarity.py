@@ -1474,6 +1474,20 @@ def _ivfk_quantizer(v: DataFrame):
     return c, _assign(v, c)
 
 
+def _ivfk_near(c1: DataFrame, probe: DataFrame) -> DataFrame:
+    """The probe's nprobe nearest quantizer cells by centroid cosine —
+    the ONE ranking both the in-memory IVF op and the partitioned
+    layout use (r13 review: two verbatim copies would desynchronize
+    on the next nprobe/tiebreak retune)."""
+    return (
+        c1.crossJoin(F.broadcast(probe))
+        .withColumn("craw", _cos("ce", "pe"))
+        .orderBy(F.col("craw").desc(), F.col("cid"))
+        .limit(_IVFK_NPROBE)
+        .select("cid")
+    )
+
+
 def _ivf_kmeans_oracle() -> str:
     ctes, cfin, afin = _ivfk_quantizer_ctes()
     cos = (
@@ -1532,13 +1546,7 @@ def llm_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = v.filter(F.col("vec_id") == _PROBE_ID).select(
         F.col("e").alias("pe")
     )
-    near = (
-        c1.crossJoin(F.broadcast(probe))
-        .withColumn("craw", _cos("ce", "pe"))
-        .orderBy(F.col("craw").desc(), F.col("cid"))
-        .limit(_IVFK_NPROBE)
-        .select("cid")
-    )
+    near = _ivfk_near(c1, probe)
     return (
         a2.join(F.broadcast(near), "cid")
         .crossJoin(F.broadcast(probe))
@@ -1726,19 +1734,21 @@ def _ivfk_partitioned_layout(spark: SparkSession, sf_dir: str, out: str):
     read-back frame, broadcastable probe frame). Factored out so
     tests/test_plans.py can assert the pruning on the live layout
     before the op's scratch dir is cleaned."""
+    from snapshot_s3_util_spark.llm.clustering import _assign
+
     v = load_embeddings(spark, sf_dir).select("vec_id", F.expr(_E).alias("e"))
-    c1, a2 = _ivfk_quantizer(v)
-    a2.write.mode("overwrite").partitionBy("cid").parquet(out)
+    c1, _ = _ivfk_quantizer(v)
+    # materialize the K x dim centroid frame ONCE (r13 review: without
+    # this, the layout write and the near-cluster collect each re-run
+    # the whole Lloyd chain — two corpus-wide assignment passes per
+    # invocation); the final assignment is rebuilt from the
+    # checkpointed centroids so the corpus is scored exactly once
+    c1 = c1.localCheckpoint(eager=True)
+    _assign(v, c1).write.mode("overwrite").partitionBy("cid").parquet(out)
     probe = v.filter(F.col("vec_id") == _PROBE_ID).select(
         F.col("e").alias("pe")
     )
-    near = (
-        c1.crossJoin(F.broadcast(probe))
-        .withColumn("craw", _cos("ce", "pe"))
-        .orderBy(F.col("craw").desc(), F.col("cid"))
-        .limit(_IVFK_NPROBE)
-        .select("cid")
-    )
+    near = _ivfk_near(c1, probe)
     # |collect| = _IVFK_NPROBE rows (12): partition pruning needs the
     # cluster ids as PLANNING-TIME literals — an IN-list the catalog
     # resolves against the partition directory listing, so the scan

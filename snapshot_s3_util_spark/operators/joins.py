@@ -181,7 +181,12 @@ def _smj_detect_hot(spark: SparkSession, li: DataFrame) -> list:
     per_key = sampled.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        # some platforms set the conf to "auto"; the fair-share bar
+        # only needs the right order of magnitude
+        parts = 200
     tot = per_key.agg(
         F.sum("cnt").alias("tot")
     ).collect()[0]["tot"] or 0

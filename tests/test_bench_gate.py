@@ -76,6 +76,27 @@ def test_bench_regressions_are_adjudicated_in_scale_md():
         )
         detail = _load_detail()
         assert detail is not None, "bench.py ran but wrote no BENCH_DETAIL.json"
+    # r13 review: an empty vs-prev section with a usable baseline is
+    # NOT "nothing to gate" — it means the live detail was written at
+    # a different SF than the baseline (bench.py only computes vs-prev
+    # on an SF match), e.g. a stale sf0.01 sidecar from local
+    # iteration. Passing silently there would re-create the vacuous
+    # no-op this gate exists to prevent; skip VISIBLY instead.
+    if not detail.get("vs_prev_normalized"):
+        try:
+            with open(os.path.join(_REPO, "BENCH_PREV.json")) as fh:
+                prev = json.load(fh)
+        except (OSError, ValueError):
+            prev = {}
+        if prev.get("queries_normalized"):
+            pytest.skip(
+                f"BENCH_DETAIL.json (sf={detail.get('sf')}) has no "
+                f"vs-prev section against BENCH_PREV.json "
+                f"(sf={prev.get('sf')}) — likely an SF-mismatched "
+                "local bench run; re-run bench.py at the baseline SF "
+                "to arm the gate"
+            )
+        return  # genuinely no baseline queries: round one
     vs_prev = detail.get("vs_prev_normalized", {})
     raw_min5 = detail.get("raw_min5", {})
     prev_raw = detail.get("prev_raw_median", {})

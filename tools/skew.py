@@ -285,17 +285,23 @@ def main() -> int:
     ap.add_argument("ops", nargs="*")
     args = ap.parse_args()
 
-    repo_early = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if args.report_only:
-        with open(os.path.join(repo_early, ".skew_results.json")) as fh:
-            cached = json.load(fh)
-        _write_report(cached["uniform"], cached["skewed"],
-                      cached["hot_counts"])
+        try:
+            with open(os.path.join(repo, ".skew_results.json")) as fh:
+                cached = json.load(fh)
+            uni, skw, hot = (cached["uniform"], cached["skewed"],
+                             cached["hot_counts"])
+        except (OSError, ValueError, KeyError) as exc:
+            print(f"--report-only needs a cached .skew_results.json from "
+                  f"a prior full run ({exc!r}) — run "
+                  f"`python tools/skew.py --report` first")
+            return 1
+        _write_report(uni, skw, hot)
         return 0
 
     import stress as stress_tool
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     uniform_dir = os.path.join(repo, f".stress{_MULT}")
     skew_dir = os.path.join(repo, f".skew{_MULT}")
 
