@@ -31,8 +31,9 @@ iteration runs can't clobber the round-over-round baseline.
 Timing excludes session init (BASELINE.md excludes it too).
 
 Regression gate: tests/test_bench_gate.py fails CI when any
-`vs_prev_normalized` in the live BENCH_DETAIL.json exceeds 1.25
-without the query being adjudicated by name in SCALE.md.
+`vs_prev_normalized` in the live BENCH_DETAIL.json reaches 1.25
+(inclusive at the boundary since r14) without the query being
+cleared by the min-of-5 raw wall or adjudicated by name in SCALE.md.
 """
 
 from __future__ import annotations
@@ -185,9 +186,13 @@ def main() -> None:
     # raw wall is within 1.25x of the previous round's raw median (pure
     # host noise by construction — the engine can run the query at the
     # old speed); anything slower still needs a by-name SCALE.md note.
+    # INCLUSIVE at the boundary (r13 verdict ask #3): r13's
+    # stream_foreach_batch_export landed at exactly 1.25 and passed
+    # untreated because the trigger was strictly >; a boundary value
+    # gets the same mechanical min-of-5 treatment as one past it.
     raw_min5: dict[str, float] = {}
     for q, ratio in vs_prev.items():
-        if ratio > 1.25:
+        if ratio >= 1.25:
             extra = []
             clear_persistent_rdds(spark)
             for _ in range(2):
@@ -196,8 +201,26 @@ def main() -> None:
                 extra.append(time.perf_counter() - t0)
             raw_min5[q] = round(min(raw_runs[q] + extra), 3)
 
+    # Build-vs-probe split for the cluster-partitioned IVF flagship
+    # (r13 verdict ask #4): its combined wall includes the one-time
+    # partitionBy(cid) index write per run; a deployment pays that at
+    # quantizer retrain, not per query. Record both phases so the
+    # flagship number stays honest AND interpretable.
+    ivf_build = ivf_probe = None
+    if "llm_sim_ann_ivf_partitioned" in BENCH_QUERIES:
+        from snapshot_s3_util_spark.llm.similarity import (
+            ivf_partitioned_split_timings,
+        )
+
+        clear_persistent_rdds(spark)
+        ivf_build, ivf_probe = ivf_partitioned_split_timings(
+            spark, sf_dir, runs=_TIMED_RUNS
+        )
+
     detail = {
         "sf": sf,  # lets the gate name an SF-mismatch skip precisely
+        "ivf_partitioned_build_sec": ivf_build,
+        "ivf_partitioned_probe_sec": ivf_probe,
         "runs": raw_runs,
         # host-drift disambiguation (r6 verdict ask #3): raw median of
         # the fixed lineitem count(*) + each query as a multiple of it

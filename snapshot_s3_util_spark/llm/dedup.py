@@ -1071,7 +1071,9 @@ def llm_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     `min_true_nmatch` (fewest matching minima among TRUE pairs) vs
     `max_false_nmatch` (most among sub-threshold banding candidates),
     alongside the shipped cutoff `est_min`. The prefilter is safe
-    while min_true_nmatch >= est_min > (ideally) max_false_nmatch;
+    while min_true_nmatch > est_min (strict — the suite and stress
+    margin gates fail AT equality, keeping one minima of slack) with
+    est_min > (ideally) max_false_nmatch;
     a closing margin is the early warning to raise K before recall
     or precision actually degrades — and round 12 measured exactly
     that: at K=12 the margin collapsed to 6/6/6 at the 30x stress

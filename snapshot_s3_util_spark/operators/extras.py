@@ -377,22 +377,64 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     to broadcast and AQE's skew split can't help (one logical key's rows
     must still meet).
 
-    Big side (lineitem) takes a deterministic salt in [0, S) from a
-    column uncorrelated with the join key; the other side is replicated
-    S ways with `explode(sequence(...))`; the join key becomes
-    (key, salt), spreading one hot orderkey's rows over S reducers.
-    Result is provably identical to the plain join (the oracle IS the
-    plain join). Completes the skew pair with `agg_salted_skew`;
-    SCALE.md documents when to prefer AQE's runtime skew-join split.
+    Round-14 revision, forced by the repo's own instrument: the r13
+    SKEW.md row measured the original BLANKET recipe (every orders row
+    replicated x{_JOIN_SALT}) at a 2.16x hot-key ratio and a 3.6x
+    uniform premium — refuting its "expected ~flat" mechanism claim,
+    because replicating the ENTIRE dimension side multiplies the
+    shuffle for the 99.99% of keys that were never hot. The fix ports
+    `_smj_detect_hot` (operators/joins.py) — a deterministic sampled
+    per-key count whose fair-share bar bounds the hot list to
+    <= partitions/alpha keys, a driver-safe collect: only HOT
+    lineitem rows take a salt in [0, {_JOIN_SALT}) hashed from
+    non-key columns, only hot-key orders rows replicate
+    {_JOIN_SALT} ways, and the cold bulk of both sides pays zero
+    replication. The join key becomes (key, salt), spreading one hot
+    orderkey's rows over {_JOIN_SALT} reducers. Result is provably
+    identical to the plain join (the oracle IS the plain join) for
+    ANY hot list, including the empty one. Completes the skew pair
+    with `agg_salted_skew`; SKEW.md records the measured
+    blanket-vs-selective comparison and SCALE.md documents when to
+    prefer AQE's runtime skew-join split.
     """
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
+    from snapshot_s3_util_spark.operators.joins import _smj_detect_hot
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return _salted_priority_join(li, orders, _smj_detect_hot(spark, li))
+
+
+def _salted_priority_join(
+    li: DataFrame, orders: DataFrame, hot_keys: list
+) -> DataFrame:
+    """Stage 2 of `join_salted_skew`: the selective (key, salt) join
+    and priority rollup, parameterized on the hot list so tests can
+    plant a hot key and assert the compound-key plan directly. With
+    an EMPTY hot list Catalyst constant-folds the salt columns to
+    literal 0 and the plan degenerates to the base shuffle join —
+    the uniform-data fast path is the optimizer's, not a branch."""
+    li_hot = (
+        F.col("l_orderkey").isin(hot_keys) if hot_keys else F.lit(False)
+    )
+    li = li.withColumn(
         # hash of two columns, not l_linenumber alone: linenumber is
         # 1..7, so pmod of it would leave salt bucket 0 forever empty.
         "l_salt",
-        F.pmod(F.hash("l_linenumber", "l_partkey"), F.lit(_JOIN_SALT)),
+        F.when(
+            li_hot,
+            F.pmod(F.hash("l_linenumber", "l_partkey"), F.lit(_JOIN_SALT)),
+        ).otherwise(F.lit(0)),
     )
-    orders = load_table(spark, sf_dir, "orders").withColumn(
-        "o_salt", F.explode(F.sequence(F.lit(0), F.lit(_JOIN_SALT - 1)))
+    o_hot = (
+        F.col("o_orderkey").isin(hot_keys) if hot_keys else F.lit(False)
+    )
+    orders = orders.withColumn(
+        "o_salt",
+        F.explode(
+            F.when(
+                o_hot, F.sequence(F.lit(0), F.lit(_JOIN_SALT - 1))
+            ).otherwise(F.array(F.lit(0)))
+        ),
     )
     return (
         li.join(

@@ -109,6 +109,15 @@ _SMJ_SALT = 8
 # the bar at every SF, so false positives cost nothing in practice.
 # The hot list is therefore <= partitions/ALPHA keys by construction —
 # a bounded driver-side collect, like the IVF probe's nprobe list.
+# AQE-coalesce note (r13 ADVICE): AQE only ever COALESCES the join to
+# fewer reducers than configured (it never adds reducers outside its
+# own skew split), so the post-coalesce fair share tot/parts_eff is
+# >= tot/parts and the configured-parts bar is the STRICTER of the
+# two — any key massive enough to serialize a coalesced reducer is
+# necessarily above this bar. The error direction is over-flagging
+# small keys when AQE coalesces hard, which is safe: salting is
+# output-invariant and a falsely-hot key costs only its own
+# S-way dimension-row replication, never a wrong answer.
 _SMJ_SAMPLE_MOD = 16
 _SMJ_HOT_ALPHA = 2.0
 

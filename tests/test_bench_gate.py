@@ -66,10 +66,25 @@ def test_bench_regressions_are_adjudicated_in_scale_md():
             )
         # fresh tree with a committed baseline: run the bench so the
         # gate enforces instead of silently no-opping (r12 ADVICE)
-        proc = subprocess.run(
-            [sys.executable, os.path.join(_REPO, "bench.py")],
-            cwd=_REPO, capture_output=True, text=True, timeout=1800,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(_REPO, "bench.py")],
+                cwd=_REPO, capture_output=True, text=True, timeout=1800,
+            )
+        except subprocess.TimeoutExpired as exc:
+            # r13 ADVICE: surface the partial output instead of an
+            # opaque test ERROR when a slow host blows the budget
+            out = (exc.stdout or b"")
+            err = (exc.stderr or b"")
+            if isinstance(out, bytes):
+                out = out.decode("utf-8", "replace")
+            if isinstance(err, bytes):
+                err = err.decode("utf-8", "replace")
+            pytest.fail(
+                "bench.py self-run for the regression gate timed out "
+                f"after 1800s — partial output:\n{out[-2000:]}"
+                f"{err[-2000:]}"
+            )
         assert proc.returncode == 0, (
             "bench.py self-run for the regression gate failed:\n"
             + proc.stdout[-2000:] + proc.stderr[-2000:]
@@ -116,10 +131,14 @@ def test_bench_regressions_are_adjudicated_in_scale_md():
         # by-name adjudication: backtick-anchored token in SCALE.md
         return f"`{q}`" in scale
 
+    # inclusive at the boundary (r13 verdict ask #3): a query sitting
+    # EXACTLY at the gate gets the same adjudication demand — r13's
+    # stream_foreach_batch_export slipped through at 1.25 under the
+    # old strict comparison
     unexplained = {
         q: r
         for q, r in vs_prev.items()
-        if r is not None and r > _GATE and not _cleared(q)
+        if r is not None and r >= _GATE and not _cleared(q)
     }
     assert not unexplained, (
         f"bench queries regressed >{_GATE}x vs the previous round and "

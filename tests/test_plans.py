@@ -329,16 +329,35 @@ def test_cc_propagation_round_shuffle_budget(spark):
 
 def test_salted_join_spreads_hot_keys_without_broadcast(spark, sf_dir):
     """With broadcast off (the regime salting exists for), the salted
-    plan must still be a shuffle join on the COMPOUND (key, salt) key —
-    proving one hot orderkey's rows land on _JOIN_SALT reducers."""
+    plan must be a shuffle join on the COMPOUND (key, salt) key when a
+    hot key is planted — proving one hot orderkey's rows land on
+    _JOIN_SALT reducers — and must DEGENERATE to the base join (salt
+    constant-folded away) on uniform data, where r13's SKEW.md
+    measured blanket replication at a 3.6x premium."""
+    from snapshot_s3_util_spark.operators.extras import (
+        _salted_priority_join,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hot = [r[0] for r in orders.select("o_orderkey").limit(1).collect()]
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        df = REGISTRY["join_salted_skew"].fn(spark, sf_dir)
-        plan = physical_plan(df)
+        # planted hot key: compound (key, salt) join survives planning
+        plan = physical_plan(_salted_priority_join(li, orders, hot))
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
         assert "l_salt" in plan and "o_salt" in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
+        # uniform data (the full op's sampled detection finds nothing
+        # hot in TPC-H): the salt must constant-fold OUT of the join
+        # key — no blanket replication premium
+        plan_uni = physical_plan(REGISTRY["join_salted_skew"].fn(spark, sf_dir))
+        assert "SortMergeJoin" in plan_uni or "ShuffledHashJoin" in plan_uni, (
+            plan_uni
+        )
+        assert "l_salt" not in plan_uni, plan_uni
+        assert "BroadcastNestedLoopJoin" not in plan_uni, plan_uni
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
@@ -469,25 +488,36 @@ def test_ivf_partitioned_probe_prunes_to_nprobe_partitions(spark, sf_dir, tmp_pa
     cids, back, _probe = _ivfk_partitioned_layout(spark, sf_dir, out)
     assert len(cids) == _IVFK_NPROBE
 
-    # layout: one partition directory per occupied quantizer cell
-    # (measured occupancy at this K is all-cells-occupied; see the
-    # similarity.py retune grid note)
-    n_dirs = len(glob.glob(os.path.join(out, "cid=*")))
-    assert n_dirs == _IVFK_K, f"expected {_IVFK_K} cid= dirs, got {n_dirs}"
+    # layout: one partition directory per OCCUPIED quantizer cell —
+    # at most K; not pinned to exactly K (r13 ADVICE: an empty Lloyd
+    # cell at a different test SF or a retuned K is not a pruning
+    # failure; measured occupancy at the shipped K is all cells)
+    dirs = {
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(out, "cid=*"))
+    }
+    assert 0 < len(dirs) <= _IVFK_K, (
+        f"expected 1..{_IVFK_K} cid= dirs, got {len(dirs)}"
+    )
 
     # planning time: the IN-list is a PartitionFilter on the FileScan
     plan = physical_plan(back.groupBy().count())
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("cid" in ln for ln in pf), plan
 
-    # runtime: files actually opened come from exactly the nprobe
-    # pruned directories — the other K - nprobe partitions are never
-    # listed into the scan
+    # runtime: files actually opened come from exactly the pruned
+    # directories that EXIST on disk (the IN-list ∩ written layout) —
+    # the other K - nprobe partitions are never listed into the scan.
+    # Deriving the expectation from the layout instead of pinning
+    # all-nprobe-occupied keeps the contract under a retuned K
+    # (r13 ADVICE).
     touched = {
         os.path.basename(os.path.dirname(r[0]))
         for r in back.select(F.input_file_name()).distinct().collect()
     }
-    assert touched == {f"cid={c}" for c in cids}, (touched, cids)
+    expected = {f"cid={c}" for c in cids} & dirs
+    assert touched == expected, (touched, expected)
+    assert len(touched) <= _IVFK_NPROBE, (touched, cids)
 
 
 def test_version_compaction_prunes_topn_inside_sort(spark, sf_dir):
