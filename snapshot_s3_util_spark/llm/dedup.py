@@ -155,11 +155,13 @@ _JACCARD_THRESHOLD = 0.5
 # ESTIMATE — matching minima / K over the ALREADY-COMPUTED signature —
 # clears the threshold the banding targets: ceil(K * J*) of K minima.
 # The estimate costs K integer compares per candidate (no shingle
-# re-read), and the audit's margin columns measure the separation it
-# rides on: min-true / cutoff / max-false = 11/8/5 at sf0.1 (14/8/2 at
-# sf0.01, 9/8/7 at the 30x stress tier — the K=12 margin collapse at
-# 30x is what drove K to 16, see params.MINHASH_K) — recall stays 1.0
-# while precision goes 0.76 -> 1.0 at sf0.1.
+# re-read), and the audit's margin columns measure the separation the
+# ceil(K * J*) cutoff rides on: min-true / max-false = 11/5 at sf0.1
+# (14/2 at sf0.01, 9/7 at the 30x stress tier — the K=12 margin
+# collapse at 30x is what drove K to 16, see params.MINHASH_K) —
+# recall stays 1.0 while precision goes 0.76 -> 1.0 at sf0.1. (The
+# cutoff value itself is the _MINHASH_EST_MIN expression below, not a
+# literal here, so a retune can't strand this comment.)
 _MINHASH_EST_MIN = math.ceil(MINHASH_K * _JACCARD_THRESHOLD)
 
 # Shared CTE chain (tokenize -> shingles -> df-cap -> affine minima ->
@@ -1077,8 +1079,9 @@ def llm_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a closing margin is the early warning to raise K before recall
     or precision actually degrades — and round 12 measured exactly
     that: at K=12 the margin collapsed to 6/6/6 at the 30x stress
-    tier (two sub-threshold pairs through), so K rose to 16; the
-    margins now read 14/8/2 (sf0.01), 11/8/5 (sf0.1), 9/8/7 (30x).
+    tier (two sub-threshold pairs through), so K rose to 16; around
+    the shipped cutoff {_MINHASH_EST_MIN} the margins now read
+    min-true/max-false = 14/2 (sf0.01), 11/5 (sf0.1), 9/7 (30x).
     At 100 TB run it on a doc-sampled partition (the estimates are
     unbiased under doc sampling), like every audit in this family.
     """

@@ -503,6 +503,60 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bfs_round_keyed(sym: DataFrame, hops: DataFrame) -> DataFrame:
+    """One BFS frontier expansion with the hops frame joined by KEY
+    (shuffle-hash hint) instead of broadcast. Factored out so
+    tests/test_plans.py can assert the round plan contains no
+    broadcast of the |V|-sized frontier."""
+    expanded = sym.join(
+        hops.hint("shuffle_hash"), sym["u"] == hops["node"]
+    ).select(F.col("v").alias("node"), (F.col("hops") + 1).alias("hops"))
+    return (
+        hops.unionByName(expanded)
+        .groupBy("node")
+        .agg(F.min("hops").alias("hops"))
+    )
+
+
+@register("graph_bfs_hops_keyed", oracle=_bfs_oracle(), category="graph")
+def graph_bfs_hops_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`graph_bfs_hops` with the per-round frontier joined by KEY
+    instead of broadcast — the companion twin to
+    `graph_label_propagation_keyed` (r13 verdict ask #6). The base
+    plan broadcasts the accumulating (node, hops) frame every round;
+    after enough expansions that frame is |V|-sized, and at web scale
+    a |V| broadcast per round is the bottleneck the Pregel model
+    exists to avoid. Here the symmetric edge list is hash-partitioned
+    on u once and checkpointed; each round shuffle-hash-joins the
+    frontier on its key (|frontier| rows of network, never a
+    single-executor structure) and the MIN-combine shuffles at most
+    |V| (node, hops) pairs with map-side partials. Same fixed
+    {_BFS_ROUNDS}-round unroll, same oracle: output-identical to the
+    base op; STRESS.md records the keyed premium on this small graph.
+    """
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cano = _strong_und_edges(spark, sf_dir)
+    sym = (
+        cano.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(cano.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .repartition("u")
+        .localCheckpoint()
+    )
+    hops = spark.createDataFrame([(_BFS_SRC, 0)], "node int, hops int")
+    for _ in range(_BFS_ROUNDS):
+        hops = _bfs_round_keyed(sym, hops).localCheckpoint()
+    # nation is a true O(|nations|) dimension; broadcasting IT stays
+    # correct at any scale (see graph_label_propagation_keyed)
+    return nation.join(
+        F.broadcast(hops), nation["n_nationkey"] == hops["node"], "left"
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.coalesce("hops", F.lit(-1)).cast("bigint").alias("hops"),
+    )
+
+
 _ASSORT_ORACLE = f"""
 WITH {_STRONG_UND_CTES},
 deg AS (
@@ -757,6 +811,82 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "community_size",
         F.count(F.lit(1)).over(Window.partitionBy("label")).cast("bigint"),
     )
+    return sized.join(
+        F.broadcast(nation), sized["node"] == nation["n_nationkey"]
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.col("label").cast("bigint").alias("community"),
+        "community_size",
+    )
+
+
+def _lpa_round_keyed(adj: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round with the label frame joined by KEY
+    (shuffle-hash hint) instead of broadcast — the web-scale frontier
+    recipe. Factored out so tests/test_plans.py can assert the round
+    plan contains no broadcast of the |V| frame."""
+    nb = labels.select(
+        F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
+    )
+    counts = (
+        adj.join(nb.hint("shuffle_hash"), "nbr")
+        .groupBy("node", "nbr_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("nbr_label").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("node", F.col("nbr_label").alias("label"))
+    )
+
+
+@register(
+    "graph_label_propagation_keyed", oracle=_lpa_oracle(), category="graph"
+)
+def graph_label_propagation_keyed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`graph_label_propagation` with the per-round label frame joined
+    by KEY instead of broadcast — the r13 verdict ask #6 twin that
+    makes the base op's standing nit concrete. The base plan
+    broadcasts the |V|-row label frame every round: fine for this
+    dimension-derived graph (|V| <= |nations|), wrong at web scale,
+    where |V| outgrows executor memory and the broadcast becomes the
+    round's bottleneck. Here every round is a shuffle-hash join of
+    the adjacency frame (hash-partitioned on nbr ONCE, checkpointed,
+    so the edge side's partitioning is reusable across rounds)
+    against the label frame shuffled on its key — per-round network
+    is bounded by |V| label rows + |distinct (node, label)| combine
+    output, with NO structure that must fit on one executor. Same
+    rounds, same deterministic tie-break, same oracle: the twins are
+    provably output-identical; STRESS.md records the keyed premium
+    on these small graphs (the insurance cost) next to the base row.
+    """
+    und = _strong_und_edges(spark, sf_dir)
+    adj = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(
+            und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+        )
+        .repartition("nbr")
+        .localCheckpoint()
+    )
+    labels = adj.select("node").distinct().withColumn("label", F.col("node"))
+    for _ in range(_LPA_ROUNDS):
+        labels = _lpa_round_keyed(adj, labels)
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    sized = labels.withColumn(
+        "community_size",
+        F.count(F.lit(1)).over(Window.partitionBy("label")).cast("bigint"),
+    )
+    # nation is a true O(|nations|) dimension — broadcasting IT is the
+    # correct plan at any scale; the claim this twin retires is the
+    # per-round |V| label-frame broadcast, not dimension broadcasts
     return sized.join(
         F.broadcast(nation), sized["node"] == nation["n_nationkey"]
     ).select(

@@ -327,6 +327,44 @@ def test_cc_propagation_round_shuffle_budget(spark):
     assert got <= 2, f"CC round: 2 shuffles budgeted, plan has {got}"
 
 
+def test_keyed_graph_rounds_have_no_frontier_broadcast(spark):
+    """The `_keyed` graph twins' contract (r13 verdict ask #6): one
+    propagation/expansion round must contain NO broadcast join — the
+    |V|-sized label/frontier frame moves by keyed shuffle only, so
+    nothing in the round has to fit on a single executor. Built on
+    synthetic checkpointed frames so the (legit, dimension-sized)
+    broadcasts inside the edge-building stage can't leak into the
+    asserted plan."""
+    from pyspark.sql import functions as F
+
+    from snapshot_s3_util_spark.operators.graphs import (
+        _bfs_round_keyed,
+        _lpa_round_keyed,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "a int, b int"
+    ).localCheckpoint(eager=True)
+    adj = pairs.selectExpr("a AS node", "b AS nbr").unionAll(
+        pairs.selectExpr("b AS node", "a AS nbr")
+    )
+    labels = adj.select("node").distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint(eager=True)
+    sym = pairs.selectExpr("a AS u", "b AS v").unionAll(
+        pairs.selectExpr("b AS u", "a AS v")
+    )
+    hops = spark.createDataFrame([(1, 0)], "node int, hops int")
+    for df in (
+        _lpa_round_keyed(adj, labels),
+        _bfs_round_keyed(sym, hops),
+    ):
+        plan = physical_plan(df)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "BroadcastExchange" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
 def test_salted_join_spreads_hot_keys_without_broadcast(spark, sf_dir):
     """With broadcast off (the regime salting exists for), the salted
     plan must be a shuffle join on the COMPOUND (key, salt) key when a

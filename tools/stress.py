@@ -70,6 +70,13 @@ STRESS_OPS = (
     "stream_foreach_batch_export",  # r10: first streaming op measured (r9 ask #5)
     "sort_multi",
     "graph_label_propagation",
+    # ... r14 (r13 verdict ask #6): the keyed-frontier twins — same
+    # oracles as their broadcast-frontier bases, no |V| broadcast per
+    # round (plan-asserted); their rows here price the keyed-shuffle
+    # insurance on these small graphs, next to the base rows
+    "graph_label_propagation_keyed",
+    "graph_bfs_hops",
+    "graph_bfs_hops_keyed",
     # ... plus the BASELINE.md flagship set, so the vs-baseline grade
     # and the measured-growth evidence cover the same queries
     "agg_hash_groupby",
@@ -647,6 +654,54 @@ def measure_minhash_precision(spark, label: str, sf_dir: str) -> dict:
         .agg(F.coalesce(F.max(nmatch), F.lit(-1)).alias("v"))
         .collect()[0]["v"]
     )
+
+    # Cutoff-minus-one counterfactual (r13 verdict ask #5): would
+    # shipping est_min - 1 — trading one minima of prefilter
+    # precision for one more minima of recall-margin slack — hold up
+    # once the exact-Jaccard verify stage absorbs the extra
+    # candidates? Measure the extra candidate volume, the lo-cutoff
+    # set's own precision, and the TIMED exact-verify wall over both
+    # candidate sets (the same shingle-join construction a deployment
+    # runs before acting on a pair).
+    from snapshot_s3_util_spark.llm.dedup import _MINHASH_EST_MIN
+
+    cand_lo = (
+        cand_raw.join(ma, "doc_a").join(mb, "doc_b")
+        .filter(nmatch >= _MINHASH_EST_MIN - 1)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    n_lo = cand_lo.count()
+    hits_lo = truth.join(cand_lo, ["doc_a", "doc_b"]).count()
+
+    def _verify_wall(cpairs) -> float:
+        """Exact set-Jaccard verify of a candidate pair frame against
+        the kept shingle sets (join to doc_a's shingles, match doc_b's,
+        size-join, threshold) — timed median-free single shot; the
+        sets differ only in the pair frame, so the delta IS the extra
+        candidates' verify cost."""
+        t0 = time.perf_counter()
+        shared_c = (
+            cpairs.join(a, "doc_a")
+            .join(b, ["doc_b", "sh"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        (
+            shared_c.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared"))
+                >= _JACCARD_THRESHOLD
+            )
+            .count()
+        )
+        return round(time.perf_counter() - t0, 2)
+
+    verify_hi = _verify_wall(cand)
+    verify_lo = _verify_wall(cand_lo)
+
     row = {
         "docs": n_docs,
         "true_pairs": n_true,
@@ -658,13 +713,22 @@ def measure_minhash_precision(spark, label: str, sf_dir: str) -> dict:
         "precision": round(hits_pref / n_pref, 4) if n_pref else 1.0,
         "min_true_nmatch": int(nm_true),
         "max_false_nmatch": int(nm_false),
+        "est_min": int(_MINHASH_EST_MIN),
+        "cand_prefiltered_lo": n_lo,
+        "recall_lo": round(hits_lo / n_true, 4) if n_true else 1.0,
+        "precision_lo": round(hits_lo / n_lo, 4) if n_lo else 1.0,
+        "verify_wall_sec": verify_hi,
+        "verify_wall_sec_lo": verify_lo,
         "wall_sec": round(time.perf_counter() - t0, 2),
     }
     print(
         f"minhash-precision {label}: docs={n_docs:,d} true={n_true:,d} "
         f"cand {n_raw:,d}->{n_pref:,d} recall={row['recall']} "
         f"precision {row['precision_banding']}->{row['precision']} "
-        f"margin {nm_true}>{nm_false}",
+        f"margin {nm_true}>{nm_false}; lo-cutoff "
+        f"{_MINHASH_EST_MIN - 1}: cand={n_lo:,d} "
+        f"prec={row['precision_lo']} verify {verify_hi}s vs "
+        f"{verify_lo}s",
         flush=True,
     )
     return row
@@ -716,6 +780,54 @@ def _minhash_precision_section(prec: dict) -> list:
             f"{r['cand_banding']:,d} | {r['cand_prefiltered']:,d} | "
             f"{r['recall']} | {r['precision_banding']} | "
             f"{r['precision']} | {margin} |\n"
+        )
+    # r13 verdict ask #5: the cutoff-minus-one counterfactual — what
+    # shipping est_min - 1 would cost (extra candidates + their timed
+    # exact-verify wall) and buy (margin slack 2 instead of 1) at each
+    # tier. Rendered only when the cache rows carry the measurement.
+    lo_rows = {
+        label: r for label, r in prec.items() if "cand_prefiltered_lo" in r
+    }
+    if lo_rows:
+        lines += [
+            f"\nCutoff-minus-one counterfactual (est_min "
+            f"{_MINHASH_EST_MIN - 1} instead of {_MINHASH_EST_MIN}; "
+            "r13 verdict ask #5). One more minima of recall-margin "
+            "slack (min-true sits 2 over the cutoff instead of 1) "
+            "against the pairs the looser prefilter passes through "
+            "to the exact-Jaccard verify stage, with the verify wall "
+            "TIMED over both candidate sets (same shingle-join "
+            "construction either way):\n",
+            "\n| tier | prefiltered cand (lo) | vs shipped | precision "
+            "(lo, pre-verify) | recall (lo) | verify wall shipped | "
+            "verify wall lo |\n"
+            "|---|---:|---:|---:|---:|---:|---:|\n",
+        ]
+        for label, r in lo_rows.items():
+            lines.append(
+                f"| {label} | {r['cand_prefiltered_lo']:,d} | "
+                f"{r['cand_prefiltered_lo'] - r['cand_prefiltered']:+,d} "
+                f"| {r['precision_lo']} | {r['recall_lo']} | "
+                f"{r['verify_wall_sec']}s | {r['verify_wall_sec_lo']}s "
+                f"|\n"
+            )
+        lines.append(
+            f"\n**Decision (r14): the shipped cutoff stays "
+            f"{_MINHASH_EST_MIN} = ceil(K x J*).** The nmatch "
+            "distribution is strongly bimodal, so the lo cutoff is "
+            "nearly free on the cost side (+1 candidate at 30x, +4 at "
+            "100x; verify-wall delta inside host noise) — but the "
+            "sub-threshold pairs it admits are not: "
+            "`llm_dedup_components` consumes the prefiltered set "
+            "UNVERIFIED as connected-component edges, where one "
+            "J < 0.5 edge merges two whole clusters — the shipped "
+            "set's measured precision 1.0 is load-bearing, not "
+            "cosmetic. The slack the lo cutoff would buy (min-true 2 "
+            "over the cutoff instead of 1) is already protected by "
+            "the hard margin gates (suite + stress FAIL at equality) "
+            "whose documented remedy is raising K (the K=12 -> 16 "
+            "precedent), which restores slack WITHOUT admitting "
+            "false edges.\n"
         )
     return lines
 
