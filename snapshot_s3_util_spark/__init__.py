@@ -55,6 +55,13 @@ _WINDOW_CHANGED_THIS_ROUND: list = [
     # provably identical (same oracle) and per the r11 listing
     # convention the claimed-identical rewrite gets a fresh driver row
     "join_salted_skew",
+    # behavior change (r13 verdict ask #7): AHASH_BUCKET_SAMPLE moved
+    # 2x -> 4x the shared cap on the r13 dial's curve + a measured
+    # steady-state cost (params.py has the decision) — the dedup op
+    # reports more pairs (recall 0.943 -> 0.988) and the audit row's
+    # kept/recall/dial columns shift with the width
+    "multimodal_ahash_dedup",
+    "multimodal_ahash_recall_bucket_cap",
 ]
 
 

@@ -920,12 +920,15 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spill the uncapped join produced at the 30x stress tier); round 11
     turned the cap from skip into a deterministic md5-ordered SAMPLE
     so the largest clusters still yield representative pairs; round 12
-    widened the aHash sample to {_AHASH_SAMPLE} docs (2x the shared
-    cap) after the recall audit measured 0.800 at sf0.1 — the measured
-    fix, chosen over the dual-band-family alternative the audit proved
-    useless on threshold masks (params.AHASH_BUCKET_SAMPLE has the
-    numbers); measured recall 0.943 at sf0.1, candidate volume still
-    O(bands·sample·N), linear.
+    widened the aHash sample (2x the shared cap) after the recall
+    audit measured 0.800 at sf0.1 — the measured fix, chosen over the
+    dual-band-family alternative the audit proved useless on
+    threshold masks; round 14 widened it again to the shipped
+    {_AHASH_SAMPLE} docs (4x the shared cap) on the r13 margin dial's
+    curve — recall 0.800/0.943/0.988 at half/2x/4x — once the 4x
+    tail's steady-state cost measured at +24% candidates / ~+20%
+    verify wall (params.AHASH_BUCKET_SAMPLE has all the numbers);
+    candidate volume stays O(bands·sample·N), linear.
     The thumbnail step uses the payload's first {_AHASH_BYTES} bytes
     (PIL-gated stub boundary, like every image op above); the hash
     computation runs in Arrow-batched Python over genuine BinaryType
@@ -1298,7 +1301,7 @@ def multimodal_ahash_recall_bucket_cap(spark: SparkSession, sf_dir: str) -> Data
     worst case (text-derived threshold masks concentrate into few
     signatures), so this row is the honest upper bound on what the cap
     costs the perceptual ops at each SF.  Round 12: the audit drove
-    the sample width to {_AHASH_SAMPLE} (recall 0.800 -> 0.943 at
+    the first widening (2x the shared cap; recall 0.800 -> 0.943 at
     sf0.1) and refuted the second-band-family alternative — the 694
     pairs dropped at the old width share ZERO dHash gradient-band
     buckets, so a dual-family union rescued 3 pairs for ~10k extra
@@ -1309,6 +1312,11 @@ def multimodal_ahash_recall_bucket_cap(spark: SparkSession, sf_dir: str) -> Data
     recall-vs-width curve and the next saturation regime shows up as
     a widening recall - recall_lo gap in the audit, not as a dropped
     pair in production (the minhash margin-column discipline).
+    Round 14 (r13 ask #7): the dial's curve plus a measured
+    steady-state cost (+24% candidates, ~+20% verify wall for
+    recall 0.943 -> 0.988) moved the shipped width to
+    {_AHASH_SAMPLE} (4x the shared cap); the dial now reads at
+    2x/8x around it.
     """
     return _banded_cap_recall(
         _ahash_band_frame(spark, sf_dir), _AHASH_MAX_HAMMING,

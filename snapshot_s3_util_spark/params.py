@@ -103,7 +103,17 @@ BAND_BUCKET_CAP = 64
 # pHash/simhash keep the tighter shared cap — their signatures spread
 # (pHash: zero over-cap buckets at sf0.1, recall already 1.0) so the
 # wider sample buys nothing there.
-AHASH_BUCKET_SAMPLE = 2 * BAND_BUCKET_CAP
+# Round 14 (r13 verdict ask #7): the r13 margin dial put a curve on
+# the width (recall 0.800 at half / 0.943 at 2x cap / 0.988 at 4x cap
+# over 3,515 true pairs at sf0.1), and the steady-state cost of 4x
+# was then measured directly: candidates 463k -> 572k (+24%), the
+# candidate+Hamming-verify tail ~+20% wall (1.0-1.3s -> 1.2-1.7s
+# medians, alternating-order runs) — the cheapest +0.045 recall on
+# the table, still linear by the same bound, so the width moved to
+# 4x the shared cap. The residual 0.012 gap is the next saturation
+# regime; the dial now reads at 2x/8x around the shipped width and
+# a widening lo-gap remains the early warning.
+AHASH_BUCKET_SAMPLE = 4 * BAND_BUCKET_CAP
 
 # Float canonicalization (SURVEY.md §7): round to this many digits on
 # both engines before hashing.
