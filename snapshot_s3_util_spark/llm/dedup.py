@@ -550,6 +550,15 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the GraphX/GraphFrames pattern; pairs = the blocked candidate set,
     # orders of magnitude smaller than the corpus).
     pairs = llm_dedup_near_minhash(spark, sf_dir).localCheckpoint(eager=True)
+    return _cc_resolve(pairs)
+
+
+def _cc_resolve(pairs: DataFrame) -> DataFrame:
+    """Shared CC tail of the components ops: symmetric edges + initial
+    own-label frame -> convergence-driven min-label propagation ->
+    (doc_id, component_id, component_size, is_keeper). `pairs` must
+    already be materialized (checkpointed) — every propagation round
+    references it."""
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
@@ -567,6 +576,123 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("label"))
         .alias("component_size"),
         (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+    )
+
+
+# Verified components: the same resolution but over edges that PASSED
+# the exact-Jaccard verify. The r14 cutoff decision (STRESS.md
+# precision section) rests on llm_dedup_components consuming the
+# prefiltered set unverified — correct while the prefilter's measured
+# precision is 1.0, but one future sub-threshold edge would merge two
+# clusters. This op is the structural fix a 100 TB deployment ships:
+# candidates -> exact set-Jaccard over the SAME df-capped shingle
+# universe the signatures hash -> CC, so a prefilter precision slip
+# costs wasted verify work, never a wrong merge.
+_CC_VERIFIED_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+vksets AS (SELECT DISTINCT doc_id, sh FROM kept),
+vsizes AS (SELECT doc_id, COUNT(*) AS n FROM vksets GROUP BY doc_id),
+vinter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+  FROM cand c
+  JOIN vksets a ON a.doc_id = c.doc_a
+  JOIN vksets b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY c.doc_a, c.doc_b
+),
+vpairs AS (
+  SELECT i.doc_a, i.doc_b FROM vinter i
+  JOIN vsizes sa ON sa.doc_id = i.doc_a
+  JOIN vsizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared)
+        >= {_JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM vpairs
+),
+nodes AS (
+  SELECT doc_a AS doc_id FROM vpairs
+  UNION SELECT doc_b AS doc_id FROM vpairs
+),
+reach AS (
+  SELECT doc_id, doc_id AS label FROM nodes
+  UNION
+  SELECT e.src AS doc_id, r.label
+  FROM edges e JOIN reach r ON r.doc_id = e.dst
+),
+final AS (SELECT doc_id, MIN(label) AS component_id FROM reach GROUP BY doc_id)
+SELECT doc_id, component_id,
+       COUNT(*) OVER (PARTITION BY component_id) AS component_size,
+       doc_id = component_id AS is_keeper
+FROM final
+"""
+
+
+@register(
+    "llm_dedup_components_verified", oracle=_CC_VERIFIED_ORACLE,
+    category="llm",
+)
+def llm_dedup_components_verified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`llm_dedup_components` with the exact-Jaccard VERIFY stage
+    between the candidate pairs and the component resolution — the
+    structural completion of the r14 prefilter-cutoff decision
+    (STRESS.md precision section): the unverified variant is only as
+    safe as the prefilter's measured precision 1.0, because one
+    sub-threshold edge merges two whole clusters; here every edge
+    must clear exact set-Jaccard >= {_JACCARD_THRESHOLD} computed
+    over the SAME df-capped shingle universe the signatures hash, so
+    a prefilter slip costs wasted verify work, never a wrong merge.
+
+    Plan: candidates come from the shared banding+prefilter chain
+    (one keyed shuffle of 8-byte minima, sum-of-bucket^2 pair join);
+    the verify joins ONLY candidate pairs back to the kept shingle
+    stream — cost |candidates| x shingles-per-doc, the blocked-join
+    bound, never corpus^2 — and the CC tail is the shared
+    convergence-driven min-label loop (checkpointed spine, per-round
+    shuffle bounded by |verified edges|). At 100 TB the verify stage
+    is the one extra pass a deployment pays for merge-safety; its
+    cost was measured at +0.5-3 s per tier in the r14 cutoff study
+    (verify_wall columns, STRESS.md).
+    """
+    kept = _minhash_kept(spark, sf_dir).localCheckpoint(eager=True)
+    minhashes = _minhash_minhashes(kept)
+    cand = _minhash_cand(_minhash_band_sigs(minhashes), minhashes)
+    return _cc_resolve(
+        _exact_jaccard_verify(cand, kept).localCheckpoint(eager=True)
+    )
+
+
+def _exact_jaccard_verify(cand: DataFrame, kept: DataFrame) -> DataFrame:
+    """Exact set-Jaccard verify of candidate (doc_a, doc_b) pairs
+    against the kept (doc_id, sh) shingle stream: join each pair to
+    doc_a's shingles, match doc_b's, size-join, threshold. Cost is
+    |candidates| x shingles-per-doc — the blocked-join bound. Factored
+    out so tests can plant a sub-threshold candidate and assert the
+    verify drops it before the CC stage can merge on it."""
+    ksets = kept.distinct()
+    sizes = ksets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ka = ksets.select(F.col("doc_id").alias("doc_a"), "sh")
+    kb = ksets.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(ka, "doc_a")
+        .join(kb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared"))
+            >= _JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
     )
 
 

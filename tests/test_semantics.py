@@ -116,6 +116,47 @@ def test_components_chain_converges(spark):
     assert out == {i: 1 for i in range(1, 7)}
 
 
+def test_verified_components_drop_subthreshold_edges(spark, sf_dir):
+    """The exact-Jaccard verify stage of `llm_dedup_components_verified`
+    must DROP a planted sub-threshold candidate pair — the edge that
+    would wrongly merge two clusters if it reached the CC stage (the
+    r14 cutoff-decision scenario) — while keeping a true near-dup
+    pair. Also: at driver test scale the verified op must agree with
+    the unverified op exactly, because the prefilter's measured
+    precision there is 1.0 (every candidate is a true pair)."""
+    from snapshot_s3_util_spark.llm.dedup import _exact_jaccard_verify
+
+    # docs 1 & 2 share 9 shingles of a 13-shingle union (J = 9/13 >
+    # 0.5); docs 1 & 3 share 2 of a 19-shingle union (J = 2/19 < 0.5).
+    # Both arrive as candidates; only the first must survive.
+    kept = spark.createDataFrame(
+        [(1, f"s{i}") for i in range(11)]
+        + [(2, f"s{i}") for i in range(2, 11)] + [(2, "x0"), (2, "x1")]
+        + [(3, f"s{i}") for i in range(2)] + [(3, f"y{i}") for i in range(8)],
+        "doc_id long, sh string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in _exact_jaccard_verify(cand, kept).collect()
+    }
+    assert got == {(1, 2)}, got
+
+    base = {
+        tuple(r)
+        for r in REGISTRY["llm_dedup_components"].fn(spark, sf_dir).collect()
+    }
+    ver = {
+        tuple(r)
+        for r in REGISTRY["llm_dedup_components_verified"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert base == ver
+
+
 def test_simhash_pairs_complete_at_radius(spark, sf_dir):
     """Banded blocking must be LOSSLESS at the pigeonhole radius: the
     op's pairs equal the brute-force set of all pairs within Hamming

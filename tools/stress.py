@@ -67,6 +67,11 @@ STRESS_OPS = (
     "llm_sim_ann_lsh",
     "llm_sim_ann_ivf",
     "llm_sim_ann_ivf_kmeans",  # r10: learned-quantizer IVF
+    # r14 (SCALE.md r13 note): the cluster-partitioned IVF probe joins
+    # the canonical set — its interim subset series showed wall
+    # dominated by the fixed index-build machinery; the full-cache rows
+    # make that growth evidence first-class
+    "llm_sim_ann_ivf_partitioned",
     "stream_foreach_batch_export",  # r10: first streaming op measured (r9 ask #5)
     "sort_multi",
     "graph_label_propagation",
