@@ -221,16 +221,18 @@ _NOTES = {
     ),
     "join_salted_skew": (
         "the explicit mitigation, SELECTIVE since r14: r13 measured "
-        "the original blanket recipe (every orders row x8) at 2.16x "
-        "with a 3.6x uniform premium — refuting its own ~flat claim, "
-        "because replicating the whole dimension side multiplies the "
-        "shuffle for never-hot keys (809 MB/run uniform). The rewrite "
-        "ports join_sortmerge_skewsafe's sampled detection: only "
-        "flagged keys salt 8 ways, only their orders rows replicate; "
-        "measured 4.16s -> 2.83s uniform, 9.00s -> 3.51s skewed, "
-        "shuffle 810 -> 320 MB/run, and the ratio lands at the "
-        "~1.2-1.5x floor every recipe pays at this tier (the skewed "
-        "data itself changes the work — see join_sortmerge_skewsafe)"
+        "the original blanket recipe (every orders row x8) at "
+        "4.16s/9.00s = 2.16x with a 3.6x uniform premium — refuting "
+        "its own ~flat claim, because replicating the whole dimension "
+        "side multiplies the shuffle for never-hot keys (809 MB/run "
+        "uniform). The rewrite ports join_sortmerge_skewsafe's "
+        "sampled detection: only flagged keys salt 8 ways, only "
+        "their orders rows replicate; uniform wall roughly halves, "
+        "shuffle drops 810 -> ~320 MB/run, and the ratio lands at "
+        "the ~1.4-1.6x floor every recipe pays at this tier (the "
+        "skewed data itself changes the work — see "
+        "join_sortmerge_skewsafe; the r14 subset and full-matrix "
+        "runs read 1.24x and 1.57x, run variance around that floor)"
     ),
     "agg_hash_groupby": (
         "control: grouping keys (returnflag, linestatus) are "
