@@ -64,6 +64,8 @@ BENCH_QUERIES = (
     "llm_dedup_near_minhash", # extra headline: LSH near-dup
     "llm_pipeline_curate",    # extra headline: full curation funnel
     "llm_dedup_components",   # extra headline: cluster resolution (iterative)
+    "llm_dedup_components_verified",  # merge-safe twin: + exact-Jaccard
+                                      # verify pass (round 14)
     "llm_contamination_ngram",# extra headline: benchmark decontamination
     "llm_pipeline_export",    # extra headline: fused export funnel (round 3)
     "llm_sim_ann_lsh",        # extra headline: ANN index-probe path (round 4)

@@ -63,6 +63,10 @@ STRESS_OPS = (
     # the six heaviest registry ops (r7 verdict ask #4) ...
     "llm_dedup_near_minhash",
     "llm_dedup_components",
+    # r14: the merge-safe twin — same candidates plus the exact-Jaccard
+    # verify pass; its rows price the verify stage's growth next to the
+    # unverified base
+    "llm_dedup_components_verified",
     "llm_dedup_substring_spans",
     "llm_sim_ann_lsh",
     "llm_sim_ann_ivf",
