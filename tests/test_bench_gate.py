@@ -65,11 +65,15 @@ def test_bench_regressions_are_adjudicated_in_scale_md():
                 "gate cannot run here (run bench.py where it is)"
             )
         # fresh tree with a committed baseline: run the bench so the
-        # gate enforces instead of silently no-opping (r12 ADVICE)
+        # gate enforces instead of silently no-opping (r12 ADVICE).
+        # Budget is env-overridable (r14: the 1800 s default timed the
+        # gate out on a host ~2.3x slower than r13's, under pytest's
+        # own idle-JVM contention — the sweep itself was healthy).
+        budget = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_TIMEOUT", "3600"))
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.join(_REPO, "bench.py")],
-                cwd=_REPO, capture_output=True, text=True, timeout=1800,
+                cwd=_REPO, capture_output=True, text=True, timeout=budget,
             )
         except subprocess.TimeoutExpired as exc:
             # r13 ADVICE: surface the partial output instead of an
@@ -82,7 +86,7 @@ def test_bench_regressions_are_adjudicated_in_scale_md():
                 err = err.decode("utf-8", "replace")
             pytest.fail(
                 "bench.py self-run for the regression gate timed out "
-                f"after 1800s — partial output:\n{out[-2000:]}"
+                f"after {budget}s — partial output:\n{out[-2000:]}"
                 f"{err[-2000:]}"
             )
         assert proc.returncode == 0, (
