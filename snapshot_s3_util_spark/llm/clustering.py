@@ -106,7 +106,18 @@ def _assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def _update(assigned: DataFrame) -> DataFrame:
-    """One Lloyd update step: per-dim mean per cluster, reassembled."""
+    """One Lloyd update step: per-dim mean per cluster, reassembled.
+
+    The r14 optimization pass evaluated replacing the posexplode +
+    two-phase aggregation with ONE groupBy(cid) of `dim` avg(e[i])
+    columns and REJECTED it on measurement: interleaved A/B at sf0.1
+    (identical results, verified row-for-row) read median 1.57 s ->
+    2.73 s — 64 independent avg buffers with per-row getItem cost more
+    than the explode, and the exchange math is a wash at any scale
+    because the per-(cid, pos) partial aggregation already collapses
+    the exploded stream BEFORE the shuffle (K x dim x partitions
+    partial rows, same bytes as K x partitions rows x dim columns).
+    """
     return (
         assigned.select("cid", F.posexplode("e").alias("pos", "x"))
         .groupBy("cid", "pos")

@@ -943,8 +943,16 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature storage is 8 bytes/band.
     """
 
+    # Materialize the signature rows once (r14 optimization pass): the
+    # candidate tail references the band frame four ways (cap-sample
+    # window + self-join a/b + both verify probes) and column pruning
+    # keeps the subtrees non-canonical, so without a checkpoint the
+    # Arrow/Python thumbnail stage re-executes per reference — the
+    # recall audit already ships this materialization. Lazy: rides the
+    # first action.
     return _capped_banded_pairs(
-        _ahash_band_frame(spark, sf_dir), _AHASH_MAX_HAMMING,
+        _ahash_band_frame(spark, sf_dir).localCheckpoint(eager=False),
+        _AHASH_MAX_HAMMING,
         cap=_AHASH_SAMPLE,
     )
 
@@ -954,23 +962,37 @@ def _ahash_band_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     thumbnail/threshold stage shared by the dedup op and its recall
     audit."""
 
+    import numpy as np
+
     def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # numpy over the whole batch (r14 optimization pass, guide
+        # §4.2) — the pHash sibling below already ran vectorized; this
+        # stage looped 64 threshold compares + 64 shift-ors per doc in
+        # Python. Bit-exact: pad-to-64, v * 64 > sum threshold, MSB-
+        # first 16-bit band packing, all in int64.
         for pdf in batches:
-            out = {"doc_id": [], "band": [], "sig": []}
+            docs, thumbs = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if payload is None:
                     continue  # NULL text: no signature, never a candidate
-                thumb = list(payload[:_AHASH_BYTES])
-                thumb += [0] * (_AHASH_BYTES - len(thumb))
-                s = sum(thumb)
-                bits = [1 if v * _AHASH_BYTES > s else 0 for v in thumb]
-                for k in range(_AHASH_BANDS):
-                    sig = 0
-                    for j in range(16):
-                        sig = (sig << 1) | bits[16 * k + j]
-                    out["doc_id"].append(doc_id)
-                    out["band"].append(k)
-                    out["sig"].append(sig)
+                buf = payload[:_AHASH_BYTES]
+                buf = buf + b"\x00" * (_AHASH_BYTES - len(buf))
+                docs.append(doc_id)
+                thumbs.append(np.frombuffer(buf, dtype=np.uint8))
+            if not docs:
+                yield pd.DataFrame({"doc_id": [], "band": [], "sig": []})
+                continue
+            tm = np.stack(thumbs).astype(np.int64)            # n x 64
+            s = tm.sum(axis=1)                                 # per-doc sum
+            bits = (tm * _AHASH_BYTES > s[:, None]).astype(np.int64)
+            weights = np.int64(1) << (15 - np.arange(_AHASH_BYTES) % 16)
+            out = {"doc_id": [], "band": [], "sig": []}
+            for k in range(_AHASH_BANDS):
+                sl = slice(16 * k, 16 * (k + 1))
+                sigs = (bits[:, sl] * weights[sl]).sum(axis=1)
+                out["doc_id"].extend(docs)
+                out["band"].extend([k] * len(docs))
+                out["sig"].extend(sigs.tolist())
             yield pd.DataFrame(out)
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -1115,8 +1137,11 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB signature storage is 8 bytes/band and the band join is the
     only data-sized shuffle.
     """
+    # signature rows materialized once — see multimodal_ahash_dedup
+    # (r14 optimization pass)
     return _capped_banded_pairs(
-        _phash_band_frame(spark, sf_dir), _PHASH_MAX_HAMMING
+        _phash_band_frame(spark, sf_dir).localCheckpoint(eager=False),
+        _PHASH_MAX_HAMMING
     )
 
 
