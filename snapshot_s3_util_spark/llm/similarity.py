@@ -255,6 +255,15 @@ def llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_embeddings(spark, sf_dir).select(
         "vec_id", F.expr(_E).alias("e")
     )
+    # NOT checkpointed (r14 optimization pass evaluated and REJECTED
+    # it): the probe leg's vec_id = probe filter pushes below the
+    # signature aggregation into the parquet scan (PushedFilters
+    # EqualTo(vec_id, 0) in plans/r14/llm_sim_ann_lsh_before.txt), so
+    # the "second consumer" costs one pruned row-group read, not a
+    # corpus pass — while a localCheckpoint would materialize all
+    # |corpus| x bands signature rows just to serve that one probe
+    # row. Interleaved min-of-5 at sf0.1 read 1.279 s (as-is) vs
+    # 1.373/1.480 s (checkpointed) across two checkpointed passes.
     sigs = srp_signatures(spark, v)
     probe_sigs = sigs.filter(F.col("vec_id") == _PROBE_ID).select("band", "sig")
     cand = (
@@ -1542,7 +1551,18 @@ def llm_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_embeddings(spark, sf_dir).select(
         "vec_id", F.expr(_E).alias("e")
     )
-    c1, a2 = _ivfk_quantizer(v)
+    c1, _ = _ivfk_quantizer(v)
+    # Materialize the K x dim centroid frame once (r14 optimization
+    # pass — the partitioned twin has done this since r13): the
+    # near-cluster ranking and the member-scan assignment both hang
+    # off c1, and without a checkpoint each re-runs the whole Lloyd
+    # chain (the plan carried 7 embeddings scans; now 4). The final
+    # assignment is rebuilt from the checkpointed centroids so the
+    # corpus is scored exactly once per consumer.
+    from snapshot_s3_util_spark.llm.clustering import _assign
+
+    c1 = c1.localCheckpoint(eager=False)
+    a2 = _assign(v, c1)
     probe = v.filter(F.col("vec_id") == _PROBE_ID).select(
         F.col("e").alias("pe")
     )

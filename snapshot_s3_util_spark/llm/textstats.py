@@ -843,18 +843,30 @@ def llm_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    tok = toks.select("doc_id", F.explode("t").alias("term"))
+    # r14 optimization pass (guide §2.3/§2.4): the doc length rides the
+    # exploded token stream as a per-doc constant and survives the
+    # (doc, term) aggregation as max(dl), so the scoring stage no
+    # longer joins a SECOND full tokenize pass for dl; and tfq — the
+    # tiny <= |matching docs| x |query terms| hit table — is
+    # checkpointed because both dfreq and the scorer consume it.
+    # Before: 8 documents scans in the plan; after: 3 (query-term leg,
+    # corpus-stats leg, one exploded-hits leg).
+    tok = toks.select("doc_id", F.size("t").cast("double").alias("dl"),
+                      F.explode("t").alias("term"))
     tfq = (
         tok.join(F.broadcast(qt), "term")
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+        .localCheckpoint(eager=False)
     )
     dfreq = tfq.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )
     scored = (
         tfq.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
