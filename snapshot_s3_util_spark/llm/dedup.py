@@ -691,7 +691,27 @@ def _exact_jaccard_verify(cand: DataFrame, kept: DataFrame) -> DataFrame:
     doc_a's shingles, match doc_b's, size-join, threshold. Cost is
     |candidates| x shingles-per-doc — the blocked-join bound. Factored
     out so tests can plant a sub-threshold candidate and assert the
-    verify drops it before the CC stage can merge on it."""
+    verify drops it before the CC stage can merge on it.
+
+    r14 optimization pass (guide §3.2 — prune the big side before it
+    shuffles): only docs that appear in a candidate pair matter to the
+    verify, and that set is small (measured sf0.1: 477 of 5,000 docs =
+    9.5%), so a semi-join prefilter drops ~90% of the shingle stream
+    before the distinct + the two verify joins shuffle it.  The
+    candidate frame is materialized once for its three consumers
+    (doc_a ids, doc_b ids, the verify join).  Interleaved A/B: at
+    sf0.1 a ~1.5% wash-to-loss (stream is only 261k rows); at the 10x
+    replica tier min-of-3 95.0 -> 41.4 s wall for the full verified
+    op, new faster in 2/3 interleaved pairs — the win grows with the
+    corpus while the prefilter cost tracks |candidates|.  Left
+    unhinted so Spark picks broadcast vs shuffle semi-join by size."""
+    cand = cand.localCheckpoint(eager=False)
+    docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    kept = kept.join(docs, "doc_id", "semi")
     ksets = kept.distinct()
     sizes = ksets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ka = ksets.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -2401,6 +2421,18 @@ def _substring_spans_from(d: DataFrame) -> DataFrame:
         grams.withColumn("occ", F.count(F.lit(1)).over(Window.partitionBy("h")))
         .filter(F.col("occ") <= _SPAN_MAXOCC)
         .drop("occ")
+        # r14 optimization pass (guide §5): both legs of the pair
+        # self-join below consume this frame, and without a
+        # materialization each leg replays the whole gram pipeline —
+        # scan -> per-gram md5 Generate -> h-keyed shuffle -> occ
+        # window (3 parquet scans of documents in the before-plan, one
+        # of them feeding a broadcast).  A lazy localCheckpoint runs
+        # that pipeline once; no predicate pushdown is lost because
+        # neither join leg carries a selective filter (contrast
+        # llm_sim_ann_lsh, where the probe leg's pushdown made the
+        # same checkpoint a loss).  Interleaved min-of-6 A/B at sf0.1:
+        # see OPTIMIZATION_r14.md.
+        .localCheckpoint(eager=False)
     )
     a = capped.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "h"

@@ -196,6 +196,16 @@ def _smj_detect_hot(spark: SparkSession, li: DataFrame) -> list:
         # some platforms set the conf to "auto"; the fair-share bar
         # only needs the right order of magnitude
         parts = 200
+    # Known gap (r13 ADVICE, accepted as documented): the bar divides
+    # by the CONFIGURED partition count, but AQE usually coalesces the
+    # join to fewer reducers, so fair-share per reducer is larger and
+    # a key can serialize a coalesced reducer while slipping under
+    # this bar.  Consequence is bounded: detection misses degrade to
+    # the base (unsalted) merge-join plan — results unchanged, AQE's
+    # byte-threshold skew split still applies above 256 MB.  Deriving
+    # the bar from post-AQE reducer count needs sampled BYTES (row
+    # counts are what we have), so the sharper bar is deferred until a
+    # measured miss shows up in SKEW.md.
     tot = per_key.agg(
         F.sum("cnt").alias("tot")
     ).collect()[0]["tot"] or 0
@@ -1233,6 +1243,13 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     for i in range(_BJ_K):
+        # r14 optimization pass note: the K broadcasts of `bits` look
+        # like K separate builds of the same position set, but AQE's
+        # runtime exchange reuse already deduplicates them — verified
+        # in the EXECUTED plan (ReusedExchange + shared
+        # BroadcastQueryStage, with or without the per-hash rename),
+        # so a same-name rewrite was evaluated and rejected as a
+        # runtime no-op (walls statistically indistinguishable).
         bi = bits.withColumnRenamed("pos", f"pos{i}")
         probe = probe.join(
             F.broadcast(bi),

@@ -157,6 +157,37 @@ def test_verified_components_drop_subthreshold_edges(spark, sf_dir):
     assert base == ver
 
 
+def test_verify_prefilter_ignores_noncandidate_docs(spark):
+    """The r14 semi-join prefilter inside `_exact_jaccard_verify`
+    (prune the shingle stream to candidate docs before it shuffles —
+    guide §3.2) must be invisible to results: shingles of docs that
+    appear in NO candidate pair contribute nothing, and docs that
+    appear only on one side keep their FULL shingle set for the
+    union-size denominator. Plants the same 9/13-vs-2/19 fixture as
+    above plus a heavy non-candidate doc 4; a prefilter bug that
+    dropped rows by shingle (not doc) or filtered one side only would
+    shift a Jaccard denominator and change the surviving set."""
+    from snapshot_s3_util_spark.llm.dedup import _exact_jaccard_verify
+
+    kept = spark.createDataFrame(
+        [(1, f"s{i}") for i in range(11)]
+        + [(2, f"s{i}") for i in range(2, 11)] + [(2, "x0"), (2, "x1")]
+        + [(3, f"s{i}") for i in range(2)] + [(3, f"y{i}") for i in range(8)]
+        # doc 4: shares shingles with everyone but is in no candidate
+        # pair — must not appear in, or perturb, the output
+        + [(4, f"s{i}") for i in range(11)] + [(4, f"y{i}") for i in range(8)],
+        "doc_id long, sh string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in _exact_jaccard_verify(cand, kept).collect()
+    }
+    assert got == {(1, 2)}, got
+
+
 def test_simhash_pairs_complete_at_radius(spark, sf_dir):
     """Banded blocking must be LOSSLESS at the pigeonhole radius: the
     op's pairs equal the brute-force set of all pairs within Hamming
