@@ -484,37 +484,115 @@ def _propagate_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def _shortcut_round(stepped: DataFrame) -> DataFrame:
+    """Pointer-doubling shortcut: label <- stepped[label].
+
+    `stepped` = (doc_id, old_label, label) from `_propagate_round`,
+    already localCheckpoint'ed (it is consumed twice below). Because
+    labels only ever DECREASE (label(v) <= v, and stepped[x] <= x for
+    every node x), composing the mapping with itself lets min-labels
+    travel 2^t hops after t rounds instead of t — the Shiloach-Vishkin
+    shortcutting step, turning the driver loop's sequential round count
+    from O(diameter) into O(log diameter) (guide §2.4: the rounds are
+    the shuffles here, and each is a full sequential job barrier).
+
+    Every label value is the doc_id of a node in the same component
+    (propagation takes mins over neighbour ids; shortcut follows a
+    component-internal pointer), so the inner lookup can only miss if a
+    caller passes a label frame not closed over its own values — the
+    left join + coalesce keeps that case a no-op instead of a row drop.
+    """
+    m = stepped.select(
+        F.col("doc_id").alias("label"), F.col("label").alias("_ll")
+    )
+    return stepped.join(m, "label", "left").select(
+        "doc_id",
+        "old_label",
+        F.coalesce("_ll", "label").alias("label"),
+    )
+
+
+# Rounds the last min_label_components call took to converge —
+# instrumentation for the stress tiers (the driver-bound cost of the
+# CC loop is ROUNDS x per-round job latency, so the round count is the
+# number the pointer-doubling optimization must be judged on).
+cc_rounds_last: int = 0
+
+# Plain propagate rounds before the pointer-doubling shortcut joins the
+# loop. Near-dup candidate graphs are DENSE (measured: sf0.1 and every
+# stress tier converge in 2 rounds — replica construction keeps cluster
+# structure tier-invariant), and there the shortcut's extra per-round
+# self-join is pure overhead: interleaved A/B at the 100x tier read
+# median 4.44 s (plain) vs 6.34 s (shortcut every round), new slower in
+# 5/5 pairs. A chain-shaped component only shows up past round ~3, so
+# the shortcut arms itself exactly when the workload proves deep:
+# rounds 1-3 run the r14 loop unchanged (dense graphs never pay),
+# round 4+ adds label <- label-of-label and the horizon doubles per
+# round (diameter-63 chain: 64 rounds plain, 9 adaptive).
+_CC_SHORTCUT_AFTER = 3
+
+
 def min_label_components(
     edges: DataFrame, labels: DataFrame, max_rounds: int = _CC_MAX_ROUNDS
 ) -> DataFrame:
-    """Min-label (HashToMin) propagation until fixpoint.
+    """Min-label propagation with ADAPTIVE pointer-doubling, to fixpoint.
 
     `edges` = (src, dst) DIRECTED rows (pass both directions for an
     undirected graph); `labels` = (doc_id, label) initialized to
-    label = doc_id. Per round: `_propagate_round`, then a cheap
+    label = doc_id. Per round: `_propagate_round` (one-hop min over
+    neighbours), then — from round {_CC_SHORTCUT_AFTER}+1 on —
+    `_shortcut_round` (label <- label-of-label), then a cheap
     changed-row count over the localCheckpoint'ed result — the
     kmeans-style driver loop, so convergence is detected instead of
     assumed (a fixed unroll silently splits any component whose
-    diameter exceeds the unroll depth). Rounds needed = component
-    diameter; near-dup clusters are dense so this is typically 2-3, but
-    chain-shaped components are handled correctly too.
+    diameter exceeds the unroll depth).
+
+    Round complexity (r15 optimization pass, guide §2.4 — each round is
+    a sequential driver-blocking job, the measured scaling wall of this
+    op: BENCH_r14_c8 c8/c32 wall ratio ~1.0, i.e. round latency, not
+    data parallelism, bounds it): dense near-dup graphs converge in
+    2-3 plain rounds and never reach the shortcut, paying ZERO extra
+    per-round work (the 100x-tier A/B that rejected the
+    shortcut-every-round form — see _CC_SHORTCUT_AFTER); a deep
+    component doubles its label horizon every shortcut round, so worst
+    case is ~{_CC_SHORTCUT_AFTER} + log2(diameter) rounds instead of
+    diameter + 1.
+
+    Convergence stays sound under the shortcut because labels are
+    monotone non-increasing: if a full round changes nothing, then the
+    propagate step alone changed nothing (old >= stepped >= shortcut =
+    old forces stepped = old), which is exactly the min-label fixpoint
+    — labels constant per component, equal to the component's min id.
 
     The checkpoint per round is the GraphX/Pregel lineage-truncation
     pattern: without it round t's plan re-runs rounds 0..t-1, and the
     changed-count action would double that work.
     """
+    global cc_rounds_last
+    rounds = 0
     for _ in range(max_rounds):
-        # LAZY checkpoint + count = ONE job per round (r14 optimization
+        # LAZY checkpoints + count = ONE job per round (r14 optimization
         # pass): the changed-row count is the round's first action, so
-        # it both materializes the checkpoint blocks and counts in the
-        # same job. The previous eager checkpoint ran a materialization
-        # job and then a second count job over the fresh blocks —
-        # 2 jobs/round, pure scheduling overhead at any scale.
+        # it materializes the round's checkpoint(s) and counts, all in
+        # the same job. (The previous eager checkpoint ran a
+        # materialization job and then a second count job — 2
+        # jobs/round, pure scheduling overhead at any scale.)
         new_labels = _propagate_round(edges, labels).localCheckpoint(eager=False)
+        if rounds >= _CC_SHORTCUT_AFTER:
+            # the propagate output is already checkpointed above, which
+            # the shortcut needs anyway: it consumes the frame TWICE
+            # (rows + the label->label mapping) — without the
+            # checkpoint each shortcut round would run the edge join
+            # twice.
+            new_labels = _shortcut_round(new_labels).localCheckpoint(
+                eager=False
+            )
         changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
         labels = new_labels.select("doc_id", "label")
+        rounds += 1
         if changed == 0:
             break
+    cc_rounds_last = rounds
     return labels
 
 

@@ -116,6 +116,37 @@ def test_components_chain_converges(spark):
     assert out == {i: 1 for i in range(1, 7)}
 
 
+def test_components_pointer_doubling_round_count(spark):
+    """The r15 pointer-doubling shortcut must resolve a chain-shaped
+    component in O(log diameter) sequential rounds, not O(diameter) —
+    the CC loop's cost at scale is rounds x per-round job latency
+    (BENCH_r14_c8: c8/c32 wall ratio ~1.0, i.e. driver-round-bound), so
+    the round count IS the optimization. A 64-node chain (diameter 63)
+    took 64 rounds under plain min-label propagation; with the
+    shortcut the label horizon at least doubles per round, so 12 is a
+    generous ceiling. Also re-asserts exact labels, because a shortcut
+    bug that over-jumps would converge fast AND wrong."""
+    from snapshot_s3_util_spark.llm import dedup as _dedup
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "src long, dst long"
+    ).localCheckpoint(eager=True)
+    edges = pairs.unionAll(pairs.selectExpr("dst AS src", "src AS dst"))
+    labels = spark.range(1, n + 1).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("label")
+    )
+    out = {
+        r["doc_id"]: r["label"]
+        for r in _dedup.min_label_components(edges, labels).collect()
+    }
+    assert out == {i: 1 for i in range(1, n + 1)}
+    assert _dedup.cc_rounds_last <= 12, (
+        f"pointer doubling regressed: {_dedup.cc_rounds_last} rounds "
+        f"for a diameter-{n - 1} chain (log2 bound ~8, ceiling 12)"
+    )
+
+
 def test_verified_components_drop_subthreshold_edges(spark, sf_dir):
     """The exact-Jaccard verify stage of `llm_dedup_components_verified`
     must DROP a planted sub-threshold candidate pair — the edge that
