@@ -68,6 +68,15 @@ def get_spark(app_name: str = "snapshot-s3-util-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "256m")
+        # Python worker spawn-and-connect-back accept timeout (default
+        # 15s). Under a loaded box (the full pytest suite saturating
+        # local[32]) daemon startup occasionally exceeded it and the
+        # streaming ops failed with "Python worker failed to connect
+        # back" — green in isolation, red under contention, BOTH r14
+        # full-suite runs. 120s makes worker spawn robust to load
+        # without affecting any healthy path (it is an accept() bound,
+        # not a wait).
+        .config("spark.python.authenticate.socketTimeout", "120s")
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)
