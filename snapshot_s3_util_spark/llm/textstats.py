@@ -849,8 +849,12 @@ def llm_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # longer joins a SECOND full tokenize pass for dl; and tfq — the
     # tiny <= |matching docs| x |query terms| hit table — is
     # checkpointed because both dfreq and the scorer consume it.
-    # Before: 8 documents scans in the plan; after: 3 (query-term leg,
-    # corpus-stats leg, one exploded-hits leg).
+    # Before: 8 documents scans in the plan. After: the VISIBLE plan
+    # (plans/r14/llm_bm25_retrieval_after.txt) shows 1 parquet scan —
+    # the lazy checkpoint on tfq collapses the query-term and
+    # exploded-hits legs into a Scan ExistingRDD, so those two scans
+    # run once inside the checkpointed subtree and the dump can't show
+    # them (r14 ADVICE: 3 total passes at runtime, 1 in the dump).
     tok = toks.select("doc_id", F.size("t").cast("double").alias("dl"),
                       F.explode("t").alias("term"))
     tfq = (

@@ -49,7 +49,14 @@ def main() -> int:
         spark.sparkContext.setJobDescription(f"opt-bench {name}")
         clear_persistent_rdds(spark)
         for _ in range(args.warmups):
-            engine.REGISTRY[name].fn(spark, args.sf).collect()
+            # warm-ups execute the SAME action as the measured runs
+            # (r14 ADVICE: a collect() warm-up left the noop
+            # datasource's writer init cold on the first --noop run)
+            df = engine.REGISTRY[name].fn(spark, args.sf)
+            if args.noop:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.collect()
         walls = []
         for _ in range(args.runs):
             clear_persistent_rdds(spark)
