@@ -133,3 +133,54 @@ def test_tws_processor_timer_and_close_are_noops():
     assert list(proc.handleExpiredTimer((1,), None, None)) == []
     proc.handleInitialState((1,), None, None)
     proc.close()
+
+
+def test_export_rebalance_gate_bounds_file_count(spark, tmp_path):
+    """The r15 REBALANCE gate in the export sink (guide §6): a
+    micro-batch arriving in MANY partitions must be clustered by the
+    write's partition column so file count per epoch is bounded by
+    ~|event_types| (ungated it is tasks x types); a micro-batch
+    arriving in few partitions must take the gate's no-op branch —
+    written as-is, one file per (task, type) pair present — so the
+    local regime never pays an extra shuffle to fix a non-problem.
+    Content equality is asserted in both regimes."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from snapshot_s3_util_spark.streaming.stream_ops import (
+        _EXPORT_REBALANCE_MIN_PARTS,
+        _export_write_partitioned,
+    )
+
+    df = spark.range(0, 2000).select(
+        "id", (F.col("id") % 5).cast("string").alias("event_type")
+    )
+
+    # ABOVE the gate: 32 source partitions, 5 types -> up to 160 files
+    # ungated; the REBALANCE must bound it near one per type.
+    many = df.repartition(32)
+    assert many.rdd.getNumPartitions() > _EXPORT_REBALANCE_MIN_PARTS
+    out_gated = str(tmp_path / "gated")
+    _export_write_partitioned(many, out_gated, "event_type")
+    gated_files = glob.glob(f"{out_gated}/event_type=*/*.parquet")
+    assert len(gated_files) <= 10, (
+        f"REBALANCE did not bound the file fan-out: {len(gated_files)} "
+        "files for 5 event types"
+    )
+    assert spark.read.parquet(out_gated).count() == 2000
+
+    # BELOW the gate: 2 source partitions -> the branch must not
+    # rebalance, so each type directory holds exactly one file per
+    # source task that carries that type (= 2 here): 10 files total,
+    # the untouched-write signature.
+    few = df.repartition(2)
+    assert few.rdd.getNumPartitions() <= _EXPORT_REBALANCE_MIN_PARTS
+    out_plain = str(tmp_path / "plain")
+    _export_write_partitioned(few, out_plain, "event_type")
+    plain_files = glob.glob(f"{out_plain}/event_type=*/*.parquet")
+    assert len(plain_files) == 10, (
+        "below-gate write was not left as-is: expected 2 tasks x 5 "
+        f"types = 10 files, got {len(plain_files)}"
+    )
+    assert spark.read.parquet(out_plain).count() == 2000
