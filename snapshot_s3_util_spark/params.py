@@ -113,6 +113,13 @@ BAND_BUCKET_CAP = 64
 # 4x the shared cap. The residual 0.012 gap is the next saturation
 # regime; the dial now reads at 2x/8x around the shipped width and
 # a widening lo-gap remains the early warning.
+# Round 15 (r14 verdict item 9): 8x NOT taken — moving the width is a
+# SEMANTIC retune (more candidate pairs -> different declared-query
+# output), and the r15 optimization brief forbids changing what any
+# declared query computes; there is also standing 30x-tier evidence
+# against the adjacent width-512 move (SCALE.md r14: verify tail
+# 7.5 -> 30.9 s for +0.012 recall). Re-evaluate only in a BUILD round
+# through the changed-ops window, with fresh hi-endpoint tier data.
 AHASH_BUCKET_SAMPLE = 4 * BAND_BUCKET_CAP
 
 # Float canonicalization (SURVEY.md §7): round to this many digits on

@@ -1,6 +1,8 @@
 """Dump `.explain("formatted")` for every flagship bench query into
-plans/r14/<query>_<tag>.txt — the optimization round's evidence files
-(the judge checks plan claims in OPTIMIZATION_r14.md against these).
+plans/<round>/<query>_<tag>.txt — the optimization rounds' evidence
+files (the judge checks plan claims in OPTIMIZATION_r{N}.md against
+these). The round dir comes from $SPARK_GRAFT_PLANS_ROUND (default
+r15).
 
 Usage:
     python tools/capture_plans.py before [query ...]
@@ -34,7 +36,9 @@ def main() -> int:
 
     names = wanted or list(BENCH_QUERIES)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(_REPO, "plans", "r14")
+    out_dir = os.path.join(
+        _REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
     for q in names:
