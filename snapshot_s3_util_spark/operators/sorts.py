@@ -15,7 +15,10 @@ from snapshot_s3_util_spark.params import TOPK_LIMIT
 from snapshot_s3_util_spark.plans.rank import global_row_number
 from snapshot_s3_util_spark.registry import register
 
-_SORT_NPART = 32  # range partitions for sort_multi's two-pass global rank
+# npart for the two-pass global rank is derived from input size with a
+# cores floor since r15 (plans.rank._derive_npart) — at local[32]/sf0.1
+# that is 32, bit-identical to the r6-r14 constant; at 100 TB it grows
+# with the orders table instead of pinning 32 range partitions.
 
 
 @register(
@@ -58,7 +61,7 @@ def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(),
         F.col("o_orderkey").asc(),
     ]
-    return global_row_number(o, keys, out="_rn", npart=_SORT_NPART).select(
+    return global_row_number(o, keys, out="_rn").select(
         "o_orderkey",
         "status_or_null",
         "o_totalprice",

@@ -62,6 +62,46 @@ ColumnOrName = Union[Column, str]
 _PID = "_grn_pid"
 _MID = "_grn_mid"
 
+# --- scale-adaptive npart (r15, guide §2: partitioning must derive from
+# input size / cores, not a constant tuned for one deployment). When the
+# caller does not pin npart, it is max(cores, est_bytes / target) capped:
+#   - cores floor keeps every core busy at any size (local[8] gets 8,
+#     local[32] gets 32 — the r14 constant 32 was the local[32] value
+#     hard-coded);
+#   - est_bytes / _RANK_PART_BYTES keeps each range partition's sort at
+#     ~256 MB of input as the frame grows, so a 100 TB spine gets ~400k
+#     partitions instead of 32 x 3 TB tasks;
+#   - _RANK_MAX_NPART bounds the offsets ledger (npart rows, broadcast)
+#     and the mid-based local index far under its 2**33-row bound.
+# The estimate is Catalyst's planning-time sizeInBytes (file-size-based
+# for scans, propagated through projections/filters); frames with no
+# usable estimate (post-checkpoint RDDs report the defaultSizeInBytes
+# sentinel) fall back to the cores floor — exactly the r14 behavior at
+# local[32]. Override per session with the conf key below (documented
+# in OPTIMIZATION_r15.md; the local default keeps the bench comparable).
+_RANK_PART_BYTES = 256 << 20
+_RANK_MAX_NPART = 65536
+_RANK_PART_BYTES_CONF = "spark.snapshot_s3_util.rank.targetPartitionBytes"
+_STATS_UNKNOWN = 1 << 62  # >= this = missing-stats sentinel, not a size
+
+
+def _derive_npart(df: DataFrame) -> int:
+    """Range-partition count for `df`'s spine: max(cores, bytes/target),
+    capped. See the constants block above for the derivation."""
+    sess = df.sparkSession
+    cores = sess.sparkContext.defaultParallelism
+    try:
+        target = int(sess.conf.get(_RANK_PART_BYTES_CONF, str(_RANK_PART_BYTES)))
+    except Exception:
+        target = _RANK_PART_BYTES
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = 0
+    if est <= 0 or est >= _STATS_UNKNOWN:
+        return cores
+    return max(cores, min(-(-est // target), _RANK_MAX_NPART))
+
 # monotonically_increasing_id() = partition_id * 2**33 + row index
 # within the partition, assigned in row iteration order.
 _MID_PART_BITS = 33
@@ -75,7 +115,7 @@ def global_order_stats(
     cumsum: Optional[Mapping[str, str]] = None,
     totals: Optional[Mapping[str, str]] = None,
     ntotal: Optional[str] = None,
-    npart: int = 32,
+    npart: Optional[int] = None,
 ) -> DataFrame:
     """`df` + exact global order statistics under ORDER BY `keys`,
     without a single-partition window.
@@ -96,8 +136,13 @@ def global_order_stats(
     (add a unique tiebreaker as the last key, exactly as you would
     under `ROW_NUMBER() OVER (ORDER BY ...)`). `npart` bounds the
     per-task frame at ~|rows|/npart; the offsets side stays npart rows
-    and is broadcast regardless.
+    and is broadcast regardless. npart=None (the default) derives it
+    from the input-size estimate with a cores floor (`_derive_npart`)
+    — rank/cumsum values are exact for ANY npart, so the choice is
+    pure performance.
     """
+    if npart is None:
+        npart = _derive_npart(df)
     cumsum = dict(cumsum or {})
     totals = dict(totals or {})
     keys = [F.col(k) if isinstance(k, str) else k for k in keys]
@@ -217,7 +262,7 @@ def global_row_number(
     df: DataFrame,
     keys: Sequence[ColumnOrName],
     out: str = "rn",
-    npart: int = 32,
+    npart: Optional[int] = None,
 ) -> DataFrame:
     """`df` + column `out` = exact 1-based global row_number under
     ORDER BY `keys` (see :func:`global_order_stats`)."""

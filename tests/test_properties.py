@@ -956,3 +956,50 @@ def test_ledger_stream_reader_exactly_once(n_total, stride, n_parts):
     assert seen == list(range(n_total))
     if n_total:
         assert batches == -(-n_total // stride)  # ceil: real multi-batch
+
+
+def test_rank_npart_derives_from_input_size(spark, sf_dir):
+    """r15 scale-adaptivity (guide §2): with no explicit npart the rank
+    spine derives its range-partition count from the planning-time
+    input-size estimate — cores floor for small frames (the local
+    regime, keeping r14 plans bit-identical at local[32]), est/target
+    partitions once the frame outgrows the floor, capped at
+    _RANK_MAX_NPART; frames with no usable estimate fall back to the
+    cores floor. Rank values are exact for ANY npart, so derived and
+    pinned spines must agree row-for-row."""
+    from snapshot_s3_util_spark.io import load_table
+    from snapshot_s3_util_spark.plans.rank import (
+        _RANK_MAX_NPART,
+        _RANK_PART_BYTES_CONF,
+        _derive_npart,
+        global_row_number,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    # small parquet frame, default 256 MB target -> the cores floor
+    assert _derive_npart(o) == cores
+
+    # shrink the per-partition target so the same estimate demands more
+    # partitions than cores: derived must follow est/target, capped
+    try:
+        spark.conf.set(_RANK_PART_BYTES_CONF, "1024")
+        derived = _derive_npart(o)
+        assert cores < derived <= _RANK_MAX_NPART
+    finally:
+        spark.conf.unset(_RANK_PART_BYTES_CONF)
+
+    # value-identity: derived npart and the old pinned 32 produce the
+    # same exact global row numbers
+    keys = ["o_totalprice", "o_orderkey"]
+    got = sorted(
+        (r["o_orderkey"], r["rn"])
+        for r in global_row_number(o, keys, out="rn").collect()
+    )
+    want = sorted(
+        (r["o_orderkey"], r["rn"])
+        for r in global_row_number(o, keys, out="rn", npart=32).collect()
+    )
+    assert got == want
