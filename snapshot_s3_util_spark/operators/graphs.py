@@ -503,6 +503,49 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r15 (r14 verdict ask #8): broadcast-vs-keyed frontier dispatch.
+# The base LPA/BFS ops broadcast the per-round |V|-row label/frontier
+# frame; the `_keyed` twins shuffle it by key. Measured at the stress
+# tiers (STRESS.md r15 matrix), the keyed premium on these
+# nation-derived graphs is ~0 (walls within host noise through 100x,
+# |V| <= 2,500), so no wall crossover is reachable — the breakeven is
+# set by broadcast SAFETY, not speed: a HashedRelation of the frontier
+# costs ~50 B/node per round on the driver and every executor, and the
+# guide's §3.1 bound ("a few hundred MB is fine; multiple GB is asking
+# for OOMs", 8 GB hard cap) puts the flip at a few million nodes.
+# Default: |E| >= 2M canonical edges (|V| <= 2|E|, frontier relation
+# then approaching ~200 MB) routes the base op through the keyed
+# rounds. The probe is one count() over the ALREADY-materialized
+# checkpointed edge frame (Catalyst stats are unusable there — a
+# checkpointed LogicalRDD reports the defaultSizeInBytes sentinel,
+# measured 2.6e20 at sf0.1), bounded by the catalog (|E| <= |nations|^2
+# here) and costing one near-empty job. Conf-overridable; <= 0 forces
+# keyed (used by tests to pin the dispatch plan).
+_KEYED_FRONTIER_MIN_EDGES = 2_000_000
+_KEYED_FRONTIER_MIN_EDGES_CONF = (
+    "spark.snapshot_s3_util.graph.keyedFrontierMinEdges"
+)
+
+
+def _use_keyed_frontier(und: DataFrame) -> bool:
+    """True when the graph's canonical edge frame is large enough that
+    the per-round |V| frontier must move by keyed shuffle instead of
+    broadcast (see the constants block above for the breakeven)."""
+    sess = und.sparkSession
+    try:
+        thr = int(
+            sess.conf.get(
+                _KEYED_FRONTIER_MIN_EDGES_CONF,
+                str(_KEYED_FRONTIER_MIN_EDGES),
+            )
+        )
+    except Exception:
+        thr = _KEYED_FRONTIER_MIN_EDGES
+    if thr <= 0:
+        return True
+    return und.count() >= thr
+
+
 def _bfs_round_keyed(sym: DataFrame, hops: DataFrame) -> DataFrame:
     """One BFS frontier expansion with the hops frame joined by KEY
     (shuffle-hash hint) instead of broadcast. Factored out so
