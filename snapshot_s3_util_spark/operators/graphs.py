@@ -475,16 +475,23 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-round shuffle carries only (node, hops) pairs;
     convergence-detection (as in `llm_dedup_components`) would replace
     the fixed unroll in production, traded here for an exact oracle.
+
+    r15 (r14 verdict ask #8): past the `_use_keyed_frontier` breakeven
+    the rounds dispatch to `_bfs_round_keyed` (the `_keyed` twin's
+    rounds, output-identical) — see `graph_label_propagation`.
     """
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     cano = _strong_und_edges(spark, sf_dir)
-    sym = (
-        cano.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .unionAll(cano.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .localCheckpoint()
+    keyed = _use_keyed_frontier(cano)
+    sym = cano.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        cano.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
+    sym = (sym.repartition("u") if keyed else sym).localCheckpoint()
     hops = spark.createDataFrame([(_BFS_SRC, 0)], "node int, hops int")
     for _ in range(_BFS_ROUNDS):
+        if keyed:
+            hops = _bfs_round_keyed(sym, hops).localCheckpoint()
+            continue
         expanded = (
             sym.join(F.broadcast(hops), sym["u"] == hops["node"])
             .select(F.col("v").alias("node"), (F.col("hops") + 1).alias("hops"))
@@ -824,29 +831,47 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node argmax window — per-round shuffle is bounded by
     |distinct (node, label)| ≤ |E|, and lineage stays flat because
     rounds are unrolled, not iterated driver-side.
+
+    r15 (r14 verdict ask #8): past the `_use_keyed_frontier` breakeven
+    the rounds dispatch to `_lpa_round_keyed` — the same rounds the
+    `_keyed` twin runs, output-identical (shared oracle), so only the
+    join strategy flips once |V| outgrows what a per-round broadcast
+    should carry. On this catalog-bounded graph (|E| <= |nations|^2)
+    the broadcast branch is always taken; the dispatch exists for the
+    deployment where the edge frame is real.
     """
     und = _strong_und_edges(spark, sf_dir)
     adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
         und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
     )
-    labels = adj.select("node").distinct().withColumn("label", F.col("node"))
-    for _ in range(_LPA_ROUNDS):
-        nb = labels.select(
-            F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
+    if _use_keyed_frontier(und):
+        adj = adj.repartition("nbr").localCheckpoint()
+        labels = adj.select("node").distinct().withColumn(
+            "label", F.col("node")
         )
-        counts = (
-            adj.join(F.broadcast(nb), "nbr")
-            .groupBy("node", "nbr_label")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        for _ in range(_LPA_ROUNDS):
+            labels = _lpa_round_keyed(adj, labels)
+    else:
+        labels = adj.select("node").distinct().withColumn(
+            "label", F.col("node")
         )
-        w = Window.partitionBy("node").orderBy(
-            F.col("c").desc(), F.col("nbr_label").asc()
-        )
-        labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("nbr_label").alias("label"))
-        )
+        for _ in range(_LPA_ROUNDS):
+            nb = labels.select(
+                F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
+            )
+            counts = (
+                adj.join(F.broadcast(nb), "nbr")
+                .groupBy("node", "nbr_label")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            )
+            w = Window.partitionBy("node").orderBy(
+                F.col("c").desc(), F.col("nbr_label").asc()
+            )
+            labels = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("node", F.col("nbr_label").alias("label"))
+            )
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )

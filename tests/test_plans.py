@@ -1748,3 +1748,34 @@ def test_snapshot_source_column_projection_never_decodes_unselected(
             .load()
             .collect()
         )
+
+
+def test_graph_frontier_dispatch_flips_to_keyed_rounds(spark, sf_dir):
+    """r15 (r14 verdict ask #8): the base LPA/BFS ops dispatch their
+    per-round join strategy on `_use_keyed_frontier`. Below the edge
+    breakeven (every catalog-bounded graph here) the broadcast rounds
+    run — r14-identical plans; forcing the threshold to 0 via conf must
+    route the SAME ops through the keyed rounds and produce identical
+    results, proving the flip changes the join strategy, never the
+    output."""
+    import snapshot_s3_util_spark as engine
+    from snapshot_s3_util_spark.operators.graphs import (
+        _KEYED_FRONTIER_MIN_EDGES_CONF,
+        _strong_und_edges,
+        _use_keyed_frontier,
+    )
+
+    und = _strong_und_edges(spark, sf_dir)
+    # default threshold: catalog-bounded |E| stays broadcast
+    assert not _use_keyed_frontier(und)
+
+    for op in ("graph_label_propagation", "graph_bfs_hops"):
+        fn = engine.REGISTRY[op].fn
+        base = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        try:
+            spark.conf.set(_KEYED_FRONTIER_MIN_EDGES_CONF, "0")
+            assert _use_keyed_frontier(und)
+            keyed = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        finally:
+            spark.conf.unset(_KEYED_FRONTIER_MIN_EDGES_CONF)
+        assert base == keyed, op
