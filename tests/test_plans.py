@@ -1235,12 +1235,26 @@ def test_analyze_stats_one_scan(spark, sf_dir):
 
 def test_gini_rank_over_user_aggregate(spark, sf_dir):
     """The global rank must consume the |users| aggregate, never raw
-    events (root-first: Window above HashAggregate)."""
+    events. Two valid shapes since the r15 ledger fusion
+    (plans/rank.py `_RANK_FUSE_MAX_NPART`): FUSED — the visible plan's
+    leaf is the checkpointed spine (`Scan ExistingRDD`, already the
+    (user_id, x) aggregate; the events scan + groupBy ran below the
+    checkpoint) and the rank is the map-literal `_grn_mid` projection
+    feeding the moment aggregate; DISTRIBUTED (npart above the fuse
+    cap) — the ledger Window sits above the user HashAggregate as
+    before (root-first: Window above HashAggregate)."""
     df = REGISTRY["agg_gini_coefficient"].fn(spark, sf_dir)
     plan = physical_plan(df)
-    win_pos = plan.find("Window")
-    agg_pos = plan.rfind("HashAggregate")
-    assert win_pos != -1 and agg_pos != -1 and win_pos < agg_pos, plan
+    # in BOTH regimes the raw events scan lives below the spine
+    # checkpoint — the rank side must never see a parquet leaf
+    assert "Scan parquet" not in plan, plan
+    if "Window" in plan:  # distributed-ledger regime
+        win_pos = plan.find("Window")
+        agg_pos = plan.rfind("HashAggregate")
+        assert agg_pos != -1 and win_pos < agg_pos, plan
+    else:  # fused regime: the rank rides the spine projection
+        assert "Scan ExistingRDD" in plan, plan
+        assert "_grn_mid" in plan, plan
     assert not uses_python(df)
 
 
