@@ -453,6 +453,20 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CC_MAX_ROUNDS = 50  # safety bound; the loop exits on convergence
 
+# CC input checkpoints (candidate pairs / kept shingles / verified
+# edges) are LAZY (r15, guide §2.4/§5): an eager checkpoint runs a
+# separate driver-blocking materialization job per frame; lazy folds
+# each into the CC loop's round-1 count, so the whole input chain
+# (shingles -> signatures -> candidates [-> verify]) materializes in
+# ONE job instead of 2-3 sequential ones. Interleaved A/B (one
+# session, arms alternated, results asserted identical, sf0.1):
+# llm_dedup_components lazy faster 5/7 pairs (med 3.360 -> 3.202 s),
+# llm_dedup_components_verified 6/7 (med 4.362 -> 4.207, min 4.111 ->
+# 3.798). Same determinism note as the graphs module: racing stages
+# may transiently compute a partition twice, but every frame here is
+# deterministic.
+_CC_INPUT_CKPT_EAGER = False
+
 
 def _propagate_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """One min-label round as a LAZY plan: (doc_id, old_label, label).
@@ -645,7 +659,9 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-run the whole minhash pipeline (iterative-graph checkpointing,
     # the GraphX/GraphFrames pattern; pairs = the blocked candidate set,
     # orders of magnitude smaller than the corpus).
-    pairs = llm_dedup_near_minhash(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = llm_dedup_near_minhash(spark, sf_dir).localCheckpoint(
+        eager=_CC_INPUT_CKPT_EAGER
+    )
     return _cc_resolve(pairs)
 
 
@@ -753,13 +769,17 @@ def llm_dedup_components_verified(
     cost was measured at +0.5-3 s per tier in the r14 cutoff study
     (verify_wall columns, STRESS.md).
     """
-    kept = _minhash_kept(spark, sf_dir).localCheckpoint(eager=True)
+    kept = _minhash_kept(spark, sf_dir).localCheckpoint(
+        eager=_CC_INPUT_CKPT_EAGER
+    )
     # same 4-consumer signature-table materialization as the base op
     # (r14 optimization pass — see llm_dedup_near_minhash)
     minhashes = _minhash_minhashes(kept).localCheckpoint(eager=False)
     cand = _minhash_cand(_minhash_band_sigs(minhashes), minhashes)
     return _cc_resolve(
-        _exact_jaccard_verify(cand, kept).localCheckpoint(eager=True)
+        _exact_jaccard_verify(cand, kept).localCheckpoint(
+            eager=_CC_INPUT_CKPT_EAGER
+        )
     )
 
 

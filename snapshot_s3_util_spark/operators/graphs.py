@@ -19,6 +19,25 @@ from snapshot_s3_util_spark.registry import register
 _PR_ITERS = 3
 _PR_DAMP = 0.85
 
+# Edge-frame checkpoints are LAZY (r15, guide §2.4/§5 — the CC loop's
+# lazy-checkpoint pattern applied to the graph inputs): an eager
+# checkpoint runs a separate driver-blocking materialization job per
+# frame before any real work — `_strong_und_edges` stacked TWO of them
+# (dir + und) on every undirected-graph op; lazy folds each into the
+# first consuming action (the keyed-frontier count probe, a loop
+# round's count, or the final collect), saving 1-3 sequential job
+# barriers per op with identical plans and results. Interleaved A/B
+# (one session, arms alternated, results asserted identical, sf0.1):
+# pagerank lazy 6/7 pairs (med 1.849 -> 1.675 s), triangle 4/7
+# (1.585 -> 1.531), LPA 6/9 on the deciding re-run (min 1.677 ->
+# 1.606), bfs/kcore a wash inside host noise — no op measured a real
+# loss, and the barrier count drops at any scale. Cost: racing stages
+# of the materializing job can transiently compute a partition twice
+# ("Block already exists" warnings) — bounded by one stage's work,
+# and every frame here is deterministic, so duplicated compute is
+# consistent.
+_EDGE_CKPT_EAGER = False
+
 _EDGES_SQL = """
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
          CAST(COUNT(*) AS BIGINT) AS w
@@ -104,7 +123,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w").cast("double")
             / F.sum("w").over(Window.partitionBy("src"))
         ).alias("p"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=_EDGE_CKPT_EAGER)
 
     nodes = nation.select(F.col("n_nationkey").alias("node"))
     n_nodes = nodes.count()
@@ -287,7 +306,7 @@ def _strong_dir_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("wr") <= _STRONG_TOPK)
         )
         .select("src", "dst")
-        .localCheckpoint()
+        .localCheckpoint(eager=_EDGE_CKPT_EAGER)
     )
 
 
@@ -302,7 +321,7 @@ def _strong_und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=_EDGE_CKPT_EAGER)
     )
 
 
