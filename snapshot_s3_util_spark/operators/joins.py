@@ -1152,6 +1152,13 @@ _BJ_K = 2          # bloom hash functions (fp = fill^2 ~ 0.3% at sf0.1's fill)
 _BJ_M = 1 << 20    # bloom bits (sized for sf0.1's ~30k keys: ~11% fill)
 _BJ_PRIORITY = "1-URGENT"
 
+# The bloom position set's checkpoint is LAZY (r15, guide §2.4/§5 —
+# same decision as graphs._EDGE_CKPT_EAGER): its consumers are the K
+# broadcast builds (AQE-deduplicated to one), whose build job
+# materializes it — an eager checkpoint only adds a blocking job
+# before the probe starts. A/B evidence in OPTIMIZATION_r15.md.
+_BLOOM_BITS_CKPT_EAGER = False
+
 # Kirsch-Mitzenmacher double hashing: ONE md5 per key, positions
 # pos_i = (h1 + i*h2) mod M from its two 32-bit halves — the same
 # idiom as the minhash family; 4x fewer digests on the fact side.
@@ -1231,7 +1238,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("h2", F.expr("cast(conv(substring(dg, 9, 8), 16, 10) AS bigint)"))
         .withColumn("i", F.explode(F.array(*[F.lit(i) for i in range(_BJ_K)])))
         .select(((F.col("h1") + F.col("i") * F.col("h2")) % _BJ_M).alias("pos"))
-        .localCheckpoint()
+        .localCheckpoint(eager=_BLOOM_BITS_CKPT_EAGER)
     )
     probe = (
         li.withColumn("dg", F.md5(F.col("l_orderkey").cast("string")))
