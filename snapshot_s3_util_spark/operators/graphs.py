@@ -505,7 +505,9 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = cano.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         cano.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    sym = (sym.repartition("u") if keyed else sym).localCheckpoint()
+    sym = (sym.repartition("u") if keyed else sym).localCheckpoint(
+        eager=_EDGE_CKPT_EAGER
+    )
     hops = spark.createDataFrame([(_BFS_SRC, 0)], "node int, hops int")
     for _ in range(_BFS_ROUNDS):
         if keyed:
@@ -611,7 +613,7 @@ def graph_bfs_hops_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         cano.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(cano.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .repartition("u")
-        .localCheckpoint()
+        .localCheckpoint(eager=_EDGE_CKPT_EAGER)
     )
     hops = spark.createDataFrame([(_BFS_SRC, 0)], "node int, hops int")
     for _ in range(_BFS_ROUNDS):
@@ -864,7 +866,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
     )
     if _use_keyed_frontier(und):
-        adj = adj.repartition("nbr").localCheckpoint()
+        adj = adj.repartition("nbr").localCheckpoint(
+            eager=_EDGE_CKPT_EAGER
+        )
         labels = adj.select("node").distinct().withColumn(
             "label", F.col("node")
         )
@@ -959,7 +963,7 @@ def graph_label_propagation_keyed(
             und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
         )
         .repartition("nbr")
-        .localCheckpoint()
+        .localCheckpoint(eager=_EDGE_CKPT_EAGER)
     )
     labels = adj.select("node").distinct().withColumn("label", F.col("node"))
     for _ in range(_LPA_ROUNDS):
@@ -1153,7 +1157,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cost"
             ),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=_EDGE_CKPT_EAGER)
     )
     dist = (
         we.sparkSession.range(1)
@@ -1270,7 +1274,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager=_EDGE_CKPT_EAGER)
     )
     nodes = (
         we.select(F.col("src").alias("node"))
