@@ -37,19 +37,23 @@ def main() -> int:
 
     import snapshot_s3_util_spark as engine
     from snapshot_s3_util_spark.session import get_spark, clear_persistent_rdds
+    from snapshot_s3_util_spark.operators import aggregates as amod
+    from snapshot_s3_util_spark.operators import composites as cmod
+    from snapshot_s3_util_spark.operators import extras as xmod
     from snapshot_s3_util_spark.operators import graphs as gmod
     from snapshot_s3_util_spark.operators import joins as jmod
     from snapshot_s3_util_spark.llm import dedup as dmod
     from snapshot_s3_util_spark.llm import similarity as smod
+    from snapshot_s3_util_spark.llm import textstats as tmod
 
     engine.load_all_operators()
     spark = get_spark("exp-lazy-ckpt")
 
     def set_eager(flag: bool) -> None:
         gmod._EDGE_CKPT_EAGER = flag
-        dmod._INPUT_CKPT_EAGER = flag
-        jmod._BLOOM_BITS_CKPT_EAGER = flag
         smod._IVF_C1_CKPT_EAGER = flag
+        for m in (dmod, jmod, amod, cmod, xmod, tmod):
+            m._INPUT_CKPT_EAGER = flag
 
     for name in ops:
         spark.sparkContext.setJobDescription(f"exp {name}")
