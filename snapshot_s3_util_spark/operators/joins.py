@@ -1152,12 +1152,16 @@ _BJ_K = 2          # bloom hash functions (fp = fill^2 ~ 0.3% at sf0.1's fill)
 _BJ_M = 1 << 20    # bloom bits (sized for sf0.1's ~30k keys: ~11% fill)
 _BJ_PRIORITY = "1-URGENT"
 
-# The bloom position set's checkpoint is LAZY (r15, guide §2.4/§5 —
-# same decision as graphs._EDGE_CKPT_EAGER): its consumers are the K
-# broadcast builds (AQE-deduplicated to one), whose build job
-# materializes it — an eager checkpoint only adds a blocking job
-# before the probe starts. A/B evidence in OPTIMIZATION_r15.md.
-_BLOOM_BITS_CKPT_EAGER = False
+# Multi-consumer input checkpoints in this module are LAZY (r15,
+# guide §2.4/§5 — same decision as graphs._EDGE_CKPT_EAGER): the
+# bloom position set's consumers are the K broadcast builds
+# (AQE-deduplicated to one), whose build job materializes it; the
+# set-similarity prefix table's consumers are its two join legs. An
+# eager checkpoint only adds a blocking job before the first action.
+# A/B evidence in OPTIMIZATION_r15.md. (join_partition_pruned_dim's
+# checkpoint stays EAGER — it materializes the returned frame before
+# its staging tempdir is removed.)
+_INPUT_CKPT_EAGER = False
 
 # Kirsch-Mitzenmacher double hashing: ONE md5 per key, positions
 # pos_i = (h1 + i*h2) mod M from its two 32-bit halves — the same
@@ -1238,7 +1242,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("h2", F.expr("cast(conv(substring(dg, 9, 8), 16, 10) AS bigint)"))
         .withColumn("i", F.explode(F.array(*[F.lit(i) for i in range(_BJ_K)])))
         .select(((F.col("h1") + F.col("i") * F.col("h2")) % _BJ_M).alias("pos"))
-        .localCheckpoint(eager=_BLOOM_BITS_CKPT_EAGER)
+        .localCheckpoint(eager=_INPUT_CKPT_EAGER)
     )
     probe = (
         li.withColumn("dg", F.md5(F.col("l_orderkey").cast("string")))
@@ -1405,25 +1409,45 @@ def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("sz"),
         )
     )
-    # prefix length = sz - ceil(tau * sz) + 1
-    pref = ordered.select(
-        "doc_id",
-        "toks",
-        "sz",
-        F.expr(
-            f"slice(toks, 1, CAST(sz AS INT)"
-            f" - CAST(ceil({_SSJ_TAU} * sz) AS INT) + 1)"
-        ).alias("prefix"),
-    ).localCheckpoint()
+    # prefix length = sz - ceil(tau * sz) + 1.
+    # r15 (guide §2.5): the checkpointed frame is hash-repartitioned to
+    # a scale-adaptive partition count BEFORE the quadratic stages —
+    # AQE coalesces the tiny |docs|-row aggregate to ONE post-shuffle
+    # partition, which serialized the entire Σ(prefix-bucket²)
+    # candidate join + exact verify onto a single core (measured: the
+    # whole op ran as one 90 s task at sf0.1/local[32]). `_derive_npart`
+    # is the rank spine's derivation (cores floor, bytes/256 MB at
+    # scale), so the fan-out follows the deployment, not a constant.
+    from snapshot_s3_util_spark.plans.rank import _derive_npart
+
+    pref = (
+        ordered.select(
+            "doc_id",
+            "toks",
+            "sz",
+            F.expr(
+                f"slice(toks, 1, CAST(sz AS INT)"
+                f" - CAST(ceil({_SSJ_TAU} * sz) AS INT) + 1)"
+            ).alias("prefix"),
+        )
+        .repartition(_derive_npart(ordered), "doc_id")
+        .localCheckpoint(eager=_INPUT_CKPT_EAGER)
+    )
+    # r15 (guide §2.3/§8 — decide with small rows, attach the payload
+    # once): candidate generation and the distinct used to carry BOTH
+    # full token arrays through the prefix join and dedup on
+    # (ids, arrays) — hashing and shuffling the heavy payload to make
+    # an id-only decision. The join legs now ship (doc_id, sz, pt)
+    # only; the arrays re-attach to the DEDUPED pair set via two
+    # id-keyed joins back to the checkpointed frame (the minhash
+    # est-prefilter pattern, dedup.py `_minhash_cand`).
     pa = pref.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("toks").alias("toks_a"),
         F.col("sz").alias("sz_a"),
         F.explode("prefix").alias("pt"),
     )
     pb = pref.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("toks").alias("toks_b"),
         F.col("sz").alias("sz_b"),
         F.explode("prefix").alias("pt"),
     )
@@ -1435,9 +1459,16 @@ def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sz_b") >= _SSJ_TAU * F.col("sz_a"))
             & (F.col("sz_a") >= _SSJ_TAU * F.col("sz_b"))
         )
-        .select("doc_a", "doc_b", "toks_a", "toks_b")
+        .select("doc_a", "doc_b")
         .distinct()
     )
+    ta = pref.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")
+    )
+    tb = pref.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")
+    )
+    cand = cand.join(ta, "doc_a").join(tb, "doc_b")
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     uni = F.size("toks_a") + F.size("toks_b") - inter
     return (
