@@ -117,3 +117,26 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL-API paths)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread_compute(df: DataFrame, *keys: str) -> DataFrame:
+    """Row-respread gate for compute-heavy stages over tiny scans
+    (r15, guide §2.5 input skew).
+
+    The test tables are single parquet row groups, so byte-range
+    splitting (`spark.sql.files.minPartitionNum`) cannot split them —
+    an op whose heavy per-row work (interpreted higher-order folds,
+    brute-force scoring behind a broadcast) sits directly on the scan
+    runs as ONE task no matter how many cores the session has. Gated
+    on the OBSERVED partition count (the stream-export REBALANCE gate
+    pattern): below the session core count the frame is
+    hash-respread once on `keys` (~MBs of shuffle locally); at
+    deployment scale the scan already arrives in >= cores partitions
+    and the gate is a no-op, so no shuffle is added where the data is
+    already spread. Results are partitioning-independent by
+    construction.
+    """
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores, *keys)
+    return df

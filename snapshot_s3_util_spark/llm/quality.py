@@ -459,20 +459,39 @@ def llm_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    chars = F.split("text", "")
-    n = F.size(chars)
+    # r15 (guide §1.2 per-task work): the char array is SPLIT ONCE into
+    # an inner projection and every consumer references the alias —
+    # the previous form re-ran the regex `split(text, '')` inside the
+    # entropy lambda for EVERY distinct character of every row
+    # (O(|alphabet|) regex splits per doc; measured 6.37 -> 0.35 s
+    # warm median at sf0.1). CollapseProject keeps the alias because
+    # it is non-cheap and multiply referenced, so the plan stays one
+    # narrow two-level projection with no shuffle; the arithmetic —
+    # including the array_sort'ed summation order — is unchanged, so
+    # results are bit-identical.
+    # r15 (guide §2.5 input skew): the interpreted entropy lambda sat
+    # on the one-row-group documents scan, running on a single core —
+    # respread via the shared gate (io.spread_compute; no-op at
+    # deployment scale, so the op stays shuffle-free there, as the
+    # plan note above claims).
+    from snapshot_s3_util_spark.io import spread_compute
+
+    cs = spread_compute(
+        d.select("doc_id", F.split("text", "").alias("cs")), "doc_id"
+    )
+    n = F.size("cs")
     # per distinct char c: k = occurrences; accumulate -p*log2(p)
     h = F.expr(
-        "aggregate(array_sort(array_distinct(split(text, ''))), 0D,"
-        " (acc, c) -> acc - (cast(size(filter(split(text, ''), x -> x = c))"
-        "                        AS double) / size(split(text, '')))"
-        "             * log2(cast(size(filter(split(text, ''), x -> x = c))"
-        "                        AS double) / size(split(text, ''))))"
+        "aggregate(array_sort(array_distinct(cs)), 0D,"
+        " (acc, c) -> acc - (cast(size(filter(cs, x -> x = c))"
+        "                        AS double) / size(cs))"
+        "             * log2(cast(size(filter(cs, x -> x = c))"
+        "                        AS double) / size(cs)))"
     )
-    return d.select(
+    return cs.select(
         "doc_id",
         n.cast("bigint").alias("n_chars"),
-        F.size(F.array_distinct(chars)).cast("bigint").alias("n_distinct"),
+        F.size(F.array_distinct("cs")).cast("bigint").alias("n_distinct"),
         F.round(h, 6).alias("bits_per_char"),
         ((h < _ENT_LO) | (h > _ENT_HI)).alias("flagged"),
     )

@@ -526,8 +526,13 @@ def llm_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("a_label"),
         F.col("e").alias("ae"),
     )
+    # r15: the |anchors| x |corpus| brute scoring pass sits directly on
+    # the one-row-group embeddings scan — respread so it parallelizes
+    # (io.spread_compute; no-op at deployment scale)
+    from snapshot_s3_util_spark.io import spread_compute
+
     scored = (
-        v.crossJoin(F.broadcast(a))
+        spread_compute(v, "vec_id").crossJoin(F.broadcast(a))
         .filter(F.col("vec_id") != F.col("anchor_id"))
         .withColumn("raw", _cos("e", "ae"))
     )

@@ -2545,9 +2545,18 @@ def llm_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     g = t.select("doc_id", "pk", "ws", bi.alias("bs"))
-    c = g.select(
-        "doc_id", "pk", F.col("ws").alias("cws"), F.col("bs").alias("cbs")
-    ).filter(F.col("doc_id") % 2 == 1)
+    # r15: the clipped-count array folds are O(len^2) interpreted work
+    # per pair and sat on the one-row-group documents scan — respread
+    # the candidate leg so the pair-join's probe side parallelizes
+    # (io.spread_compute; no-op at deployment scale)
+    from snapshot_s3_util_spark.io import spread_compute
+
+    c = spread_compute(
+        g.select(
+            "doc_id", "pk", F.col("ws").alias("cws"), F.col("bs").alias("cbs")
+        ).filter(F.col("doc_id") % 2 == 1),
+        "pk",
+    )
     r = g.select(
         F.col("doc_id").alias("ref_id"),
         F.col("pk").alias("rpk"),

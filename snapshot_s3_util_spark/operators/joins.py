@@ -848,14 +848,24 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer — both engines implement the same classic DP, so
     parity is bit-for-bit.
     """
+    from snapshot_s3_util_spark.plans.rank import _derive_npart
+
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_name"
     )
+    # r15 (guide §2.5, same diagnosis as join_set_similarity_prefix):
+    # the part scan is one small split, so the Σ block² levenshtein
+    # probe — ~8M DP evaluations at sf0.1 — ran as a SINGLE task
+    # behind the broadcast build (measured 14.2 s warm median on 32
+    # cores). Hash-spreading the probe side over the scale-adaptive
+    # partition count parallelizes the residual evaluation; the
+    # broadcast join is partitioning-agnostic, so results are
+    # unchanged.
     a = p.select(
         F.col("p_partkey").alias("part_a"),
         F.col("p_brand").alias("brand"),
         F.col("p_name").alias("name_a"),
-    )
+    ).repartition(_derive_npart(p), "part_a")
     b = p.select(
         F.col("p_partkey").alias("part_b"),
         F.col("p_brand").alias("brand_b"),
